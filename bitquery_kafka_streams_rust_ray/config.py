@@ -1,0 +1,79 @@
+"""Engine configuration.
+
+Ports the *semantics* of the reference's ``SdkConfig`` /
+``ProcessingConfig`` defaults (reference ``src/config.rs:262-275,
+317-328``) onto Ray Data execution knobs. Values that the reference
+spends code enforcing by hand (queue caps, backpressure thresholds,
+memory models) are provided for free by Ray Data's streaming executor;
+what remains configurable here is what actually shapes a Ray pipeline:
+batch sizes, actor-pool sizes, window/dedup parameters, lateness, and
+sink layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class WindowConfig:
+    """Event-time window parameters (seconds of ``warc_ts`` time)."""
+
+    tumbling_size_s: int = 60        # reference per-minute stats (examples/dex_monitor.rs:42)
+    sliding_size_s: int = 120
+    sliding_slide_s: int = 60
+    session_gap_s: int = 180
+
+    def __post_init__(self) -> None:
+        if self.sliding_size_s % self.sliding_slide_s != 0:
+            raise ValueError(
+                "sliding_size_s must be a multiple of sliding_slide_s "
+                f"(got {self.sliding_size_s}/{self.sliding_slide_s})"
+            )
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Top-level configuration for the streaming engine.
+
+    Mirrors the reference defaults where a direct analog exists:
+
+    - ``dedup_window_s=300``  <- reference ``dedup_window`` (src/config.rs:270)
+    - ``batch_size=1024``     <- reference batches 100-1000 events
+      (src/config.rs:268, config/production.env:22); ours is larger
+      because Arrow batches are columnar and cheap
+    - ``state_shards``        <- analog of `parallel_workers = num_cpus`
+      (src/config.rs:266), the number of keyed state actors
+    """
+
+    # --- event-time semantics ---
+    dedup_window_s: int = 300
+    allowed_lateness_s: int = 120
+    windows: WindowConfig = field(default_factory=WindowConfig)
+
+    # --- physical execution ---
+    batch_size: int = 1024           # rows per Arrow batch in stateful stages
+    read_batch_size: int = 256       # smaller for wide `html` binary rows
+    state_shards: int = 8            # keyed state actors (dedup/window/join)
+    extract_concurrency: int = 8     # actor pool size for html->text
+    files_per_epoch: int = 2         # micro-batch granularity of the driver loop
+
+    # --- filter defaults (F4 analog: weight x text_len >= threshold) ---
+    min_text_len: int = 0
+    min_weighted_len: float = 0.0
+
+    def validate(self) -> None:
+        """Fail fast on nonsense values (reference src/config.rs:43-49)."""
+        if self.dedup_window_s <= 0:
+            raise ValueError("dedup_window_s must be positive")
+        if self.allowed_lateness_s < 0:
+            raise ValueError("allowed_lateness_s must be >= 0")
+        if self.batch_size <= 0 or self.read_batch_size <= 0:
+            raise ValueError("batch sizes must be positive")
+        if self.state_shards <= 0:
+            raise ValueError("state_shards must be positive")
+        if self.files_per_epoch <= 0:
+            raise ValueError("files_per_epoch must be positive")
+
+
+DEFAULT_CONFIG = EngineConfig()

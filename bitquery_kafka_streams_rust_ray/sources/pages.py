@@ -282,6 +282,33 @@ def _apply_fixtures(
             idx += 1
 
 
+def pages_files(data_dir: str, slices: "range | list[int] | None" = None) -> list[str]:
+    """Sorted pages log files, optionally restricted to arrival slices."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(data_dir, "pages-*.parquet")))
+    if slices is not None:
+        wanted = {int(s) for s in slices}
+        files = [
+            f
+            for f in files
+            if int(os.path.basename(f).split("-")[1]) in wanted
+        ]
+    return files
+
+
+def read_pages(data_dir: str, columns: list[str] | None = None,
+               slices: "range | list[int] | None" = None):
+    """``ray.data.read_parquet`` over the pages log only (column-pruned).
+
+    The host_metadata table lives alongside the log; this reader always
+    selects just the ``pages-*`` files so schemas never mix.
+    """
+    import ray.data as rd
+
+    return rd.read_parquet(pages_files(data_dir, slices), columns=columns)
+
+
 # --- host metadata (small join side; Currency/DexInfo analog) -----------
 
 

@@ -1,0 +1,193 @@
+"""Joins and lookups (§2.5): broadcast, as-of, semi/anti, partitioned hash.
+
+The reference never joins at runtime — its enrichment (token/market
+metadata embedded in every trade, ``schemas/dex_block_message.proto:
+14-18``) was pre-joined upstream. The north rule re-expresses that
+enrichment as explicit joins:
+
+- **broadcast join** — the small side (host metadata; Currency/DexInfo
+  analog) is ``ray.put`` once and read once per actor, so it ships to
+  each worker process once, never per batch, and no shuffle happens.
+- **broadcast as-of join** — the versioned variant: latest metadata
+  version with ``updated_ts <= warc_ts`` wins (the symbol-table
+  semantics of the upstream producer).
+- **semi/anti join** — broadcast key-set membership (the
+  ``EventFilter.signatures`` allow-list analog, ``src/filters.rs:
+  110-114``).
+- **partitioned hash join** — both sides large: tag + union + hash
+  shuffle on the key + per-group pandas merge. Used when the small-side
+  assumption breaks; B buckets bound per-task memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .hashing import add_shard_column, shard_of
+from .timeops import series_ts_us
+
+
+class _BroadcastJoiner:
+    """Actor-pool stage: fetch the broadcast side once per actor."""
+
+    def __init__(self, small_ref: ray.ObjectRef, on: str, how: str,
+                 defaults: dict | None):
+        self.small: pd.DataFrame = ray.get(small_ref)
+        self.on = on
+        self.how = how
+        self.defaults = defaults or {}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(self.small, on=self.on, how=self.how, sort=False)
+        for col, val in self.defaults.items():
+            if col in out.columns:
+                out[col] = out[col].fillna(val)
+        return out
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pd.DataFrame,
+    on: str,
+    how: str = "left",
+    defaults: dict | None = None,
+    concurrency: int = 4,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Left/inner join against a broadcast small side; no shuffle.
+
+    ``defaults`` fills unmatched rows (e.g. ``{"category": "unknown"}``,
+    mirroring the reference's null-safe ``unknown`` defaults,
+    ``src/consumer.rs:316-327``).
+    """
+    ref = ray.put(small)
+    return ds.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs={"small_ref": ref, "on": on, "how": how,
+                               "defaults": defaults},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class _BroadcastAsofJoiner:
+    """As-of join against a broadcast *versioned* small side.
+
+    The small side is pre-sorted by (key, version_ts) in ``__init__``
+    (once per actor); each batch is sorted by event ts, merged with
+    ``pd.merge_asof`` (backward: latest version <= event ts), and
+    restored to input order.
+    """
+
+    def __init__(self, small_ref: ray.ObjectRef, on: str, ts_col: str,
+                 version_ts_col: str, defaults: dict | None):
+        small = ray.get(small_ref).copy()
+        small["_version_ts"] = series_ts_us(small[version_ts_col])
+        self.small = small.drop(columns=[version_ts_col]).sort_values(
+            ["_version_ts", on], kind="mergesort"
+        )
+        self.on = on
+        self.ts_col = ts_col
+        self.defaults = defaults or {}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        order = np.arange(len(batch))
+        left = batch.assign(_order=order, _ts=series_ts_us(batch[self.ts_col]))
+        left = left.sort_values("_ts", kind="mergesort")
+        out = pd.merge_asof(
+            left, self.small, left_on="_ts", right_on="_version_ts",
+            by=self.on, direction="backward",
+        )
+        out = out.sort_values("_order", kind="mergesort").drop(
+            columns=["_order", "_ts", "_version_ts"]
+        )
+        for col, val in self.defaults.items():
+            if col in out.columns:
+                out[col] = out[col].fillna(val)
+        return out.reset_index(drop=True)
+
+
+def broadcast_asof_join(
+    ds: ray.data.Dataset,
+    versioned_small: pd.DataFrame,
+    on: str,
+    ts_col: str,
+    version_ts_col: str = "updated_ts",
+    defaults: dict | None = None,
+    concurrency: int = 4,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Enrich each row with the latest small-side version at its ts."""
+    ref = ray.put(versioned_small)
+    return ds.map_batches(
+        _BroadcastAsofJoiner,
+        fn_constructor_kwargs={
+            "small_ref": ref, "on": on, "ts_col": ts_col,
+            "version_ts_col": version_ts_col, "defaults": defaults,
+        },
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def semi_join(ds: ray.data.Dataset, keys: Sequence, col: str,
+              anti: bool = False) -> ray.data.Dataset:
+    """Broadcast semi (or anti) join: membership mask, no shuffle."""
+    key_ref = ray.put(pa.array(list(keys)))
+
+    def mask(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[col], ray.get(key_ref))
+        m = pc.fill_null(m, False)
+        return batch.filter(pc.invert(m) if anti else m)
+
+    return ds.map_batches(mask, batch_format="pyarrow")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    how: str = "inner",
+    buckets: int = 64,
+) -> ray.data.Dataset:
+    """Partitioned hash join for two large sides.
+
+    Both sides are tagged, unioned, hash-shuffled on a stable shard of
+    the key, and merged per shard with pandas. ``buckets`` bounds the
+    rows a single merge task holds; salt hot keys upstream if one key
+    exceeds a bucket. Column collisions get pandas ``_x/_y`` suffixes.
+    """
+    lnames, rnames = left.schema().names, right.schema().names
+    lcols, rcols = set(lnames), set(rnames)
+    unified = list(lnames) + [n for n in rnames if n not in lcols]
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            for n in unified:  # align columns; missing side -> nulls
+                if n not in df.columns:
+                    df[n] = None
+            df = df[unified].copy()
+            df["_bucket"] = shard_of(df[on].to_numpy(), buckets)
+            df["_side"] = np.int8(side)
+            return df
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pandas")
+    rt = right.map_batches(tag(1), batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0][[c for c in g.columns if c in lcols]]
+        r = g[g["_side"] == 1][[c for c in g.columns if c in rcols]]
+        out = l.merge(r, on=on, how=how, sort=False)
+        return out.sort_values(on, kind="mergesort").reset_index(drop=True)
+
+    return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pandas")

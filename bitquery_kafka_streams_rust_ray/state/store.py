@@ -1,0 +1,228 @@
+"""Pure-Python keyed state components hosted inside state-shard actors.
+
+These are the RocksDB-style sorted in-actor stores the north rule calls
+for: per-key dedup timestamps, per-(key, window) aggregate accumulators,
+and per-key open-session lists — all with watermark-driven eviction and
+cheap snapshot/restore for per-epoch checkpointing.
+
+Semantics ported from the reference:
+
+- ``DedupState`` re-expresses ``MessageDeduplicator``
+  (``src/core/utils/deduplicator.rs:50-75``) on event time: a key is a
+  duplicate iff seen within ``window`` of its *most recent* sighting,
+  and every sighting — duplicate or not — refreshes the stored
+  timestamp. Eviction is by watermark age instead of LRU capacity
+  (the capacity-based clear at ``src/consumer.rs:244-247`` is exactly
+  the kind of correctness-losing shortcut the watermark makes
+  unnecessary).
+- ``WindowState``/``SessionState`` generalize the per-minute
+  tumbling stats of ``examples/dex_monitor.rs:31-51`` to event-time
+  tumbling / sliding / session windows.
+
+All methods are deterministic given the same sequence of (sorted)
+inputs and watermark advances; none look at the wall clock.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+class DedupState:
+    """Keyed windowed dedup: key -> last_seen event-time (us)."""
+
+    def __init__(self, window_us: int):
+        self.window_us = window_us
+        self.last_seen: dict[str, int] = {}
+
+    def process(self, keys: list[str], ts_us: np.ndarray) -> np.ndarray:
+        """Keep-mask for rows sorted by (key, ts) within this shard.
+
+        Sequential per key: row kept iff first sighting or
+        ``ts - last_seen >= window`` (strict duplicate iff ``< window``,
+        deduplicator.rs:63); the stored timestamp refreshes either way
+        (deduplicator.rs:65, 72).
+        """
+        keep = np.empty(len(keys), dtype=bool)
+        last_seen = self.last_seen
+        window = self.window_us
+        for i, key in enumerate(keys):
+            ts = int(ts_us[i])
+            prev = last_seen.get(key)
+            keep[i] = prev is None or ts - prev >= window
+            last_seen[key] = ts
+        return keep
+
+    def evict(self, watermark_us: int) -> int:
+        """Drop keys that can no longer mark any future row duplicate."""
+        horizon = watermark_us - self.window_us
+        stale = [k for k, v in self.last_seen.items() if v < horizon]
+        for k in stale:
+            del self.last_seen[k]
+        return len(stale)
+
+    def snapshot(self) -> dict:
+        return {"window_us": self.window_us, "last_seen": dict(self.last_seen)}
+
+    @classmethod
+    def restore(cls, snap: dict) -> "DedupState":
+        st = cls(snap["window_us"])
+        st.last_seen = dict(snap["last_seen"])
+        return st
+
+
+@dataclass
+class _Acc:
+    count: int = 0
+    total: float = 0.0
+
+    def add(self, count: int, total: float) -> None:
+        self.count += count
+        self.total += total
+
+
+class WindowState:
+    """Accumulators for tumbling/sliding windows.
+
+    Keyed by ``(kind, key, window_start_us)`` where *kind* names the
+    window family (e.g. ``"tumbling:lang"``). Inputs are pre-aggregated
+    partials (count, total) — the two-level aggregation that keeps the
+    shuffle narrow — and windows close when the watermark passes
+    ``window_end``.
+    """
+
+    def __init__(self):
+        self.acc: dict[tuple[str, str, int], _Acc] = {}
+        self.window_end: dict[tuple[str, str, int], int] = {}
+
+    def add_partials(
+        self,
+        kind: str,
+        keys: list[str],
+        window_start_us: np.ndarray,
+        window_end_us: np.ndarray,
+        counts: np.ndarray,
+        totals: np.ndarray,
+    ) -> None:
+        acc = self.acc
+        for i, key in enumerate(keys):
+            k = (kind, key, int(window_start_us[i]))
+            a = acc.get(k)
+            if a is None:
+                a = acc[k] = _Acc()
+                self.window_end[k] = int(window_end_us[i])
+            a.add(int(counts[i]), float(totals[i]))
+
+    def close(self, watermark_us: int) -> list[tuple]:
+        """Emit and evict all windows with ``window_end <= watermark``.
+
+        Returns rows ``(kind, key, window_start_us, window_end_us,
+        count, total)`` sorted for deterministic epoch output.
+        """
+        out = []
+        for k, end in list(self.window_end.items()):
+            if end <= watermark_us:
+                a = self.acc.pop(k)
+                del self.window_end[k]
+                out.append((k[0], k[1], k[2], end, a.count, a.total))
+        out.sort()
+        return out
+
+    def snapshot(self) -> dict:
+        return {
+            "acc": [
+                [list(k), a.count, a.total, self.window_end[k]]
+                for k, a in self.acc.items()
+            ]
+        }
+
+    @classmethod
+    def restore(cls, snap: dict) -> "WindowState":
+        st = cls()
+        for key_list, count, total, end in snap["acc"]:
+            k = (key_list[0], key_list[1], int(key_list[2]))
+            st.acc[k] = _Acc(count, total)
+            st.window_end[k] = int(end)
+        return st
+
+
+@dataclass
+class _Session:
+    start: int
+    last: int
+    count: int
+    total: float
+
+
+class SessionState:
+    """Per-key open sessions merged on a gap threshold.
+
+    A session covers ``[start, last + gap)``; an event extends it iff
+    its ts is within ``gap`` of the covered range, and one event can
+    bridge (merge) two sessions. A session closes when the watermark
+    passes ``last + gap`` strictly — at that point no non-late event
+    can extend it.
+    """
+
+    def __init__(self, gap_us: int):
+        self.gap_us = gap_us
+        self.sessions: dict[str, list[_Session]] = {}
+
+    def add(self, keys: list[str], ts_us: np.ndarray, totals: np.ndarray) -> None:
+        """Fold events (sorted by (key, ts)) into open sessions."""
+        gap = self.gap_us
+        per_key: dict[str, list[tuple[int, float]]] = {}
+        for i, key in enumerate(keys):
+            per_key.setdefault(key, []).append((int(ts_us[i]), float(totals[i])))
+        for key, events in per_key.items():
+            items = self.sessions.get(key, [])
+            # sessions + new single-event sessions, swept in start order
+            items = items + [_Session(t, t, 1, v) for t, v in events]
+            items.sort(key=lambda s: (s.start, s.last))
+            merged: list[_Session] = []
+            for s in items:
+                if merged and s.start - merged[-1].last <= gap:
+                    m = merged[-1]
+                    m.last = max(m.last, s.last)
+                    m.count += s.count
+                    m.total += s.total
+                else:
+                    merged.append(s)
+            self.sessions[key] = merged
+
+    def close(self, watermark_us: int) -> list[tuple]:
+        """Emit ``(key, session_start, session_end, count, total)`` for
+        sessions with ``last + gap < watermark`` (strict), sorted."""
+        out = []
+        for key, items in list(self.sessions.items()):
+            still_open = []
+            for s in items:
+                if s.last + self.gap_us < watermark_us:
+                    out.append((key, s.start, s.last + self.gap_us, s.count, s.total))
+                else:
+                    still_open.append(s)
+            if still_open:
+                self.sessions[key] = still_open
+            else:
+                self.sessions.pop(key, None)
+        out.sort()
+        return out
+
+    def snapshot(self) -> dict:
+        return {
+            "gap_us": self.gap_us,
+            "sessions": {
+                k: [[s.start, s.last, s.count, s.total] for s in v]
+                for k, v in self.sessions.items()
+            },
+        }
+
+    @classmethod
+    def restore(cls, snap: dict) -> "SessionState":
+        st = cls(snap["gap_us"])
+        st.sessions = {
+            k: [_Session(*row) for row in v] for k, v in snap["sessions"].items()
+        }
+        return st

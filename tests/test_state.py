@@ -1,0 +1,150 @@
+"""State-store semantics: ports deduplicator.rs:88-150 tests to event time."""
+
+import numpy as np
+
+from bitquery_kafka_streams_rust_ray.state.store import DedupState, SessionState, WindowState
+from bitquery_kafka_streams_rust_ray.state.watermark import WatermarkTracker
+
+US = 1_000_000
+
+
+def run(st: DedupState, pairs):
+    keys = [k for k, _ in pairs]
+    ts = np.array([t for _, t in pairs], dtype=np.int64)
+    return list(st.process(keys, ts))
+
+
+def test_dedup_new_message():
+    st = DedupState(window_us=1 * US)
+    assert run(st, [("sig1", 0)]) == [True]
+
+
+def test_dedup_duplicate_within_window():
+    st = DedupState(window_us=1 * US)
+    assert run(st, [("sig1", 0), ("sig1", US // 2)]) == [True, False]
+
+
+def test_dedup_duplicate_outside_window():
+    # deduplicator.rs:107-118: process / dup / wait past window / process / dup
+    st = DedupState(window_us=US)
+    assert run(st, [("sig1", 0)]) == [True]
+    assert run(st, [("sig1", US // 10)]) == [False]
+    # the duplicate refreshed last_seen to US//10; window passes from there
+    assert run(st, [("sig1", US // 10 + US)]) == [True]
+    assert run(st, [("sig1", US // 10 + US + 1)]) == [False]
+
+
+def test_dedup_boundary_exact_window_passes():
+    st = DedupState(window_us=US)
+    # strict `< window` duplicate check => delta == window is NOT a dup
+    assert run(st, [("k", 0), ("k", US)]) == [True, True]
+    assert run(st, [("k", 2 * US - 1)]) == [False]
+
+
+def test_dedup_multiple_signatures():
+    st = DedupState(window_us=US)
+    assert run(st, [("a", 0), ("b", 1), ("a", 2), ("b", 3), ("c", 4)]) == [
+        True, True, False, False, True,
+    ]
+
+
+def test_dedup_watermark_eviction():
+    st = DedupState(window_us=US)
+    run(st, [("old", 0), ("new", 5 * US)])
+    evicted = st.evict(watermark_us=3 * US)  # horizon = 2s; only "old" stale
+    assert evicted == 1
+    assert "old" not in st.last_seen and "new" in st.last_seen
+    # evicted key behaves as brand new
+    assert run(st, [("old", 3 * US)]) == [True]
+
+
+def test_dedup_snapshot_restore():
+    st = DedupState(window_us=US)
+    run(st, [("a", 0), ("b", 1)])
+    st2 = DedupState.restore(st.snapshot())
+    assert run(st2, [("a", 2)]) == [False]
+    assert st2.window_us == US
+
+
+def test_window_state_accumulate_and_close():
+    st = WindowState()
+    st.add_partials(
+        "tumbling:lang", ["en", "de"],
+        np.array([0, 0]), np.array([60 * US, 60 * US]),
+        np.array([3, 2]), np.array([30.0, 20.0]),
+    )
+    st.add_partials(
+        "tumbling:lang", ["en"],
+        np.array([60 * US]), np.array([120 * US]),
+        np.array([5]), np.array([50.0]),
+    )
+    # watermark at 60s closes only the first window
+    closed = st.close(60 * US)
+    assert closed == [
+        ("tumbling:lang", "de", 0, 60 * US, 2, 20.0),
+        ("tumbling:lang", "en", 0, 60 * US, 3, 30.0),
+    ]
+    # second close is idempotent for already-emitted windows
+    assert st.close(60 * US) == []
+    assert st.close(120 * US) == [("tumbling:lang", "en", 60 * US, 120 * US, 5, 50.0)]
+
+
+def test_window_state_snapshot_roundtrip():
+    st = WindowState()
+    st.add_partials("t", ["k"], np.array([0]), np.array([US]), np.array([1]), np.array([2.0]))
+    st2 = WindowState.restore(st.snapshot())
+    assert st2.close(US) == [("t", "k", 0, US, 1, 2.0)]
+
+
+def test_session_state_merge_and_close():
+    gap = 10 * US
+    st = SessionState(gap_us=gap)
+    st.add(["h", "h"], np.array([0, 5 * US]), np.array([1.0, 1.0]))
+    # event at 30s: > gap from 5s -> new session
+    st.add(["h"], np.array([30 * US]), np.array([1.0]))
+    assert len(st.sessions["h"]) == 2
+    # bridging event at 14s merges [0,5] and... 14-5=9<=gap, 30-14=16>gap: joins first only
+    st.add(["h"], np.array([14 * US]), np.array([1.0]))
+    assert len(st.sessions["h"]) == 2
+    closed = st.close(watermark_us=30 * US)  # first session ends 14+10=24 < 30
+    assert closed == [("h", 0, 24 * US, 3, 3.0)]
+    assert len(st.sessions["h"]) == 1
+
+
+def test_session_bridge_merges_two_sessions():
+    gap = 10 * US
+    st = SessionState(gap_us=gap)
+    st.add(["h"], np.array([0]), np.array([1.0]))
+    st.add(["h"], np.array([20 * US]), np.array([1.0]))
+    assert len(st.sessions["h"]) == 2
+    st.add(["h"], np.array([10 * US]), np.array([1.0]))  # bridges both
+    assert len(st.sessions["h"]) == 1
+    s = st.sessions["h"][0]
+    assert (s.start, s.last, s.count) == (0, 20 * US, 3)
+
+
+def test_session_boundary_gap_exact_extends():
+    gap = 10 * US
+    st = SessionState(gap_us=gap)
+    st.add(["h"], np.array([0]), np.array([1.0]))
+    st.add(["h"], np.array([10 * US]), np.array([1.0]))  # delta == gap -> extend
+    assert len(st.sessions["h"]) == 1
+
+
+def test_session_snapshot_roundtrip():
+    st = SessionState(gap_us=10 * US)
+    st.add(["h"], np.array([0]), np.array([2.0]))
+    st2 = SessionState.restore(st.snapshot())
+    assert st2.close(100 * US) == [("h", 0, 10 * US, 1, 2.0)]
+
+
+def test_watermark_monotone_and_late():
+    wm = WatermarkTracker(allowed_lateness_us=2 * US)
+    wm.observe(10 * US)
+    assert wm.watermark_us == 8 * US
+    wm.observe(5 * US)  # regression ignored
+    assert wm.watermark_us == 8 * US
+    assert wm.is_late(8 * US - 1)
+    assert not wm.is_late(8 * US)
+    wm2 = WatermarkTracker.restore(wm.snapshot())
+    assert wm2.watermark_us == 8 * US

@@ -74,7 +74,10 @@ class PageFilter:
         if self.hosts:
             m = _and(m, pc.is_in(batch[self.host_col], pa.array(list(self.hosts))))
         if self.min_text_len is not None:
-            length = pc.utf8_length(batch[self.text_col])
+            text = batch[self.text_col]
+            if pa.types.is_null(text.type):  # all-null column (empty frames)
+                text = text.cast(pa.string())
+            length = pc.utf8_length(text)
             m = _and(m, pc.greater_equal(length, self.min_text_len))
         if self.urls:
             m = _and(m, pc.is_in(batch[self.url_col], pa.array(list(self.urls))))

@@ -1,0 +1,72 @@
+"""Flagship end-to-end pipeline: the full streaming DAG on a pages log.
+
+This is the engine's "service binary" analog (reference
+``src/main.rs:241-355``): generate-or-read a pages log, stream it
+through extract -> filter -> dedup -> enrich -> windows with
+exactly-once sink output, and return the committed results.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..config import EngineConfig
+from ..functions.filters import PageFilter
+from ..sinks.exactly_once import EpochSink
+from ..sources.pages import (
+    PagesSpec,
+    generate_host_metadata,
+    generate_pages,
+    pages_files,
+)
+from .streaming import StreamingPagesPipeline
+
+
+def ensure_pages_log(data_dir: str, spec: PagesSpec) -> str:
+    """Generate the deterministic pages log once; reuse if present."""
+    marker = os.path.join(data_dir, ".complete")
+    if not os.path.exists(marker):
+        generate_pages(data_dir, spec)
+        generate_host_metadata(data_dir, spec)
+        with open(marker, "w") as f:
+            f.write(f"rows={spec.num_rows} seed={spec.seed}\n")
+    return data_dir
+
+
+def run_flagship(
+    data_dir: str,
+    output_dir: str,
+    config: EngineConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run the full streaming pipeline; returns the run summary."""
+    config = config or EngineConfig(min_text_len=1)
+    page_filter = (
+        PageFilter(min_text_len=config.min_text_len)
+        if config.min_text_len > 0
+        else None
+    )
+    meta_path = os.path.join(data_dir, "host_metadata.parquet")
+    meta = pq.read_table(meta_path).to_pandas() if os.path.exists(meta_path) else None
+    pipe = StreamingPagesPipeline(
+        input_dir=data_dir,
+        output_dir=output_dir,
+        config=config,
+        page_filter=page_filter,
+        host_metadata=meta,
+    )
+    summary = pipe.run(resume=resume)
+    summary["sink"] = output_dir
+    return summary
+
+
+def flagship_outputs(output_dir: str) -> dict:
+    """Read back all committed outputs of a flagship run."""
+    sink = EpochSink(output_dir)
+    return {
+        name: sink.read_output(name)
+        for name in ("pages", "tumbling_lang", "sliding_lang", "session_host")
+    }

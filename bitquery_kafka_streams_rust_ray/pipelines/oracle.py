@@ -1,0 +1,186 @@
+"""Single-process oracle for the streaming pipeline.
+
+Replays the exact determinism contract of ``StreamingPagesPipeline``
+(same epoch plan, same watermark schedule, same per-key ordering) with
+plain pandas and the in-process state stores — no Ray. Golden tests
+compare the distributed engine's committed outputs against this, which
+pins down the orchestration (shuffles, actor routing, partial pushes,
+commit protocol) rather than the state-store math (unit-tested
+separately).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..config import EngineConfig
+from ..functions.compression import decompress_safe
+from ..functions.extract import html_to_text
+from ..functions.filters import PageFilter
+from ..sources.pages import pages_files
+from ..state.store import DedupState, SessionState, WindowState
+from ..state.watermark import WatermarkTracker
+from ..stages.timeops import NEG_INF_TS, US, series_ts_us
+
+
+def run_oracle(
+    input_dir: str,
+    config: EngineConfig = EngineConfig(),
+    page_filter: PageFilter | None = None,
+    host_metadata: pd.DataFrame | None = None,
+) -> dict:
+    """Returns dict with keys ``pages`` (surviving rows, per-epoch order),
+    ``tumbling_lang`` / ``sliding_lang`` / ``session_host`` (window rows
+    tagged with the committing epoch) and ``counters``."""
+    cfg = config
+    files = pages_files(input_dir)
+    slices: dict[int, list[str]] = {}
+    for f in files:
+        s = int(os.path.basename(f).split("-")[1])
+        slices.setdefault(s, []).append(f)
+    ordered = [slices[s] for s in sorted(slices)]
+    fpe = cfg.files_per_epoch
+    plan = [sum(ordered[i:i + fpe], []) for i in range(0, len(ordered), fpe)]
+
+    dedup = DedupState(cfg.dedup_window_s * US)
+    windows = WindowState()
+    sessions = SessionState(cfg.windows.session_gap_s * US)
+    watermark = WatermarkTracker(cfg.allowed_lateness_s * US)
+
+    meta = None
+    if host_metadata is not None:
+        meta = host_metadata.copy()
+        meta["_v_us"] = series_ts_us(meta["updated_ts"])
+        # merge_asof requires the right on-key globally sorted, even with by=
+        meta = meta.sort_values(["_v_us", "host"], kind="mergesort")
+
+    pages_out = []
+    win_rows, sess_rows = [], []
+    counters = {
+        "rows_read": 0, "parse_errors": 0, "rows_filtered_out": 0,
+        "late_dropped": 0, "rows_deduped": 0, "rows_written": 0,
+    }
+
+    def close(epoch: int) -> None:
+        wm = watermark.watermark_us
+        for r in windows.close(wm):
+            win_rows.append((epoch, *r))
+        for r in sessions.close(wm):
+            sess_rows.append((epoch, *r))
+        dedup.evict(wm)
+
+    for epoch, epoch_files in enumerate(plan):
+        df = pd.concat(
+            [pq.read_table(f).to_pandas() for f in epoch_files],
+            ignore_index=True,
+        )
+        counters["rows_read"] += len(df)
+        wm_before = watermark.watermark_us
+
+        df["text"] = [
+            html_to_text(decompress_safe(h) if h else h) for h in df["html"]
+        ]
+        df = df.drop(columns=["html"])
+        df["host"] = [
+            u.partition("://")[2].split("/", 1)[0] if "://" in u else ""
+            for u in df["url"]
+        ]
+        df["text_len"] = df["text"].str.len().astype("int64")
+        df["_ts_us"] = series_ts_us(df["warc_ts"])
+
+        parse_err = df["text"].eq("")
+        counters["parse_errors"] += int(parse_err.sum())
+        df = df[~parse_err]
+        late = df["_ts_us"] < wm_before
+        counters["late_dropped"] += int(late.sum())
+        df = df[~late]
+        if page_filter is not None and len(df):
+            import pyarrow as pa
+
+            keep = np.asarray(
+                page_filter.mask(
+                    pa.Table.from_pandas(df.drop(columns=["_ts_us"]),
+                                         preserve_index=False)
+                ).to_pandas(),
+                dtype=bool,
+            )
+            counters["rows_filtered_out"] += int((~keep).sum())
+            df = df[keep]
+
+        if len(df):
+            # watermark advances on OK rows (post parse/late/filter, pre-dedup),
+            # matching ShardFinalize's max_ts_us
+            watermark.observe(int(df["_ts_us"].max()))
+            df = df.sort_values(["url", "_ts_us"], kind="mergesort")
+            keep = dedup.process(df["url"].tolist(), df["_ts_us"].to_numpy())
+            counters["rows_deduped"] += int((~keep).sum())
+            df = df.loc[keep]
+
+        if meta is not None and len(df):
+            order = np.arange(len(df))
+            left = df.assign(_order=order).sort_values("_ts_us", kind="mergesort")
+            joined = pd.merge_asof(
+                left, meta.drop(columns=["updated_ts"]),
+                left_on="_ts_us", right_on="_v_us", by="host",
+                direction="backward",
+            ).sort_values("_order", kind="mergesort")
+            joined["category"] = joined["category"].fillna("unknown")
+            joined["weight"] = joined["weight"].fillna(0.0)
+            df = joined.drop(columns=["_order", "_v_us"])
+
+        if len(df):
+            lens = df["text_len"].to_numpy(dtype=np.float64)
+            ts = df["_ts_us"].to_numpy()
+            tum = cfg.windows.tumbling_size_s * US
+            _add_window(windows, "tumbling:lang", df["lang"].fillna(""), ts,
+                        lens, tum, tum)
+            sld = cfg.windows.sliding_size_s * US
+            slide = cfg.windows.sliding_slide_s * US
+            _add_window(windows, "sliding:lang", df["lang"].fillna(""), ts,
+                        lens, sld, slide)
+            sessions.add(df["host"].tolist(), ts, lens)
+            counters["rows_written"] += len(df)
+            pages_out.append(
+                df.drop(columns=["_ts_us"]).assign(_epoch=epoch)
+            )
+
+        close(epoch)
+
+    # drain (must mirror StreamingPagesPipeline._drain_epoch)
+    margin_us = (
+        cfg.allowed_lateness_s + cfg.windows.tumbling_size_s
+        + cfg.windows.sliding_size_s + cfg.windows.session_gap_s + 1
+    ) * US
+    watermark.observe(
+        watermark.max_event_ts_us + cfg.allowed_lateness_s * US + margin_us
+    )
+    close(len(plan))
+
+    return {
+        "pages": pd.concat(pages_out, ignore_index=True)
+        if pages_out else pd.DataFrame(),
+        "windows": win_rows,
+        "sessions": sess_rows,
+        "counters": counters,
+    }
+
+
+def _add_window(windows, kind, keys, ts, totals, size_us, slide_us):
+    slide_start = (ts // slide_us) * slide_us
+    df = pd.DataFrame({"k": keys.to_numpy(), "s": slide_start, "v": totals})
+    part = df.groupby(["k", "s"], sort=True).agg(
+        c=("v", "size"), t=("v", "sum")
+    ).reset_index()
+    for i in range(int(size_us // slide_us)):
+        windows.add_partials(
+            kind,
+            part["k"].tolist(),
+            part["s"].to_numpy() - i * slide_us,
+            part["s"].to_numpy() - i * slide_us + size_us,
+            part["c"].to_numpy(),
+            part["t"].to_numpy(),
+        )

@@ -224,62 +224,58 @@ def _apply_fixtures(
     texts: list[str],
     langs: list[str | None],
 ) -> None:
-    """Overwrite reserved rows with the FIXTURES.md cases (in place)."""
+    """Overwrite reserved rows with the FIXTURES.md cases (in place).
+
+    Fixture rows are planted at the arrival position matching their
+    event time (zero disorder), so planted future timestamps never jump
+    the watermark ahead of the organic stream.
+    """
     n = len(urls)
     if n < 400:
         return
-    span_us = spec.span_s * 1_000_000
-    rows_per_s = n / spec.span_s
+    used: set[int] = set()
 
-    def set_text_row(i: int, url: str, body: str, lang: str = "en") -> None:
+    def rel_to_idx(rel_s: float) -> int:
+        idx = min(n - 1, int(rel_s * n / spec.span_s))
+        while idx in used:
+            idx = (idx + 1) % n
+        used.add(idx)
+        return idx
+
+    def set_row(rel_s: float, url: str, body: str, lang: str = "en") -> int:
+        i = rel_to_idx(rel_s)
         urls[i] = url
         htmls[i] = text_to_html(body, "")
         texts[i] = body
         langs[i] = lang
+        warc_ts[i] = spec.start_ts_us + int(rel_s * 1e6)
+        return i
 
     # Case 1: duplicate within dedup window — only first survives.
     # Case 2: duplicate outside window — both survive.
-    within_gap = max(1, int(rows_per_s * spec.dedup_window_s * 0.2))
-    outside_gap = int(rows_per_s * spec.dedup_window_s * 1.5)
     for p in range(spec.fixture_pairs):
-        i = 10 + p * 17
-        j = i + within_gap
-        if j < n:
-            u = f"https://{_host_name(1)}/fixtures/dup-within/{p}"
-            set_text_row(i, u, f"dup within {p} body text")
-            set_text_row(j, u, f"dup within {p} body text")
-            warc_ts[j] = warc_ts[i] + int(spec.dedup_window_s * 0.5 * 1e6)
-        i2 = 11 + p * 19
-        j2 = i2 + outside_gap
-        if 0 < outside_gap and j2 < n:
-            u = f"https://{_host_name(2)}/fixtures/dup-outside/{p}"
-            set_text_row(i2, u, f"dup outside {p} body text")
-            set_text_row(j2, u, f"dup outside {p} body text")
-            warc_ts[j2] = warc_ts[i2] + int(spec.dedup_window_s * 2.0 * 1e6)
+        rel = 10.0 + p * 7
+        u = f"https://{_host_name(1)}/fixtures/dup-within/{p}"
+        set_row(rel, u, f"dup within {p} body text")
+        set_row(rel + 0.5 * spec.dedup_window_s, u, f"dup within {p} body text")
+        rel2 = 13.0 + p * 7
+        u2 = f"https://{_host_name(2)}/fixtures/dup-outside/{p}"
+        set_row(rel2, u2, f"dup outside {p} body text")
+        set_row(rel2 + 2.0 * spec.dedup_window_s, u2, f"dup outside {p} body text")
 
     # Case 3: threshold boundary lengths (at passes, below fails; >= semantics)
-    base = 300
-    for off, delta, tag in ((0, 0, "at"), (1, 1, "above"), (2, -1, "below")):
+    for off, delta, tag in ((0, 0, "at"), (7, 1, "above"), (14, -1, "below")):
         body = "x" * (spec.threshold_len + delta)
-        set_text_row(
-            base + off,
-            f"https://{_host_name(3)}/fixtures/len-{tag}",
-            body,
-        )
+        set_row(100.0 + off, f"https://{_host_name(3)}/fixtures/len-{tag}", body)
 
     # Case 7: session-gap sequence on a dedicated host: 3 bursts of 4 rows,
     # 10s intra-burst gap, inter-burst gap = 2 x session_gap.
-    t0 = spec.start_ts_us + span_us // 4
-    idx = 350
+    t0_rel = spec.span_s / 4
     for burst in range(3):
         for k in range(4):
-            if idx >= n:
-                break
-            ts = t0 + burst * int(2 * spec.session_gap_s * 1e6) + k * 10_000_000
+            rel = t0_rel + burst * 2 * spec.session_gap_s + k * 10
             u = f"https://{SESSION_HOST}/fixtures/session/{burst}/{k}"
-            set_text_row(idx, u, f"session burst {burst} item {k}")
-            warc_ts[idx] = ts
-            idx += 1
+            set_row(rel, u, f"session burst {burst} item {k}")
 
 
 def pages_files(data_dir: str, slices: "range | list[int] | None" = None) -> list[str]:

@@ -8,6 +8,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 US = 1_000_000
+NEG_INF_TS = -(1 << 62)  # "no event time observed yet" sentinel
 
 
 def series_ts_us(s: pd.Series) -> pd.Series:

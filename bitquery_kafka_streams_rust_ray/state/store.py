@@ -171,15 +171,32 @@ class SessionState:
         self.sessions: dict[str, list[_Session]] = {}
 
     def add(self, keys: list[str], ts_us: np.ndarray, totals: np.ndarray) -> None:
-        """Fold events (sorted by (key, ts)) into open sessions."""
+        """Fold events into open sessions (each event is a 1-element run)."""
+        self.add_runs(keys, ts_us, ts_us, np.ones(len(keys), dtype=np.int64), totals)
+
+    def add_runs(
+        self,
+        keys: list[str],
+        starts_us: np.ndarray,
+        lasts_us: np.ndarray,
+        counts: np.ndarray,
+        totals: np.ndarray,
+    ) -> None:
+        """Fold pre-merged per-batch session runs into open sessions.
+
+        Session merge is associative, so upstream tasks can collapse each
+        batch's events into gap-consistent runs and ship only the runs —
+        the scale path that keeps actor RPC payloads tiny.
+        """
         gap = self.gap_us
-        per_key: dict[str, list[tuple[int, float]]] = {}
+        per_key: dict[str, list[_Session]] = {}
         for i, key in enumerate(keys):
-            per_key.setdefault(key, []).append((int(ts_us[i]), float(totals[i])))
-        for key, events in per_key.items():
-            items = self.sessions.get(key, [])
-            # sessions + new single-event sessions, swept in start order
-            items = items + [_Session(t, t, 1, v) for t, v in events]
+            per_key.setdefault(key, []).append(
+                _Session(int(starts_us[i]), int(lasts_us[i]), int(counts[i]),
+                         float(totals[i]))
+            )
+        for key, runs in per_key.items():
+            items = self.sessions.get(key, []) + runs
             items.sort(key=lambda s: (s.start, s.last))
             merged: list[_Session] = []
             for s in items:

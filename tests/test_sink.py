@@ -1,0 +1,69 @@
+"""Exactly-once sink: 2PC, idempotency, staged files, manifests."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from bitquery_kafka_streams_rust_ray.sinks.exactly_once import EpochSink
+
+
+def table(n=3):
+    return pa.table({"a": list(range(n)), "b": ["x"] * n})
+
+
+def test_commit_and_read(tmp_path):
+    sink = EpochSink(str(tmp_path / "out"))
+    m = sink.commit_epoch(0, tables={"t": table()}, watermark_us=123,
+                          counters={"rows_written": 3})
+    assert sink.is_committed(0)
+    assert m["watermark_us"] == 123
+    assert m["outputs"]["t.parquet"]["rows"] == 3
+    assert sink.read_output("t").num_rows == 3
+
+
+def test_commit_idempotent(tmp_path):
+    sink = EpochSink(str(tmp_path / "out"))
+    m1 = sink.commit_epoch(1, tables={"t": table(2)}, watermark_us=1)
+    # replay with DIFFERENT data must be a no-op returning the original
+    m2 = sink.commit_epoch(1, tables={"t": table(5)}, watermark_us=99)
+    assert m2 == m1
+    assert sink.read_output("t").num_rows == 2
+
+
+def test_staged_task_files_committed(tmp_path):
+    sink = EpochSink(str(tmp_path / "out"))
+    stage = sink.stage_dir(2)
+    pq.write_table(table(4), os.path.join(stage, "pages-0001.parquet"))
+    m = sink.commit_epoch(2, tables={"w": table(1)}, watermark_us=5)
+    assert m["outputs"]["pages-0001.parquet"]["rows"] == 4
+    assert sink.read_output("pages").num_rows == 4
+    assert sink.read_output("w").num_rows == 1
+
+
+def test_stage_dir_clears_previous_attempt(tmp_path):
+    sink = EpochSink(str(tmp_path / "out"))
+    stage = sink.stage_dir(3)
+    pq.write_table(table(9), os.path.join(stage, "leftover.parquet"))
+    stage2 = sink.stage_dir(3)  # retry of the same epoch
+    assert stage2 == stage
+    assert os.listdir(stage2) == []
+
+
+def test_committed_epochs_and_blobs(tmp_path):
+    sink = EpochSink(str(tmp_path / "out"))
+    sink.commit_epoch(0, tables={"t": table()}, blobs={"state.pkl": b"snap"})
+    sink.commit_epoch(1, tables={"t": table()})
+    assert sink.committed_epochs() == [0, 1]
+    with open(os.path.join(sink.epoch_dir(0), "state.pkl"), "rb") as f:
+        assert f.read() == b"snap"
+
+
+def test_manifest_is_valid_json_and_atomic(tmp_path):
+    sink = EpochSink(str(tmp_path / "out"))
+    sink.commit_epoch(7, tables={"t": table()}, counters={"c": 1})
+    with open(sink.manifest_path(7)) as f:
+        m = json.load(f)
+    assert m["epoch"] == 7 and m["counters"] == {"c": 1}
+    assert not os.path.exists(sink.manifest_path(7) + ".tmp")

@@ -1,0 +1,154 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword/n-gram heuristic), quality scoring, token
+counting, and document fingerprinting — each a vectorized batch function
+meant for ``map_batches`` over the ``documents`` table (or the pages
+stream after extraction). Stateful pieces (compiled regexes, stopword
+tables) are built once per actor via :class:`TextAnalyzer`.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Minimal per-language stopword tables (ASCII; matches the generator's
+# characteristic vocabularies plus common real-language function words).
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that for with was a it on as are".split()),
+    "de": frozenset("der die und das ist nicht ein mit von zu den im für auf".split()),
+    "fr": frozenset("le la et les des est une dans pour que qui sur pas au".split()),
+    "es": frozenset("el la de que y en los una por con se del las un".split()),
+    "ja": frozenset("no ni wa wo ga de to mo kara made desu masu".split()),
+}
+
+_TOKEN_RE = re.compile(r"\S+")
+_WORD_RE = re.compile(r"[a-zA-Z]+")
+_PUNCT_RE = re.compile(r"[.,!?;:]")
+# BPE-ish subword splitter: letter runs, digit runs, or single non-space symbol
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+def tokens(text: str) -> list[str]:
+    """Whitespace tokens."""
+    return _TOKEN_RE.findall(text)
+
+
+def bpe_token_count(text: str) -> int:
+    """Count of BPE-ish subword units (letter runs / digit runs / symbols)."""
+    return len(_BPE_RE.findall(text))
+
+
+def detect_lang(text: str) -> str:
+    """Stopword-hit language ID; '' when nothing matches.
+
+    Score per language = fraction of words that are that language's
+    stopwords; argmax with deterministic tie-break by language code.
+    """
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if not words:
+        return ""
+    best_lang, best_score = "", 0.0
+    for lang in sorted(STOPWORDS):
+        table = STOPWORDS[lang]
+        score = sum(1 for w in words if w in table) / len(words)
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang if best_score > 0.0 else ""
+
+
+def quality_score(text: str) -> float:
+    """Heuristic quality in [0, 1]: length, mean word length, punctuation
+    balance, stopword presence. Deterministic, pure."""
+    n = len(text)
+    if n == 0:
+        return 0.0
+    toks = tokens(text)
+    if not toks:
+        return 0.0
+    mean_len = sum(len(t) for t in toks) / len(toks)
+    punct = len(_PUNCT_RE.findall(text))
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    stop_hits = sum(1 for w in words if any(w in s for s in STOPWORDS.values()))
+    stop_ratio = stop_hits / max(1, len(words))
+    length_part = min(1.0, n / 500.0)
+    wordlen_part = 1.0 - min(1.0, abs(mean_len - 5.0) / 5.0)
+    punct_part = 1.0 - min(1.0, punct / max(1, len(toks)))
+    stop_part = min(1.0, stop_ratio * 2.5)
+    return round(
+        0.3 * length_part + 0.2 * wordlen_part + 0.2 * punct_part + 0.3 * stop_part,
+        6,
+    )
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Rolling-hash document fingerprint: min of crc32 over character
+    windows (a cheap winnowing-style signature; stable across runs).
+    By design, near-identical documents often share a fingerprint —
+    it is a near-dup bucketing key, not an exact-content hash."""
+    data = text.encode("utf-8")
+    if len(data) <= window:
+        return zlib.crc32(data)
+    best = 0xFFFFFFFF
+    for i in range(len(data) - window + 1):
+        h = zlib.crc32(data[i:i + window])
+        if h < best:
+            best = h
+    return best
+
+
+class TextAnalyzer:
+    """Actor-pool batch stage: appends lang_id / token counts / quality /
+    fingerprint columns to a batch with a ``text`` column."""
+
+    def __init__(self, text_col: str = "text", fingerprint: bool = True):
+        self.text_col = text_col
+        self.fingerprint = fingerprint
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        texts = ["" if t is None else t for t in texts]
+        batch = batch.append_column(
+            "token_count",
+            pa.array([len(tokens(t)) for t in texts], type=pa.int64()),
+        )
+        batch = batch.append_column(
+            "bpe_count",
+            pa.array([bpe_token_count(t) for t in texts], type=pa.int64()),
+        )
+        batch = batch.append_column(
+            "lang_id", pa.array([detect_lang(t) for t in texts], type=pa.string())
+        )
+        batch = batch.append_column(
+            "quality",
+            pa.array([quality_score(t) for t in texts], type=pa.float64()),
+        )
+        if self.fingerprint:
+            batch = batch.append_column(
+                "fingerprint",
+                pa.array(
+                    [rolling_fingerprint(t) for t in texts], type=pa.int64()
+                ),
+            )
+        return batch
+
+
+def char_ngrams(text: str, n: int = 3) -> set[str]:
+    """Character n-gram shingle set (lowercased, whitespace collapsed)."""
+    s = " ".join(text.lower().split())
+    if len(s) < n:
+        return {s} if s else set()
+    return {s[i:i + n] for i in range(len(s) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)

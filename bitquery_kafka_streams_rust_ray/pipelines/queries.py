@@ -1,0 +1,500 @@
+"""Query catalog over the driver's testdata tables.
+
+One callable per implemented operator family from SURVEY.md §2, each
+expressed Ray-Data-first (vectorized map_batches, partial pre-agg before
+shuffles, broadcast small sides) and paired — where ANSI-SQL can express
+it — with a DuckDB oracle string in ``__ray_entry__.oracle_sql``.
+
+Column names here MUST match the SQL aliases exactly; float aggregates
+are rounded to 2 decimals on both sides so association-order float noise
+cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.text import TextAnalyzer, detect_lang, quality_score, tokens
+from ..stages.ann import ann_brute_force
+from ..stages.dedup import exact_dedup, windowed_dedup
+from ..stages.hashing import shard_of
+from ..stages.join import broadcast_asof_join, broadcast_join, hash_join, semi_join
+from ..stages.neardup import embedding_dedup, minhash_dedup, simhash_dedup
+from ..stages.timeops import US, column_ts_us, series_ts_us, us_to_timestamp_array
+from ..stages.windows import session_window_agg, windowed_agg
+
+HOUR_US = 3600 * US
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns)
+
+
+def _round2(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """Round money-like float aggregates to whole cents.
+
+    Sums of exact-cent inputs are within ~1e-9 cents of an integer cent
+    count, so nearest-cent rounding is engine-agnostic (the numpy
+    half-even vs DuckDB half-away tie rule only matters at half-cent
+    boundaries, which such sums never approach). Never use floor here:
+    floor(x*100) flips 50/50 on exact-cent sums depending on the sign of
+    the association-order float error.
+    """
+    for c in cols:
+        df[c] = np.round(df[c].to_numpy(dtype=np.float64) * 100.0) / 100.0
+    return df
+
+
+# --- A5/A1: grouped aggregation with per-batch partial combine ----------
+
+
+def q1_pricing(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary (two-level aggregation)."""
+    cutoff = pa.scalar(pd.Timestamp("1997-06-01"), type=pa.timestamp("us"))
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ([], "count_all")]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="sum_base"),
+            Sum("disc_price_sum", alias_name="sum_disc"),
+            Sum("count_all", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = np.floor((out["sum_qty"] / out["count_order"]) * 100.0) / 100.0
+    out["count_order"] = out["count_order"].astype("int64")
+    return _round2(out, ["sum_qty", "sum_base", "sum_disc"])
+
+
+# --- F1/F2: conjunctive vectorized filter -------------------------------
+
+
+def filter_events(sf_dir: str) -> pd.DataFrame:
+    """EventFilter analog: type set AND ts range AND value >= min."""
+    lo = pa.scalar(pd.Timestamp("2024-01-08"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("2024-01-22"), type=pa.timestamp("us"))
+
+    def mask(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], pa.array(["click", "purchase"]))
+        m = pc.and_(m, pc.greater_equal(t["ts"], lo))
+        m = pc.and_(m, pc.less_equal(t["ts"], hi))
+        m = pc.and_(m, pc.greater_equal(t["value"], 100.0))
+        return t.filter(pc.fill_null(m, False))
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+        .map_batches(mask, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+# --- M10/F4: derived-column filter --------------------------------------
+
+
+def revenue_items(sf_dir: str) -> pd.DataFrame:
+    """Derived usd-value analog: revenue = price*(1-disc) >= threshold."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("revenue", rev)
+        return t.filter(pc.greater_equal(t["revenue"], 900.0)).select(
+            ["l_orderkey", "l_linenumber", "revenue"]
+        )
+
+    return (
+        _t(sf_dir, "lineitem",
+           ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+        .map_batches(derive, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+# --- M5-M7: first-match-per-group ---------------------------------------
+
+
+def first_event_per_user(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    out = exact_dedup(ds, ["user_id"], ["ts", "event_id"], shards=16).to_pandas()
+    return out[["user_id", "event_id", "ts"]]
+
+
+# --- T1: exact content dedup --------------------------------------------
+
+
+def dedup_documents_exact(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, ["text"], ["doc_id"], shards=16).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# --- T2: windowed dedup --------------------------------------------------
+
+
+def windowed_dedup_events(sf_dir: str) -> pd.DataFrame:
+    """MessageDeduplicator semantics on (user_id) with a 6h window."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dedup_key", pc.cast(t["user_id"], pa.string())
+        )
+
+    ds = ds.map_batches(add_key, batch_format="pyarrow")
+    out = windowed_dedup(ds, "dedup_key", "ts", window_s=6 * 3600,
+                         shards=16).to_pandas()
+    return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
+
+
+# --- A2/T7: event-time windows ------------------------------------------
+
+
+def tumbling_events(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    out = windowed_agg(ds, ["event_type"], "ts", size_s=3600,
+                       value_col="value", count_name="n_events",
+                       total_name="total_value").to_pandas()
+    out = out.drop(columns=["window_end"])
+    return _round2(out, ["total_value"])
+
+
+def sliding_events(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    out = windowed_agg(ds, ["event_type"], "ts", size_s=7200, slide_s=3600,
+                       value_col="value", count_name="n_events",
+                       total_name="total_value").to_pandas()
+    out = out.drop(columns=["window_end"])
+    return _round2(out, ["total_value"])
+
+
+def session_events(sf_dir: str) -> pd.DataFrame:
+    """Session windows per user (2h gap): start, last-event time, count."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def as_key(t: pa.Table) -> pa.Table:
+        return t.append_column("skey", pc.cast(t["user_id"], pa.string()))
+
+    out = session_window_agg(
+        ds.map_batches(as_key, batch_format="pyarrow"),
+        "skey", "ts", gap_s=2 * 3600, shards=16, count_name="n_events",
+    ).to_pandas()
+    out["user_id"] = out["skey"].astype("int64")
+    gap = pd.Timedelta(hours=2)
+    out["session_last"] = out["session_end"] - gap
+    return out[["user_id", "session_start", "session_last", "n_events"]]
+
+
+# --- §2.5 joins ----------------------------------------------------------
+
+
+def segment_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join orders -> customer, grouped by market segment."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(ds, cust, on="o_custkey", how="inner",
+                            concurrency=2)
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return _round2(out, ["total"])
+
+
+def priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Partitioned hash join lineitem <-> orders (both 'large' sides)."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", r).select(["l_orderkey", "revenue"])
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(li, orders, on="l_orderkey", buckets=16)
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["n_items"] = out["n_items"].astype("int64")
+    return _round2(out, ["revenue"])
+
+
+def asof_latest_order(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event enriched with the customer's latest order
+    total at event time (symbol-table metadata semantics)."""
+    orders = _t(sf_dir, "orders",
+                ["o_custkey", "o_orderdate", "o_totalprice"]).to_pandas()
+    # collapse ties so the as-of right side is unambiguous
+    latest = (
+        orders.groupby(["o_custkey", "o_orderdate"], sort=True)["o_totalprice"]
+        .max()
+        .reset_index()
+        .rename(columns={"o_custkey": "user_id", "o_totalprice": "latest_total"})
+    )
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = broadcast_asof_join(
+        ds, latest, on="user_id", ts_col="ts", version_ts_col="o_orderdate",
+        defaults={"latest_total": 0.0}, concurrency=2,
+    ).to_pandas()
+    return out[["event_id", "latest_total"]]
+
+
+def vip_events(sf_dir: str) -> pd.DataFrame:
+    """Broadcast semi join: events of the top-10 customers by balance."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+    cust = cust[cust["c_custkey"] < 100]
+    top = cust.sort_values(["c_acctbal", "c_custkey"],
+                           ascending=[False, True]).head(10)["c_custkey"]
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = semi_join(ds, top.tolist(), "user_id").to_pandas()
+    if out.empty:  # tiny scale factors may select zero matching events
+        out = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                            "user_id": pd.Series(dtype="int64"),
+                            "value": pd.Series(dtype="float64")})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# --- §2.7 sort / top-k / distinct ----------------------------------------
+
+
+def topk_orders(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(20).to_pandas()
+    return out
+
+
+def distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct count per group (two-level groupby)."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_c")
+    )
+    out = (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+# --- §2.8 scalar string functions ---------------------------------------
+
+
+def string_funcs_part(sf_dir: str) -> pd.DataFrame:
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "name_lower": pc.utf8_lower(t["p_name"]),
+                "brand_upper": pc.utf8_upper(t["p_brand"]),
+                "type_prefix": pc.utf8_slice_codeunits(t["p_type"], 0, 5),
+                "hex_key": pa.array(
+                    [format(k, "X") for k in t["p_partkey"].to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return (
+        _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_type"])
+        .map_batches(project, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+def json_props_events(sf_dir: str) -> pd.DataFrame:
+    """Typed JSON field getter (SolanaEvent.get_data_* analog)."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = []
+        for s in t["props"].to_pylist():
+            try:
+                v = json.loads(s).get("k")
+                ks.append(int(v) if v is not None else None)
+            except (TypeError, ValueError):
+                ks.append(None)
+        return pa.table({"event_id": t["event_id"],
+                         "k_val": pa.array(ks, type=pa.int64())})
+
+    return (
+        _t(sf_dir, "events", ["event_id", "props"])
+        .map_batches(extract, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+# --- A4 percentiles ------------------------------------------------------
+
+
+def percentiles_events(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        # discrete quantiles (actual data values): numpy inverted_cdf is
+        # exactly DuckDB's quantile_disc, so the comparison stays exact —
+        # continuous interpolation differs between engines in the last ulp
+        v = g["value"].to_numpy(dtype=np.float64)
+        p = lambda qq: np.percentile(v, qq, method="inverted_cdf")
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [p(50)], "p90": [p(90)], "p95": [p(95)], "p99": [p(99)],
+            }
+        )
+
+    return (
+        ds.groupby("event_type").map_groups(pct, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+# --- text analysis -------------------------------------------------------
+
+
+def doc_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = ["" if x is None else x for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+                "token_count": pa.array([len(tokens(x)) for x in texts],
+                                        type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+
+
+def text_analysis_documents(sf_dir: str) -> pd.DataFrame:
+    """Lang-ID + quality + fingerprint (actor-pool stage; rows-only check:
+    the heuristics are not SQL-expressible)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(
+        TextAnalyzer, fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).to_pandas()
+    out["lang_match"] = (out["lang_id"] == out["lang"]).astype("int64")
+    return out[["doc_id", "lang_id", "lang_match", "quality", "token_count",
+                "bpe_count", "fingerprint"]]
+
+
+# --- near-dup family (rows-only: iterative/stateful, not ANSI SQL) ------
+
+
+def minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_dedup(ds, jaccard_threshold=0.8).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def simhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_dedup(ds, max_hamming=3).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def embedding_dedup_vectors(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_dedup(ds, threshold=0.98).to_pandas()
+    return out[["vec_id"]].sort_values("vec_id").reset_index(drop=True)
+
+
+# --- similarity search ---------------------------------------------------
+
+
+def ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10: first 5 vectors as the query matrix."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        semi_join(ds, [0, 1, 2, 3, 4], "vec_id")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    out = ann_brute_force(ds, queries, k=10)
+    # map positional query index back to its vec_id
+    qids = qdf["vec_id"].tolist()
+    out["query_id"] = out["query_id"].map(lambda i: qids[i]).astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["query_id", "vec_id", "rank"]]
+
+
+# --- streaming engine showcase (rows-only; pages aren't a DuckDB view) --
+
+
+def streaming_flagship(sf_dir: str) -> pd.DataFrame:
+    """Full streaming pipeline (extract -> filter -> dedup -> as-of join
+    -> windows -> exactly-once sink) on a deterministic synthetic pages
+    log sized to the sf tier."""
+    import shutil
+
+    from ..config import EngineConfig
+    from ..pipelines.flagship import ensure_pages_log, flagship_outputs, run_flagship
+    from ..sources.pages import PagesSpec
+
+    tier = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    rows = 6000 if tier.endswith("0.01") else 2000
+    data_dir = f"/tmp/bitquery_kafka_streams_rust_ray_pages_{tier}_{rows}"
+    ensure_pages_log(data_dir, PagesSpec(num_rows=rows))
+    out_dir = f"{data_dir}_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = EngineConfig(min_text_len=1, state_shards=8, extract_concurrency=4)
+    run_flagship(data_dir, out_dir, config=cfg, resume=False)
+    res = flagship_outputs(out_dir)["tumbling_lang"].to_pandas()
+    return res.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+
+def multimodal_decode(sf_dir: str) -> pd.DataFrame:
+    """Image-decode plumbing over deterministic fake containers derived
+    from part keys (rows-only; no real codecs in this container)."""
+    from ..stages.multimodal import DecodeImageStage, fake_image
+
+    keys = _t(sf_dir, "part", ["p_partkey"]).to_pandas()["p_partkey"].tolist()
+    rows = [
+        {"img_id": int(k), "image": fake_image(8 + k % 8, 8 + k % 5, seed=int(k))}
+        for k in keys
+    ]
+    ds = rd.from_items(rows)
+    out = ds.map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"image_col": "image"},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+    ).to_pandas()
+    return out.sort_values("img_id").reset_index(drop=True)

@@ -1,0 +1,75 @@
+"""ANN: brute-force cosine top-k vs numpy oracle; IVF recall sanity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from bitquery_kafka_streams_rust_ray.stages.ann import (
+    ann_brute_force,
+    ann_ivf,
+    train_centroids,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(9)
+    n, d = 400, 24
+    embs = rng.standard_normal((n, d))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [v.tolist() for v in embs]}
+    )
+    queries = rng.standard_normal((5, d))
+    return df, embs, queries
+
+
+def numpy_topk(embs, queries, k):
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    scores = qn @ en.T
+    out = {}
+    for qi in range(len(queries)):
+        order = np.lexsort((np.arange(len(embs)), -scores[qi]))[:k]
+        out[qi] = list(order)
+    return out
+
+
+def test_brute_force_matches_numpy(vectors):
+    df, embs, queries = vectors
+    got = ann_brute_force(rd.from_pandas(df), queries, k=10)
+    want = numpy_topk(embs, queries, 10)
+    for qi in range(len(queries)):
+        ids = got[got["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert ids == want[qi], f"query {qi}"
+
+
+def test_brute_force_scores_are_cosine(vectors):
+    df, embs, queries = vectors
+    got = ann_brute_force(rd.from_pandas(df), queries, k=3)
+    row = got.iloc[0]
+    q = queries[int(row["query_id"])]
+    v = embs[int(row["vec_id"])]
+    cos = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+    assert abs(cos - row["score"]) < 1e-6
+
+
+def test_ivf_recall(vectors):
+    df, embs, queries = vectors
+    exact = ann_brute_force(rd.from_pandas(df), queries, k=10)
+    approx = ann_ivf(rd.from_pandas(df), queries, k=10, nlist=8, nprobe=4)
+    recalls = []
+    for qi in range(len(queries)):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # nprobe/nlist = 1/2 of the space
+
+
+def test_train_centroids_deterministic(vectors):
+    _, embs, _ = vectors
+    c1 = train_centroids(embs, nlist=8, seed=5)
+    c2 = train_centroids(embs, nlist=8, seed=5)
+    np.testing.assert_array_equal(c1, c2)

@@ -1,0 +1,79 @@
+"""Cross-check every queries() entry against its oracle_sql() via DuckDB
+at sf0.001 — mirrors the driver's correctness gate (row count + sorted
+column names + order-insensitive values)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t)}.parquet'"
+        )
+    return c
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+ORACLE_NAMES = sorted(entrymod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(name, con):
+    ray_fn = entrymod.queries()[name]
+    got = normalize(to_df(ray_fn(SF_DIR)))
+    want = normalize(con.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), f"{name} columns"
+    assert len(got) == len(want), f"{name} row count: {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name,
+                                  check_exact=True)
+
+
+def test_rows_only_queries_run():
+    qs = entrymod.queries()
+    oracles = set(entrymod.oracle_sql())
+    rows_only = [n for n in qs if n not in oracles and n != "streaming_flagship"]
+    for name in rows_only:
+        df = to_df(qs[name](SF_DIR))
+        assert len(df) > 0, name
+
+
+def test_entry_smoke():
+    df = to_df(entrymod.entry())
+    assert len(df) >= 0
+    assert "doc_count" in df.columns

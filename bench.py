@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline streaming pipeline (docs/sec end-to-end:
+ingest -> extract -> dedup -> as-of join -> windows -> exactly-once sink)
+over a deterministic synthetic pages log sized to the sf tier, plus the
+representative query set over $GRAFT_SF_DIR, and prints ONE JSON line.
+
+  GRAFT_SF_DIR   input tables dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS ray.init num_cpus (default 32)
+
+--scaling: runs the identical headline job in two fresh processes at 8
+and 32 CPUs on the same input and reports throughput at both plus
+scaling efficiency = (t_8 / t_32) / (32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "200000"))
+
+
+def bench_config(num_cpus: int):
+    from bitquery_kafka_streams_rust_ray.config import EngineConfig
+
+    return EngineConfig(
+        min_text_len=1,
+        state_shards=max(8, num_cpus),
+        extract_concurrency=num_cpus,
+        join_concurrency=max(2, num_cpus // 4),
+        files_per_epoch=2,
+        read_batch_size=1024,
+    )
+
+
+def ensure_bench_pages() -> str:
+    """Generate (once, cached) the bench-scale pages log."""
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import ensure_pages_log
+    from bitquery_kafka_streams_rust_ray.sources.pages import PagesSpec
+
+    data_dir = f"/tmp/bitquery_kafka_streams_rust_ray_bench_pages_{PAGES_ROWS}"
+    spec = PagesSpec(
+        num_rows=PAGES_ROWS,
+        num_slices=8,
+        shards=8,
+        span_s=1800,
+        words_per_page=(60, 240),
+    )
+    ensure_pages_log(data_dir, spec)
+    return data_dir
+
+
+def run_headline(num_cpus: int) -> dict:
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import run_flagship
+
+    data_dir = ensure_bench_pages()
+    out_dir = f"{data_dir}_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    for name in sorted(os.listdir(data_dir)):
+        if name.endswith(".parquet"):
+            with open(os.path.join(data_dir, name), "rb") as f:
+                f.read()
+    t0 = time.time()
+    summary = run_flagship(data_dir, out_dir, config=bench_config(num_cpus),
+                           resume=False)
+    dt = time.time() - t0
+    rows = summary["metrics"]["counters"].get("rows_read", 0)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": round(dt, 2), "rows": int(rows),
+            "docs_per_sec": round(rows / dt, 1)}
+
+
+QUERY_NAMES = [
+    "q1_pricing",
+    "tumbling_events",
+    "sliding_events",
+    "session_events",
+    "windowed_dedup_events",
+    "priority_revenue",
+    "asof_latest_order",
+    "distinct_users",
+    "minhash_dedup_documents",
+    "ann_topk",
+    "text_analysis_documents",
+]
+
+
+def run_queries() -> dict[str, float]:
+    from bitquery_kafka_streams_rust_ray.pipelines import queries as q
+
+    out = {}
+    for name in QUERY_NAMES:
+        fn = getattr(q, name)
+        t0 = time.time()
+        res = fn(SF_DIR)
+        # materialize if lazy
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        headline = run_headline(NUM_CPUS)
+        queries = run_queries()
+    finally:
+        ray.shutdown()
+    result = {
+        "metric": "streaming pages pipeline end-to-end (extract+dedup+asof-join+windows+exactly-once sink)",
+        "value": headline["sec"],
+        "unit": "sec",
+        "docs_per_sec": headline["docs_per_sec"],
+        "pages_rows": headline["rows"],
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    # generate the shared input once before timing anything
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    ensure_bench_pages()
+    ray.shutdown()
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "pages_rows": r_lo["pages_rows"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1":
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        try:
+            headline = run_headline(NUM_CPUS)
+        finally:
+            ray.shutdown()
+        print(json.dumps({
+            "metric": "streaming pages pipeline end-to-end",
+            "value": headline["sec"], "unit": "sec",
+            "docs_per_sec": headline["docs_per_sec"],
+            "pages_rows": headline["rows"], "num_cpus": NUM_CPUS,
+        }))
+    else:
+        main()

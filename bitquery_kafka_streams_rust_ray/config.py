@@ -55,7 +55,8 @@ class EngineConfig:
     batch_size: int = 1024           # rows per Arrow batch in stateful stages
     read_batch_size: int = 256       # smaller for wide `html` binary rows
     state_shards: int = 8            # keyed state actors (dedup/window/join)
-    extract_concurrency: int = 8     # actor pool size for html->text
+    extract_concurrency: int = 8     # actor pool max size for html->text
+    join_concurrency: int = 4        # actor pool max size for the as-of join
     files_per_epoch: int = 2         # micro-batch granularity of the driver loop
 
     # --- filter defaults (F4 analog: weight x text_len >= threshold) ---

@@ -386,7 +386,7 @@ class StreamingPagesPipeline:
             ds = broadcast_asof_join(
                 ds, self.host_metadata, on="host", ts_col="warc_ts",
                 defaults={"category": "unknown", "weight": 0.0},
-                concurrency=(1, 2), batch_size=cfg.batch_size,
+                concurrency=(1, cfg.join_concurrency), batch_size=cfg.batch_size,
             )
 
         def add_shard(df: pd.DataFrame) -> pd.DataFrame:

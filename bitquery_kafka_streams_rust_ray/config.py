@@ -58,6 +58,14 @@ class EngineConfig:
     extract_concurrency: int = 8     # actor pool max size for html->text
     join_concurrency: int = 4        # actor pool max size for the as-of join
     files_per_epoch: int = 2         # micro-batch granularity of the driver loop
+    read_num_blocks: int | None = None  # override read block count (None =
+    # Ray's bytes-aware planning; set to ~2x cores when inputs are many
+    # tiny files, which otherwise yield sub-1k-row blocks and per-task
+    # scheduling overhead dominates)
+    fsync_output: bool = False       # fsync each staged shard file before the
+    # manifest commit. Exactly-once vs process crashes holds either way
+    # (uncommitted epochs replay); enable for machine-crash durability at
+    # the cost of serialized disk flushes
 
     # --- filter defaults (F4 analog: weight x text_len >= threshold) ---
     min_text_len: int = 0

@@ -6,17 +6,31 @@ partitioned pages log slice by slice (micro-batch epochs = the Kafka
 poll loop), pushes each epoch through a streaming Dataset pipeline, and
 owns watermarks, state checkpoints and the exactly-once sink commit.
 
-Per-epoch dataflow (ONE hash shuffle per epoch):
+Per-epoch dataflow (direct keyed exchange, NO sort/groupby shuffle):
 
     read_parquet(slice files, pruned columns)
       -> map_batches(ExtractEnrich, actor pool, Arrow)   # M1-M4: decompress+extract+host
       -> broadcast as-of join (host metadata)            # §2.5 enrichment
-      -> map_batches(add stable url-shard column)
-      -> groupby(shard).map_groups(ShardFinalize)        # T1/T2 dedup via state
-                                                         # actors, window/session
-                                                         # partial push, sorted
+      -> map_batches(exchange)                           # split each batch by
+                                                         # hash(url) shard, push
+                                                         # sub-tables straight to
+                                                         # the owning StateShard
+                                                         # actor; count lineage
+      -> tiny per-batch stats table back to the driver
+    driver: finalize_epoch on every StateShard           # sort (url, ts), dedup,
+                                                         # window/session partials
+                                                         # from survivors, sorted
                                                          # per-shard page output
-      -> tiny per-shard stats table back to the driver
+    driver: route partials to owning shards, close windows, 2PC commit
+
+The exchange replaces a Ray Data ``groupby(shard).map_groups`` — an
+all-to-all sort shuffle — with direct actor messaging: each upstream
+task `take()`s its batch into per-shard compact Arrow sub-tables and
+ships them to the K state actors (this is exactly what a streaming
+hash exchange does, minus the sort nobody needs). Fault model: the
+exchange stage runs with task retries disabled; any task failure fails
+the epoch, the driver drops the epoch's actor buffers and replays the
+whole epoch — with the idempotent 2PC sink this keeps exactly-once.
 
 Cross-epoch mutable keyed state (dedup last-seen, open windows, open
 sessions) is the one thing the Dataset API cannot express, so it lives
@@ -61,22 +75,100 @@ OK, PARSE_ERROR, FILTERED, LATE = 0, 1, 2, 3
 
 @ray.remote(num_cpus=0)
 class StateShard:
-    """One hash shard of all cross-epoch keyed state (T1/T2/T7 analogs)."""
+    """One hash shard of all cross-epoch keyed state (T1/T2/T7 analogs).
 
-    def __init__(self, shard_id: int, dedup_window_us: int, session_gap_us: int):
+    Also the reduce side of the epoch exchange: upstream tasks push this
+    shard's rows in via ``accept_rows``; ``finalize_epoch`` then sorts,
+    dedups against the shard's own ``DedupState`` (rows were routed by
+    the same ``hash(url)`` the dedup state is sharded by, so the lookup
+    is local), writes the shard's page output, and returns window /
+    session partials grouped by their *owning* shard for the driver to
+    route (driver routing avoids actor->actor ``ray.get`` deadlocks).
+    """
+
+    def __init__(self, shard_id: int, config: EngineConfig):
         self.shard_id = shard_id
-        self.dedup = DedupState(dedup_window_us)
+        self.cfg = config
+        self.dedup = DedupState(config.dedup_window_s * US)
         self.windows = WindowState()
-        self.sessions = SessionState(session_gap_us)
+        self.sessions = SessionState(config.windows.session_gap_s * US)
+        self.buffers: dict[int, list[pa.Table]] = {}
 
-    def dedup_batch(self, keys: list[str], ts_us: np.ndarray) -> np.ndarray:
-        return self.dedup.process(keys, ts_us)
+    def accept_rows(self, epoch: int, table: pa.Table) -> int:
+        self.buffers.setdefault(epoch, []).append(table)
+        return table.num_rows
 
-    def add_window_partials(self, kind, keys, starts, ends, counts, totals) -> None:
-        self.windows.add_partials(kind, keys, starts, ends, counts, totals)
+    def drop_epoch(self, epoch: int) -> bool:
+        return self.buffers.pop(epoch, None) is not None
 
-    def add_session_runs(self, keys, starts, lasts, counts, totals) -> None:
-        self.sessions.add_runs(keys, starts, lasts, counts, totals)
+    def finalize_epoch(self, epoch: int, stage_dir: str) -> dict:
+        """Dedup + write this shard's epoch output; return stats and
+        per-owner window/session partials computed from the survivors."""
+        import pyarrow.parquet as pq
+
+        import time as _time
+
+        chunks = self.buffers.pop(epoch, [])
+        stats = {"rows_deduped": 0, "rows_written": 0}
+        if not chunks:
+            return {"stats": stats, "windows": {}, "sessions": {}}
+
+        _t0 = _time.time()
+        ok = pa.concat_tables(chunks).to_pandas()
+        _t1 = _time.time()
+        ok = ok.sort_values(["url", "_ts_us"], kind="mergesort")
+        keep = self.dedup.process(ok["url"].tolist(), ok["_ts_us"].to_numpy())
+        stats["rows_deduped"] = int((~keep).sum())
+        ok = ok.loc[keep]
+        _t2 = _time.time()
+        windows, sessions = {}, {}
+        if len(ok):
+            windows, sessions = self._partials(ok)
+            _t3 = _time.time()
+            out = ok.drop(columns=["_ts_us"])
+            path = os.path.join(stage_dir, f"pages-{self.shard_id:04d}.parquet")
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+            if self.cfg.fsync_output:
+                with open(path, "rb+") as f:
+                    os.fsync(f.fileno())
+            stats["rows_written"] = len(out)
+            if os.environ.get("GRAFT_DEBUG_TIMING"):
+                print(f"[shard {self.shard_id}] concat={_t1-_t0:.2f} "
+                      f"dedup={_t2-_t1:.2f} partials={_t3-_t2:.2f} "
+                      f"write={_time.time()-_t3:.2f} rows={len(ok)}", flush=True)
+        return {"stats": stats, "windows": windows, "sessions": sessions}
+
+    def _partials(self, ok) -> tuple[dict, dict]:
+        """Pre-aggregate survivors into per-owner window partials and
+        session runs — the two-level aggregation that keeps the exchange
+        narrow (counts per (key, window), not rows)."""
+        cfg = self.cfg
+        n = cfg.state_shards
+        ts = ok["_ts_us"].to_numpy()
+        lens = ok["text_len"].to_numpy(dtype=np.float64)
+        windows: dict[int, list] = {}
+        tum = cfg.windows.tumbling_size_s * US
+        for owner, payload in _window_partials(
+            ok["lang"].fillna(""), ts, lens, tum, tum, n
+        ).items():
+            windows.setdefault(owner, []).append(("tumbling:lang", *payload))
+        sld_size = cfg.windows.sliding_size_s * US
+        sld_slide = cfg.windows.sliding_slide_s * US
+        for owner, payload in _window_partials(
+            ok["lang"].fillna(""), ts, lens, sld_size, sld_slide, n
+        ).items():
+            windows.setdefault(owner, []).append(("sliding:lang", *payload))
+        sessions = _session_runs(ok["host"], ts, lens,
+                                 cfg.windows.session_gap_s * US, n)
+        return windows, sessions
+
+    def add_window_partials(self, batches: list[tuple]) -> None:
+        for kind, keys, starts, ends, counts, totals in batches:
+            self.windows.add_partials(kind, keys, starts, ends, counts, totals)
+
+    def add_session_runs(self, batches: list[tuple]) -> None:
+        for keys, starts, lasts, counts, totals in batches:
+            self.sessions.add_runs(keys, starts, lasts, counts, totals)
 
     def close(self, watermark_us: int) -> tuple[list, list, int]:
         closed_windows = self.windows.close(watermark_us)
@@ -96,6 +188,64 @@ class StateShard:
         self.windows = WindowState.restore(snap["windows"])
         self.sessions = SessionState.restore(snap["sessions"])
         return True
+
+
+def _window_partials(keys, ts, totals, size_us, slide_us, nshards) -> dict:
+    """Collapse rows to per-(key, window_start) (count, sum) partials,
+    replicated across the ⌈size/slide⌉ covering windows, grouped by the
+    key's owning state shard."""
+    slide_start = (ts // slide_us) * slide_us
+    df = pd.DataFrame({"k": keys.to_numpy(), "s": slide_start, "v": totals})
+    part = df.groupby(["k", "s"], sort=True).agg(
+        c=("v", "size"), t=("v", "sum")
+    ).reset_index()
+    reps = int(size_us // slide_us)
+    frames = []
+    for i in range(reps):
+        f = part.copy()
+        f["s"] = f["s"] - i * slide_us
+        frames.append(f)
+    part = pd.concat(frames, ignore_index=True)
+    part = part.groupby(["k", "s"], sort=True).agg(
+        c=("c", "sum"), t=("t", "sum")
+    ).reset_index()
+    part["owner"] = shard_of(part["k"].to_numpy(), nshards)
+    out = {}
+    for owner, sub in part.groupby("owner"):
+        out[int(owner)] = (
+            sub["k"].tolist(),
+            sub["s"].to_numpy(),
+            sub["s"].to_numpy() + size_us,
+            sub["c"].to_numpy(),
+            sub["t"].to_numpy(),
+        )
+    return out
+
+
+def _session_runs(hosts, ts, totals, gap_us, nshards) -> dict:
+    """Collapse rows to gap-consistent per-key session runs (merge is
+    associative, so runs fold correctly into open sessions), grouped by
+    the key's owning state shard."""
+    df = pd.DataFrame({"k": hosts.to_numpy(), "ts": ts, "v": totals})
+    df = df.sort_values(["k", "ts"], kind="mergesort")
+    tsv = df["ts"].to_numpy()
+    new_key = ~df["k"].eq(df["k"].shift()).to_numpy()
+    brk = np.empty(len(df), dtype=bool)
+    brk[:1] = True
+    if len(df) > 1:
+        brk[1:] = (tsv[1:] - tsv[:-1]) > gap_us
+    df["run"] = np.cumsum(new_key | brk)
+    runs = df.groupby(["k", "run"], sort=True).agg(
+        s=("ts", "min"), l=("ts", "max"), c=("ts", "size"), t=("v", "sum")
+    ).reset_index()
+    runs["owner"] = shard_of(runs["k"].to_numpy(), nshards)
+    out = {}
+    for owner, sub in runs.groupby("owner"):
+        out[int(owner)] = (
+            sub["k"].tolist(), sub["s"].to_numpy(), sub["l"].to_numpy(),
+            sub["c"].to_numpy(), sub["t"].to_numpy(),
+        )
+    return out
 
 
 class ExtractEnrich:
@@ -145,146 +295,102 @@ class ExtractEnrich:
         return out.append_column("_status", pa.array(status))
 
 
-class ShardFinalize:
-    """Per-shard epoch finalizer: dedup via state actor, window/session
-    partial push, sorted per-shard page output, stats row back.
+class ExchangeToShards:
+    """Map stage that routes each batch's clean rows to their owning
+    StateShard actor (the streaming hash exchange) and emits one lineage
+    stats row per batch.
 
-    Runs as ``groupby(shard).map_groups`` — all rows of a url shard for
-    this epoch arrive in one call, giving the per-key sequential
-    semantics the dedup contract needs.
+    Runs as plain tasks with retries DISABLED: a retried task would
+    double-push its rows, so any task failure fails the epoch and the
+    driver replays it after dropping the epoch's actor buffers (see
+    module docstring — with the idempotent sink this stays exactly-once).
     """
 
-    def __init__(
-        self,
-        actors: list,
-        epoch: int,
-        stage_dir: str,
-        config: EngineConfig,
-        state_shards: int,
-    ):
+    def __init__(self, actors: list, epoch: int, state_shards: int):
         self.actors = actors
         self.epoch = epoch
-        self.stage_dir = stage_dir
-        self.cfg = config
         self.state_shards = state_shards
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.parquet as pq
-
-        cfg = self.cfg
-        shard = int(g["_shard"].iloc[0])
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        status = batch.column("_status").to_numpy(zero_copy_only=False)
         stats = {
-            "shard": shard,
-            "rows_read": len(g),
-            "parse_errors": int((g["_status"] == PARSE_ERROR).sum()),
-            "rows_filtered_out": int((g["_status"] == FILTERED).sum()),
-            "late_dropped": int((g["_status"] == LATE).sum()),
-            "rows_deduped": 0,
-            "rows_written": 0,
+            "rows_read": len(status),
+            "parse_errors": int((status == PARSE_ERROR).sum()),
+            "rows_filtered_out": int((status == FILTERED).sum()),
+            "late_dropped": int((status == LATE).sum()),
             "max_ts_us": NEG_INF_TS,
         }
-        ok = g[g["_status"] == OK].copy()
-        if len(ok):
-            ok["_ts_us"] = series_ts_us(ok["warc_ts"])
-            stats["max_ts_us"] = int(ok["_ts_us"].max())
-            ok = ok.sort_values(["url", "_ts_us"], kind="mergesort")
-            actor = self.actors[shard % self.state_shards]
-            keep = ray.get(
-                actor.dedup_batch.remote(
-                    ok["url"].tolist(), ok["_ts_us"].to_numpy()
+        ok_idx = np.nonzero(status == OK)[0]
+        if ok_idx.size:
+            ok = batch.take(ok_idx).drop_columns(["_status"])
+            ts_us = ok.column("warc_ts").cast(pa.int64()).to_numpy()
+            stats["max_ts_us"] = int(ts_us.max())
+            ok = ok.append_column("_ts_us", pa.array(ts_us))
+            shards = shard_of(ok.column("url").to_numpy(zero_copy_only=False),
+                              self.state_shards)
+            refs = [
+                self.actors[int(k)].accept_rows.remote(
+                    self.epoch, ok.take(np.nonzero(shards == k)[0])
                 )
+                for k in np.unique(shards)
+            ]
+            ray.get(refs)
+        return pa.table({k: [v] for k, v in stats.items()})
+
+
+# per-worker-process cache of the deserialized + pre-sorted broadcast
+# side, keyed by object ref: ray.get once per worker, not once per batch
+_BROADCAST_CACHE: dict[str, pd.DataFrame] = {}
+
+
+class EpochMapper:
+    """The whole per-epoch row path as ONE fused task operator:
+    extract/enrich (M1-M4, F1) -> broadcast as-of join (§2.5) ->
+    keyed exchange into the state shards.
+
+    Ray Data would fuse the three map stages itself were it not for the
+    exchange's retry-disabling remote args; fusing by hand keeps the
+    pipeline at two operators (read -> this), so every task is CPU-bound
+    end-to-end and the streaming executor keeps all cores busy instead
+    of trickling blocks through three short task pools.
+    """
+
+    def __init__(self, page_filter, watermark_us: int,
+                 meta_ref, defaults: dict | None,
+                 actors: list, epoch: int, state_shards: int):
+        self.extract = ExtractEnrich(page_filter, watermark_us)
+        self.meta_ref = meta_ref
+        self.defaults = defaults or {}
+        self.exchange = ExchangeToShards(actors, epoch, state_shards)
+
+    def _small(self) -> pd.DataFrame:
+        key = self.meta_ref.hex()
+        small = _BROADCAST_CACHE.get(key)
+        if small is None:
+            small = _BROADCAST_CACHE[key] = ray.get(self.meta_ref)
+        return small
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.extract(batch)
+        if self.meta_ref is not None:
+            df = t.to_pandas()
+            right = self._small()
+            order = np.arange(len(df))
+            left = df.assign(_order=order, _ts=series_ts_us(df["warc_ts"]))
+            left = left.sort_values("_ts", kind="mergesort")
+            out = pd.merge_asof(
+                left, right, left_on="_ts", right_on="_version_ts",
+                by="host", direction="backward",
             )
-            stats["rows_deduped"] = int((~keep).sum())
-            ok = ok.loc[keep]
-
-        if len(ok):
-            self._push_partials(ok)
-            out = ok.drop(columns=["_shard", "_status", "_ts_us"])
-            path = os.path.join(self.stage_dir, f"pages-{shard:04d}.parquet")
-            table = pa.Table.from_pandas(out, preserve_index=False)
-            pq.write_table(table, path)
-            with open(path, "rb+") as f:
-                os.fsync(f.fileno())
-            stats["rows_written"] = len(out)
-
-        return pd.DataFrame([stats])
-
-    # -- helpers ---------------------------------------------------------
-    def _push_partials(self, ok: pd.DataFrame) -> None:
-        """Pre-aggregate this shard's survivors and push them to the
-        owning state shards (synchronously: state must be in place
-        before the driver closes the epoch)."""
-        cfg = self.cfg
-        calls = []
-        ts = ok["_ts_us"].to_numpy()
-        lens = ok["text_len"].to_numpy(dtype=np.float64)
-
-        tum = cfg.windows.tumbling_size_s * US
-        calls += self._window_calls("tumbling:lang", ok["lang"].fillna(""), ts,
-                                    lens, tum, tum)
-        sld_size = cfg.windows.sliding_size_s * US
-        sld_slide = cfg.windows.sliding_slide_s * US
-        calls += self._window_calls("sliding:lang", ok["lang"].fillna(""), ts,
-                                    lens, sld_size, sld_slide)
-        calls += self._session_calls(ok["host"], ts, lens)
-        if calls:
-            ray.get(calls)
-
-    def _window_calls(self, kind, keys, ts, totals, size_us, slide_us):
-        slide_start = (ts // slide_us) * slide_us
-        df = pd.DataFrame({"k": keys.to_numpy(), "s": slide_start, "v": totals})
-        part = df.groupby(["k", "s"], sort=True).agg(
-            c=("v", "size"), t=("v", "sum")
-        ).reset_index()
-        reps = int(size_us // slide_us)
-        frames = []
-        for i in range(reps):
-            f = part.copy()
-            f["s"] = f["s"] - i * slide_us
-            frames.append(f)
-        part = pd.concat(frames, ignore_index=True)
-        part = part.groupby(["k", "s"], sort=True).agg(
-            c=("c", "sum"), t=("t", "sum")
-        ).reset_index()
-        part["shard"] = shard_of(part["k"].to_numpy(), self.state_shards)
-        calls = []
-        for sh, sub in part.groupby("shard"):
-            calls.append(
-                self.actors[int(sh)].add_window_partials.remote(
-                    kind,
-                    sub["k"].tolist(),
-                    sub["s"].to_numpy(),
-                    sub["s"].to_numpy() + size_us,
-                    sub["c"].to_numpy(),
-                    sub["t"].to_numpy(),
-                )
+            out = out.sort_values("_order", kind="mergesort").drop(
+                columns=["_order", "_ts", "_version_ts"]
             )
-        return calls
-
-    def _session_calls(self, hosts, ts, totals):
-        gap_us = self.cfg.windows.session_gap_s * US
-        df = pd.DataFrame({"k": hosts.to_numpy(), "ts": ts, "v": totals})
-        df = df.sort_values(["k", "ts"], kind="mergesort")
-        tsv = df["ts"].to_numpy()
-        new_key = ~df["k"].eq(df["k"].shift()).to_numpy()
-        brk = np.empty(len(df), dtype=bool)
-        brk[:1] = True
-        if len(df) > 1:
-            brk[1:] = (tsv[1:] - tsv[:-1]) > gap_us
-        df["run"] = np.cumsum(new_key | brk)
-        runs = df.groupby(["k", "run"], sort=True).agg(
-            s=("ts", "min"), l=("ts", "max"), c=("ts", "size"), t=("v", "sum")
-        ).reset_index()
-        runs["shard"] = shard_of(runs["k"].to_numpy(), self.state_shards)
-        calls = []
-        for sh, sub in runs.groupby("shard"):
-            calls.append(
-                self.actors[int(sh)].add_session_runs.remote(
-                    sub["k"].tolist(), sub["s"].to_numpy(), sub["l"].to_numpy(),
-                    sub["c"].to_numpy(), sub["t"].to_numpy(),
-                )
-            )
-        return calls
+            for col, val in self.defaults.items():
+                if col in out.columns:
+                    out[col] = out[col].fillna(val)
+            t = pa.Table.from_pandas(out.reset_index(drop=True),
+                                     preserve_index=False)
+        return self.exchange(t)
 
 
 class StreamingPagesPipeline:
@@ -307,6 +413,7 @@ class StreamingPagesPipeline:
         self.host_metadata = host_metadata
         self.sink = EpochSink(output_dir)
         self.metrics = MetricsRegistry()
+        self._meta_ref = None  # broadcast host metadata, ray.put once per run
 
     # --- epoch plan ------------------------------------------------------
     def epoch_plan(self) -> list[list[str]]:
@@ -327,11 +434,8 @@ class StreamingPagesPipeline:
     # --- main loop -------------------------------------------------------
     def run(self, resume: bool = True, drain: bool = True) -> dict:
         cfg = self.cfg
-        k = cfg.state_shards
         actors = [
-            StateShard.remote(i, cfg.dedup_window_s * US,
-                              cfg.windows.session_gap_s * US)
-            for i in range(k)
+            StateShard.remote(i, cfg) for i in range(cfg.state_shards)
         ]
         watermark = WatermarkTracker(cfg.allowed_lateness_s * US)
 
@@ -345,7 +449,15 @@ class StreamingPagesPipeline:
                 start_epoch = last + 1
 
         for epoch in range(start_epoch, len(plan)):
-            self._run_epoch(epoch, plan[epoch], actors, watermark)
+            try:
+                self._run_epoch(epoch, plan[epoch], actors, watermark)
+            except Exception:
+                # exchange-phase task failure: nothing durable or stateful
+                # has happened yet (state mutates only in finalize, which
+                # runs after the exchange completes) -> drop the epoch's
+                # actor buffers and replay once (T11 analog, bounded retry)
+                ray.get([a.drop_epoch.remote(epoch) for a in actors])
+                self._run_epoch(epoch, plan[epoch], actors, watermark)
 
         if drain:
             self._drain_epoch(len(plan), actors, watermark)
@@ -366,54 +478,82 @@ class StreamingPagesPipeline:
 
         # prune at the read: the stored `text` column is the generator's
         # oracle — the engine recomputes extraction from `html`
-        ds = rd.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
-        ds = ds.map_batches(
-            ExtractEnrich,
-            fn_constructor_kwargs={
-                "page_filter": self.page_filter,
-                "watermark_us": wm_before,
-            },
+        ds = rd.read_parquet(
+            files, columns=["url", "warc_ts", "html", "lang"],
+            override_num_blocks=cfg.read_num_blocks,
+        )
+        # plain tasks, not an actor pool: the fused stage's only state
+        # (filter spec + frozen watermark + broadcast ref + actor
+        # handles) is a tiny picklable object, and a micro-batch driver
+        # builds a fresh Dataset per epoch — per-epoch actor-pool
+        # spin-up would dominate at exactly the epoch sizes where
+        # latency matters. Truly stateful stages (StateShard) stay on
+        # actors; the broadcast side ships via ray.put once and is
+        # cached per worker process.
+        meta_ref = None
+        if self.host_metadata is not None:
+            if self._meta_ref is None:
+                small = self.host_metadata.copy()
+                small["_version_ts"] = series_ts_us(small["updated_ts"])
+                small = small.drop(columns=["updated_ts"]).sort_values(
+                    ["_version_ts", "host"], kind="mergesort"
+                )
+                self._meta_ref = ray.put(small)
+            meta_ref = self._meta_ref
+
+        import time as _time
+        _t0 = _time.time()
+        stats_ds = ds.map_batches(
+            EpochMapper(
+                self.page_filter, wm_before, meta_ref,
+                {"category": "unknown", "weight": 0.0},
+                actors, epoch, cfg.state_shards,
+            ),
             batch_format="pyarrow",
             batch_size=cfg.read_batch_size,
-            # autoscaling pool: shrinks to 1 actor when CPUs are scarce so
-            # small sessions never deadlock on pre-allocated pools
-            concurrency=(1, cfg.extract_concurrency),
-            num_cpus=1,
+            # a retried exchange task would double-push its rows: fail the
+            # epoch instead; the driver replays it from scratch (run())
+            max_retries=0,
+            retry_exceptions=False,
         )
-        if self.host_metadata is not None:
-            from ..stages.join import broadcast_asof_join
-
-            ds = broadcast_asof_join(
-                ds, self.host_metadata, on="host", ts_col="warc_ts",
-                defaults={"category": "unknown", "weight": 0.0},
-                concurrency=(1, cfg.join_concurrency), batch_size=cfg.batch_size,
-            )
-
-        def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-            df["_shard"] = shard_of(df["url"].to_numpy(), cfg.state_shards)
-            return df
-
-        finalizer = ShardFinalize(actors, epoch, stage, cfg, cfg.state_shards)
-
-        def finalize_shard(g: pd.DataFrame) -> pd.DataFrame:
-            return finalizer(g)
-
-        stats = (
-            ds.map_batches(add_shard, batch_format="pandas",
-                           batch_size=cfg.batch_size)
-            .groupby("_shard")
-            .map_groups(finalize_shard, batch_format="pandas")
-            .to_pandas()
-        )
+        stats = stats_ds.to_pandas()
+        _t1 = _time.time()
+        if os.environ.get("GRAFT_DEBUG_TIMING") == "2":
+            print(stats_ds.stats(), flush=True)
 
         counters = {
             c: int(stats[c].sum())
             for c in ("rows_read", "parse_errors", "rows_filtered_out",
-                      "late_dropped", "rows_deduped", "rows_written")
+                      "late_dropped")
         }
         max_ts = int(stats["max_ts_us"].max()) if len(stats) else NEG_INF_TS
+
+        results = ray.get([
+            a.finalize_epoch.remote(epoch, stage) for a in actors
+        ])
+        win_calls: dict[int, list] = {}
+        sess_calls: dict[int, list] = {}
+        for r in results:
+            for c in ("rows_deduped", "rows_written"):
+                counters[c] = counters.get(c, 0) + r["stats"][c]
+            for owner, batches in r["windows"].items():
+                win_calls.setdefault(owner, []).extend(batches)
+            for owner, payload in r["sessions"].items():
+                sess_calls.setdefault(owner, []).append(payload)
+        ray.get(
+            [actors[o].add_window_partials.remote(b)
+             for o, b in win_calls.items()]
+            + [actors[o].add_session_runs.remote(b)
+               for o, b in sess_calls.items()]
+        )
+
+        _t2 = _time.time()
         watermark.observe(max_ts)
         self._close_and_commit(epoch, actors, watermark, counters)
+        if os.environ.get("GRAFT_DEBUG_TIMING"):
+            print(f"[epoch {epoch}] exchange={_t1-_t0:.2f}s "
+                  f"finalize={_t2-_t1:.2f}s commit={_time.time()-_t2:.2f}s",
+                  flush=True)
 
     def _drain_epoch(self, epoch, actors, watermark) -> None:
         """Final epoch with no input: advance the watermark past every

@@ -122,10 +122,46 @@ def broadcast_asof_join(
     ts_col: str,
     version_ts_col: str = "updated_ts",
     defaults: dict | None = None,
-    concurrency: int = 4,
+    concurrency: int | tuple[int, int] | None = 4,
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
-    """Enrich each row with the latest small-side version at its ts."""
+    """Enrich each row with the latest small-side version at its ts.
+
+    ``concurrency=None`` runs the join as plain tasks instead of an
+    actor pool: the pre-sorted small side is ``ray.put`` once and each
+    task fetches it from the local object store — no per-pipeline actor
+    spin-up cost, which matters when a micro-batch driver builds a fresh
+    Dataset per epoch.
+    """
+    if concurrency is None:
+        small = versioned_small.copy()
+        small["_version_ts"] = series_ts_us(small[version_ts_col])
+        small = small.drop(columns=[version_ts_col]).sort_values(
+            ["_version_ts", on], kind="mergesort"
+        )
+        ref = ray.put(small)
+        defaults = defaults or {}
+
+        def asof(batch: pd.DataFrame) -> pd.DataFrame:
+            right = ray.get(ref)
+            order = np.arange(len(batch))
+            left = batch.assign(_order=order, _ts=series_ts_us(batch[ts_col]))
+            left = left.sort_values("_ts", kind="mergesort")
+            out = pd.merge_asof(
+                left, right, left_on="_ts", right_on="_version_ts",
+                by=on, direction="backward",
+            )
+            out = out.sort_values("_order", kind="mergesort").drop(
+                columns=["_order", "_ts", "_version_ts"]
+            )
+            for col, val in defaults.items():
+                if col in out.columns:
+                    out[col] = out[col].fillna(val)
+            return out.reset_index(drop=True)
+
+        return ds.map_batches(asof, batch_format="pandas",
+                              batch_size=batch_size)
+
     ref = ray.put(versioned_small)
     return ds.map_batches(
         _BroadcastAsofJoiner,

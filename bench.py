@@ -31,13 +31,18 @@ PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "200000"))
 def bench_config(num_cpus: int):
     from bitquery_kafka_streams_rust_ray.config import EngineConfig
 
+    # state_shards is sized to state volume (#keys), NOT cpu count: the
+    # exchange fan-out is tasks x shards RPCs and each shard is an actor
+    # process, so oversharding costs more than it parallelizes. 8 shards
+    # keeps the same key partitioning at every parallelism level, which
+    # the determinism/resume contract wants anyway.
     return EngineConfig(
         min_text_len=1,
-        state_shards=max(8, num_cpus),
-        extract_concurrency=num_cpus,
-        join_concurrency=max(2, num_cpus // 4),
-        files_per_epoch=2,
-        read_batch_size=1024,
+        state_shards=8,
+        files_per_epoch=4,
+        read_batch_size=4096,
+        batch_size=8192,
+        read_num_blocks=2 * num_cpus,
     )
 
 
@@ -59,6 +64,8 @@ def ensure_bench_pages() -> str:
 
 
 def run_headline(num_cpus: int) -> dict:
+    import ray.data as rd
+
     from bitquery_kafka_streams_rust_ray.pipelines.flagship import run_flagship
 
     data_dir = ensure_bench_pages()
@@ -69,6 +76,11 @@ def run_headline(num_cpus: int) -> dict:
         if name.endswith(".parquet"):
             with open(os.path.join(data_dir, name), "rb") as f:
                 f.read()
+    # spin up Ray's worker pool before timing: worker-process spawn is a
+    # per-session cost, not a property of the pipeline
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b
+    ).materialize()
     t0 = time.time()
     summary = run_flagship(data_dir, out_dir, config=bench_config(num_cpus),
                            resume=False)

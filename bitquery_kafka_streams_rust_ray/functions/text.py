@@ -145,6 +145,18 @@ def char_ngrams(text: str, n: int = 3) -> set[str]:
     return {s[i:i + n] for i in range(len(s) - n + 1)}
 
 
+def word_ngrams(text: str, n: int = 3) -> set[str]:
+    """Word n-gram shingle set (Broder shingling — the standard for
+    web-scale near-dup detection; char n-grams saturate on texts drawn
+    from a small vocabulary, making every document collide)."""
+    toks = text.lower().split()
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

@@ -93,6 +93,11 @@ class StateShard:
         self.windows = WindowState()
         self.sessions = SessionState(config.windows.session_gap_s * US)
         self.buffers: dict[int, list[pa.Table]] = {}
+        # K shards finalize concurrently on one node; Arrow kernels on
+        # ~100k-row shard tables gain nothing from intra-actor threads,
+        # and K actors x N threads convoy badly (measured 0.7s -> 6s
+        # finalize). Single-threaded Arrow per state actor.
+        pa.set_cpu_count(1)
 
     def accept_rows(self, epoch: int, table: pa.Table) -> int:
         self.buffers.setdefault(epoch, []).append(table)
@@ -106,46 +111,61 @@ class StateShard:
         per-owner window/session partials computed from the survivors."""
         import pyarrow.parquet as pq
 
-        import time as _time
+        import pyarrow.compute as pc
 
         chunks = self.buffers.pop(epoch, [])
         stats = {"rows_deduped": 0, "rows_written": 0}
         if not chunks:
             return {"stats": stats, "windows": {}, "sessions": {}}
 
+        # pure Arrow end to end: the buffered chunks are zero-copy views
+        # into the object store, and a pandas round-trip of the full
+        # (text-heavy) table costs multiples of everything else combined
+        import time as _time
         _t0 = _time.time()
-        ok = pa.concat_tables(chunks).to_pandas()
+        tbl = pa.concat_tables(chunks)
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("url", "ascending"), ("_ts_us", "ascending")]
+        )
+        tbl = tbl.take(idx)
         _t1 = _time.time()
-        ok = ok.sort_values(["url", "_ts_us"], kind="mergesort")
-        keep = self.dedup.process(ok["url"].tolist(), ok["_ts_us"].to_numpy())
+        keep = self.dedup.process(
+            tbl.column("url").to_pylist(),
+            tbl.column("_ts_us").to_numpy(),
+        )
         stats["rows_deduped"] = int((~keep).sum())
-        ok = ok.loc[keep]
+        tbl = tbl.filter(pa.array(keep))
         _t2 = _time.time()
         windows, sessions = {}, {}
-        if len(ok):
-            windows, sessions = self._partials(ok)
+        if tbl.num_rows:
+            windows, sessions = self._partials(tbl)
             _t3 = _time.time()
-            out = ok.drop(columns=["_ts_us"])
             path = os.path.join(stage_dir, f"pages-{self.shard_id:04d}.parquet")
-            pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+            pq.write_table(tbl.drop_columns(["_ts_us"]), path)
+            if os.environ.get("GRAFT_DEBUG_TIMING"):
+                print(f"[shard {self.shard_id}] sort={_t1-_t0:.2f} "
+                      f"dedup={_t2-_t1:.2f} partials={_t3-_t2:.2f} "
+                      f"write={_time.time()-_t3:.2f} rows={tbl.num_rows}",
+                      flush=True)
             if self.cfg.fsync_output:
                 with open(path, "rb+") as f:
                     os.fsync(f.fileno())
-            stats["rows_written"] = len(out)
-            if os.environ.get("GRAFT_DEBUG_TIMING"):
-                print(f"[shard {self.shard_id}] concat={_t1-_t0:.2f} "
-                      f"dedup={_t2-_t1:.2f} partials={_t3-_t2:.2f} "
-                      f"write={_time.time()-_t3:.2f} rows={len(ok)}", flush=True)
+            stats["rows_written"] = tbl.num_rows
         return {"stats": stats, "windows": windows, "sessions": sessions}
 
-    def _partials(self, ok) -> tuple[dict, dict]:
+    def _partials(self, tbl: pa.Table) -> tuple[dict, dict]:
         """Pre-aggregate survivors into per-owner window partials and
         session runs — the two-level aggregation that keeps the exchange
-        narrow (counts per (key, window), not rows)."""
+        narrow (counts per (key, window), not rows). Only the four
+        narrow columns leave Arrow."""
         cfg = self.cfg
         n = cfg.state_shards
-        ts = ok["_ts_us"].to_numpy()
-        lens = ok["text_len"].to_numpy(dtype=np.float64)
+        ts = tbl.column("_ts_us").to_numpy()
+        lens = tbl.column("text_len").to_numpy().astype(np.float64)
+        ok = pd.DataFrame({
+            "lang": tbl.column("lang").to_pandas(),
+            "host": tbl.column("host").to_pandas(),
+        })
         windows: dict[int, list] = {}
         tum = cfg.windows.tumbling_size_s * US
         for owner, payload in _window_partials(
@@ -188,6 +208,21 @@ class StateShard:
         self.windows = WindowState.restore(snap["windows"])
         self.sessions = SessionState.restore(snap["sessions"])
         return True
+
+    def write_snapshot(self, path: str) -> int:
+        """Checkpoint this shard's state to ``path`` (K parallel writes
+        instead of the driver serializing every shard's state itself)."""
+        blob = pickle.dumps(self.snapshot(), protocol=4)
+        with open(path, "wb") as f:
+            f.write(blob)
+            if self.cfg.fsync_output:
+                f.flush()
+                os.fsync(f.fileno())
+        return len(blob)
+
+    def restore_from_file(self, path: str) -> bool:
+        with open(path, "rb") as f:
+            return self.restore(pickle.load(f))
 
 
 def _window_partials(keys, ts, totals, size_us, slide_us, nshards) -> dict:
@@ -371,7 +406,10 @@ class EpochMapper:
         return small
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+        _t0 = _time.time()
         t = self.extract(batch)
+        _t1 = _time.time()
         if self.meta_ref is not None:
             df = t.to_pandas()
             right = self._small()
@@ -390,7 +428,13 @@ class EpochMapper:
                     out[col] = out[col].fillna(val)
             t = pa.Table.from_pandas(out.reset_index(drop=True),
                                      preserve_index=False)
-        return self.exchange(t)
+        _t2 = _time.time()
+        res = self.exchange(t)
+        if os.environ.get("GRAFT_DEBUG_TIMING") == "3":
+            print(f"[mapper] n={batch.num_rows} extract={_t1-_t0:.2f} "
+                  f"join={_t2-_t1:.2f} push={_time.time()-_t2:.2f}",
+                  flush=True)
+        return res
 
 
 class StreamingPagesPipeline:
@@ -448,16 +492,51 @@ class StreamingPagesPipeline:
                 self._restore(actors, watermark, last)
                 start_epoch = last + 1
 
+        # Pipelined micro-batches: epoch e's finalize (K-way, on the
+        # state actors) overlaps epoch e+1's exchange (N-way, on the
+        # task pool); e's close/snapshot/commit then runs before
+        # finalize(e+1) is submitted. Safe because (a) actor task order
+        # per submitter is FIFO, so state mutations happen strictly in
+        # finalize(e) -> close(e) -> snapshot(e) -> finalize(e+1) order
+        # on every actor, and (b) epoch-(e+1) accept_rows landing during
+        # e's tail only touch the per-epoch buffers, never state.
+        pending = None  # (epoch, counters, fin_refs, wm_us)
         for epoch in range(start_epoch, len(plan)):
             try:
-                self._run_epoch(epoch, plan[epoch], actors, watermark)
+                counters, max_ts = self._exchange_epoch(
+                    epoch, plan[epoch], actors, watermark
+                )
             except Exception:
-                # exchange-phase task failure: nothing durable or stateful
-                # has happened yet (state mutates only in finalize, which
-                # runs after the exchange completes) -> drop the epoch's
-                # actor buffers and replay once (T11 analog, bounded retry)
+                # exchange-phase task failure: nothing durable or
+                # stateful has happened for THIS epoch yet (state
+                # mutates only in finalize) -> settle the previous
+                # epoch, drop this epoch's actor buffers and replay
+                # once (T11 analog, bounded retry)
+                if pending is not None:
+                    self._complete_epoch(actors, *pending)
+                    pending = None
                 ray.get([a.drop_epoch.remote(epoch) for a in actors])
-                self._run_epoch(epoch, plan[epoch], actors, watermark)
+                counters, max_ts = self._exchange_epoch(
+                    epoch, plan[epoch], actors, watermark
+                )
+            watermark.observe(max_ts)
+            # settle the previous epoch BEFORE submitting this epoch's
+            # finalize: the committed snapshot of epoch e must not
+            # contain epoch e+1's state mutations, or a resume at e+1
+            # would double-apply them (dedup refreshes are not
+            # replay-idempotent). finalize(e) itself already overlapped
+            # exchange(e+1) above — that was the long pole.
+            if pending is not None:
+                self._complete_epoch(actors, *pending)
+            fin_refs = [
+                a.finalize_epoch.remote(epoch, self.sink.stage_path(epoch))
+                for a in actors
+            ]
+            pending = (epoch, counters, fin_refs, watermark.watermark_us,
+                       watermark.snapshot())
+
+        if pending is not None:
+            self._complete_epoch(actors, *pending)
 
         if drain:
             self._drain_epoch(len(plan), actors, watermark)
@@ -469,11 +548,14 @@ class StreamingPagesPipeline:
         }
         return summary
 
-    def _run_epoch(self, epoch, files, actors, watermark) -> None:
+    def _exchange_epoch(self, epoch, files, actors, watermark):
+        """Stream one epoch through read -> fused map -> keyed exchange;
+        returns (lineage counters, max event ts). No state mutation."""
         import ray.data as rd
 
         cfg = self.cfg
-        stage = self.sink.stage_dir(epoch)
+        self.sink.stage_dir(epoch)  # fresh staging dir (clears any
+        # half-written previous attempt before finalize writes into it)
         wm_before = watermark.watermark_us
 
         # prune at the read: the stored `text` column is the generator's
@@ -527,10 +609,19 @@ class StreamingPagesPipeline:
                       "late_dropped")
         }
         max_ts = int(stats["max_ts_us"].max()) if len(stats) else NEG_INF_TS
+        if os.environ.get("GRAFT_DEBUG_TIMING"):
+            print(f"[epoch {epoch}] exchange={_t1-_t0:.2f}s", flush=True)
+        return counters, max_ts
 
-        results = ray.get([
-            a.finalize_epoch.remote(epoch, stage) for a in actors
-        ])
+    def _complete_epoch(self, actors, epoch, counters, fin_refs,
+                        wm_us, wm_snapshot) -> None:
+        """Settle one finalized epoch: merge finalize stats, route
+        window/session partials to their owning shards (driver-mediated
+        — actors never block on each other), close at the epoch's own
+        frozen watermark, and 2PC-commit."""
+        import time as _time
+        _t1 = _time.time()
+        results = ray.get(fin_refs)
         win_calls: dict[int, list] = {}
         sess_calls: dict[int, list] = {}
         for r in results:
@@ -548,12 +639,10 @@ class StreamingPagesPipeline:
         )
 
         _t2 = _time.time()
-        watermark.observe(max_ts)
-        self._close_and_commit(epoch, actors, watermark, counters)
+        self._close_and_commit(epoch, actors, wm_us, counters, wm_snapshot)
         if os.environ.get("GRAFT_DEBUG_TIMING"):
-            print(f"[epoch {epoch}] exchange={_t1-_t0:.2f}s "
-                  f"finalize={_t2-_t1:.2f}s commit={_time.time()-_t2:.2f}s",
-                  flush=True)
+            print(f"[epoch {epoch}] finalize={_t2-_t1:.2f}s "
+                  f"commit={_time.time()-_t2:.2f}s", flush=True)
 
     def _drain_epoch(self, epoch, actors, watermark) -> None:
         """Final epoch with no input: advance the watermark past every
@@ -571,12 +660,12 @@ class StreamingPagesPipeline:
         ) * US
         watermark.observe(watermark.max_event_ts_us + cfg.allowed_lateness_s * US
                           + margin_us)
-        self._close_and_commit(epoch, actors, watermark, {}, drain=True)
+        self._close_and_commit(epoch, actors, watermark.watermark_us, {},
+                               watermark.snapshot(), drain=True)
 
-    def _close_and_commit(self, epoch, actors, watermark, counters,
-                          drain=False) -> None:
-        wm = watermark.watermark_us
-        closed = ray.get([a.close.remote(wm) for a in actors])
+    def _close_and_commit(self, epoch, actors, wm_us, counters,
+                          wm_snapshot=None, drain=False) -> None:
+        closed = ray.get([a.close.remote(wm_us) for a in actors])
         window_rows: list = []
         session_rows: list = []
         for cw, cs, _ in closed:
@@ -621,26 +710,42 @@ class StreamingPagesPipeline:
             t.num_rows for n, t in tables.items() if n != "session_host"
         ) + tables["session_host"].num_rows
 
-        snaps = ray.get([a.snapshot.remote() for a in actors])
+        stage = os.path.join(self.sink.tmp_root, f"epoch={epoch:06d}")
+        ray.get([
+            a.write_snapshot.remote(
+                os.path.join(stage, f"state-{i:04d}.pkl")
+            )
+            for i, a in enumerate(actors)
+        ])
         blob = pickle.dumps(
-            {"shards": snaps, "watermark": watermark.snapshot()}, protocol=4
+            {"watermark": wm_snapshot, "state_shards": len(actors)},
+            protocol=4,
         )
         self.metrics.merge_counts(counters)
         self.sink.commit_epoch(
             epoch,
             tables=tables,
-            watermark_us=wm,
+            watermark_us=wm_us,
             counters=counters,
             blobs={"state.pkl": blob},
             extra={"drain": drain},
         )
 
     def _restore(self, actors, watermark, last_epoch) -> None:
-        path = os.path.join(self.sink.epoch_dir(last_epoch), "state.pkl")
-        with open(path, "rb") as f:
+        epoch_dir = self.sink.epoch_dir(last_epoch)
+        with open(os.path.join(epoch_dir, "state.pkl"), "rb") as f:
             snap = pickle.load(f)
+        if snap["state_shards"] != len(actors):
+            raise ValueError(
+                f"checkpoint has {snap['state_shards']} state shards but "
+                f"config.state_shards={len(actors)}; resume requires the "
+                "same key partitioning"
+            )
         ray.get([
-            a.restore.remote(s) for a, s in zip(actors, snap["shards"])
+            a.restore_from_file.remote(
+                os.path.join(epoch_dir, f"state-{i:04d}.pkl")
+            )
+            for i, a in enumerate(actors)
         ])
         restored = WatermarkTracker.restore(snap["watermark"])
         watermark.allowed_lateness_us = restored.allowed_lateness_us

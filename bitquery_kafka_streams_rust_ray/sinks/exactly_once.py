@@ -61,6 +61,10 @@ class EpochSink:
         with open(self.manifest_path(epoch)) as f:
             return json.load(f)
 
+    def stage_path(self, epoch: int) -> str:
+        """Path of an epoch's staging dir (no clearing — see stage_dir)."""
+        return os.path.join(self.tmp_root, f"epoch={epoch:06d}")
+
     def stage_dir(self, epoch: int) -> str:
         """Fresh staging dir for one epoch attempt.
 

@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.text import char_ngrams, jaccard
+from ..functions.text import char_ngrams, jaccard, word_ngrams
 from .hashing import hash_strings
 
 _MERSENNE = (1 << 61) - 1
@@ -38,12 +38,18 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _shingles(text: str, ngram: int, shingle: str) -> set[str]:
+    return (word_ngrams(text, ngram) if shingle == "word"
+            else char_ngrams(text, ngram))
+
+
 def minhash_signature(
-    text: str, a: np.ndarray, b: np.ndarray, ngram: int = 3
+    text: str, a: np.ndarray, b: np.ndarray, ngram: int = 3,
+    shingle: str = "word",
 ) -> np.ndarray:
-    """MinHash signature (uint64 per permutation) of a text's char
-    n-gram shingle set."""
-    shingles = char_ngrams(text, ngram)
+    """MinHash signature (uint64 per permutation) of a text's word
+    (default) or char n-gram shingle set."""
+    shingles = _shingles(text, ngram, shingle)
     if not shingles:
         return np.zeros(len(a), dtype=np.uint64)
     base = np.fromiter(
@@ -64,45 +70,102 @@ class MinHashStage:
     """
 
     def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int,
-                 ngram: int, seed: int):
+                 ngram: int, seed: int, shingle: str = "word"):
         if num_perm % bands != 0:
             raise ValueError("num_perm must be divisible by bands")
         self.text_col, self.id_col = text_col, id_col
         self.num_perm, self.bands, self.ngram = num_perm, bands, ngram
+        self.shingle = shingle
         self.a, self.b = _perm_params(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
         rows_per_band = self.num_perm // self.bands
-        out_ids, out_band, out_hash = [], [], []
+        out_ids, out_band, out_hash, out_sig = [], [], [], []
         for doc_id, text in zip(ids, texts):
-            sig = minhash_signature(text or "", self.a, self.b, self.ngram)
+            sig = minhash_signature(text or "", self.a, self.b, self.ngram,
+                                    self.shingle)
+            sig_hash = zlib.crc32(sig.tobytes())
             for band in range(self.bands):
                 chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
                 out_ids.append(doc_id)
                 out_band.append(band)
                 out_hash.append(zlib.crc32(chunk.tobytes()))
+                out_sig.append(sig_hash)
         return pa.table(
             {
                 "doc_id": pa.array(out_ids),
                 "band_id": pa.array(out_band, type=pa.int32()),
                 "band_hash": pa.array(out_hash, type=pa.int64()),
+                "sig_hash": pa.array(out_sig, type=pa.int64()),
             }
         )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """All candidate pairs inside one LSH bucket (sorted ids)."""
-    ids = sorted(g["doc_id"].unique().tolist())
-    if len(ids) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []})
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"id_a": a, "id_b": b})
+def _shard_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs for every LSH bucket in one bucket-shard.
+
+    One ``map_groups`` call handles a whole shard of buckets (a pandas
+    groupby inside), because a Ray-level group per bucket means tens of
+    thousands of sub-millisecond tasks' worth of per-group overhead —
+    the classic many-tiny-groups trap.
+
+    Docs with an IDENTICAL full signature are collapsed to their min-id
+    representative before pair expansion: they chain to the
+    representative linearly with ``same_sig=True`` (estimated Jaccard
+    1.0 at 64 perms — no exact verification needed), and only the
+    representatives cross-pair quadratically (``np.triu_indices``).
+    Without this, adversarial inputs where every doc collides cost
+    O(n^2) pairs; with it they cost O(n).
+    """
+    out_a, out_b, out_same = [], [], []
+    for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
+        sub = sub.drop_duplicates("doc_id")
+        if len(sub) < 2:
+            continue
+        reps = sub.groupby("sig_hash", sort=False)["doc_id"].min()
+        rep_of = sub["sig_hash"].map(reps)
+        members = sub["doc_id"].to_numpy()
+        chain = members != rep_of.to_numpy()
+        if chain.any():
+            out_a.append(rep_of.to_numpy()[chain])
+            out_b.append(members[chain])
+            out_same.append(np.ones(int(chain.sum()), dtype=bool))
+        rep_ids = np.sort(reps.to_numpy())
+        if len(rep_ids) >= 2:
+            i, j = np.triu_indices(len(rep_ids), k=1)
+            out_a.append(rep_ids[i])
+            out_b.append(rep_ids[j])
+            out_same.append(np.zeros(len(i), dtype=bool))
+    if not out_a:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object),
+                             "same_sig": pd.Series([], dtype=bool)})
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b),
+                         "same_sig": np.concatenate(out_same)})
+
+
+_BUCKET_SHARDS = 32
+
+
+def _bucketed_pairs(sig: ray.data.Dataset, pair_fn) -> pd.DataFrame:
+    """Shard the (band_id, band_hash) bucket space coarsely, then run
+    ``pair_fn`` once per shard (two-level grouping)."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        key = (df["band_hash"].to_numpy(np.uint64)
+               * np.uint64(31) + df["band_id"].to_numpy(np.uint64))
+        df["_bshard"] = (key % np.uint64(_BUCKET_SHARDS)).astype(np.int32)
+        return df
+
+    return (
+        sig.map_batches(add_shard, batch_format="pandas")
+        .groupby("_bshard")
+        .map_groups(pair_fn, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 def minhash_candidates(
@@ -114,23 +177,29 @@ def minhash_candidates(
     ngram: int = 3,
     seed: int = 7,
     concurrency: int = 4,
+    shingle: str = "word",
 ) -> pd.DataFrame:
-    """Candidate near-dup pairs via MinHash banding (deduplicated)."""
+    """Candidate near-dup pairs via MinHash banding (deduplicated).
+
+    ``same_sig=True`` pairs share the full signature (auto-verified);
+    the rest need exact-Jaccard verification.
+    """
     sig = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={
             "text_col": text_col, "id_col": id_col, "num_perm": num_perm,
-            "bands": bands, "ngram": ngram, "seed": seed,
+            "bands": bands, "ngram": ngram, "seed": seed, "shingle": shingle,
         },
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
-    pairs = (
-        sig.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    return pairs.drop_duplicates().reset_index(drop=True)
+    pairs = _bucketed_pairs(sig, _shard_bucket_pairs)
+    # same-sig chains replicate per band; keep one row per pair (a
+    # same_sig=True copy wins over an unverified one)
+    pairs = (pairs.sort_values(["id_a", "id_b", "same_sig"],
+                               ascending=[True, True, False])
+             .drop_duplicates(["id_a", "id_b"]))
+    return pairs.reset_index(drop=True)
 
 
 class UnionFind:
@@ -188,22 +257,29 @@ def minhash_dedup(
     ngram: int = 3,
     jaccard_threshold: float = 0.8,
     seed: int = 7,
+    shingle: str = "word",
 ) -> ray.data.Dataset:
     """Drop near-duplicate docs (keep the min-id representative of each
-    verified cluster). Pairs are verified with exact n-gram Jaccard."""
+    verified cluster). Identical-signature pairs are accepted directly;
+    the rest are verified with exact n-gram Jaccard."""
     from .join import semi_join
 
-    cand = minhash_candidates(ds, text_col, id_col, num_perm, bands, ngram, seed)
+    cand = minhash_candidates(ds, text_col, id_col, num_perm, bands, ngram,
+                              seed, shingle=shingle)
     if not len(cand):
         return ds
-    ids = set(cand["id_a"]) | set(cand["id_b"])
-    texts = _texts_for_ids(ds, id_col, text_col, ids)
+    unv = cand[~cand["same_sig"]]
+    ids = set(unv["id_a"]) | set(unv["id_b"])
+    texts = _texts_for_ids(ds, id_col, text_col, ids) if ids else {}
     verified = [
         (a, b)
-        for a, b in zip(cand["id_a"], cand["id_b"])
-        if jaccard(char_ngrams(texts.get(a) or "", ngram),
-                   char_ngrams(texts.get(b) or "", ngram)) >= jaccard_threshold
+        for a, b in zip(unv["id_a"], unv["id_b"])
+        if jaccard(_shingles(texts.get(a) or "", ngram, shingle),
+                   _shingles(texts.get(b) or "", ngram, shingle))
+        >= jaccard_threshold
     ]
+    verified += list(zip(cand.loc[cand["same_sig"], "id_a"],
+                         cand.loc[cand["same_sig"], "id_b"]))
     losers = losers_from_pairs(verified)
     if not losers:
         return ds
@@ -284,24 +360,20 @@ def simhash_dedup(
         concurrency=(1, 4),
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        sub = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = sub["doc_id"].tolist()
-        fps = sub["simhash"].tolist()
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if hamming64(fps[i], fps[j]) <= max_hamming:
-                    a.append(ids[i])
-                    b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": [], "id_b": []}
+        for _, bucket in g.groupby(["band_id", "band_hash"], sort=False):
+            sub = bucket.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = sub["doc_id"].tolist()
+            fps = sub["simhash"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if hamming64(fps[i], fps[j]) <= max_hamming:
+                        out["id_a"].append(ids[i])
+                        out["id_b"].append(ids[j])
+        return pd.DataFrame(out, dtype=object)
 
-    pairs = (
-        sig.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    pairs = _bucketed_pairs(sig, shard_pairs).drop_duplicates()
     losers = losers_from_pairs(list(zip(pairs["id_a"], pairs["id_b"])))
     if not losers:
         return ds

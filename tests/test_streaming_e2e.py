@@ -161,19 +161,19 @@ def test_kill_and_resume_byte_identical(pages_dir, tmp_path, flagship_run):
         )
 
     pipe = make_pipe()
-    real_run_epoch = StreamingPagesPipeline._run_epoch
+    real_exchange = StreamingPagesPipeline._exchange_epoch
 
     def crashing(self, epoch, files, actors, watermark):
         if epoch == 2:
             raise Boom()
-        return real_run_epoch(self, epoch, files, actors, watermark)
+        return real_exchange(self, epoch, files, actors, watermark)
 
-    StreamingPagesPipeline._run_epoch = crashing
+    StreamingPagesPipeline._exchange_epoch = crashing
     try:
         with pytest.raises(Boom):
             pipe.run(resume=True)
     finally:
-        StreamingPagesPipeline._run_epoch = real_run_epoch
+        StreamingPagesPipeline._exchange_epoch = real_exchange
 
     assert EpochSink(out).committed_epochs() == [0, 1]
 

@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_vectors": q.embedding_dedup_vectors,
         # similarity search
         "ann_topk": q.ann_topk,
+        "ann_ivf_topk": q.ann_ivf_topk,
+        "ngram_jaccard_documents": q.ngram_jaccard_documents,
         # multimodal plumbing (stubbed codecs)
         "multimodal_decode": q.multimodal_decode,
         # the streaming engine end-to-end

@@ -457,6 +457,35 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "vec_id", "rank"]]
 
 
+def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF-approximate cosine top-10 (the scale path of ann_topk:
+    k-means lists + nprobe probing; rows-only — approximate by
+    construction)."""
+    from ..stages.ann import ann_ivf
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        semi_join(ds, [0, 1, 2, 3, 4], "vec_id")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    out = ann_ivf(ds, queries, k=10, nlist=16, nprobe=8)
+    qids = qdf["vec_id"].tolist()
+    out["query_id"] = out["query_id"].map(lambda i: qids[i]).astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs char-trigram Jaccard >= 0.8 within lang blocks
+    (the block column bounds the quadratic comparison)."""
+    from ..stages.neardup import ngram_jaccard_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ngram_jaccard_pairs(ds, threshold=0.8, block_col="lang")
+
+
 # --- streaming engine showcase (rows-only; pages aren't a DuckDB view) --
 
 

@@ -197,33 +197,23 @@ def hash_join(
 ) -> ray.data.Dataset:
     """Partitioned hash join for two large sides.
 
-    Both sides are tagged, unioned, hash-shuffled on a stable shard of
-    the key, and merged per shard with pandas. ``buckets`` bounds the
-    rows a single merge task holds; salt hot keys upstream if one key
-    exceeds a bucket. Column collisions get pandas ``_x/_y`` suffixes.
+    Delegates to Ray Data's native hash-shuffle ``Dataset.join`` —
+    both sides are hash-partitioned on the key into ``buckets``
+    independent partitions, which bounds per-task memory; salt hot keys
+    upstream if one key exceeds a bucket. Column collisions get
+    ``_x/_y`` suffixes (pandas convention).
     """
-    lnames, rnames = left.schema().names, right.schema().names
-    lcols, rcols = set(lnames), set(rnames)
-    unified = list(lnames) + [n for n in rnames if n not in lcols]
-
-    def tag(side: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            for n in unified:  # align columns; missing side -> nulls
-                if n not in df.columns:
-                    df[n] = None
-            df = df[unified].copy()
-            df["_bucket"] = shard_of(df[on].to_numpy(), buckets)
-            df["_side"] = np.int8(side)
-            return df
-        return fn
-
-    lt = left.map_batches(tag(0), batch_format="pandas")
-    rt = right.map_batches(tag(1), batch_format="pandas")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == 0][[c for c in g.columns if c in lcols]]
-        r = g[g["_side"] == 1][[c for c in g.columns if c in rcols]]
-        out = l.merge(r, on=on, how=how, sort=False)
-        return out.sort_values(on, kind="mergesort").reset_index(drop=True)
-
-    return lt.union(rt).groupby("_bucket").map_groups(merge, batch_format="pandas")
+    join_type = {
+        "inner": "inner",
+        "left": "left_outer",
+        "right": "right_outer",
+        "outer": "full_outer",
+    }[how]
+    return left.join(
+        right,
+        join_type,
+        num_partitions=buckets,
+        on=(on,),
+        left_suffix="_x",
+        right_suffix="_y",
+    )

@@ -184,9 +184,16 @@ def scaling() -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_PAGES_ROWS=str(rows),
                    GRAFT_BENCH_HEADLINE_ONLY="1")
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if shutil.which("taskset"):
+            # pin the whole process tree (driver, workers, state actors)
+            # to ncpu physical cores: ray.init(num_cpus=...) only caps
+            # task-slot accounting, while num_cpus=0 actors would happily
+            # use every core on the box — which would misrepresent an
+            # N-core cluster
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])

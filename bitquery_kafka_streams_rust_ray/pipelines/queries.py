@@ -179,6 +179,9 @@ def tumbling_events(sf_dir: str) -> pd.DataFrame:
                        value_col="value", count_name="n_events",
                        total_name="total_value").to_pandas()
     out = out.drop(columns=["window_end"])
+    # pin the driver-compare dtype: Ray's shuffle path can downcast a
+    # whole-second timestamp[us] column to datetime64[s]
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return _round2(out, ["total_value"])
 
 
@@ -188,6 +191,7 @@ def sliding_events(sf_dir: str) -> pd.DataFrame:
                        value_col="value", count_name="n_events",
                        total_name="total_value").to_pandas()
     out = out.drop(columns=["window_end"])
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return _round2(out, ["total_value"])
 
 
@@ -204,7 +208,8 @@ def session_events(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["user_id"] = out["skey"].astype("int64")
     gap = pd.Timedelta(hours=2)
-    out["session_last"] = out["session_end"] - gap
+    out["session_last"] = (out["session_end"] - gap).astype("datetime64[us]")
+    out["session_start"] = out["session_start"].astype("datetime64[us]")
     return out[["user_id", "session_start", "session_last", "n_events"]]
 
 

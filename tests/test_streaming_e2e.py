@@ -190,3 +190,41 @@ def test_kill_and_resume_byte_identical(pages_dir, tmp_path, flagship_run):
     # of the epochs the resumed run never re-executed? No - they must
     # match too, since counters are per-epoch.
     assert not diff, f"differing files after resume: {sorted(diff)[:10]}"
+
+
+def test_transient_exchange_failure_replays_in_run(pages_dir, tmp_path,
+                                                   flagship_run):
+    """A one-off exchange failure mid-run (task error analog) triggers the
+    drop-buffers-and-replay path; final output matches the clean run."""
+    d, ref_out, _ = flagship_run
+    out = str(tmp_path / "replay_out")
+
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+    pipe = StreamingPagesPipeline(d, out, CFG, PageFilter(min_text_len=1), meta)
+
+    real_exchange = StreamingPagesPipeline._exchange_epoch
+    tripped = {"n": 0}
+
+    def flaky(self, epoch, files, actors, watermark):
+        # fail epoch 1's first attempt AFTER some rows were pushed, so
+        # the replay path must actually clear partial buffers
+        if epoch == 1 and tripped["n"] == 0:
+            tripped["n"] += 1
+            real_exchange(self, epoch, files, actors, watermark)
+            raise RuntimeError("injected transient failure")
+        return real_exchange(self, epoch, files, actors, watermark)
+
+    StreamingPagesPipeline._exchange_epoch = flaky
+    try:
+        pipe.run(resume=False)
+    finally:
+        StreamingPagesPipeline._exchange_epoch = real_exchange
+    assert tripped["n"] == 1
+
+    ref_hashes = _output_hashes(ref_out)
+    got_hashes = _output_hashes(out)
+    assert set(got_hashes) == set(ref_hashes)
+    diff = {k for k in ref_hashes if ref_hashes[k] != got_hashes[k]}
+    assert not diff, f"differing files after in-run replay: {sorted(diff)[:10]}"

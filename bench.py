@@ -205,6 +205,9 @@ def scaling() -> None:
     med_lo, med_hi = (statistics.median(secs[lo]),
                       statistics.median(secs[hi]))
     eff = (med_lo / med_hi) / (hi / lo)
+    # sandbox timing noise is one-sided (interference only slows runs),
+    # so min-of-trials is the better estimator of true runtime
+    eff_best = (min(secs[lo]) / min(secs[hi])) / (hi / lo)
     print(json.dumps({
         "pages_rows": rows,
         f"sec_{lo}": med_lo,
@@ -214,6 +217,7 @@ def scaling() -> None:
         f"docs_per_sec_{lo}": round(rows / med_lo, 1),
         f"docs_per_sec_{hi}": round(rows / med_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_best": round(eff_best, 3),
     }))
 
 

@@ -24,6 +24,7 @@ import pyarrow as pa
 
 _IMG_MAGIC = b"FAKEIMG1"
 _AUD_MAGIC = b"FAKEAUD1"
+_VID_MAGIC = b"FAKEVID1"
 
 
 def fake_image(width: int, height: int, seed: int = 0) -> bytes:
@@ -37,6 +38,58 @@ def fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
     rng = np.random.default_rng(seed)
     samples = (rng.standard_normal(n_samples) * 1000).astype(np.int16)
     return _AUD_MAGIC + struct.pack("<II", sample_rate, n_samples) + samples.tobytes()
+
+
+def fake_video(width: int, height: int, n_frames: int, fps: int = 25,
+               seed: int = 0) -> bytes:
+    """Deterministic fake video container: header + seeded frame bytes."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=n_frames * width * height,
+                          dtype=np.uint8)
+    return (_VID_MAGIC + struct.pack("<IIII", width, height, n_frames, fps)
+            + frames.tobytes())
+
+
+class FrameSampleStage:
+    """binary video -> one row per sampled frame, as fake-image bytes.
+
+    The flat-map analog for video: each input row explodes into
+    ``ceil(n_frames / every)`` frame rows carrying ``(frame_idx,
+    frame_ts_s, frame)`` where ``frame`` is a decodable fake-image
+    container, so downstream image stages compose. Real path would be
+    ffmpeg/pyav keyframe sampling (not in this container).
+    """
+
+    def __init__(self, every: int = 10, video_col: str = "video",
+                 id_col: str = "vid_id"):
+        if every <= 0:
+            raise ValueError("every must be positive")
+        self.every, self.video_col, self.id_col = every, video_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids, out_idx, out_ts, out_frames = [], [], [], []
+        ids = batch[self.id_col].to_pylist()
+        for vid, payload in zip(ids, batch[self.video_col].to_pylist()):
+            if not (payload and payload[:8] == _VID_MAGIC):
+                continue  # undecodable -> quarantined (F8 semantics)
+            w, h, n_frames, fps = struct.unpack_from("<IIII", payload, 8)
+            frames = np.frombuffer(payload, dtype=np.uint8, offset=24)
+            frames = frames.reshape(n_frames, h * w)
+            for i in range(0, n_frames, self.every):
+                out_ids.append(vid)
+                out_idx.append(i)
+                out_ts.append(round(i / fps, 6) if fps else 0.0)
+                out_frames.append(
+                    _IMG_MAGIC + struct.pack("<II", w, h) + frames[i].tobytes()
+                )
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids),
+                "frame_idx": pa.array(out_idx, type=pa.int32()),
+                "frame_ts_s": pa.array(out_ts, type=pa.float64()),
+                "frame": pa.array(out_frames, type=pa.large_binary()),
+            }
+        )
 
 
 class DecodeImageStage:

@@ -60,3 +60,36 @@ def test_pipeline_through_ray():
     ).to_pandas()
     assert len(out) == 20
     assert (out["width"] == 8).all()
+
+
+def test_frame_sample_explodes_and_composes():
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import FrameSampleStage, fake_video
+
+    t = pa.table({
+        "vid_id": [1, 2],
+        "video": [fake_video(6, 4, n_frames=25, fps=25, seed=7), b"junk"],
+    })
+    frames = FrameSampleStage(every=10)(t)
+    # 25 frames sampled every 10 -> indices 0, 10, 20; junk row quarantined
+    assert frames["vid_id"].to_pylist() == [1, 1, 1]
+    assert frames["frame_idx"].to_pylist() == [0, 10, 20]
+    assert frames["frame_ts_s"].to_pylist() == [0.0, 0.4, 0.8]
+    # sampled frames are decodable fake images -> image stages compose
+    decoded = DecodeImageStage(image_col="frame")(frames)
+    assert decoded["width"].to_pylist() == [6, 6, 6]
+    assert decoded["height"].to_pylist() == [4, 4, 4]
+
+
+def test_frame_sample_through_ray_flat_map():
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import FrameSampleStage, fake_video
+
+    rows = [{"vid_id": i, "video": fake_video(4, 4, n_frames=12, seed=i)}
+            for i in range(6)]
+    out = (
+        rd.from_items(rows)
+        .map_batches(FrameSampleStage, fn_constructor_kwargs={"every": 5},
+                     batch_format="pyarrow", batch_size=2, concurrency=(1, 2))
+        .to_pandas()
+    )
+    # 12 frames every 5 -> 3 rows per video
+    assert len(out) == 18

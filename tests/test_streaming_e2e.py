@@ -228,3 +228,28 @@ def test_transient_exchange_failure_replays_in_run(pages_dir, tmp_path,
     assert set(got_hashes) == set(ref_hashes)
     diff = {k for k in ref_hashes if ref_hashes[k] != got_hashes[k]}
     assert not diff, f"differing files after in-run replay: {sorted(diff)[:10]}"
+
+
+def test_output_independent_of_physical_config(pages_dir, tmp_path,
+                                               flagship_run):
+    """Cluster-layout determinism: different batch sizes / block counts
+    (the single-node analog of a different cluster size) must produce
+    byte-identical committed output, state snapshots included."""
+    d, ref_out, _ = flagship_run
+
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+    out = str(tmp_path / "alt_cfg_out")
+    alt = EngineConfig(min_text_len=1, state_shards=CFG.state_shards,
+                       files_per_epoch=CFG.files_per_epoch,
+                       read_batch_size=2048, batch_size=4096,
+                       read_num_blocks=3)
+    StreamingPagesPipeline(d, out, alt, PageFilter(min_text_len=1),
+                           meta).run(resume=False)
+
+    ref_hashes = _output_hashes(ref_out)
+    got_hashes = _output_hashes(out)
+    assert set(got_hashes) == set(ref_hashes)
+    diff = {k for k in ref_hashes if ref_hashes[k] != got_hashes[k]}
+    assert not diff, f"physical config leaked into output: {sorted(diff)[:10]}"

@@ -32,6 +32,7 @@ def run_oracle(
     config: EngineConfig = EngineConfig(),
     page_filter: PageFilter | None = None,
     host_metadata: pd.DataFrame | None = None,
+    metadata_slices: dict[int, pd.DataFrame] | None = None,
 ) -> dict:
     """Returns dict with keys ``pages`` (surviving rows, per-epoch order),
     ``tumbling_lang`` / ``sliding_lang`` / ``session_host`` (window rows
@@ -51,12 +52,20 @@ def run_oracle(
     sessions = SessionState(cfg.windows.session_gap_s * US)
     watermark = WatermarkTracker(cfg.allowed_lateness_s * US)
 
+    metadata_slices = metadata_slices or {}
+    if metadata_slices and host_metadata is None:
+        host_metadata = next(iter(metadata_slices.values())).iloc[0:0]
+    meta_acc = host_metadata
     meta = None
-    if host_metadata is not None:
-        meta = host_metadata.copy()
-        meta["_v_us"] = series_ts_us(meta["updated_ts"])
+
+    def prep(acc: pd.DataFrame) -> pd.DataFrame:
+        m = acc.copy()
+        m["_v_us"] = series_ts_us(m["updated_ts"])
         # merge_asof requires the right on-key globally sorted, even with by=
-        meta = meta.sort_values(["_v_us", "host"], kind="mergesort")
+        return m.sort_values(["_v_us", "host"], kind="mergesort")
+
+    if meta_acc is not None:
+        meta = prep(meta_acc)
 
     pages_out = []
     win_rows, sess_rows = [], []
@@ -74,6 +83,11 @@ def run_oracle(
         dedup.evict(wm)
 
     for epoch, epoch_files in enumerate(plan):
+        sl = metadata_slices.get(epoch)
+        if sl is not None and len(sl):
+            meta_acc = (sl.copy() if meta_acc is None
+                        else pd.concat([meta_acc, sl], ignore_index=True))
+            meta = prep(meta_acc)
         df = pd.concat(
             [pq.read_table(f).to_pandas() for f in epoch_files],
             ignore_index=True,

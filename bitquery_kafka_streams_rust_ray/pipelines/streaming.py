@@ -448,16 +448,57 @@ class StreamingPagesPipeline:
         config: EngineConfig = EngineConfig(),
         page_filter: PageFilter | None = None,
         host_metadata: pd.DataFrame | None = None,
+        metadata_slices: dict[int, pd.DataFrame] | None = None,
     ):
+        """``host_metadata`` is the static (fully-known-upfront) slow
+        side of the enrichment join. ``metadata_slices`` makes the slow
+        side a STREAM instead: epoch -> batch of new metadata versions
+        that become visible once that epoch is ingested (the
+        symbol-table stream-stream join: versions accumulate in keyed
+        state, fast-side rows join as-of by ``updated_ts <= warc_ts``
+        against every version that has ARRIVED). Both may be combined;
+        slices for epochs the resume path skips are replayed into the
+        accumulated state so the broadcast side is identical on resume.
+        """
         config.validate()
         self.input_dir = input_dir
         self.output_dir = output_dir
         self.cfg = config
         self.page_filter = page_filter
         self.host_metadata = host_metadata
+        self.metadata_slices = metadata_slices or {}
         self.sink = EpochSink(output_dir)
         self.metrics = MetricsRegistry()
-        self._meta_ref = None  # broadcast host metadata, ray.put once per run
+        self._meta_ref = None   # broadcast ref of the accumulated slow side
+        self._meta_acc: pd.DataFrame | None = None  # accumulated versions
+        if self.metadata_slices and self.host_metadata is None:
+            # schema-stable empty base: epochs before the first arrival
+            # still run the join (all defaults) so output schema never
+            # changes mid-stream
+            first = next(iter(self.metadata_slices.values()))
+            self.host_metadata = first.iloc[0:0]
+
+    def _ingest_metadata(self, epoch: int) -> None:
+        """Fold this epoch's slow-side arrivals into the accumulated
+        versioned table and refresh the broadcast ref when it changed."""
+        changed = False
+        if self._meta_acc is None and self.host_metadata is not None:
+            self._meta_acc = self.host_metadata
+            changed = True
+        sl = self.metadata_slices.get(epoch)
+        if sl is not None and len(sl):
+            self._meta_acc = (
+                sl.copy() if self._meta_acc is None
+                else pd.concat([self._meta_acc, sl], ignore_index=True)
+            )
+            changed = True
+        if changed:
+            small = self._meta_acc.copy()
+            small["_version_ts"] = series_ts_us(small["updated_ts"])
+            small = small.drop(columns=["updated_ts"]).sort_values(
+                ["_version_ts", "host"], kind="mergesort"
+            )
+            self._meta_ref = ray.put(small)
 
     # --- epoch plan ------------------------------------------------------
     def epoch_plan(self) -> list[list[str]]:
@@ -491,6 +532,10 @@ class StreamingPagesPipeline:
                 last = committed[-1]
                 self._restore(actors, watermark, last)
                 start_epoch = last + 1
+                # replay skipped epochs' slow-side arrivals so the
+                # accumulated broadcast state matches the original run
+                for e in range(start_epoch):
+                    self._ingest_metadata(e)
 
         # Pipelined micro-batches: epoch e's finalize (K-way, on the
         # state actors) overlaps epoch e+1's exchange (N-way, on the
@@ -572,16 +617,8 @@ class StreamingPagesPipeline:
         # latency matters. Truly stateful stages (StateShard) stay on
         # actors; the broadcast side ships via ray.put once and is
         # cached per worker process.
-        meta_ref = None
-        if self.host_metadata is not None:
-            if self._meta_ref is None:
-                small = self.host_metadata.copy()
-                small["_version_ts"] = series_ts_us(small["updated_ts"])
-                small = small.drop(columns=["updated_ts"]).sort_values(
-                    ["_version_ts", "host"], kind="mergesort"
-                )
-                self._meta_ref = ray.put(small)
-            meta_ref = self._meta_ref
+        self._ingest_metadata(epoch)
+        meta_ref = self._meta_ref
 
         import time as _time
         _t0 = _time.time()

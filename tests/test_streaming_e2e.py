@@ -253,3 +253,45 @@ def test_output_independent_of_physical_config(pages_dir, tmp_path,
     assert set(got_hashes) == set(ref_hashes)
     diff = {k for k in ref_hashes if ref_hashes[k] != got_hashes[k]}
     assert not diff, f"physical config leaked into output: {sorted(diff)[:10]}"
+
+
+def test_stream_stream_metadata_join_matches_oracle(pages_dir, tmp_path):
+    """Slow side arriving as a stream (epoch-sliced metadata versions):
+    rows join as-of against only the versions that have ARRIVED; the
+    distributed engine matches the single-process oracle, and the result
+    differs from a static all-upfront join (arrival semantics matter)."""
+    d, _, _ = pages_dir
+
+    import pyarrow.parquet as pq
+
+    from bitquery_kafka_streams_rust_ray.pipelines.oracle import run_oracle
+
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+    meta = meta.sort_values("updated_ts", kind="mergesort").reset_index(drop=True)
+    cut = len(meta) // 2
+    slices = {0: meta.iloc[:cut], 2: meta.iloc[cut:]}
+
+    out = str(tmp_path / "ss_join_out")
+    pipe = StreamingPagesPipeline(
+        d, out, CFG, PageFilter(min_text_len=1),
+        host_metadata=None, metadata_slices=slices,
+    )
+    pipe.run(resume=False)
+    got = norm(flagship_outputs(out)["pages"].to_pandas(), ["url", "warc_ts"])
+
+    oracle = run_oracle(d, CFG, PageFilter(min_text_len=1),
+                        host_metadata=None, metadata_slices=slices)
+    want = norm(oracle["pages"].drop(columns=["_epoch"]), ["url", "warc_ts"])
+    assert len(got) == len(want)
+    for col in ["url", "warc_ts", "category", "weight"]:
+        pd.testing.assert_series_equal(
+            got[col], want[col], check_names=False, check_dtype=False, obj=col,
+        )
+
+    # static join (everything known upfront) must differ: epoch-0/1 rows
+    # in the streamed variant cannot see versions that arrive at epoch 2
+    static = run_oracle(d, CFG, PageFilter(min_text_len=1), host_metadata=meta)
+    sw = norm(static["pages"].drop(columns=["_epoch"]), ["url", "warc_ts"])
+    assert not got["category"].reset_index(drop=True).equals(
+        sw["category"].reset_index(drop=True)
+    )

@@ -402,6 +402,8 @@ class EpochMapper:
         key = self.meta_ref.hex()
         small = _BROADCAST_CACHE.get(key)
         if small is None:
+            while len(_BROADCAST_CACHE) >= 4:  # old metadata versions
+                _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
             small = _BROADCAST_CACHE[key] = ray.get(self.meta_ref)
         return small
 

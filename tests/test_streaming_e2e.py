@@ -295,3 +295,27 @@ def test_stream_stream_metadata_join_matches_oracle(pages_dir, tmp_path):
     assert not got["category"].reset_index(drop=True).equals(
         sw["category"].reset_index(drop=True)
     )
+
+
+def test_resume_rejects_shard_count_change(pages_dir, tmp_path):
+    """Resuming with a different state_shards would silently re-partition
+    keyed state; the engine must refuse with a clear error instead."""
+    d, _, _ = pages_dir
+
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+    out = str(tmp_path / "shardchange_out")
+    StreamingPagesPipeline(d, out, CFG, PageFilter(min_text_len=1),
+                           meta).run(resume=False)
+
+    bad = EngineConfig(min_text_len=1, state_shards=CFG.state_shards + 1,
+                       files_per_epoch=CFG.files_per_epoch)
+    # force a partial output so resume actually restores: drop the last
+    # manifest to make the run resumable mid-stream
+    sink = EpochSink(out)
+    committed = sink.committed_epochs()
+    os.remove(sink.manifest_path(committed[-1]))
+    with pytest.raises(ValueError, match="state shards"):
+        StreamingPagesPipeline(d, out, bad, PageFilter(min_text_len=1),
+                               meta).run(resume=True)

@@ -67,6 +67,13 @@ class EngineConfig:
     # (uncommitted epochs replay); enable for machine-crash durability at
     # the cost of serialized disk flushes
 
+    # --- resilience (reference src/config.rs:356-366 retry defaults) ---
+    epoch_replay_budget: int = 2     # replays of one epoch's exchange phase
+    # before the run fails (reference max_retries analog); each replay
+    # backs off exponentially with deterministic jitter
+    sink_breaker_threshold: int = 3  # consecutive failed sink commits that
+    sink_breaker_reset_s: float = 30.0  # open the sink circuit / its reset
+
     # --- filter defaults (F4 analog: weight x text_len >= threshold) ---
     min_text_len: int = 0
     min_weighted_len: float = 0.0
@@ -83,6 +90,10 @@ class EngineConfig:
             raise ValueError("state_shards must be positive")
         if self.files_per_epoch <= 0:
             raise ValueError("files_per_epoch must be positive")
+        if self.epoch_replay_budget < 0:
+            raise ValueError("epoch_replay_budget must be >= 0")
+        if self.sink_breaker_threshold <= 0:
+            raise ValueError("sink_breaker_threshold must be positive")
 
 
 DEFAULT_CONFIG = EngineConfig()

@@ -166,7 +166,7 @@ def windowed_dedup_events(sf_dir: str) -> pd.DataFrame:
 
     ds = ds.map_batches(add_key, batch_format="pyarrow")
     out = windowed_dedup(ds, "dedup_key", "ts", window_s=6 * 3600,
-                         shards=16).to_pandas()
+                         shards=16, tiebreak_cols=["event_id"]).to_pandas()
     return out[["event_id"]].sort_values("event_id").reset_index(drop=True)
 
 

@@ -61,12 +61,13 @@ from ..functions.compression import decompress_safe
 from ..functions.extract import html_to_text
 from ..functions.filters import PageFilter
 from ..observability.metrics import MetricsRegistry
+from ..reliability import CircuitBreaker, RetryConfig, RetryStrategy
 from ..sinks.exactly_once import EpochSink
 from ..sources.pages import pages_files
 from ..state.store import DedupState, SessionState, WindowState
 from ..state.watermark import WatermarkTracker
 from ..stages.hashing import shard_of
-from ..stages.timeops import NEG_INF_TS, US, series_ts_us
+from ..stages.timeops import NEG_INF_TS, US, column_ts_us, series_ts_us
 
 # _status codes carried through the shuffle so drop reasons are counted
 # at one collection point (F7/F8 lineage: quarantined, never crashing)
@@ -93,17 +94,27 @@ class StateShard:
         self.windows = WindowState()
         self.sessions = SessionState(config.windows.session_gap_s * US)
         self.buffers: dict[int, list[pa.Table]] = {}
+        self.epoch_attempt: dict[int, int] = {}  # replay fence per epoch
         # K shards finalize concurrently on one node; Arrow kernels on
         # ~100k-row shard tables gain nothing from intra-actor threads,
         # and K actors x N threads convoy badly (measured 0.7s -> 6s
         # finalize). Single-threaded Arrow per state actor.
         pa.set_cpu_count(1)
 
-    def accept_rows(self, epoch: int, table: pa.Table) -> int:
+    def accept_rows(self, epoch: int, table: pa.Table,
+                    attempt: int = 0) -> int:
+        """Buffer one exchange push. ``attempt`` fences replay races:
+        after a failed exchange attempt the driver bumps the epoch's
+        attempt via ``drop_epoch``; in-flight pushes from the failed
+        attempt that land afterwards carry a stale attempt id and are
+        discarded instead of duplicating rows in the replay."""
+        if attempt < self.epoch_attempt.get(epoch, 0):
+            return 0
         self.buffers.setdefault(epoch, []).append(table)
         return table.num_rows
 
-    def drop_epoch(self, epoch: int) -> bool:
+    def drop_epoch(self, epoch: int, next_attempt: int = 1) -> bool:
+        self.epoch_attempt[epoch] = next_attempt
         return self.buffers.pop(epoch, None) is not None
 
     def finalize_epoch(self, epoch: int, stage_dir: str) -> dict:
@@ -114,6 +125,7 @@ class StateShard:
         import pyarrow.compute as pc
 
         chunks = self.buffers.pop(epoch, [])
+        self.epoch_attempt.pop(epoch, None)
         stats = {"rows_deduped": 0, "rows_written": 0}
         if not chunks:
             return {"stats": stats, "windows": {}, "sessions": {}}
@@ -341,10 +353,12 @@ class ExchangeToShards:
     module docstring — with the idempotent sink this stays exactly-once).
     """
 
-    def __init__(self, actors: list, epoch: int, state_shards: int):
+    def __init__(self, actors: list, epoch: int, state_shards: int,
+                 attempt: int = 0):
         self.actors = actors
         self.epoch = epoch
         self.state_shards = state_shards
+        self.attempt = attempt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         status = batch.column("_status").to_numpy(zero_copy_only=False)
@@ -358,14 +372,18 @@ class ExchangeToShards:
         ok_idx = np.nonzero(status == OK)[0]
         if ok_idx.size:
             ok = batch.take(ok_idx).drop_columns(["_status"])
-            ts_us = ok.column("warc_ts").cast(pa.int64()).to_numpy()
+            # column_ts_us casts to timestamp("us") first: a bare
+            # int64 cast would mis-scale if an upstream pandas
+            # round-trip re-coerced the unit to ns/s
+            ts_us = column_ts_us(ok.column("warc_ts"))
             stats["max_ts_us"] = int(ts_us.max())
             ok = ok.append_column("_ts_us", pa.array(ts_us))
             shards = shard_of(ok.column("url").to_numpy(zero_copy_only=False),
                               self.state_shards)
             refs = [
                 self.actors[int(k)].accept_rows.remote(
-                    self.epoch, ok.take(np.nonzero(shards == k)[0])
+                    self.epoch, ok.take(np.nonzero(shards == k)[0]),
+                    self.attempt,
                 )
                 for k in np.unique(shards)
             ]
@@ -392,11 +410,13 @@ class EpochMapper:
 
     def __init__(self, page_filter, watermark_us: int,
                  meta_ref, defaults: dict | None,
-                 actors: list, epoch: int, state_shards: int):
+                 actors: list, epoch: int, state_shards: int,
+                 attempt: int = 0):
         self.extract = ExtractEnrich(page_filter, watermark_us)
         self.meta_ref = meta_ref
         self.defaults = defaults or {}
-        self.exchange = ExchangeToShards(actors, epoch, state_shards)
+        self.exchange = ExchangeToShards(actors, epoch, state_shards,
+                                         attempt)
 
     def _small(self) -> pd.DataFrame:
         key = self.meta_ref.hex()
@@ -471,8 +491,21 @@ class StreamingPagesPipeline:
         self.metadata_slices = metadata_slices or {}
         self.sink = EpochSink(output_dir)
         self.metrics = MetricsRegistry()
+        # sink FS ops are the one external dependency: retried with
+        # backoff (commit is idempotent), fenced by a breaker so a
+        # persistently failing filesystem fails fast instead of
+        # hammering (SURVEY §2.10 mapping of circuit_breaker.rs)
+        self.sink_breaker = CircuitBreaker(
+            threshold=config.sink_breaker_threshold,
+            reset_timeout_s=config.sink_breaker_reset_s,
+        )
+        self._sink_retry = RetryStrategy(
+            RetryConfig(max_retries=2, initial_delay_s=0.1, max_delay_s=5.0),
+            seed=1,
+        )
         self._meta_ref = None   # broadcast ref of the accumulated slow side
         self._meta_acc: pd.DataFrame | None = None  # accumulated versions
+        self._meta_ingested_until = -1  # highest epoch already folded in
         if self.metadata_slices and self.host_metadata is None:
             # schema-stable empty base: epochs before the first arrival
             # still run the join (all defaults) so output schema never
@@ -482,7 +515,15 @@ class StreamingPagesPipeline:
 
     def _ingest_metadata(self, epoch: int) -> None:
         """Fold this epoch's slow-side arrivals into the accumulated
-        versioned table and refresh the broadcast ref when it changed."""
+        versioned table and refresh the broadcast ref when it changed.
+
+        Idempotent per epoch: the in-run replay path re-calls
+        ``_exchange_epoch`` (and therefore this) for the same epoch —
+        re-folding would duplicate the slice into the broadcast state
+        and re-broadcast it on every replay."""
+        if epoch <= self._meta_ingested_until:
+            return
+        self._meta_ingested_until = epoch
         changed = False
         if self._meta_acc is None and self.host_metadata is not None:
             self._meta_acc = self.host_metadata
@@ -521,8 +562,14 @@ class StreamingPagesPipeline:
     # --- main loop -------------------------------------------------------
     def run(self, resume: bool = True, drain: bool = True) -> dict:
         cfg = self.cfg
+        # SPREAD: on a multi-node cluster the K num_cpus=0 state actors
+        # must land on distinct nodes (default packing would co-locate
+        # them on the head node, making finalize K-way on one box).
+        # Shard->key hashing is layout-independent, so placement never
+        # affects output.
         actors = [
-            StateShard.remote(i, cfg) for i in range(cfg.state_shards)
+            StateShard.options(scheduling_strategy="SPREAD").remote(i, cfg)
+            for i in range(cfg.state_shards)
         ]
         watermark = WatermarkTracker(cfg.allowed_lateness_s * US)
 
@@ -532,6 +579,27 @@ class StreamingPagesPipeline:
             committed = self.sink.committed_epochs()
             if committed:
                 last = committed[-1]
+                manifest = self.sink.read_manifest(last)
+                if manifest.get("drain"):
+                    # The drain commit is final: it occupies epoch id
+                    # len(old_plan) and advanced the watermark past
+                    # every window. Resuming over a GROWN input would
+                    # silently lose data (the first new epoch's id
+                    # collides with the drain commit; later rows are
+                    # all late vs the post-drain watermark) — refuse.
+                    if len(plan) > last:
+                        raise RuntimeError(
+                            f"refusing to resume: the last commit (epoch "
+                            f"{last}) is a drain — this run is finished — "
+                            f"but the input now plans {len(plan)} data "
+                            "epochs. Write new data to a fresh output "
+                            "dir (or start a new run with resume=False)."
+                        )
+                    return {
+                        "epochs": committed,
+                        "watermark_us": manifest.get("watermark_us", 0),
+                        "metrics": self.metrics.to_dict(),
+                    }
                 self._restore(actors, watermark, last)
                 start_epoch = last + 1
                 # replay skipped epochs' slow-side arrivals so the
@@ -548,24 +616,38 @@ class StreamingPagesPipeline:
         # on every actor, and (b) epoch-(e+1) accept_rows landing during
         # e's tail only touch the per-epoch buffers, never state.
         pending = None  # (epoch, counters, fin_refs, wm_us)
+        replay_cfg = RetryConfig(
+            max_retries=cfg.epoch_replay_budget,
+            initial_delay_s=0.05, max_delay_s=5.0,
+        )
         for epoch in range(start_epoch, len(plan)):
-            try:
-                counters, max_ts = self._exchange_epoch(
-                    epoch, plan[epoch], actors, watermark
-                )
-            except Exception:
-                # exchange-phase task failure: nothing durable or
-                # stateful has happened for THIS epoch yet (state
-                # mutates only in finalize) -> settle the previous
-                # epoch, drop this epoch's actor buffers and replay
-                # once (T11 analog, bounded retry)
+            # exchange-phase task failure: nothing durable or stateful
+            # has happened for THIS epoch yet (state mutates only in
+            # finalize) -> settle the previous epoch, fence + drop this
+            # epoch's actor buffers and replay with exponential backoff
+            # up to the budget (T11 analog; retry.rs semantics)
+            attempt = [0]
+
+            def _on_replay(_name, _n, _err, _delay,
+                           epoch=epoch, attempt=attempt):
+                nonlocal pending
                 if pending is not None:
                     self._complete_epoch(actors, *pending)
                     pending = None
-                ray.get([a.drop_epoch.remote(epoch) for a in actors])
-                counters, max_ts = self._exchange_epoch(
-                    epoch, plan[epoch], actors, watermark
-                )
+                attempt[0] += 1
+                # the bumped attempt id makes StateShards discard any
+                # in-flight pushes still arriving from the failed try
+                ray.get([a.drop_epoch.remote(epoch, attempt[0])
+                         for a in actors])
+
+            counters, max_ts = RetryStrategy(
+                replay_cfg, seed=epoch, on_retry=_on_replay,
+            ).call(
+                f"exchange_epoch_{epoch}",
+                lambda epoch=epoch, attempt=attempt: self._exchange_epoch(
+                    epoch, plan[epoch], actors, watermark, attempt[0]
+                ),
+            )
             watermark.observe(max_ts)
             # settle the previous epoch BEFORE submitting this epoch's
             # finalize: the committed snapshot of epoch e must not
@@ -595,7 +677,7 @@ class StreamingPagesPipeline:
         }
         return summary
 
-    def _exchange_epoch(self, epoch, files, actors, watermark):
+    def _exchange_epoch(self, epoch, files, actors, watermark, attempt=0):
         """Stream one epoch through read -> fused map -> keyed exchange;
         returns (lineage counters, max event ts). No state mutation."""
         import ray.data as rd
@@ -628,7 +710,7 @@ class StreamingPagesPipeline:
             EpochMapper(
                 self.page_filter, wm_before, meta_ref,
                 {"category": "unknown", "weight": 0.0},
-                actors, epoch, cfg.state_shards,
+                actors, epoch, cfg.state_shards, attempt,
             ),
             batch_format="pyarrow",
             batch_size=cfg.read_batch_size,
@@ -761,13 +843,21 @@ class StreamingPagesPipeline:
             protocol=4,
         )
         self.metrics.merge_counts(counters)
-        self.sink.commit_epoch(
-            epoch,
-            tables=tables,
-            watermark_us=wm_us,
-            counters=counters,
-            blobs={"state.pkl": blob},
-            extra={"drain": drain},
+        # commit is idempotent (manifest-exists short-circuit), so the
+        # retry is safe; the breaker fails fast once the sink
+        # filesystem is persistently down
+        self.sink_breaker.guard(
+            lambda: self._sink_retry.call(
+                f"commit_epoch_{epoch}",
+                lambda: self.sink.commit_epoch(
+                    epoch,
+                    tables=tables,
+                    watermark_us=wm_us,
+                    counters=counters,
+                    blobs={"state.pkl": blob},
+                    extra={"drain": drain},
+                ),
+            )
         )
 
     def _restore(self, actors, watermark, last_epoch) -> None:

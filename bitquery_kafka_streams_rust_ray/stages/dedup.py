@@ -60,6 +60,7 @@ def windowed_dedup(
     ts_col: str,
     window_s: float,
     shards: int = 64,
+    tiebreak_cols: Sequence[str] = (),
 ) -> ray.data.Dataset:
     """Event-time windowed dedup (MessageDeduplicator semantics).
 
@@ -68,11 +69,16 @@ def windowed_dedup(
     sighting refreshes the stored timestamp (deduplicator.rs:65, 72), so
     the relevant predecessor is always the immediately preceding row in
     ts order — which makes the per-key pass a vectorized ``diff``.
+
+    ``tiebreak_cols`` pins the order of equal-``ts`` rows within a key
+    (e.g. an event id). Without it, which of two tied rows survives
+    depends on block arrival order — nondeterministic across runs.
     """
     window_us = int(window_s * 1_000_000)
+    sort_cols = [key_col, ts_col, *tiebreak_cols]
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        g = g.sort_values(sort_cols, kind="mergesort")
         ts = series_ts_us(g[ts_col])
         same_key = g[key_col].eq(g[key_col].shift())
         delta = ts - ts.shift()

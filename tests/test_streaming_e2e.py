@@ -13,6 +13,7 @@ from bitquery_kafka_streams_rust_ray.functions.filters import PageFilter
 from bitquery_kafka_streams_rust_ray.pipelines.flagship import flagship_outputs, run_flagship
 from bitquery_kafka_streams_rust_ray.pipelines.oracle import run_oracle
 from bitquery_kafka_streams_rust_ray.pipelines.streaming import StreamingPagesPipeline
+from bitquery_kafka_streams_rust_ray.reliability import RetryExhausted
 from bitquery_kafka_streams_rust_ray.sinks.exactly_once import EpochSink
 
 pytestmark = pytest.mark.usefixtures("ray_session")
@@ -163,15 +164,18 @@ def test_kill_and_resume_byte_identical(pages_dir, tmp_path, flagship_run):
     pipe = make_pipe()
     real_exchange = StreamingPagesPipeline._exchange_epoch
 
-    def crashing(self, epoch, files, actors, watermark):
+    def crashing(self, epoch, files, actors, watermark, attempt=0):
         if epoch == 2:
             raise Boom()
-        return real_exchange(self, epoch, files, actors, watermark)
+        return real_exchange(self, epoch, files, actors, watermark, attempt)
 
     StreamingPagesPipeline._exchange_epoch = crashing
     try:
-        with pytest.raises(Boom):
+        # a persistent epoch-2 failure burns the whole replay budget,
+        # then surfaces as RetryExhausted with the original cause
+        with pytest.raises(RetryExhausted) as exc_info:
             pipe.run(resume=True)
+        assert isinstance(exc_info.value.last_error, Boom)
     finally:
         StreamingPagesPipeline._exchange_epoch = real_exchange
 
@@ -207,14 +211,14 @@ def test_transient_exchange_failure_replays_in_run(pages_dir, tmp_path,
     real_exchange = StreamingPagesPipeline._exchange_epoch
     tripped = {"n": 0}
 
-    def flaky(self, epoch, files, actors, watermark):
+    def flaky(self, epoch, files, actors, watermark, attempt=0):
         # fail epoch 1's first attempt AFTER some rows were pushed, so
         # the replay path must actually clear partial buffers
         if epoch == 1 and tripped["n"] == 0:
             tripped["n"] += 1
-            real_exchange(self, epoch, files, actors, watermark)
+            real_exchange(self, epoch, files, actors, watermark, attempt)
             raise RuntimeError("injected transient failure")
-        return real_exchange(self, epoch, files, actors, watermark)
+        return real_exchange(self, epoch, files, actors, watermark, attempt)
 
     StreamingPagesPipeline._exchange_epoch = flaky
     try:

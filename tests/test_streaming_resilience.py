@@ -1,0 +1,136 @@
+"""Resilience-path tests: drain-resume semantics, replay fencing,
+metadata-ingest idempotency."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from bitquery_kafka_streams_rust_ray.config import EngineConfig
+from bitquery_kafka_streams_rust_ray.functions.filters import PageFilter
+from bitquery_kafka_streams_rust_ray.pipelines.streaming import (
+    StateShard,
+    StreamingPagesPipeline,
+)
+from bitquery_kafka_streams_rust_ray.sinks.exactly_once import EpochSink
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+CFG = EngineConfig(min_text_len=1, state_shards=4, extract_concurrency=2,
+                   files_per_epoch=2)
+
+
+def _meta(d):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def drained_run(pages_dir, tmp_path_factory):
+    d, _, _ = pages_dir
+    out = str(tmp_path_factory.mktemp("drain_out"))
+    summary = StreamingPagesPipeline(
+        d, out, CFG, PageFilter(min_text_len=1), _meta(d)
+    ).run(resume=True)
+    return d, out, summary
+
+
+def test_resume_after_drain_unchanged_is_noop(drained_run):
+    """Resuming a finished (drained) run over unchanged input returns the
+    committed summary without re-executing or erroring."""
+    d, out, summary = drained_run
+    again = StreamingPagesPipeline(
+        d, out, CFG, PageFilter(min_text_len=1), _meta(d)
+    ).run(resume=True)
+    assert again["epochs"] == summary["epochs"]
+    assert again["watermark_us"] == summary["watermark_us"]
+
+
+def test_resume_after_drain_refuses_grown_input(drained_run, tmp_path):
+    """New input appended after a drain must be refused loudly: the drain
+    commit occupies the next epoch id and its watermark would silently
+    drop every appended row as late."""
+    d, out, _ = drained_run
+    grown = str(tmp_path / "grown_input")
+    shutil.copytree(d, grown)
+    # grown output dir shares the committed manifests of the drained run
+    grown_out = str(tmp_path / "grown_out")
+    shutil.copytree(out, grown_out)
+    # append a new arrival slice (slice index beyond all existing ones)
+    src = sorted(f for f in os.listdir(d) if f.startswith("pages-"))[0]
+    shutil.copy(os.path.join(d, src),
+                os.path.join(grown, "pages-9999-00.parquet"))
+    with pytest.raises(RuntimeError, match="drain"):
+        StreamingPagesPipeline(
+            grown, grown_out, CFG, PageFilter(min_text_len=1), _meta(d)
+        ).run(resume=True)
+
+
+def test_ingest_metadata_idempotent_per_epoch(pages_dir, tmp_path):
+    """The in-run replay path re-calls _ingest_metadata for the same
+    epoch; the slice must fold into the accumulated broadcast state
+    exactly once."""
+    d, _, _ = pages_dir
+    meta = _meta(d)
+    cut = len(meta) // 2
+    slices = {0: meta.iloc[:cut], 1: meta.iloc[cut:]}
+    pipe = StreamingPagesPipeline(
+        d, str(tmp_path / "meta_out"), CFG, PageFilter(min_text_len=1),
+        host_metadata=None, metadata_slices=slices,
+    )
+    pipe._ingest_metadata(0)
+    n0 = len(pipe._meta_acc)
+    pipe._ingest_metadata(0)  # replay of epoch 0
+    assert len(pipe._meta_acc) == n0
+    pipe._ingest_metadata(1)
+    assert len(pipe._meta_acc) == len(meta)
+    pipe._ingest_metadata(1)
+    assert len(pipe._meta_acc) == len(meta)
+
+
+def test_state_shard_discards_stale_attempt_pushes():
+    """After drop_epoch bumps the attempt, straggler pushes from the
+    failed attempt are discarded instead of duplicating replayed rows."""
+    import ray
+
+    shard = StateShard.remote(0, CFG)
+    t = pa.table({"url": ["a"], "_ts_us": [1]})
+    assert ray.get(shard.accept_rows.remote(5, t, 0)) == 1
+    ray.get(shard.drop_epoch.remote(5, 1))
+    # straggler from attempt 0: dropped
+    assert ray.get(shard.accept_rows.remote(5, t, 0)) == 0
+    # replay attempt 1: accepted
+    assert ray.get(shard.accept_rows.remote(5, t, 1)) == 1
+    ray.kill(shard)
+
+
+def test_drained_output_counters_match_partial_then_resume(pages_dir,
+                                                           tmp_path):
+    """Interrupt before drain, resume to completion: per-epoch manifests
+    must equal an uninterrupted run's (exactly-once bookkeeping)."""
+    d, _, _ = pages_dir
+    ref_out = str(tmp_path / "ref_out")
+    StreamingPagesPipeline(
+        d, ref_out, CFG, PageFilter(min_text_len=1), _meta(d)
+    ).run(resume=False)
+
+    part_out = str(tmp_path / "part_out")
+    pipe = StreamingPagesPipeline(
+        d, part_out, CFG, PageFilter(min_text_len=1), _meta(d)
+    )
+    # run without drain, drop the last manifest => a mid-stream crash
+    pipe.run(resume=False, drain=False)
+    sink = EpochSink(part_out)
+    os.remove(sink.manifest_path(sink.committed_epochs()[-1]))
+    StreamingPagesPipeline(
+        d, part_out, CFG, PageFilter(min_text_len=1), _meta(d)
+    ).run(resume=True)
+
+    ref_sink, got_sink = EpochSink(ref_out), EpochSink(part_out)
+    assert got_sink.committed_epochs() == ref_sink.committed_epochs()
+    for e in ref_sink.committed_epochs():
+        ref_m, got_m = ref_sink.read_manifest(e), got_sink.read_manifest(e)
+        assert got_m["counters"] == ref_m["counters"], f"epoch {e}"

@@ -260,14 +260,16 @@ def priority_revenue(sf_dir: str) -> pd.DataFrame:
 def asof_latest_order(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event enriched with the customer's latest order
     total at event time (symbol-table metadata semantics)."""
-    orders = _t(sf_dir, "orders",
-                ["o_custkey", "o_orderdate", "o_totalprice"]).to_pandas()
-    # collapse ties so the as-of right side is unambiguous
+    # collapse ties in Ray so only the REDUCED frame reaches the driver
+    # for broadcast (the raw orders table never does)
     latest = (
-        orders.groupby(["o_custkey", "o_orderdate"], sort=True)["o_totalprice"]
-        .max()
-        .reset_index()
-        .rename(columns={"o_custkey": "user_id", "o_totalprice": "latest_total"})
+        _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_totalprice", alias_name="latest_total"))
+        .to_pandas()
+        .rename(columns={"o_custkey": "user_id"})
+        .sort_values(["user_id", "o_orderdate"], kind="mergesort")
+        .reset_index(drop=True)
     )
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = broadcast_asof_join(
@@ -279,8 +281,16 @@ def asof_latest_order(sf_dir: str) -> pd.DataFrame:
 
 def vip_events(sf_dir: str) -> pd.DataFrame:
     """Broadcast semi join: events of the top-10 customers by balance."""
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
-    cust = cust[cust["c_custkey"] < 100]
+    # prune right after the read — only the filtered candidate rows
+    # reach the driver
+    cust = (
+        _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["c_custkey"], pa.scalar(100))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
     top = cust.sort_values(["c_acctbal", "c_custkey"],
                            ascending=[False, True]).head(10)["c_custkey"]
     ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])

@@ -60,6 +60,13 @@ from ..config import EngineConfig
 from ..functions.compression import decompress_safe
 from ..functions.extract import html_to_text
 from ..functions.filters import PageFilter
+from ..observability.health import (
+    ActorLivenessChecker,
+    BreakerHealthChecker,
+    EpochLagHealthChecker,
+    HealthMonitor,
+    WatermarkHealthChecker,
+)
 from ..observability.metrics import MetricsRegistry
 from ..reliability import CircuitBreaker, RetryConfig, RetryStrategy
 from ..sinks.exactly_once import EpochSink
@@ -201,6 +208,10 @@ class StateShard:
     def add_session_runs(self, batches: list[tuple]) -> None:
         for keys, starts, lasts, counts, totals in batches:
             self.sessions.add_runs(keys, starts, lasts, counts, totals)
+
+    def ping(self) -> int:
+        """Liveness probe for the health monitor."""
+        return self.shard_id
 
     def close(self, watermark_us: int) -> tuple[list, list, int]:
         closed_windows = self.windows.close(watermark_us)
@@ -503,6 +514,16 @@ class StreamingPagesPipeline:
             RetryConfig(max_retries=2, initial_delay_s=0.1, max_delay_s=5.0),
             seed=1,
         )
+        # health surface (health.rs analog): stateful checkers observe
+        # per-epoch facts; the folded report lands in _observability/
+        self.health = HealthMonitor(version="2")
+        self._wm_check = WatermarkHealthChecker()
+        self._lag_check = EpochLagHealthChecker()
+        self._liveness = ActorLivenessChecker([])
+        for c in (self._wm_check, self._lag_check,
+                  BreakerHealthChecker(self.sink_breaker), self._liveness):
+            self.health.add_checker(c)
+        self._plan_len = 0
         self._meta_ref = None   # broadcast ref of the accumulated slow side
         self._meta_acc: pd.DataFrame | None = None  # accumulated versions
         self._meta_ingested_until = -1  # highest epoch already folded in
@@ -572,8 +593,10 @@ class StreamingPagesPipeline:
             for i in range(cfg.state_shards)
         ]
         watermark = WatermarkTracker(cfg.allowed_lateness_s * US)
+        self._liveness.actors = actors
 
         plan = self.epoch_plan()
+        self._plan_len = len(plan)
         start_epoch = 0
         if resume:
             committed = self.sink.committed_epochs()
@@ -730,6 +753,7 @@ class StreamingPagesPipeline:
                       "late_dropped")
         }
         max_ts = int(stats["max_ts_us"].max()) if len(stats) else NEG_INF_TS
+        self.metrics.observe("epoch_exchange_seconds", _t1 - _t0)
         if os.environ.get("GRAFT_DEBUG_TIMING"):
             print(f"[epoch {epoch}] exchange={_t1-_t0:.2f}s", flush=True)
         return counters, max_ts
@@ -761,6 +785,10 @@ class StreamingPagesPipeline:
 
         _t2 = _time.time()
         self._close_and_commit(epoch, actors, wm_us, counters, wm_snapshot)
+        # stage-latency histograms (metrics.rs:226-248 analog): exported
+        # as p50-p99 summaries in Prometheus text and the run summary
+        self.metrics.observe("epoch_finalize_seconds", _t2 - _t1)
+        self.metrics.observe("epoch_commit_seconds", _time.time() - _t2)
         if os.environ.get("GRAFT_DEBUG_TIMING"):
             print(f"[epoch {epoch}] finalize={_t2-_t1:.2f}s "
                   f"commit={_time.time()-_t2:.2f}s", flush=True)
@@ -859,6 +887,17 @@ class StreamingPagesPipeline:
                 ),
             )
         )
+        # telemetry snapshot after the commit (never part of the 2PC
+        # byte-identity contract — it carries wall-clock values)
+        import json as _json
+
+        self._wm_check.observe(wm_us)
+        self._lag_check.observe(self._plan_len, epoch + 1)
+        self.sink.write_observability(epoch, {
+            "health.json": _json.dumps(self.health.check_health(),
+                                       indent=1, sort_keys=True).encode(),
+            "metrics.prom": self.metrics.export_prometheus().encode(),
+        })
 
     def _restore(self, actors, watermark, last_epoch) -> None:
         epoch_dir = self.sink.epoch_dir(last_epoch)

@@ -140,6 +140,21 @@ class EpochSink:
         os.replace(tmp_manifest, self.manifest_path(epoch))
         return manifest
 
+    def write_observability(self, epoch: int, files: dict[str, bytes]) -> str:
+        """Write per-epoch telemetry (health report, Prometheus text)
+        under ``<out>/_observability/epoch={e}/``.
+
+        Deliberately OUTSIDE the 2PC commit and the byte-identity
+        contract: telemetry carries wall-clock timings and timestamps,
+        so identical reruns produce different bytes — data outputs must
+        stay byte-identical, telemetry need not."""
+        d = os.path.join(self.out_dir, "_observability", f"epoch={epoch:06d}")
+        os.makedirs(d, exist_ok=True)
+        for name, blob in files.items():
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(blob)
+        return d
+
     # --- reading back --------------------------------------------------
     def read_output(self, name: str, epochs: list[int] | None = None) -> pa.Table:
         """Concatenate one named output (exact or ``name-*`` sharded

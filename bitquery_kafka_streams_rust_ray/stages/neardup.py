@@ -3,17 +3,27 @@ embedding-cosine — the dedup family a training-data pipeline needs.
 
 Scale shape (per the candidate-pair pattern): signatures are computed
 vectorized inside ``map_batches``; docs explode to ``(band_id,
-band_hash, doc_id)`` rows; a ``groupby`` on the band key co-locates
-collision buckets; buckets yield candidate pairs; pairs are verified
-with the exact metric (Jaccard / Hamming / cosine); verified pairs are
-clustered and every non-minimum member of a cluster is dropped.
+band_hash, doc_id)`` rows; a ``groupby`` on a coarse shard of the band
+key co-locates collision buckets (two-level grouping — one Ray group
+per bucket would be the many-tiny-groups trap); buckets yield candidate
+pairs; pairs are verified with the exact metric (Jaccard / Hamming /
+cosine); verified pairs are clustered; every non-minimum member of a
+cluster is dropped.
 
-Clustering here is driver-side union-find over the *verified pair* set,
-which is small (near-dup pairs, not docs). At 10^12-doc scale swap the
-final step for a few rounds of min-label propagation (groupby-min over
-pair endpoints) — the surrounding stages are unchanged; the pair
-datasets produced by :func:`minhash_candidates` et al. are exactly the
-input that iteration needs.
+Every stage is distributed — the driver holds only per-round scalars:
+
+- pair **verification** joins the payload (text / embedding) onto the
+  pair dataset with a partitioned hash join and applies the exact
+  metric inside ``map_batches`` — candidate payloads never land on the
+  driver;
+- **clustering** is min-label propagation (:func:`propagate_min_labels`)
+  — each round every node takes the min of its own and its neighbors'
+  component labels via one hash join + one ``groupby`` aggregate,
+  converging in O(component diameter) rounds. ``UnionFind`` /
+  :func:`losers_from_pairs` remain as the single-process oracle the
+  tests pin the distributed result against;
+- the final **drop** broadcasts the loser-id set when it is small and
+  falls back to a partitioned anti join when it is not.
 """
 
 from __future__ import annotations
@@ -23,6 +33,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.text import char_ngrams, jaccard, word_ngrams
@@ -150,9 +161,10 @@ def _shard_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 _BUCKET_SHARDS = 32
 
 
-def _bucketed_pairs(sig: ray.data.Dataset, pair_fn) -> pd.DataFrame:
+def _bucketed_pairs(sig: ray.data.Dataset, pair_fn) -> ray.data.Dataset:
     """Shard the (band_id, band_hash) bucket space coarsely, then run
-    ``pair_fn`` once per shard (two-level grouping)."""
+    ``pair_fn`` once per shard (two-level grouping). Returns the pair
+    DATASET — pairs never land on the driver."""
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         key = (df["band_hash"].to_numpy(np.uint64)
@@ -164,42 +176,252 @@ def _bucketed_pairs(sig: ray.data.Dataset, pair_fn) -> pd.DataFrame:
         sig.map_batches(add_shard, batch_format="pandas")
         .groupby("_bshard")
         .map_groups(pair_fn, batch_format="pandas")
-        .to_pandas()
     )
 
 
-def minhash_candidates(
-    ds: ray.data.Dataset,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 64,
-    bands: int = 16,
-    ngram: int = 3,
-    seed: int = 7,
-    concurrency: int = 4,
-    shingle: str = "word",
-) -> pd.DataFrame:
-    """Candidate near-dup pairs via MinHash banding (deduplicated).
+# Ray Data (2.49) quirk this module must design around: map_batches
+# SKIPS empty blocks, replacing them with zero-COLUMN blocks, and
+# Dataset.join fails on any input containing such a block ("No match
+# ... for key field reference"). repartition() merges blocks and drops
+# the zero-column empties, so every dataset that feeds a join gets a
+# repartition as its LAST op (a later map would re-introduce the
+# hazard on the 0-row splits repartition can produce).
+_PAIR_PARTITIONS = 8
 
-    ``same_sig=True`` pairs share the full signature (auto-verified);
-    the rest need exact-Jaccard verification.
-    """
-    sig = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={
-            "text_col": text_col, "id_col": id_col, "num_perm": num_perm,
-            "bands": bands, "ngram": ngram, "seed": seed, "shingle": shingle,
-        },
+
+def _dedupe_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Collapse band-replicated candidate pairs to one row per (id_a,
+    id_b). A pair's ``same_sig`` flag is a function of the pair, so any
+    surviving replica carries the right value (Max is over identical
+    values; it exists to reduce, not to choose)."""
+    from ray.data.aggregate import Max
+
+    def as_int(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("same_sig"), "same_sig",
+            pc.cast(t["same_sig"], pa.int8()),
+        )
+
+    agg = (
+        pairs.map_batches(as_int, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Max("same_sig", alias_name="same_sig"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("same_sig"), "same_sig",
+            pc.cast(t["same_sig"], pa.bool_()),
+        ),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+    ).repartition(_PAIR_PARTITIONS)
+
+
+# --- distributed clustering --------------------------------------------
+
+
+def propagate_min_labels(
+    pairs: ray.data.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_partitions: int = 8,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Connected-component labels of the pair graph, distributed.
+
+    Returns ``(node, label)`` for every node that appears in a pair,
+    with ``label`` = the component's minimum node id — exactly what
+    :func:`losers_from_pairs` computes single-process (kept as the test
+    oracle).
+
+    Min-label propagation: every round each node takes the min of its
+    own label and all neighbors' labels (one hash join edges⋈labels +
+    one ``groupby(node)`` with a Min aggregate). Labels only decrease,
+    so the round count is bounded by the largest component's diameter —
+    near-dup graphs post same-signature-collapse are star-like and
+    converge in 2-3 rounds. Convergence is detected from the same
+    aggregate (a node changed iff new < own), so the driver sees one
+    scalar per round and never the labels themselves.
+    """
+    from ray.data.aggregate import Min, Max
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": t[id_a], "dst": t[id_b]})
+        rev = pa.table({"src": t[id_b], "dst": t[id_a]})
+        return pa.concat_tables([fwd, rev])
+
+    # repartition-as-last-op: both join inputs must be free of the
+    # zero-column empty blocks map_batches leaves behind (see
+    # _PAIR_PARTITIONS note)
+    edges = (
+        pairs.map_batches(to_edges, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
     )
-    pairs = _bucketed_pairs(sig, _shard_bucket_pairs)
-    # same-sig chains replicate per band; keep one row per pair (a
-    # same_sig=True copy wins over an unverified one)
-    pairs = (pairs.sort_values(["id_a", "id_b", "same_sig"],
-                               ascending=[True, True, False])
-             .drop_duplicates(["id_a", "id_b"]))
-    return pairs.reset_index(drop=True)
+
+    # initial labels: every distinct endpoint labels itself. Labels
+    # keep the column name "src" so the per-round join needs no rename
+    # map between the laundering repartition and the join.
+    labels = (
+        edges.groupby("src").count()
+        .map_batches(
+            lambda t: pa.table({"src": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # neighbor messages: edge (src->dst) delivers label(src) to dst
+        msgs = edges.join(
+            labels, "inner", num_partitions=num_partitions, on=("src",)
+        ).map_batches(
+            lambda t: pa.table({
+                "src": t["dst"],
+                "label": t["label"],
+                "own_label": pa.nulls(t.num_rows, type=t["label"].type),
+            }),
+            batch_format="pyarrow",
+        )
+        own = labels.map_batches(
+            lambda t: pa.table({"src": t["src"], "label": t["label"],
+                                "own_label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        agg = (
+            msgs.union(own)
+            .groupby("src")
+            .aggregate(Min("label", alias_name="new_label"),
+                       Max("own_label", alias_name="old_label"))
+            .materialize()
+        )
+        changed = agg.map_batches(
+            lambda t: pa.table({"c": pa.array(
+                [int(pc.sum(pc.cast(pc.less(t["new_label"], t["old_label"]),
+                                    pa.int64())).as_py() or 0)],
+                type=pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("c")
+        labels = agg.map_batches(
+            lambda t: pa.table({"src": t["src"], "label": t["new_label"]}),
+            batch_format="pyarrow",
+        ).repartition(num_partitions).materialize()
+        if not changed:
+            return labels.map_batches(
+                lambda t: pa.table({"node": t["src"], "label": t["label"]}),
+                batch_format="pyarrow",
+            )
+    raise RuntimeError(
+        f"label propagation did not converge in {max_rounds} rounds "
+        "(component diameter exceeds the bound; raise max_rounds)"
+    )
+
+
+# broadcast-vs-join switch for the final loser drop: below this many
+# loser ids the id set ships via ray.put (no shuffle of the big side);
+# above it a partitioned anti join avoids a driver-resident id set
+_BROADCAST_LOSERS_LIMIT = 2_000_000
+
+
+def drop_cluster_losers(
+    ds: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    id_col: str,
+    broadcast_limit: int = _BROADCAST_LOSERS_LIMIT,
+    buckets: int = 16,
+) -> ray.data.Dataset:
+    """Drop every row whose id is a non-representative cluster member
+    (``node != label``), keeping the min-id representative."""
+    from .join import semi_join
+
+    def pick_losers(t: pa.Table) -> pa.Table:
+        ids = pc.filter(t["node"], pc.not_equal(t["node"], t["label"]))
+        # the join marker is built here, in the same map, so the
+        # laundering repartition below stays the dataset's last op
+        return pa.table({
+            id_col: ids,
+            "_loser": pa.array(np.ones(len(ids), dtype=np.int8)),
+        })
+
+    losers = (
+        labels.map_batches(pick_losers, batch_format="pyarrow")
+        .repartition(buckets)
+        .materialize()
+    )
+    n = losers.count()
+    if n == 0:
+        return ds
+    if n <= broadcast_limit:
+        ids = losers.to_pandas()[id_col].tolist()  # ids only, never payloads
+        return semi_join(ds, ids, id_col, anti=True)
+    # scale path: partitioned left-outer join + null-marker filter
+    joined = ds.join(losers, "left_outer", num_partitions=buckets,
+                     on=(id_col,))
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["_loser"])).drop_columns(["_loser"]),
+        batch_format="pyarrow",
+    )
+
+
+# pair-count cutoff for single-task clustering: below it, one Ray task
+# union-finds the whole (ids-only) pair set — pairs never touch the
+# driver, and the fixed cost is one task instead of 2-4 shuffle rounds.
+# Above it, label propagation shards the work.
+_TASK_UNIONFIND_PAIR_LIMIT = 2_000_000
+
+
+@ray.remote
+def _unionfind_losers(*blocks) -> pa.Array:
+    """Single-task clustering over pair blocks (Arrow or pandas —
+    map_groups emits pandas blocks); returns the loser ids."""
+    uf = UnionFind()
+    for t in blocks:
+        if isinstance(t, pd.DataFrame):
+            if len(t) == 0 or "id_a" not in t.columns:
+                continue
+            ab = zip(t["id_a"].tolist(), t["id_b"].tolist())
+        else:
+            if t.num_rows == 0 or "id_a" not in t.column_names:
+                continue  # zero-column empties (see _PAIR_PARTITIONS note)
+            ab = zip(t.column("id_a").to_pylist(),
+                     t.column("id_b").to_pylist())
+        for a, b in ab:
+            uf.union(a, b)
+    losers = sorted(x for x in uf.parent if uf.find(x) != x)
+    return pa.array(losers)
+
+
+def cluster_and_drop(pairs: ray.data.Dataset, ds: ray.data.Dataset,
+                     id_col: str,
+                     task_limit: int = _TASK_UNIONFIND_PAIR_LIMIT,
+                     ) -> ray.data.Dataset:
+    """Verified pairs -> component labels -> drop non-representatives.
+
+    Small pair sets cluster in ONE Ray worker task (union-find over the
+    id pairs; the driver only passes block refs around); large ones use
+    :func:`propagate_min_labels`. Both keep the representative = the
+    component's min id, so the switch never changes output."""
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ds
+    if pairs.count() <= task_limit:
+        refs = [ref for bundle in pairs.iter_internal_ref_bundles()
+                for ref, _meta in bundle.blocks]
+        losers_ref = _unionfind_losers.remote(*refs)
+
+        def mask(batch: pa.Table) -> pa.Table:
+            losers = ray.get(losers_ref)
+            if len(losers) == 0:
+                return batch
+            m = pc.fill_null(pc.is_in(batch[id_col], losers), False)
+            return batch.filter(pc.invert(m))
+
+        return ds.map_batches(mask, batch_format="pyarrow")
+    labels = propagate_min_labels(pairs)
+    return drop_cluster_losers(ds, labels, id_col)
+
+
+# --- single-process clustering oracle (kept for tests) ------------------
 
 
 class UnionFind:
@@ -224,7 +446,10 @@ class UnionFind:
 
 def losers_from_pairs(pairs: list[tuple]) -> set:
     """Union-find the verified pairs; every non-minimum member of a
-    cluster is a loser (the kept representative is the min id)."""
+    cluster is a loser (the kept representative is the min id).
+
+    Single-process oracle for :func:`propagate_min_labels` — tests pin
+    the distributed labels against this."""
     uf = UnionFind()
     for a, b in pairs:
         uf.union(a, b)
@@ -238,14 +463,90 @@ def losers_from_pairs(pairs: list[tuple]) -> set:
     return losers
 
 
-def _texts_for_ids(ds, id_col, text_col, ids) -> dict:
-    import ray
+# --- MinHash end-to-end --------------------------------------------------
 
-    from .join import semi_join
 
-    sub = semi_join(ds.select_columns([id_col, text_col]), list(ids), id_col)
-    out = sub.to_pandas()
-    return dict(zip(out[id_col], out[text_col]))
+def minhash_candidates(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 7,
+    concurrency: int | None = None,
+    shingle: str = "word",
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs via MinHash banding, one row per pair.
+
+    ``same_sig=True`` pairs share the full signature (auto-verified);
+    the rest need exact-Jaccard verification. Returns a Dataset —
+    pairs stay distributed.
+
+    The signature stage runs as plain tasks (the stage instance — a
+    few KB of permutation params — is built once on the driver and
+    ships with each task): per-pipeline actor-pool spin-up costs more
+    than it saves when the only per-actor state is two small arrays.
+    ``concurrency`` switches back to an actor pool when given."""
+    stage_kwargs = {
+        "text_col": text_col, "id_col": id_col, "num_perm": num_perm,
+        "bands": bands, "ngram": ngram, "seed": seed, "shingle": shingle,
+    }
+    if concurrency:
+        sig = ds.map_batches(
+            MinHashStage, fn_constructor_kwargs=stage_kwargs,
+            batch_format="pyarrow", concurrency=(1, concurrency),
+        )
+    else:
+        sig = ds.map_batches(MinHashStage(**stage_kwargs),
+                             batch_format="pyarrow")
+    return _dedupe_pairs(_bucketed_pairs(sig, _shard_bucket_pairs))
+
+
+def _join_pair_payloads(
+    pairs: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    id_col: str,
+    payload_col: str,
+    buckets: int = 8,
+) -> ray.data.Dataset:
+    """Attach each pair endpoint's payload (text / embedding) via two
+    partitioned hash joins — only candidate payloads move, none to the
+    driver. Output columns: id_a, id_b, _payload_a, _payload_b."""
+    from .join import hash_join
+
+    side_a = ds.select_columns([id_col, payload_col]).map_batches(
+        lambda t: t.rename_columns(["id_a", "_payload_a"]),
+        batch_format="pyarrow",
+    )
+    side_b = ds.select_columns([id_col, payload_col]).map_batches(
+        lambda t: t.rename_columns(["id_b", "_payload_b"]),
+        batch_format="pyarrow",
+    )
+    out = hash_join(pairs, side_a, on="id_a", buckets=buckets)
+    return hash_join(out, side_b, on="id_b", buckets=buckets)
+
+
+class PairJaccardVerifier:
+    """Map stage: keep pairs whose exact shingle-set Jaccard passes the
+    threshold. Scalar shingling per row is inherent to the metric; it
+    runs distributed, per batch."""
+
+    def __init__(self, ngram: int, shingle: str, threshold: float):
+        self.ngram, self.shingle, self.threshold = ngram, shingle, threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ta = batch["_payload_a"].to_pylist()
+        tb = batch["_payload_b"].to_pylist()
+        keep = [
+            jaccard(_shingles(a or "", self.ngram, self.shingle),
+                    _shingles(b or "", self.ngram, self.shingle))
+            >= self.threshold
+            for a, b in zip(ta, tb)
+        ]
+        return batch.select(["id_a", "id_b"]).filter(
+            pa.array(keep, type=pa.bool_())
+        )
 
 
 def minhash_dedup(
@@ -261,29 +562,31 @@ def minhash_dedup(
 ) -> ray.data.Dataset:
     """Drop near-duplicate docs (keep the min-id representative of each
     verified cluster). Identical-signature pairs are accepted directly;
-    the rest are verified with exact n-gram Jaccard."""
-    from .join import semi_join
-
+    the rest are verified with exact n-gram Jaccard inside
+    ``map_batches`` after a hash join of the texts onto the pair set."""
     cand = minhash_candidates(ds, text_col, id_col, num_perm, bands, ngram,
-                              seed, shingle=shingle)
-    if not len(cand):
+                              seed, shingle=shingle).materialize()
+    if cand.count() == 0:
         return ds
-    unv = cand[~cand["same_sig"]]
-    ids = set(unv["id_a"]) | set(unv["id_b"])
-    texts = _texts_for_ids(ds, id_col, text_col, ids) if ids else {}
-    verified = [
-        (a, b)
-        for a, b in zip(unv["id_a"], unv["id_b"])
-        if jaccard(_shingles(texts.get(a) or "", ngram, shingle),
-                   _shingles(texts.get(b) or "", ngram, shingle))
-        >= jaccard_threshold
-    ]
-    verified += list(zip(cand.loc[cand["same_sig"], "id_a"],
-                         cand.loc[cand["same_sig"], "id_b"]))
-    losers = losers_from_pairs(verified)
-    if not losers:
-        return ds
-    return semi_join(ds, list(losers), id_col, anti=True)
+
+    def split(t: pa.Table, want_same: bool) -> pa.Table:
+        m = t["same_sig"] if want_same else pc.invert(t["same_sig"])
+        return t.filter(m).select(["id_a", "id_b"])
+
+    direct = cand.map_batches(lambda t: split(t, True),
+                              batch_format="pyarrow")
+    # repartition: the split map re-creates the zero-column hazard on
+    # empty splits, and this feeds a join
+    unverified = cand.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow"
+    ).repartition(_PAIR_PARTITIONS)
+    verified = _join_pair_payloads(
+        unverified, ds, id_col, text_col
+    ).map_batches(
+        PairJaccardVerifier(ngram, shingle, jaccard_threshold),
+        batch_format="pyarrow",
+    )
+    return cluster_and_drop(direct.union(verified), ds, id_col)
 
 
 # --- SimHash -----------------------------------------------------------
@@ -348,16 +651,15 @@ def simhash_dedup(
 
     Two docs are duplicates iff Hamming(simhash) <= max_hamming; with 4
     bands any pair within distance 3 shares at least one exact band
-    (pigeonhole), so banding loses no candidates.
+    (pigeonhole), so banding loses no candidates. Verification happens
+    inside the bucket pass (fingerprints ride along with the LSH rows);
+    clustering is distributed label propagation.
     """
-    from .join import semi_join
-
+    # plain tasks: the stage instance holds three scalars (see
+    # minhash_candidates note on actor pools vs tasks)
     sig = ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
-                               "bands": bands},
+        SimHashStage(text_col=text_col, id_col=id_col, bands=bands),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -373,11 +675,8 @@ def simhash_dedup(
                         out["id_b"].append(ids[j])
         return pd.DataFrame(out, dtype=object)
 
-    pairs = _bucketed_pairs(sig, shard_pairs).drop_duplicates()
-    losers = losers_from_pairs(list(zip(pairs["id_a"], pairs["id_b"])))
-    if not losers:
-        return ds
-    return semi_join(ds, list(losers), id_col, anti=True)
+    pairs = _bucketed_pairs(sig, shard_pairs)
+    return cluster_and_drop(pairs, ds, id_col)
 
 
 # --- exact n-gram Jaccard within blocks --------------------------------
@@ -394,24 +693,41 @@ def ngram_jaccard_pairs(
     """Exact all-pairs n-gram Jaccard >= threshold, within blocks.
 
     ``block_col`` bounds the quadratic comparison (e.g. ``lang`` or a
-    length bucket); None compares everything — only for small inputs.
+    length bucket); each block's pass runs as one distributed
+    ``map_groups`` task — the dataset is never materialized on the
+    driver; only the (small, by construction) matching pair list is.
+    ``block_col=None`` compares everything in ONE task — only for small
+    inputs; at scale always provide a block key.
     Returns (id_a, id_b, jaccard) sorted.
     """
     cols = [id_col, text_col] + ([block_col] if block_col else [])
-    df = ds.select_columns(cols).to_pandas()
-    out = []
-    groups = df.groupby(block_col) if block_col else [(None, df)]
-    for _, g in groups:
+    sub = ds.select_columns(cols)
+    if block_col is None:
+        block_col = "_block"
+        sub = sub.map_batches(
+            lambda t: t.append_column(
+                "_block", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow",
+        )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
         ids = g[id_col].tolist()
         shingle_sets = [char_ngrams(t or "", ngram) for t in g[text_col]]
+        out = []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 sim = jaccard(shingle_sets[i], shingle_sets[j])
                 if sim >= threshold:
                     out.append((ids[i], ids[j], round(sim, 6)))
-    out.sort()
-    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+    pairs = (
+        sub.groupby(block_col)
+        .map_groups(block_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # --- embedding cosine near-dup -----------------------------------------
@@ -435,10 +751,14 @@ class HyperplaneLshStage:
         bucket_ids = np.zeros(len(embs), dtype=np.int64)
         for i in range(width):
             bucket_ids |= buckets[:, i].astype(np.int64) << (8 * i)
+        # the vector rides along: verification happens inside the
+        # bucket groupby (list<double> columns shuffle fine through a
+        # sort exchange but are unsupported as acero join payloads)
         return pa.table(
             {
                 "vec_id": batch[self.id_col],
                 "bucket": pa.array(bucket_ids),
+                "embedding": batch[self.emb_col],
             }
         )
 
@@ -452,44 +772,49 @@ def embedding_dedup(
     seed: int = 11,
 ) -> ray.data.Dataset:
     """Drop embeddings whose cosine similarity to a kept representative
-    is >= threshold. LSH hyperplane buckets bound the pairwise work; the
-    exact cosine verifies every candidate pair."""
-    from .join import semi_join
-
+    is >= threshold. LSH hyperplane buckets bound the pairwise work;
+    exact cosine verifies every candidate pair with a vectorized
+    ``X @ X.T`` inside the distributed bucket pass (vectors ride the
+    groupby shuffle — list<double> is unsupported as an acero join
+    payload, so pair+verify happen in one pass instead of a re-join)."""
     first = ds.take(1)
     dim = len(first[0][emb_col])
+    # plain tasks: the plane matrix is dim x planes floats (KBs)
     lsh = ds.map_batches(
-        HyperplaneLshStage,
-        fn_constructor_kwargs={"emb_col": emb_col, "id_col": id_col,
-                               "planes": planes, "dim": dim, "seed": seed},
+        HyperplaneLshStage(emb_col=emb_col, id_col=id_col, planes=planes,
+                           dim=dim, seed=seed),
         batch_format="pyarrow",
-        concurrency=(1, 4),
-    ).to_pandas()
+    )
 
-    # fetch vectors only for ids sharing a bucket (the candidate set)
-    sizes = lsh.groupby("bucket")["vec_id"].transform("nunique")
-    cand = lsh[sizes > 1]
-    cand_ids = set(cand["vec_id"])
-    if not cand_ids:
-        return ds
-    sub = semi_join(ds.select_columns([id_col, emb_col]), list(cand_ids),
-                    id_col).to_pandas()
-    emb_map = {
-        i: np.asarray(e, dtype=np.float64)
-        for i, e in zip(sub[id_col], sub[emb_col])
-    }
-    pairs = []
-    for _, g in cand.groupby("bucket"):
-        ids = sorted(g["vec_id"].unique().tolist())
-        for i in range(len(ids)):
-            va = emb_map[ids[i]]
-            na = np.linalg.norm(va)
-            for j in range(i + 1, len(ids)):
-                vb = emb_map[ids[j]]
-                denom = na * np.linalg.norm(vb)
-                if denom > 0 and float(va @ vb / denom) >= threshold:
-                    pairs.append((ids[i], ids[j]))
-    losers = losers_from_pairs(pairs)
-    if not losers:
-        return ds
-    return semi_join(ds, list(losers), id_col, anti=True)
+    # verified pairs per bucket (buckets are expected tiny; the
+    # pandas-groupby-inside-map_groups two-level pattern again)
+    def bucket_verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": [], "id_b": []}
+        for _, sub in g.groupby("bucket", sort=False):
+            sub = sub.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            x = np.asarray(sub["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1)
+            denom = np.outer(norms, norms)
+            cos = np.divide(x @ x.T, denom, out=np.zeros_like(denom),
+                            where=denom > 0)
+            i, j = np.triu_indices(len(ids), k=1)
+            hit = cos[i, j] >= threshold
+            out["id_a"].extend(ids[i[hit]])
+            out["id_b"].extend(ids[j[hit]])
+        return pd.DataFrame(out, dtype=object)
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["_bshard"] = (
+            df["bucket"].to_numpy(np.uint64) % np.uint64(_BUCKET_SHARDS)
+        ).astype(np.int32)
+        return df
+
+    verified = (
+        lsh.map_batches(add_shard, batch_format="pandas")
+        .groupby("_bshard")
+        .map_groups(bucket_verified_pairs, batch_format="pandas")
+    )
+    return cluster_and_drop(verified, ds, id_col)

@@ -98,3 +98,69 @@ def test_embedding_dedup():
     )
     kept = embedding_dedup(rd.from_pandas(df), threshold=0.99).to_pandas()
     assert sorted(kept["vec_id"].tolist()) == [10, 12]
+
+
+def test_propagate_min_labels_matches_union_find_oracle():
+    """Distributed label propagation == single-process union-find on a
+    graph with chains (multi-round convergence) and singleton pairs."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from bitquery_kafka_streams_rust_ray.stages.neardup import propagate_min_labels
+
+    # chain 10-2-7-5-9 (diameter 4), triangle 20-21-22, pair 30-31
+    pairs = [(10, 2), (2, 7), (7, 5), (5, 9), (20, 21), (21, 22),
+             (20, 22), (30, 31)]
+    ds = rd.from_arrow(pa.table({
+        "id_a": [a for a, _ in pairs],
+        "id_b": [b for _, b in pairs],
+    }))
+    labels = propagate_min_labels(ds).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    want = {x: uf.find(x) for x in uf.parent}
+    assert got == want
+
+
+def test_minhash_dedup_matches_single_process_oracle():
+    """The fully distributed minhash pipeline (joined verify + label
+    propagation) keeps exactly the docs the single-process oracle
+    (driver-side verify + union-find, the round-1 semantics) keeps."""
+    import ray.data as rd
+
+    from bitquery_kafka_streams_rust_ray.functions.text import jaccard, word_ngrams
+    from bitquery_kafka_streams_rust_ray.stages.neardup import minhash_candidates
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    for i in range(60):
+        base = " ".join(rng.choice(words, size=30))
+        texts.append(base)
+        ids.append(2 * i)
+        if i % 3 == 0:  # a near-dup with one word changed
+            toks = base.split()
+            toks[5] = "CHANGED"
+            texts.append(" ".join(toks))
+            ids.append(2 * i + 1)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    ds = rd.from_pandas(df)
+
+    kept = sorted(minhash_dedup(ds, jaccard_threshold=0.7)
+                  .to_pandas()["doc_id"].tolist())
+
+    # single-process oracle: same candidates, driver verify + union-find
+    cand = minhash_candidates(rd.from_pandas(df)).to_pandas()
+    text_of = dict(zip(df["doc_id"], df["text"]))
+    verified = [
+        (a, b) for a, b, same in
+        zip(cand["id_a"], cand["id_b"], cand["same_sig"])
+        if same or jaccard(word_ngrams(text_of[a], 3),
+                           word_ngrams(text_of[b], 3)) >= 0.7
+    ]
+    losers = losers_from_pairs(verified)
+    want = sorted(set(df["doc_id"]) - losers)
+    assert kept == want

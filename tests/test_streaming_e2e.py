@@ -132,7 +132,10 @@ def test_byte_identical_text_per_url(flagship_run, pages_dir):
 def _output_hashes(out_dir: str) -> dict[str, str]:
     hashes = {}
     for root, _dirs, files in os.walk(out_dir):
-        if "_tmp" in root:
+        # _tmp is staging; _observability is wall-clock telemetry
+        # (health reports / timing histograms) explicitly outside the
+        # byte-identity contract
+        if "_tmp" in root or "_observability" in root:
             continue
         for f in files:
             p = os.path.join(root, f)

@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scalar functions (§2.8, M8/M9)
         "string_funcs_part": q.string_funcs_part,
         "json_props_events": q.json_props_events,
+        # nested struct/list columns end-to-end (§1.2)
+        "nested_doc_words": q.nested_doc_words,
         # percentiles (A4)
         "percentiles_events": q.percentiles_events,
         # text analysis
@@ -207,6 +209,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    json_extract_string(props, '$.k')::BIGINT AS k_val
             FROM events
+        """,
+        "nested_doc_words": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(text, '\\s+')) AS n_words,
+                   lower(regexp_split_to_array(text, '\\s+')[1]) AS first_word
+            FROM documents ORDER BY doc_id
         """,
         "percentiles_events": """
             SELECT event_type,

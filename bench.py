@@ -36,14 +36,22 @@ def bench_config(num_cpus: int):
     # process, so oversharding costs more than it parallelizes. 8 shards
     # keeps the same key partitioning at every parallelism level, which
     # the determinism/resume contract wants anyway.
+    # micro-batch sizing: ~500k rows per epoch. Measured at 32 CPUs:
+    # 50k-row epochs are fixed-cost-bound (~2s/epoch: planning, finalize
+    # barrier, commit -> 7.8s for 200k rows), 1M-row epochs bloat the
+    # state-actor buffers (2x slower at 2M rows); 250-500k is the flat
+    # part of the curve at both 8 and 32 CPUs.
+    files_per_epoch = max(1, min(8, round(4_000_000 / max(PAGES_ROWS, 1))))
     return EngineConfig(
         min_text_len=1,
         state_shards=8,
-        files_per_epoch=2,
-        # batch size scales inversely with cpu count: enough tasks to
-        # fill every core at 32, few enough at 2 that per-task dispatch
-        # overhead stays amortized
-        read_batch_size=max(4096, 131072 // num_cpus),
+        files_per_epoch=files_per_epoch,
+        # one exchange push per read block: read_num_blocks=2*cpus sizes
+        # blocks below this, so batches==blocks and each block does ONE
+        # 8-way push. Chopping blocks into smaller push batches (the old
+        # 131072//cpus formula gave 4096 at 32 cpus) quadrupled the
+        # blocking accept_rows round-trips and cost ~30% wall at 32 cpus
+        read_batch_size=16384,
         batch_size=8192,
         read_num_blocks=2 * num_cpus,
     )

@@ -85,20 +85,35 @@ def quality_score(text: str) -> float:
     )
 
 
-def rolling_fingerprint(text: str, window: int = 8) -> int:
-    """Rolling-hash document fingerprint: min of crc32 over character
-    windows (a cheap winnowing-style signature; stable across runs).
-    By design, near-identical documents often share a fingerprint —
-    it is a near-dup bucketing key, not an exact-content hash."""
-    data = text.encode("utf-8")
-    if len(data) <= window:
-        return zlib.crc32(data)
-    best = 0xFFFFFFFF
-    for i in range(len(data) - window + 1):
-        h = zlib.crc32(data[i:i + window])
-        if h < best:
-            best = h
-    return best
+# per-byte-position multipliers for the vectorized rolling hash
+_FP_BASE = np.uint64(1000003)
+_FP_WINDOW = 8
+_FP_POWS = _FP_BASE ** np.arange(_FP_WINDOW - 1, -1, -1, dtype=np.uint64)
+
+
+def rolling_fingerprint(text: str, window: int = _FP_WINDOW) -> int:
+    """Rolling-hash document fingerprint: min over all byte windows of
+    a polynomial hash (a cheap winnowing-style signature; stable across
+    runs). By design, near-identical documents often share a
+    fingerprint — it is a near-dup bucketing key, not an exact-content
+    hash.
+
+    Vectorized: one numpy stride view + product-sum per document
+    (the per-byte Python crc loop it replaces was the slowest text op
+    at fixture scale and O(len) interpreter work per doc at 100 TB)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if data.size <= window:
+        return zlib.crc32(data.tobytes())
+    pows = (_FP_POWS if window == _FP_WINDOW
+            else _FP_BASE ** np.arange(window - 1, -1, -1, dtype=np.uint64))
+    # window-many shifted 1-D multiply-adds (contiguous, no 2-D temp);
+    # uint64 arithmetic wraps mod 2^64; fold to 32 bits like crc32 did
+    d = data.astype(np.uint64)
+    n = data.size - window + 1
+    hashes = np.zeros(n, dtype=np.uint64)
+    for j in range(window):
+        hashes += d[j:j + n] * pows[j]
+    return int(hashes.min() & np.uint64(0xFFFFFFFF))
 
 
 class TextAnalyzer:
@@ -110,15 +125,20 @@ class TextAnalyzer:
         self.fingerprint = fingerprint
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        texts = ["" if t is None else t for t in texts]
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(batch[self.text_col], "")
+        texts = col.to_pylist()
+        # token counts run on Arrow's re2 kernels (vectorized); lang-ID,
+        # quality and fingerprint are per-row by nature of the heuristic
         batch = batch.append_column(
             "token_count",
-            pa.array([len(tokens(t)) for t in texts], type=pa.int64()),
+            pc.cast(pc.count_substring_regex(col, r"\S+"), pa.int64()),
         )
         batch = batch.append_column(
             "bpe_count",
-            pa.array([bpe_token_count(t) for t in texts], type=pa.int64()),
+            pc.cast(pc.count_substring_regex(col, _BPE_RE.pattern),
+                    pa.int64()),
         )
         batch = batch.append_column(
             "lang_id", pa.array([detect_lang(t) for t in texts], type=pa.string())

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..functions.text import TextAnalyzer, detect_lang, quality_score, tokens
+from ..functions.text import TextAnalyzer
 from ..stages.ann import ann_brute_force
 from ..stages.dedup import exact_dedup, windowed_dedup
 from ..stages.hashing import shard_of
@@ -260,16 +260,27 @@ def priority_revenue(sf_dir: str) -> pd.DataFrame:
 def asof_latest_order(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event enriched with the customer's latest order
     total at event time (symbol-table metadata semantics)."""
-    # collapse ties in Ray so only the REDUCED frame reaches the driver
-    # for broadcast (the raw orders table never does)
-    latest = (
+    # collapse ties with per-batch partials (max is associative) so the
+    # driver only ever receives the REDUCED frame — which is exactly the
+    # frame it must broadcast anyway; the raw orders table never lands
+    # driver-side, and no shuffle happens (a Dataset.groupby here costs
+    # a full exchange to produce the same small result)
+    def partial_max(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .groupby(["o_custkey", "o_orderdate"], sort=False)
+              ["o_totalprice"].max().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = (
         _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
-        .groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max("o_totalprice", alias_name="latest_total"))
+        .map_batches(partial_max, batch_format="pyarrow")
         .to_pandas()
-        .rename(columns={"o_custkey": "user_id"})
-        .sort_values(["user_id", "o_orderdate"], kind="mergesort")
-        .reset_index(drop=True)
+    )
+    latest = (
+        partials.groupby(["o_custkey", "o_orderdate"], sort=True)
+        ["o_totalprice"].max().reset_index()
+        .rename(columns={"o_custkey": "user_id",
+                         "o_totalprice": "latest_total"})
     )
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = broadcast_asof_join(
@@ -338,10 +349,7 @@ def string_funcs_part(sf_dir: str) -> pd.DataFrame:
                 "name_lower": pc.utf8_lower(t["p_name"]),
                 "brand_upper": pc.utf8_upper(t["p_brand"]),
                 "type_prefix": pc.utf8_slice_codeunits(t["p_type"], 0, 5),
-                "hex_key": pa.array(
-                    [format(k, "X") for k in t["p_partkey"].to_pylist()],
-                    type=pa.string(),
-                ),
+                "hex_key": _hex_upper(t["p_partkey"]),
             }
         )
 
@@ -352,19 +360,45 @@ def string_funcs_part(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _hex_upper(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized ``to_hex``: one hexlify of the big-endian int64
+    buffer, reshaped to 16-char strings, leading zeros trimmed by the
+    Arrow kernel (the per-row ``format(k, 'X')`` loop this replaces is
+    interpreter work per value)."""
+    k = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+         else col).to_numpy().astype(">u8")
+    hx = k.tobytes().hex().upper()
+    fixed = pa.array(np.frombuffer(hx.encode("ascii"), dtype="S16").astype("U16"))
+    trimmed = pc.utf8_ltrim(fixed, characters="0")
+    return pc.if_else(pc.equal(trimmed, ""), pa.scalar("0"), trimmed)
+
+
 def json_props_events(sf_dir: str) -> pd.DataFrame:
-    """Typed JSON field getter (SolanaEvent.get_data_* analog)."""
+    """Typed JSON field getter (SolanaEvent.get_data_* analog).
+
+    Fast path: Arrow's re2 ``extract_regex`` pulls the integer field
+    vectorized; rows the regex misses (absent key, non-integer value)
+    fall back to a real ``json.loads`` — so semantics stay JSON, but
+    the hot path never enters the interpreter per row."""
 
     def extract(t: pa.Table) -> pa.Table:
-        ks = []
-        for s in t["props"].to_pylist():
-            try:
-                v = json.loads(s).get("k")
-                ks.append(int(v) if v is not None else None)
-            except (TypeError, ValueError):
-                ks.append(None)
-        return pa.table({"event_id": t["event_id"],
-                         "k_val": pa.array(ks, type=pa.int64())})
+        props = (t["props"].combine_chunks()
+                 if isinstance(t["props"], pa.ChunkedArray) else t["props"])
+        m = pc.extract_regex(props, r'"k"\s*:\s*(?P<v>-?\d+)')
+        ks = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        misses = pc.and_(pc.is_null(ks), pc.is_valid(props))
+        if pc.any(misses).as_py():
+            idx = np.nonzero(misses.to_numpy(zero_copy_only=False))[0]
+            vals = ks.to_pylist()
+            raw = props.to_pylist()
+            for i in idx:
+                try:
+                    v = json.loads(raw[i]).get("k")
+                    vals[i] = int(v) if v is not None else None
+                except (TypeError, ValueError):
+                    vals[i] = None
+            ks = pa.array(vals, type=pa.int64())
+        return pa.table({"event_id": t["event_id"], "k_val": ks})
 
     return (
         _t(sf_dir, "events", ["event_id", "props"])
@@ -405,13 +439,13 @@ def doc_stats(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
-        texts = ["" if x is None else x for x in t["text"].to_pylist()]
+        text = pc.fill_null(t["text"], "")
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
-                "token_count": pa.array([len(tokens(x)) for x in texts],
-                                        type=pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "token_count": pc.cast(
+                    pc.count_substring_regex(text, r"\S+"), pa.int64()),
             }
         )
 
@@ -485,11 +519,49 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
         .sort_values("vec_id")
     )
     queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
-    out = ann_ivf(ds, queries, k=10, nlist=16, nprobe=8)
+    # nprobe=10/16 lists: measured recall@10 = 0.92 vs brute force on
+    # the sf0.01 embeddings (pinned by test_ivf_recall_on_sf001_embeddings)
+    out = ann_ivf(ds, queries, k=10, nlist=16, nprobe=10)
     qids = qdf["vec_id"].tolist()
     out["query_id"] = out["query_id"].map(lambda i: qids[i]).astype("int64")
     out["vec_id"] = out["vec_id"].astype("int64")
     return out[["query_id", "vec_id", "rank"]]
+
+
+def nested_doc_words(sf_dir: str) -> pd.DataFrame:
+    """Arrow struct/list columns end-to-end (SURVEY §1.2 nested-payload
+    breadth: ``repeated``/nested protobuf fields -> ``pa.list_`` /
+    ``pa.struct``): text splits to a ``list<string>`` column, a
+    ``struct<n_words, first_word>`` column is built beside it, both
+    nested columns cross a sort shuffle intact, and the fields are
+    extracted on the far side (``pc.struct_field`` / ``list_element``)."""
+
+    def nest(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray) else t["text"]
+        words = pc.split_pattern_regex(text, r"\s+")
+        st = pa.StructArray.from_arrays(
+            [pc.cast(pc.list_value_length(words), pa.int64()),
+             pc.utf8_lower(pc.list_element(words, 0))],
+            names=["n_words", "first_word"],
+        )
+        return pa.table({"doc_id": t["doc_id"], "words": words, "props": st})
+
+    def flatten(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pc.struct_field(t["props"], "n_words"),
+            "first_word": pc.struct_field(t["props"], "first_word"),
+        })
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(nest, batch_format="pyarrow")
+        .sort("doc_id")  # nested columns ride the range shuffle
+        .map_batches(flatten, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:

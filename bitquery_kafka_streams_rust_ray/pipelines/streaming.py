@@ -67,6 +67,7 @@ from ..observability.health import (
     HealthMonitor,
     WatermarkHealthChecker,
 )
+from ..observability.logging import StructuredLogger
 from ..observability.metrics import MetricsRegistry
 from ..reliability import CircuitBreaker, RetryConfig, RetryStrategy
 from ..sinks.exactly_once import EpochSink
@@ -406,6 +407,19 @@ class ExchangeToShards:
 # side, keyed by object ref: ray.get once per worker, not once per batch
 _BROADCAST_CACHE: dict[str, pd.DataFrame] = {}
 
+# one-time per-worker-process Arrow thread pinning: N map workers x M
+# Arrow threads convoy on this box (measured: 21-22s -> 15s wall at 32
+# CPUs on the 2M-row bench just from this); each task is already the
+# parallelism unit, so intra-task Arrow threads only fight each other
+_ARROW_PINNED = False
+
+
+def _pin_arrow_single_thread() -> None:
+    global _ARROW_PINNED
+    if not _ARROW_PINNED:
+        pa.set_cpu_count(1)
+        _ARROW_PINNED = True
+
 
 class EpochMapper:
     """The whole per-epoch row path as ONE fused task operator:
@@ -440,6 +454,7 @@ class EpochMapper:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time as _time
+        _pin_arrow_single_thread()
         _t0 = _time.time()
         t = self.extract(batch)
         _t1 = _time.time()
@@ -482,6 +497,7 @@ class StreamingPagesPipeline:
         page_filter: PageFilter | None = None,
         host_metadata: pd.DataFrame | None = None,
         metadata_slices: dict[int, pd.DataFrame] | None = None,
+        logger: StructuredLogger | None = None,
     ):
         """``host_metadata`` is the static (fully-known-upfront) slow
         side of the enrichment join. ``metadata_slices`` makes the slow
@@ -502,6 +518,12 @@ class StreamingPagesPipeline:
         self.metadata_slices = metadata_slices or {}
         self.sink = EpochSink(output_dir)
         self.metrics = MetricsRegistry()
+        # structured JSON-lines logging (logging.rs/tracing.rs analog);
+        # silent unless GRAFT_LOG_LEVEL lowers the gate or a logger is
+        # injected — replay/refusal paths log at warn/error regardless
+        self.log = logger or StructuredLogger(
+            "streaming", level=os.environ.get("GRAFT_LOG_LEVEL", "warn"),
+        )
         # sink FS ops are the one external dependency: retried with
         # backoff (commit is idempotent), fenced by a breaker so a
         # persistently failing filesystem fails fast instead of
@@ -611,6 +633,9 @@ class StreamingPagesPipeline:
                     # collides with the drain commit; later rows are
                     # all late vs the post-drain watermark) — refuse.
                     if len(plan) > last:
+                        self.log.error("resume_refused_after_drain",
+                                       drain_epoch=last,
+                                       planned_epochs=len(plan))
                         raise RuntimeError(
                             f"refusing to resume: the last commit (epoch "
                             f"{last}) is a drain — this run is finished — "
@@ -651,9 +676,12 @@ class StreamingPagesPipeline:
             # up to the budget (T11 analog; retry.rs semantics)
             attempt = [0]
 
-            def _on_replay(_name, _n, _err, _delay,
+            def _on_replay(_name, _n, err, delay,
                            epoch=epoch, attempt=attempt):
                 nonlocal pending
+                self.log.warn("epoch_replay", epoch=epoch,
+                              attempt=attempt[0] + 1, error=repr(err),
+                              backoff_s=delay)
                 if pending is not None:
                     self._complete_epoch(actors, *pending)
                     pending = None
@@ -754,6 +782,8 @@ class StreamingPagesPipeline:
         }
         max_ts = int(stats["max_ts_us"].max()) if len(stats) else NEG_INF_TS
         self.metrics.observe("epoch_exchange_seconds", _t1 - _t0)
+        self.log.debug("epoch_exchange", epoch=epoch, attempt=attempt,
+                       duration_ms=(_t1 - _t0) * 1e3, **counters)
         if os.environ.get("GRAFT_DEBUG_TIMING"):
             print(f"[epoch {epoch}] exchange={_t1-_t0:.2f}s", flush=True)
         return counters, max_ts
@@ -789,6 +819,10 @@ class StreamingPagesPipeline:
         # as p50-p99 summaries in Prometheus text and the run summary
         self.metrics.observe("epoch_finalize_seconds", _t2 - _t1)
         self.metrics.observe("epoch_commit_seconds", _time.time() - _t2)
+        self.log.info("epoch_committed", epoch=epoch,
+                      rows_written=counters.get("rows_written", 0),
+                      finalize_ms=(_t2 - _t1) * 1e3,
+                      commit_ms=(_time.time() - _t2) * 1e3)
         if os.environ.get("GRAFT_DEBUG_TIMING"):
             print(f"[epoch {epoch}] finalize={_t2-_t1:.2f}s "
                   f"commit={_time.time()-_t2:.2f}s", flush=True)

@@ -115,56 +115,89 @@ class MinHashStage:
 
 
 def _shard_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs for every LSH bucket in one bucket-shard.
-
-    One ``map_groups`` call handles a whole shard of buckets (a pandas
-    groupby inside), because a Ray-level group per bucket means tens of
-    thousands of sub-millisecond tasks' worth of per-group overhead —
-    the classic many-tiny-groups trap.
+    """Candidate pairs for every LSH bucket in one frame (a whole
+    bucket-shard, or the whole signature set on the single-task path).
 
     Docs with an IDENTICAL full signature are collapsed to their min-id
     representative before pair expansion: they chain to the
     representative linearly with ``same_sig=True`` (estimated Jaccard
     1.0 at 64 perms — no exact verification needed), and only the
-    representatives cross-pair quadratically (``np.triu_indices``).
-    Without this, adversarial inputs where every doc collides cost
-    O(n^2) pairs; with it they cost O(n).
+    representatives cross-pair quadratically. Without this, adversarial
+    inputs where every doc collides cost O(n^2) pairs; with it O(n).
+
+    Fully vectorized — no per-bucket Python loop: the chain step is a
+    groupby-transform(min); the rep cross-pairing is a per-bucket
+    self-merge (C-level), upper-triangled by id order.
     """
-    out_a, out_b, out_same = [], [], []
-    for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
-        sub = sub.drop_duplicates("doc_id")
-        if len(sub) < 2:
-            continue
-        reps = sub.groupby("sig_hash", sort=False)["doc_id"].min()
-        rep_of = sub["sig_hash"].map(reps)
-        members = sub["doc_id"].to_numpy()
-        chain = members != rep_of.to_numpy()
-        if chain.any():
-            out_a.append(rep_of.to_numpy()[chain])
-            out_b.append(members[chain])
-            out_same.append(np.ones(int(chain.sum()), dtype=bool))
-        rep_ids = np.sort(reps.to_numpy())
-        if len(rep_ids) >= 2:
-            i, j = np.triu_indices(len(rep_ids), k=1)
-            out_a.append(rep_ids[i])
-            out_b.append(rep_ids[j])
-            out_same.append(np.zeros(len(i), dtype=bool))
-    if not out_a:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                             "id_b": pd.Series([], dtype=object),
-                             "same_sig": pd.Series([], dtype=bool)})
-    return pd.DataFrame({"id_a": np.concatenate(out_a),
-                         "id_b": np.concatenate(out_b),
-                         "same_sig": np.concatenate(out_same)})
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                          "id_b": pd.Series([], dtype=object),
+                          "same_sig": pd.Series([], dtype=bool)})
+    if not len(g):
+        return empty
+    key = ["band_id", "band_hash"]
+    g = g.drop_duplicates([*key, "doc_id"])
+    rep = g.groupby([*key, "sig_hash"], sort=False)["doc_id"].transform("min")
+    chain = g["doc_id"].to_numpy() != rep.to_numpy()
+    chain_pairs = pd.DataFrame({
+        "id_a": rep.to_numpy()[chain],
+        "id_b": g["doc_id"].to_numpy()[chain],
+        "same_sig": True,
+    })
+    rep_df = g.assign(_rep=rep)[[*key, "_rep"]].drop_duplicates()
+    m = rep_df.merge(rep_df, on=key)
+    cross = m[m["_rep_x"] < m["_rep_y"]]
+    cross_pairs = pd.DataFrame({
+        "id_a": cross["_rep_x"].to_numpy(),
+        "id_b": cross["_rep_y"].to_numpy(),
+        "same_sig": False,
+    })
+    out = pd.concat([chain_pairs, cross_pairs], ignore_index=True)
+    return out if len(out) else empty
 
 
 _BUCKET_SHARDS = 32
 
+# signature-row cutoff for the single-task pairing fast path: below it,
+# ONE worker task runs the whole bucket pass (pandas groupby inside) on
+# the materialized signature blocks — no shuffle, and cross-band pair
+# dedupe happens in the same task for free. Above it, the bucket space
+# is sharded coarsely and a sort shuffle co-locates each shard
+# (two-level grouping). Like the union-find cutoff, the switch never
+# changes output — only where the grouping work runs.
+_SINGLE_TASK_SIG_LIMIT = 2_000_000
 
-def _bucketed_pairs(sig: ray.data.Dataset, pair_fn) -> ray.data.Dataset:
-    """Shard the (band_id, band_hash) bucket space coarsely, then run
-    ``pair_fn`` once per shard (two-level grouping). Returns the pair
-    DATASET — pairs never land on the driver."""
+
+@ray.remote
+def _single_task_pairs(pair_fn, local_dedupe, *blocks) -> pa.Table:
+    frames = []
+    for b in blocks:
+        if isinstance(b, pd.DataFrame):
+            frames.append(b)
+        elif b.num_rows:
+            frames.append(b.to_pandas())
+    df = (pd.concat(frames, ignore_index=True) if frames
+          else pd.DataFrame())
+    out = pair_fn(df) if len(df) else pd.DataFrame()
+    if local_dedupe is not None and len(out):
+        out = local_dedupe(out)
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def _bucketed_pairs(
+    sig: ray.data.Dataset, pair_fn, local_dedupe=None,
+    single_task_limit: int = _SINGLE_TASK_SIG_LIMIT,
+) -> tuple[ray.data.Dataset, bool]:
+    """Candidate pairs from LSH rows; pairs never land on the driver.
+
+    Returns ``(pairs, deduped)`` — ``deduped`` is True when the
+    single-task path already applied ``local_dedupe`` in the worker."""
+    sig = sig.materialize()
+    if sig.count() <= single_task_limit:
+        refs = [ref for bundle in sig.iter_internal_ref_bundles()
+                for ref, _meta in bundle.blocks]
+        out = _single_task_pairs.remote(pair_fn, local_dedupe, *refs)
+        return ray.data.from_arrow_refs([out]), local_dedupe is not None
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         key = (df["band_hash"].to_numpy(np.uint64)
@@ -172,11 +205,12 @@ def _bucketed_pairs(sig: ray.data.Dataset, pair_fn) -> ray.data.Dataset:
         df["_bshard"] = (key % np.uint64(_BUCKET_SHARDS)).astype(np.int32)
         return df
 
-    return (
+    pairs = (
         sig.map_batches(add_shard, batch_format="pandas")
         .groupby("_bshard")
         .map_groups(pair_fn, batch_format="pandas")
     )
+    return pairs, False
 
 
 # Ray Data (2.49) quirk this module must design around: map_batches
@@ -500,7 +534,15 @@ def minhash_candidates(
     else:
         sig = ds.map_batches(MinHashStage(**stage_kwargs),
                              batch_format="pyarrow")
-    return _dedupe_pairs(_bucketed_pairs(sig, _shard_bucket_pairs))
+
+    def local_dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        # a same_sig=True replica wins over an unverified one
+        return (df.sort_values(["id_a", "id_b", "same_sig"],
+                               ascending=[True, True, False])
+                .drop_duplicates(["id_a", "id_b"]))
+
+    pairs, deduped = _bucketed_pairs(sig, _shard_bucket_pairs, local_dedupe)
+    return pairs if deduped else _dedupe_pairs(pairs)
 
 
 def _join_pair_payloads(
@@ -528,25 +570,56 @@ def _join_pair_payloads(
 
 
 class PairJaccardVerifier:
-    """Map stage: keep pairs whose exact shingle-set Jaccard passes the
-    threshold. Scalar shingling per row is inherent to the metric; it
-    runs distributed, per batch."""
+    """Pair acceptance by exact shingle-set Jaccard. Used per joined
+    batch on the scale path and per pair on the single-task path;
+    scalar shingling is inherent to the metric either way."""
 
     def __init__(self, ngram: int, shingle: str, threshold: float):
         self.ngram, self.shingle, self.threshold = ngram, shingle, threshold
 
+    def accept(self, a: str | None, b: str | None) -> bool:
+        return jaccard(
+            _shingles(a or "", self.ngram, self.shingle),
+            _shingles(b or "", self.ngram, self.shingle),
+        ) >= self.threshold
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ta = batch["_payload_a"].to_pylist()
         tb = batch["_payload_b"].to_pylist()
-        keep = [
-            jaccard(_shingles(a or "", self.ngram, self.shingle),
-                    _shingles(b or "", self.ngram, self.shingle))
-            >= self.threshold
-            for a, b in zip(ta, tb)
-        ]
+        keep = [self.accept(a, b) for a, b in zip(ta, tb)]
         return batch.select(["id_a", "id_b"]).filter(
             pa.array(keep, type=pa.bool_())
         )
+
+
+# pair-count cutoff for single-task verification: below it, candidate
+# texts are broadcast-filtered (semi join — ids only ever touch the
+# driver) and ONE worker task verifies every pair; above it, texts are
+# hash-joined onto the pair set and verified per batch (the scale path)
+_TASK_VERIFY_PAIR_LIMIT = 100_000
+
+
+@ray.remote
+def _verify_pairs_task(verifier, n_pair_blocks, *blocks) -> pa.Table:
+    def cols(b, names):
+        if isinstance(b, pd.DataFrame):
+            return [b[n].tolist() for n in names] if len(b) else [[] for _ in names]
+        if b.num_rows == 0 or names[0] not in b.column_names:
+            return [[] for _ in names]
+        return [b.column(n).to_pylist() for n in names]
+
+    texts: dict = {}
+    for b in blocks[n_pair_blocks:]:
+        ids, ts = cols(b, ["_vid", "_vtext"])
+        texts.update(zip(ids, ts))
+    out_a, out_b = [], []
+    for b in blocks[:n_pair_blocks]:
+        ids_a, ids_b = cols(b, ["id_a", "id_b"])
+        for a, bb in zip(ids_a, ids_b):
+            if verifier.accept(texts.get(a), texts.get(bb)):
+                out_a.append(a)
+                out_b.append(bb)
+    return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b)})
 
 
 def minhash_dedup(
@@ -566,7 +639,8 @@ def minhash_dedup(
     ``map_batches`` after a hash join of the texts onto the pair set."""
     cand = minhash_candidates(ds, text_col, id_col, num_perm, bands, ngram,
                               seed, shingle=shingle).materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return ds
 
     def split(t: pa.Table, want_same: bool) -> pa.Table:
@@ -575,17 +649,41 @@ def minhash_dedup(
 
     direct = cand.map_batches(lambda t: split(t, True),
                               batch_format="pyarrow")
-    # repartition: the split map re-creates the zero-column hazard on
-    # empty splits, and this feeds a join
-    unverified = cand.map_batches(
-        lambda t: split(t, False), batch_format="pyarrow"
-    ).repartition(_PAIR_PARTITIONS)
-    verified = _join_pair_payloads(
-        unverified, ds, id_col, text_col
-    ).map_batches(
-        PairJaccardVerifier(ngram, shingle, jaccard_threshold),
-        batch_format="pyarrow",
-    )
+    verifier = PairJaccardVerifier(ngram, shingle, jaccard_threshold)
+
+    if n_cand <= _TASK_VERIFY_PAIR_LIMIT:
+        # single-task verify: ids (only) come back for the broadcast
+        # text filter; texts flow storage -> one worker, never the driver
+        from .join import semi_join
+
+        unv = cand.map_batches(lambda t: split(t, False),
+                               batch_format="pyarrow").materialize()
+        unv_ids = unv.to_pandas()
+        ids = pd.concat([unv_ids["id_a"], unv_ids["id_b"]
+                         ]).drop_duplicates().tolist()
+        sub = semi_join(ds.select_columns([id_col, text_col]), ids, id_col
+                        ).map_batches(
+            lambda t: t.rename_columns(["_vid", "_vtext"]),
+            batch_format="pyarrow",
+        ).materialize()
+        pair_refs = [r for bun in unv.iter_internal_ref_bundles()
+                     for r, _m in bun.blocks]
+        text_refs = [r for bun in sub.iter_internal_ref_bundles()
+                     for r, _m in bun.blocks]
+        verified = ray.data.from_arrow_refs([
+            _verify_pairs_task.remote(verifier, len(pair_refs),
+                                      *pair_refs, *text_refs)
+        ])
+    else:
+        # scale path: repartition (the split map re-creates the
+        # zero-column hazard on empty splits, and this feeds a join),
+        # hash-join texts onto pairs, verify per batch
+        unverified = cand.map_batches(
+            lambda t: split(t, False), batch_format="pyarrow"
+        ).repartition(_PAIR_PARTITIONS)
+        verified = _join_pair_payloads(
+            unverified, ds, id_col, text_col
+        ).map_batches(verifier, batch_format="pyarrow")
     return cluster_and_drop(direct.union(verified), ds, id_col)
 
 
@@ -663,19 +761,30 @@ def simhash_dedup(
     )
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"id_a": [], "id_b": []}
-        for _, bucket in g.groupby(["band_id", "band_hash"], sort=False):
-            sub = bucket.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = sub["doc_id"].tolist()
-            fps = sub["simhash"].tolist()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if hamming64(fps[i], fps[j]) <= max_hamming:
-                        out["id_a"].append(ids[i])
-                        out["id_b"].append(ids[j])
-        return pd.DataFrame(out, dtype=object)
+        """Vectorized: per-bucket self-merge (C-level) then one XOR +
+        unpackbits popcount over every candidate pair at once."""
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                              "id_b": pd.Series([], dtype=object)})
+        if not len(g):
+            return empty
+        key = ["band_id", "band_hash"]
+        g = g.drop_duplicates([*key, "doc_id"])[[*key, "doc_id", "simhash"]]
+        m = g.merge(g, on=key)
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return empty
+        x = (m["simhash_x"].to_numpy(np.uint64)
+             ^ m["simhash_y"].to_numpy(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(m), 8 * 8).sum(axis=1)
+        keep = ham <= max_hamming
+        out = pd.DataFrame({"id_a": m["doc_id_x"].to_numpy()[keep],
+                            "id_b": m["doc_id_y"].to_numpy()[keep]})
+        return out.drop_duplicates() if len(out) else empty
 
-    pairs = _bucketed_pairs(sig, shard_pairs)
+    pairs, _ = _bucketed_pairs(
+        sig, shard_pairs,
+        local_dedupe=lambda df: df.drop_duplicates(["id_a", "id_b"]),
+    )
     return cluster_and_drop(pairs, ds, id_col)
 
 
@@ -805,6 +914,17 @@ def embedding_dedup(
             out["id_a"].extend(ids[i[hit]])
             out["id_b"].extend(ids[j[hit]])
         return pd.DataFrame(out, dtype=object)
+
+    # single-task fast path mirrors _bucketed_pairs, with a lower row
+    # cutoff because each row carries the full vector
+    lsh = lsh.materialize()
+    if lsh.count() <= 200_000:
+        refs = [ref for bundle in lsh.iter_internal_ref_bundles()
+                for ref, _meta in bundle.blocks]
+        verified = ray.data.from_arrow_refs(
+            [_single_task_pairs.remote(bucket_verified_pairs, None, *refs)]
+        )
+        return cluster_and_drop(verified, ds, id_col)
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         df["_bshard"] = (

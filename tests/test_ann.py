@@ -73,3 +73,26 @@ def test_train_centroids_deterministic(vectors):
     c1 = train_centroids(embs, nlist=8, seed=5)
     c2 = train_centroids(embs, nlist=8, seed=5)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_ivf_recall_on_sf001_embeddings():
+    """Quality pin on the real testdata: IVF with the query wrapper's
+    own parameters (nlist=16, nprobe=10) must reach recall@10 >= 0.9
+    against brute force on the sf0.01 embeddings table."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf, "embeddings.parquet")):
+        pytest.skip("testdata sf0.01 not present")
+    ds = rd.read_parquet(os.path.join(sf, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    head = ds.take(5)
+    queries = np.asarray([r["embedding"] for r in head], dtype=np.float64)
+    exact = ann_brute_force(ds, queries, k=10)
+    approx = ann_ivf(ds, queries, k=10, nlist=16, nprobe=10)
+    recalls = []
+    for qi in range(len(queries)):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls

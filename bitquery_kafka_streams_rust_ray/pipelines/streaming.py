@@ -214,6 +214,10 @@ class StateShard:
         """Liveness probe for the health monitor."""
         return self.shard_id
 
+    def node_id(self) -> str:
+        """Placement introspection (multi-node spread assertions)."""
+        return ray.get_runtime_context().get_node_id()
+
     def close(self, watermark_us: int) -> tuple[list, list, int]:
         closed_windows = self.windows.close(watermark_us)
         closed_sessions = self.sessions.close(watermark_us)

@@ -820,15 +820,39 @@ def ngram_jaccard_pairs(
         )
 
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All-pairs pass with an EXACT size-ratio prune: J(A,B) <=
+        min(|A|,|B|)/max(|A|,|B|), so after sorting by shingle-set size
+        each doc only compares against the window of docs within
+        1/threshold of its size — no qualifying pair is ever skipped,
+        and for threshold 0.8 the quadratic work typically drops by an
+        order of magnitude."""
         g = g.sort_values(id_col)
         ids = g[id_col].tolist()
         shingle_sets = [char_ngrams(t or "", ngram) for t in g[text_col]]
+        sizes = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+        order = np.argsort(sizes, kind="stable")
         out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
+        # empty shingle sets are mutually jaccard 1.0 (and 0 vs any
+        # non-empty set) — handled apart from the ratio window
+        zeros = [int(p) for p in order if sizes[p] == 0]
+        for x in range(len(zeros)):
+            for y in range(x + 1, len(zeros)):
+                zi, zj = ids[zeros[x]], ids[zeros[y]]
+                a, b = (zi, zj) if zi <= zj else (zj, zi)
+                out.append((a, b, 1.0))
+        for a_pos in range(len(order)):
+            i = order[a_pos]
+            if sizes[i] == 0:
+                continue
+            max_size = sizes[i] / threshold
+            for b_pos in range(a_pos + 1, len(order)):
+                j = order[b_pos]
+                if sizes[j] > max_size:
+                    break  # sorted by size: nothing further qualifies
                 sim = jaccard(shingle_sets[i], shingle_sets[j])
                 if sim >= threshold:
-                    out.append((ids[i], ids[j], round(sim, 6)))
+                    a, b = (ids[i], ids[j]) if ids[i] <= ids[j] else (ids[j], ids[i])
+                    out.append((a, b, round(sim, 6)))
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
 
     pairs = (

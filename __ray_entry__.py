@@ -50,12 +50,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": q.priority_revenue,
         "asof_latest_order": q.asof_latest_order,
         "vip_events": q.vip_events,
-        # sort/top-k/distinct (§2.7)
+        # sort/top-k/distinct/sampling/set ops (§2.7)
         "topk_orders": q.topk_orders,
         "distinct_users": q.distinct_users,
+        "sample_events": q.sample_events,
+        "nation_presence": q.nation_presence,
+        "top3_orders_per_segment": q.top3_orders_per_segment,
+        "non_customer_events": q.non_customer_events,
         # scalar functions (§2.8, M8/M9)
         "string_funcs_part": q.string_funcs_part,
         "json_props_events": q.json_props_events,
+        # date/math/array scalar functions (§2.8)
+        "monthly_orders": q.monthly_orders,
+        "math_funcs_lineitem": q.math_funcs_lineitem,
+        "docs_by_lang": q.docs_by_lang,
         # nested struct/list columns end-to-end (§1.2)
         "nested_doc_words": q.nested_doc_words,
         # percentiles (A4)
@@ -197,6 +205,63 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "sample_events": """
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE (event_id * 2654435761) % 4294967296 < 214748364
+        """,
+        "nation_presence": """
+            SELECT nationkey,
+                   count(*) FILTER (is_cust = 1) AS n_cust,
+                   count(*) FILTER (is_cust = 0) AS n_supp
+            FROM (SELECT c_nationkey AS nationkey, 1 AS is_cust
+                  FROM customer
+                  UNION ALL
+                  SELECT s_nationkey, 0 FROM supplier)
+            GROUP BY nationkey
+        """,
+        "top3_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            QUALIFY row_number() OVER (
+                PARTITION BY c_mktsegment
+                ORDER BY o_totalprice DESC, o_orderkey) <= 3
+            ORDER BY c_mktsegment, o_orderkey
+        """,
+        "non_customer_events": """
+            SELECT event_id, user_id FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM customer
+                                  WHERE c_custkey % 2 = 0)
+            ORDER BY event_id
+        """,
+        "monthly_orders": """
+            SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+                   strftime(date_trunc('month', o_orderdate)::TIMESTAMP,
+                            '%Y-%m') AS month_label,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY month
+        """,
+        "math_funcs_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(abs(l_discount - 0.05::DOUBLE) * 10000.0, 0)
+                        AS BIGINT) AS disc_dev_bp,
+                   ceil(l_quantity) AS qty_ceil,
+                   floor(l_extendedprice / 100.0) AS price_bucket,
+                   CAST(floor(sqrt(l_extendedprice) * 10000.0) AS BIGINT)
+                       AS price_sqrt_4,
+                   CAST(floor(ln(l_extendedprice + 1.0) * 1000.0) AS BIGINT)
+                       AS price_ln_3,
+                   l_orderkey % 97 AS key_mod,
+                   l_linenumber::DOUBLE AS line_f
+            FROM lineitem
+        """,
+        "docs_by_lang": """
+            SELECT lang,
+                   array_to_string(list_sort(array_agg(doc_id)), ',')
+                       AS doc_ids,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "string_funcs_part": """
             SELECT p_partkey, lower(p_name) AS name_lower,

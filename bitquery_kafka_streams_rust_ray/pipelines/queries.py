@@ -573,6 +573,220 @@ def ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
     return ngram_jaccard_pairs(ds, threshold=0.8, block_col="lang")
 
 
+# --- §2.7 sampling / set ops / per-group top-k ---------------------------
+
+
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
+_SAMPLE_MOD = 1 << 32
+
+
+def sample_events(sf_dir: str, pct: int = 5) -> pd.DataFrame:
+    """Deterministic hash sample (§2.7 sampling): keep ``pct``% of rows by
+    a multiplicative hash of the key — reproducible across engines and
+    cluster layouts (unlike ``Dataset.random_sample``), pure arithmetic so
+    DuckDB computes the identical subset. Embarrassingly parallel: one
+    vectorized mask per batch, no shuffle."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    threshold = (_SAMPLE_MOD * pct) // 100
+
+    def mask(t: pa.Table) -> pa.Table:
+        h = pc.multiply(t["event_id"], pa.scalar(_SAMPLE_MULT, pa.int64()))
+        m = pa.scalar(_SAMPLE_MOD, pa.int64())
+        h = pc.subtract(h, pc.multiply(pc.divide(h, m), m))
+        return t.filter(pc.less(h, pa.scalar(threshold, pa.int64())))
+
+    return ds.map_batches(mask, batch_format="pyarrow").to_pandas()
+
+
+def nation_presence(sf_dir: str) -> pd.DataFrame:
+    """Set op via ``Dataset.union`` (§2.7): customers and suppliers tagged
+    and unioned, then per-nation membership counts. Partial counts are
+    combined per batch before the (tiny, one-key) groupby shuffle."""
+    cust = _t(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]).append_column(
+            "is_cust", pa.array([1] * len(t), pa.int64())),
+        batch_format="pyarrow")
+    supp = _t(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]).append_column(
+            "is_cust", pa.array([0] * len(t), pa.int64())),
+        batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("nationkey").aggregate([("is_cust", "sum"),
+                                               ([], "count_all")])
+        return pa.table({
+            "nationkey": g["nationkey"],
+            "n_cust": g["is_cust_sum"],
+            "n_supp": pc.subtract(g["count_all"], g["is_cust_sum"]),
+        })
+
+    out = (
+        cust.union(supp)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("n_cust", alias_name="n_cust"),
+                   Sum("n_supp", alias_name="n_supp"))
+        .to_pandas()
+    )
+    out["n_cust"] = out["n_cust"].astype("int64")
+    out["n_supp"] = out["n_supp"].astype("int64")
+    return out
+
+
+def top3_orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k (§2.7): broadcast the customer→segment map onto
+    orders, keep a per-batch partial top-3 per segment, then collapse the
+    tiny reduced set (≤ 3·segments·blocks rows) on the driver — the same
+    partial-top-k shape as ``ann_brute_force``, never a full sort."""
+    seg = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg = seg.rename(columns={"c_custkey": "o_custkey"})
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, seg, on="o_custkey", how="inner",
+                            concurrency=2)
+
+    def partial_top3(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True])
+        return df.groupby("c_mktsegment", sort=False).head(3)
+
+    reduced = joined.map_batches(partial_top3,
+                                 batch_format="pandas").to_pandas()
+    out = (
+        reduced.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True])
+        .groupby("c_mktsegment", sort=False).head(3)
+        .sort_values(["c_mktsegment", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    return out[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+
+def non_customer_events(sf_dir: str) -> pd.DataFrame:
+    """Distributed anti-join (§2.5): events whose user has no even-keyed
+    customer row (the testdata makes every user a customer, so the deny
+    side is the even half), via Ray's native hash-shuffle left-outer
+    join + null filter —
+    both sides stream, no driver materialization (contrast ``vip_events``
+    where the allow-list side is small enough to broadcast)."""
+    events = _t(sf_dir, "events", ["event_id", "user_id"])
+
+    def even_flagged(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"]
+        two = pa.scalar(2, pa.int64())
+        t = t.filter(pc.equal(
+            pc.subtract(k, pc.multiply(pc.divide(k, two), two)),
+            pa.scalar(0, pa.int64())))
+        return pa.table({
+            "user_id": t["c_custkey"],
+            "c_flag": pa.array([1] * len(t), pa.int64()),
+        })
+
+    cust = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        even_flagged, batch_format="pyarrow")
+    joined = hash_join(events, cust, on="user_id", how="left", buckets=16)
+    out = (
+        joined.map_batches(
+            lambda t: t.filter(pc.is_null(t["c_flag"]))
+                       .select(["event_id", "user_id"]),
+            batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# --- §2.8 date / math / array scalar functions ---------------------------
+
+
+def monthly_orders(sf_dir: str) -> pd.DataFrame:
+    """Date functions (§2.8 timestamp stringify, consumer.rs:289 analog):
+    calendar-month truncation + strftime label, partial counts per batch
+    before the groupby."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["o_orderdate"], unit="month")
+        return (
+            t.drop_columns(["o_orderdate"]).append_column("month", month)
+            .group_by("month")
+            .aggregate([("o_totalprice", "sum"), ([], "count_all")])
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("o_totalprice_sum", alias_name="total"),
+                   Sum("count_all", alias_name="n_orders"))
+        .to_pandas()
+    )
+    df["n_orders"] = df["n_orders"].astype("int64")
+    df = _round2(df, ["total"])
+    label = pc.strftime(pa.Array.from_pandas(df["month"]), format="%Y-%m")
+    df["month_label"] = label.to_pandas()
+    return df[["month", "month_label", "n_orders", "total"]]
+
+
+def math_funcs_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Math scalar functions (§2.8: abs/ceil/floor/sqrt/ln/round/modulo
+    and the events.rs:109-125 numeric-parse analog of int→float cast) as
+    one vectorized Arrow pass, no shuffle."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+             "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        # integer-space outputs: IEEE sqrt/divide are correctly rounded
+        # (bit-identical across engines), and scaled floor/round land on
+        # exact integers — so the cross-engine hash cannot pick up ULP
+        # noise the way round-to-4-decimals floats would
+        price = t["l_extendedprice"]
+        key = t["l_orderkey"]
+        m = pa.scalar(97, pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(
+            pc.abs(pc.subtract(t["l_discount"], pa.scalar(0.05))),
+            pa.scalar(10000.0))), pa.int64())
+        return pa.table({
+            "l_orderkey": key,
+            "l_linenumber": t["l_linenumber"],
+            "disc_dev_bp": bp,
+            "qty_ceil": pc.ceil(t["l_quantity"]),
+            "price_bucket": pc.floor(pc.divide(price, pa.scalar(100.0))),
+            "price_sqrt_4": pc.cast(
+                pc.floor(pc.multiply(pc.sqrt(price), pa.scalar(10000.0))),
+                pa.int64()),
+            "price_ln_3": pc.cast(
+                pc.floor(pc.multiply(pc.ln(pc.add(price, pa.scalar(1.0))),
+                                     pa.scalar(1000.0))), pa.int64()),
+            "key_mod": pc.subtract(key, pc.multiply(pc.divide(key, m), m)),
+            "line_f": pc.cast(t["l_linenumber"], pa.float64()),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow").to_pandas()
+
+
+def docs_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Array construction (§2.8 array functions / §1.2 repeated fields):
+    per-language sorted doc-id lists built inside ``map_groups`` — the
+    list column crosses the groupby shuffle as native Arrow
+    ``list<int64>``."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def collect(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"].tolist())
+        # the list itself crosses the shuffle; the hash-compared output
+        # column is its joined string form (stable across engines)
+        return pd.DataFrame({
+            "lang": [group["lang"].iloc[0]],
+            "doc_ids": [",".join(str(i) for i in ids)],
+            "n_docs": [len(ids)],
+        })
+
+    out = ds.groupby("lang").map_groups(collect,
+                                        batch_format="pandas").to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # --- streaming engine showcase (rows-only; pages aren't a DuckDB view) --
 
 

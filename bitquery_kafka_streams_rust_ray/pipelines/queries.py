@@ -26,7 +26,8 @@ from ..functions.text import TextAnalyzer
 from ..stages.ann import ann_brute_force
 from ..stages.dedup import exact_dedup, windowed_dedup
 from ..stages.hashing import shard_of
-from ..stages.join import broadcast_asof_join, broadcast_join, hash_join, semi_join
+from ..stages.join import (broadcast_asof_join, broadcast_join, hash_join,
+                           join_buckets, semi_join)
 from ..stages.neardup import embedding_dedup, minhash_dedup, simhash_dedup
 from ..stages.timeops import US, column_ts_us, series_ts_us, us_to_timestamp_array
 from ..stages.windows import session_window_agg, windowed_agg
@@ -37,6 +38,12 @@ HOUR_US = 3600 * US
 def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
                            columns=columns)
+
+
+def _tbytes(sf_dir: str, *names: str) -> int:
+    """On-disk bytes of the named tables — sizes hash-join buckets."""
+    return sum(os.path.getsize(os.path.join(sf_dir, f"{n}.parquet"))
+               for n in names)
 
 
 def _round2(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
@@ -247,7 +254,9 @@ def priority_revenue(sf_dir: str) -> pd.DataFrame:
         lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
         batch_format="pyarrow",
     )
-    joined = hash_join(li, orders, on="l_orderkey", buckets=16)
+    joined = hash_join(li, orders, on="l_orderkey",
+                       buckets=join_buckets(_tbytes(sf_dir, "lineitem",
+                                                    "orders")))
     out = (
         joined.groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
@@ -684,7 +693,9 @@ def non_customer_events(sf_dir: str) -> pd.DataFrame:
 
     cust = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
         even_flagged, batch_format="pyarrow")
-    joined = hash_join(events, cust, on="user_id", how="left", buckets=16)
+    joined = hash_join(events, cust, on="user_id", how="left",
+                       buckets=join_buckets(_tbytes(sf_dir, "events",
+                                                    "customer")))
     out = (
         joined.map_batches(
             lambda t: t.filter(pc.is_null(t["c_flag"]))

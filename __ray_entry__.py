@@ -71,6 +71,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "doc_stats": q.doc_stats,
         "text_analysis_documents": q.text_analysis_documents,
+        # training-data text ops: scrubbing / n-gram counts / stratified
+        "redact_documents": q.redact_documents,
+        "top_bigrams_documents": q.top_bigrams_documents,
+        "stratified_sample_events": q.stratified_sample_events,
         # near-dup family (training-data ops)
         "minhash_dedup_documents": q.minhash_dedup_documents,
         "simhash_dedup_documents": q.simhash_dedup_documents,
@@ -309,6 +313,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings e
                 WHERE q.vec_id < 5
             ) WHERE rank <= 10
+        """,
+        "redact_documents": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '\b(customer|spark|vector)\b',
+                                  '<SCRUBBED>', 'g') AS scrubbed,
+                   len(regexp_extract_all(text,
+                                          '\b(customer|spark|vector)\b'))
+                       AS n_hits
+            FROM documents ORDER BY doc_id
+        """,
+        "top_bigrams_documents": r"""
+            WITH toks AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            pairs AS (
+                SELECT w[i] || ' ' || w[i+1] AS bigram
+                FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+            )
+            SELECT bigram, count(*) AS n FROM pairs GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "stratified_sample_events": """
+            SELECT event_id, user_id, ts FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY (event_id * 2654435761) % 4294967296, event_id
+            ) <= 2
+            ORDER BY event_id
         """,
         # text_analysis_documents, minhash/simhash/embedding dedup,
         # multimodal_decode and streaming_flagship are intentionally

@@ -43,37 +43,49 @@ def bpe_token_count(text: str) -> int:
     return len(_BPE_RE.findall(text))
 
 
+_LANGS = sorted(STOPWORDS)
+_ALL_STOP = frozenset().union(*STOPWORDS.values())
+# word -> languages whose table contains it (precomputed: one dict hit
+# per word instead of 5 set probes in the per-language scoring loop)
+_WORD_LANGS: dict[str, tuple[str, ...]] = {
+    w: tuple(lang for lang in _LANGS if w in STOPWORDS[lang])
+    for w in _ALL_STOP
+}
+
+
+def _lang_from_words(words: list[str]) -> str:
+    """argmax over per-language stopword-hit fraction; deterministic
+    tie-break by language-code order via strict ``>``."""
+    if not words:
+        return ""
+    hits = dict.fromkeys(_LANGS, 0)
+    for w in words:
+        for lang in _WORD_LANGS.get(w, ()):
+            hits[lang] += 1
+    best_lang, best_score = "", 0
+    for lang in _LANGS:  # sorted order = deterministic tie-break
+        if hits[lang] > best_score:
+            best_lang, best_score = lang, hits[lang]
+    return best_lang
+
+
 def detect_lang(text: str) -> str:
     """Stopword-hit language ID; '' when nothing matches.
 
     Score per language = fraction of words that are that language's
     stopwords; argmax with deterministic tie-break by language code.
+    (The shared denominator len(words) never changes the argmax, so the
+    implementation compares raw hit counts.)
     """
-    words = [w.lower() for w in _WORD_RE.findall(text)]
-    if not words:
-        return ""
-    best_lang, best_score = "", 0.0
-    for lang in sorted(STOPWORDS):
-        table = STOPWORDS[lang]
-        score = sum(1 for w in words if w in table) / len(words)
-        if score > best_score:
-            best_lang, best_score = lang, score
-    return best_lang if best_score > 0.0 else ""
+    return _lang_from_words([w.lower() for w in _WORD_RE.findall(text)])
 
 
-def quality_score(text: str) -> float:
-    """Heuristic quality in [0, 1]: length, mean word length, punctuation
-    balance, stopword presence. Deterministic, pure."""
-    n = len(text)
-    if n == 0:
-        return 0.0
-    toks = tokens(text)
-    if not toks:
+def _quality_from_parts(n: int, toks: list[str], words: list[str],
+                        punct: int) -> float:
+    if n == 0 or not toks:
         return 0.0
     mean_len = sum(len(t) for t in toks) / len(toks)
-    punct = len(_PUNCT_RE.findall(text))
-    words = [w.lower() for w in _WORD_RE.findall(text)]
-    stop_hits = sum(1 for w in words if any(w in s for s in STOPWORDS.values()))
+    stop_hits = sum(1 for w in words if w in _ALL_STOP)
     stop_ratio = stop_hits / max(1, len(words))
     length_part = min(1.0, n / 500.0)
     wordlen_part = 1.0 - min(1.0, abs(mean_len - 5.0) / 5.0)
@@ -82,6 +94,28 @@ def quality_score(text: str) -> float:
     return round(
         0.3 * length_part + 0.2 * wordlen_part + 0.2 * punct_part + 0.3 * stop_part,
         6,
+    )
+
+
+def quality_score(text: str) -> float:
+    """Heuristic quality in [0, 1]: length, mean word length, punctuation
+    balance, stopword presence. Deterministic, pure."""
+    return _quality_from_parts(
+        len(text), tokens(text),
+        [w.lower() for w in _WORD_RE.findall(text)],
+        len(_PUNCT_RE.findall(text)),
+    )
+
+
+def analyze_text(text: str) -> tuple[str, float]:
+    """One-pass (lang_id, quality) — tokenizes once instead of the
+    2-3 redundant scans the separate functions cost per document.
+    Bit-identical to (detect_lang(text), quality_score(text))."""
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    return (
+        _lang_from_words(words),
+        _quality_from_parts(len(text), tokens(text), words,
+                            len(_PUNCT_RE.findall(text))),
     )
 
 
@@ -140,12 +174,13 @@ class TextAnalyzer:
             pc.cast(pc.count_substring_regex(col, _BPE_RE.pattern),
                     pa.int64()),
         )
+        analyzed = [analyze_text(t) for t in texts]  # one scan per doc
         batch = batch.append_column(
-            "lang_id", pa.array([detect_lang(t) for t in texts], type=pa.string())
+            "lang_id", pa.array([a[0] for a in analyzed], type=pa.string())
         )
         batch = batch.append_column(
             "quality",
-            pa.array([quality_score(t) for t in texts], type=pa.float64()),
+            pa.array([a[1] for a in analyzed], type=pa.float64()),
         )
         if self.fingerprint:
             batch = batch.append_column(

@@ -798,6 +798,104 @@ def docs_by_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+# --- training-data text ops: scrubbing / n-gram counts / stratified ------
+
+_SCRUB_PATTERN = r"\b(customer|spark|vector)\b"
+_SCRUB_TOKEN = "<SCRUBBED>"
+
+
+def redact_documents(sf_dir: str) -> pd.DataFrame:
+    """PII-style pattern scrubbing: vectorized re2 ``replace_substring
+    _regex`` over the corpus plus a per-doc hit count (the audit trail a
+    redaction pass must emit). Pure map — no shuffle; both this and the
+    DuckDB oracle run RE2, so the dialect matches exactly. On real data
+    the pattern set is emails/phones/SSNs; the fixture corpus has no
+    digits, so the test pattern scrubs known word tokens instead."""
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "scrubbed": pc.replace_substring_regex(
+                text, _SCRUB_PATTERN, _SCRUB_TOKEN),
+            "n_hits": pc.cast(
+                pc.count_substring_regex(text, _SCRUB_PATTERN), pa.int64()),
+        })
+
+    out = (_t(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(scrub, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def top_bigrams_documents(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-level n-gram statistics (the language-model-style count
+    every data-quality pipeline wants): token bigram counts with the
+    classic two-level shape — a per-batch ``Counter`` partial collapses
+    each batch to its distinct bigrams BEFORE the shuffle, the
+    ``groupby(bigram).sum`` only moves (bigram, partial_count) rows, and
+    a per-block partial top-k bounds what the driver merges to
+    k·blocks rows. Whitespace tokenization matches the oracle's
+    ``regexp_split_to_array(trim(text), '\\s+')``."""
+    from collections import Counter
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in t["text"].to_pylist():
+            toks = (text or "").split()
+            counts.update(zip(toks, toks[1:]))
+        return pa.table({
+            "bigram": pa.array([f"{a} {b}" for a, b in counts],
+                               type=pa.string()),
+            "n": pa.array(list(counts.values()), type=pa.int64()),
+        })
+
+    totals = (_t(sf_dir, "documents", ["text"])
+              .map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("bigram").aggregate(Sum("n", alias_name="n")))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bigram"],
+                              ascending=[False, True]).head(k)
+
+    reduced = totals.map_batches(partial_topk,
+                                 batch_format="pandas").to_pandas()
+    out = (reduced.sort_values(["n", "bigram"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def stratified_sample_events(sf_dir: str, per_user: int = 2) -> pd.DataFrame:
+    """Stratified (per-group) deterministic sampling: keep ``per_user``
+    events per user, chosen by a multiplicative hash of the event id —
+    engine-agnostic (any engine computing the same hash keeps the same
+    rows, no RNG state to coordinate across workers). Same partial
+    top-k shape as ``top3_orders_per_segment``: each batch keeps at most
+    ``per_user`` rows per user, the driver merge sees ≤ per_user·users·
+    blocks rows — output-sized, never input-sized."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply_checked(
+                pc.cast(t["event_id"], pa.uint64()),
+                pa.scalar(2654435761, type=pa.uint64())),
+            pa.scalar((1 << 32) - 1, type=pa.uint64()))
+        return t.append_column("_h", pc.cast(h, pa.int64()))
+
+    ds = (_t(sf_dir, "events", ["event_id", "user_id", "ts"])
+          .map_batches(add_hash, batch_format="pyarrow"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", "event_id"])
+        return df.groupby("user_id", sort=False).head(per_user)
+
+    reduced = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (reduced.sort_values(["_h", "event_id"])
+           .groupby("user_id", sort=False).head(per_user)
+           .sort_values("event_id").reset_index(drop=True))
+    return out[["event_id", "user_id", "ts"]]
+
+
 # --- streaming engine showcase (rows-only; pages aren't a DuckDB view) --
 
 

@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_doc_words": q.nested_doc_words,
         # percentiles (A4)
         "percentiles_events": q.percentiles_events,
+        # mergeable sketches (scale path; approximate -> rows-only)
+        "approx_distinct_users": q.approx_distinct_users,
+        "approx_percentiles_events": q.approx_percentiles_events,
         # text analysis
         "doc_stats": q.doc_stats,
         "text_analysis_documents": q.text_analysis_documents,

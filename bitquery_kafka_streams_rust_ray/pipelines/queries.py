@@ -798,6 +798,34 @@ def docs_by_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+# --- mergeable sketches: the 100 TB path for distinct/quantiles ----------
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct users per event type (rows-only for the
+    driver — approximate by construction; accuracy vs the exact
+    operator is pinned by ``tests/test_sketches.py`` at <2% error).
+    The exchange moves one 16 KiB sketch per (group, block) instead of
+    every distinct user id."""
+    from ..stages.sketches import hll_distinct
+
+    return hll_distinct(
+        _t(sf_dir, "events", ["event_type", "user_id"]),
+        group_col="event_type", value_col="user_id")
+
+
+def approx_percentiles_events(sf_dir: str) -> pd.DataFrame:
+    """Mergeable fixed-width-histogram quantiles per event type
+    (rows-only; error ≤ one bin width = range/4096, pinned by
+    ``tests/test_sketches.py``). Companion scale path to the exact
+    ``percentiles_events``."""
+    from ..stages.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(sf_dir, "events", ["event_type", "value"]),
+        group_col="event_type", value_col="value")
+
+
 # --- training-data text ops: scrubbing / n-gram counts / stratified ------
 
 _SCRUB_PATTERN = r"\b(customer|spark|vector)\b"

@@ -1,0 +1,220 @@
+"""Mergeable sketches — the 100 TB path for distinct counts and
+quantiles.
+
+The exact operators (``distinct_users``: groupby + set union;
+``percentiles_events``: per-group exact quantiles) move every distinct
+value / every row through a shuffle. At 100 TB that's the dominant
+exchange. The sketch variants keep the classic two-level shape the rest
+of this engine uses — a per-batch PARTIAL that collapses each block to a
+constant-size summary before the shuffle, then a per-group MERGE of
+summaries — so the exchange volume is ``groups × sketch_size``
+regardless of row count.
+
+- :func:`hll_distinct` — HyperLogLog (Flajolet et al. 2007, the
+  public-domain algorithm) with ``2**p`` one-byte registers; standard
+  error ≈ 1.04/sqrt(2**p) (p=14 → ~0.8%). Registers merge by
+  elementwise max, so partials combine associatively in any order /
+  any cluster size.
+- :func:`histogram_quantiles` — fixed-width histogram quantiles: pass 1
+  is a cheap exact min/max aggregate per group (tiny result), pass 2
+  bins every value into ``bins`` counts per group (np.bincount per
+  batch), partial histograms add elementwise, and the quantile is read
+  off the cumulative histogram. Error is bounded by one bin width of
+  the group's range; deterministic by construction (no sampling).
+
+Both emit their partial as a ``binary`` column riding a normal Ray Data
+``groupby``; nothing driver-side grows with the data.
+
+Reference parity note: the reference's only approximate structure is
+the simulated health throughput EWMA (src/observability/health.rs) —
+these sketches are north-rule additions for the training-data axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Max, Min
+
+
+# --- shared 64-bit mix (splitmix64 — public-domain constant mix) --------
+
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+_SM_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uniform uint64 from uint64."""
+    with np.errstate(over="ignore"):
+        z = x + _SM_GOLDEN
+        z = (z ^ (z >> np.uint64(30))) * _SM_C1
+        z = (z ^ (z >> np.uint64(27))) * _SM_C2
+        return z ^ (z >> np.uint64(31))
+
+
+def _hash_column(values: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint64 hash of an arbitrary column, deterministic across
+    processes (ints go through splitmix64; strings through the pinned
+    SipHash in stages.hashing)."""
+    from .hashing import hash_strings
+
+    if pa.types.is_integer(values.type):
+        raw = values.cast(pa.uint64()).to_numpy(zero_copy_only=False)
+        return _splitmix64(np.ascontiguousarray(raw, dtype=np.uint64))
+    return _splitmix64(
+        hash_strings(values.to_numpy(zero_copy_only=False)))
+
+
+# --- HyperLogLog --------------------------------------------------------
+
+
+def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """Dense register array from uint64 hashes: index = top p bits,
+    register = 1 + leading-zero count of the remaining 64-p bits."""
+    m = 1 << p
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = (hashes << np.uint64(p)) | np.uint64((1 << p) - 1)
+    # leading zeros of `rest` via bit length: lz = 64 - bit_length
+    bl = np.zeros_like(rest, dtype=np.int64)
+    v = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        v[big] >>= np.uint64(shift)
+    bl[v > 0] += 1
+    rho = (64 - p - (bl - p)) + 1  # lz within the (64-p)-bit suffix + 1
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting)
+    correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = float(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting
+    return est
+
+
+def hll_distinct(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    p: int = 14,
+    out_col: str = "approx_distinct",
+) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT value) per group.
+
+    Per-batch partial: one ``2**p``-byte register array per group in
+    the batch (constant size, independent of batch rows). Shuffle
+    moves ``groups × blocks`` sketch rows; per-group merge is
+    elementwise max. Exchange volume at 100 TB: ``groups × 16 KiB``
+    per block — vs the exact operator's every-distinct-value."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        hashes = _hash_column(t[value_col])
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        out_g, out_s = [], []
+        for g in np.unique(groups):
+            regs = _hll_registers(hashes[groups == g], p)
+            out_g.append(g)
+            out_s.append(regs.tobytes())
+        return pa.table({group_col: pa.array(out_g),
+                         "_sketch": pa.array(out_s, type=pa.binary())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for blob in df["_sketch"]:
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
+        return pd.DataFrame({
+            group_col: [df[group_col].iloc[0]],
+            out_col: [int(round(_hll_estimate(regs)))],
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col)
+           .map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    out[out_col] = out[out_col].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+# --- fixed-width histogram quantiles ------------------------------------
+
+
+def histogram_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99),
+    bins: int = 4096,
+) -> pd.DataFrame:
+    """Approximate per-group quantiles via mergeable fixed-width
+    histograms. Two passes over the data (both streaming):
+
+    1. exact per-group min/max (native Ray aggregate — tiny result,
+       broadcast back to the binning stage);
+    2. per-batch ``np.bincount`` into ``bins`` buckets per group →
+       groupby merges histograms by elementwise add → quantile read
+       from the cumulative histogram (lower bin edge, matching
+       ``quantile_disc``'s lower-value convention within resolution).
+
+    Max error per estimate = one bin width = group_range / bins.
+    Deterministic: no sampling anywhere."""
+    import ray
+
+    ranges = (ds.groupby(group_col)
+              .aggregate(Min(value_col, alias_name="_lo"),
+                         Max(value_col, alias_name="_hi"))
+              .to_pandas())
+    lo = dict(zip(ranges[group_col], ranges["_lo"]))
+    hi = dict(zip(ranges[group_col], ranges["_hi"]))
+    ranges_ref = ray.put((lo, hi))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lo_m, hi_m = ray.get(ranges_ref)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        out_g, out_h = [], []
+        for g in np.unique(groups):
+            v = vals[groups == g]
+            glo, ghi = float(lo_m[g]), float(hi_m[g])
+            width = (ghi - glo) or 1.0
+            idx = np.minimum(
+                ((v - glo) / width * bins).astype(np.int64), bins - 1)
+            out_g.append(g)
+            out_h.append(np.bincount(idx, minlength=bins)
+                         .astype(np.int64).tobytes())
+        return pa.table({group_col: pa.array(out_g),
+                         "_hist": pa.array(out_h, type=pa.binary())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_col].iloc[0]
+        hist = np.zeros(bins, dtype=np.int64)
+        for blob in df["_hist"]:
+            hist += np.frombuffer(blob, dtype=np.int64)
+        glo, ghi = float(lo[g]), float(hi[g])
+        width = (ghi - glo) or 1.0
+        cum = np.cumsum(hist)
+        total = cum[-1]
+        row: dict = {group_col: g}
+        for qv in quantiles:
+            target = int(np.ceil(qv * total))
+            b = int(np.searchsorted(cum, max(target, 1)))
+            row[f"p{int(qv * 100)}"] = glo + b * (width / bins)
+        return pd.DataFrame([row])
+
+    # lo/hi captured by closure for merge (runs distributed via
+    # map_groups; the dict is groups-sized, i.e. output-sized)
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col)
+           .map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -1,0 +1,92 @@
+"""Accuracy + merge-invariance pins for the mergeable sketches
+(stages/sketches.py) — the scale path for COUNT(DISTINCT) and
+quantiles. The driver records these queries rows-only (approximate by
+construction); these tests ARE their oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from bitquery_kafka_streams_rust_ray.stages.sketches import (
+    _hash_column,
+    _hll_estimate,
+    _hll_registers,
+    histogram_quantiles,
+    hll_distinct,
+)
+
+SF = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_hll_registers_basics():
+    # identical inputs -> identical registers (determinism), and a
+    # single hash sets exactly one register
+    h = _hash_column(pa.array([42], type=pa.int64()))
+    r1, r2 = _hll_registers(h, 14), _hll_registers(h, 14)
+    assert np.array_equal(r1, r2)
+    assert np.count_nonzero(r1) == 1
+
+
+def test_hll_estimate_accuracy_pure():
+    # pure-numpy path: 100k distinct uint64s -> within 2% at p=14
+    rng = np.random.default_rng(7)
+    hashes = _hash_column(pa.array(rng.choice(10**9, 100_000, replace=False)))
+    est = _hll_estimate(_hll_registers(hashes, 14))
+    assert abs(est - 100_000) / 100_000 < 0.02
+
+
+def test_hll_merge_invariance():
+    # registers merged from two halves == registers of the whole
+    vals = pa.array(np.arange(50_000, dtype=np.int64))
+    h = _hash_column(vals)
+    whole = _hll_registers(h, 12)
+    merged = np.maximum(_hll_registers(h[:25_000], 12),
+                        _hll_registers(h[25_000:], 12))
+    assert np.array_equal(whole, merged)
+
+
+def test_hll_distinct_vs_exact():
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["event_type", "user_id"])
+    got = hll_distinct(ds, "event_type", "user_id")
+    exact = duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS n "
+        f"FROM '{SF}/events.parquet' GROUP BY event_type ORDER BY event_type"
+    ).df()
+    merged = got.merge(exact, on="event_type")
+    assert len(merged) == len(exact)
+    rel = (merged["approx_distinct"] - merged["n"]).abs() / merged["n"]
+    assert (rel < 0.02).all(), merged
+
+
+def test_histogram_quantiles_vs_exact():
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["event_type", "value"])
+    got = histogram_quantiles(ds, "event_type", "value")
+    exact = duckdb.sql(
+        f"SELECT event_type, min(value) AS lo, max(value) AS hi, "
+        f"quantile_disc(value, 0.50) AS p50, quantile_disc(value, 0.90) AS p90, "
+        f"quantile_disc(value, 0.95) AS p95, quantile_disc(value, 0.99) AS p99 "
+        f"FROM '{SF}/events.parquet' GROUP BY event_type ORDER BY event_type"
+    ).df()
+    merged = got.merge(exact, on="event_type", suffixes=("_est", "_ex"))
+    assert len(merged) == len(exact)
+    for p in ["p50", "p90", "p95", "p99"]:
+        bin_width = (merged["hi"] - merged["lo"]) / 4096
+        err = (merged[f"{p}_est"] - merged[f"{p}_ex"]).abs()
+        assert (err <= bin_width + 1e-9).all(), (p, merged)
+
+
+def test_histogram_quantiles_determinism_across_block_layouts():
+    # same rows, different block structure -> byte-identical estimates
+    ds1 = ray.data.read_parquet(f"{SF}/events.parquet",
+                                columns=["event_type", "value"])
+    ds2 = ds1.repartition(13)
+    a = histogram_quantiles(ds1, "event_type", "value")
+    b = histogram_quantiles(ds2, "event_type", "value")
+    pd.testing.assert_frame_equal(a, b)

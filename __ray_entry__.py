@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": q.ann_topk,
         "ann_ivf_topk": q.ann_ivf_topk,
+        # distributed iterative clustering (rows-only: not ANSI SQL)
+        "kmeans_embeddings": q.kmeans_embeddings_query,
         "ngram_jaccard_documents": q.ngram_jaccard_documents,
         # multimodal plumbing (stubbed codecs)
         "multimodal_decode": q.multimodal_decode,

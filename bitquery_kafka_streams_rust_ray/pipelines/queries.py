@@ -826,6 +826,16 @@ def approx_percentiles_events(sf_dir: str) -> pd.DataFrame:
         group_col="event_type", value_col="value")
 
 
+def kmeans_embeddings_query(sf_dir: str) -> pd.DataFrame:
+    """Full-data distributed Lloyd's k-means over the embeddings table
+    (rows-only: iterative, not ANSI SQL; layout-invariance and
+    convergence pinned by ``tests/test_cluster.py``)."""
+    from ..stages.cluster import kmeans_embeddings
+
+    return kmeans_embeddings(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
 # --- training-data text ops: scrubbing / n-gram counts / stratified ------
 
 _SCRUB_PATTERN = r"\b(customer|spark|vector)\b"

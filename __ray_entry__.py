@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_documents": q.ngram_jaccard_documents,
         # multimodal plumbing (stubbed codecs)
         "multimodal_decode": q.multimodal_decode,
+        "multimodal_frames": q.multimodal_frames,
+        "multimodal_audio": q.multimodal_audio,
         # the streaming engine end-to-end
         "streaming_flagship": q.streaming_flagship,
     }

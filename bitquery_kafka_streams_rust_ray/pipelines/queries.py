@@ -959,6 +959,54 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def multimodal_frames(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sample plumbing (rows-only): each fake video row
+    flat-maps into frame rows whose payloads feed the image decoder —
+    the compose-the-stages path a real frame-dedup pipeline takes.
+    Keys derive from nation rows so the driver fixture is tiny."""
+    from ..stages.multimodal import (DecodeImageStage, FrameSampleStage,
+                                     fake_video)
+
+    keys = _t(sf_dir, "nation", ["n_nationkey"]).to_pandas()[
+        "n_nationkey"].tolist()
+    rows = [
+        {"vid_id": int(k),
+         "video": fake_video(8 + k % 4, 6 + k % 3, n_frames=12 + k % 9,
+                             seed=int(k))}
+        for k in keys
+    ]
+    frames = rd.from_items(rows).map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"every": 5},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 2),
+    )
+    out = frames.map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"image_col": "frame"},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 2),
+    ).to_pandas()
+    return (out.sort_values(["vid_id", "frame_idx"])
+            .reset_index(drop=True))
+
+
+def multimodal_audio(sf_dir: str) -> pd.DataFrame:
+    """Audio feature-extract plumbing (rows-only): deterministic fake
+    PCM containers -> (sample_rate, n_samples, duration_s, rms)."""
+    from ..stages.multimodal import AudioFeatureStage, fake_audio
+
+    keys = _t(sf_dir, "region", ["r_regionkey"]).to_pandas()[
+        "r_regionkey"].tolist()
+    rows = [
+        {"aud_id": int(k),
+         "audio": fake_audio(8000 + 100 * (k % 5), 4000 + 321 * k,
+                             seed=int(k))}
+        for k in keys
+    ]
+    out = rd.from_items(rows).map_batches(
+        AudioFeatureStage, fn_constructor_kwargs={"audio_col": "audio"},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
+    ).to_pandas()
+    return out.sort_values("aud_id").reset_index(drop=True)
+
+
 def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Image-decode plumbing over deterministic fake containers derived
     from part keys (rows-only; no real codecs in this container)."""

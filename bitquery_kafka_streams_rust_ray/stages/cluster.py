@@ -39,33 +39,31 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class _AssignPartial:
+def _assign_partial(batch: pa.Table, centroids_ref: ray.ObjectRef,
+                    emb_col: str) -> pa.Table:
     """One Lloyd assignment pass: per-block (centroid, int-scaled sum,
-    count) partials."""
-
-    def __init__(self, centroids_ref: ray.ObjectRef, emb_col: str):
-        self.centroids = np.asarray(ray.get(centroids_ref),
-                                    dtype=np.float64)
-        self.emb_col = emb_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = _normalize(np.asarray(batch[self.emb_col].to_pylist(),
-                                     dtype=np.float64))
-        # nearest centroid by cosine; ties -> lowest index (argmax)
-        assign = (embs @ self.centroids.T).argmax(axis=1)
-        scaled = np.round(embs * _SCALE).astype(np.int64)
-        ks, sums, counts = [], [], []
-        for c in np.unique(assign):
-            member = scaled[assign == c]
-            ks.append(int(c))
-            sums.append(member.sum(axis=0))
-            counts.append(len(member))
-        return pa.table({
-            "cluster_id": pa.array(ks, type=pa.int64()),
-            "vec_sum": pa.array([s.tolist() for s in sums],
-                                type=pa.list_(pa.int64())),
-            "n": pa.array(counts, type=pa.int64()),
-        })
+    count) partials. A plain task fn, not an actor class — the only
+    per-task state is the centroid matrix, which ``ray.get`` reads
+    zero-copy from the local object store, so an actor pool would add
+    per-iteration spin-up for nothing."""
+    centroids = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+    embs = _normalize(np.asarray(batch[emb_col].to_pylist(),
+                                 dtype=np.float64))
+    # nearest centroid by cosine; ties -> lowest index (argmax)
+    assign = (embs @ centroids.T).argmax(axis=1)
+    scaled = np.round(embs * _SCALE).astype(np.int64)
+    ks, sums, counts = [], [], []
+    for c in np.unique(assign):
+        member = scaled[assign == c]
+        ks.append(int(c))
+        sums.append(member.sum(axis=0))
+        counts.append(len(member))
+    return pa.table({
+        "cluster_id": pa.array(ks, type=pa.int64()),
+        "vec_sum": pa.array([s.tolist() for s in sums],
+                            type=pa.list_(pa.int64())),
+        "n": pa.array(counts, type=pa.int64()),
+    })
 
 
 def kmeans_embeddings(
@@ -92,9 +90,9 @@ def kmeans_embeddings(
     for _ in range(iters):
         ref = ray.put(centroids)
         partials = ds.map_batches(
-            _AssignPartial, fn_constructor_kwargs={
-                "centroids_ref": ref, "emb_col": emb_col},
-            batch_format="pyarrow", concurrency=(1, 8),
+            _assign_partial,
+            fn_kwargs={"centroids_ref": ref, "emb_col": emb_col},
+            batch_format="pyarrow",
         ).to_pandas()
         # driver fold: k rows of integer sums — tiny and exact
         folded = {}

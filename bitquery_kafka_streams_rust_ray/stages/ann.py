@@ -165,7 +165,13 @@ def ann_ivf(
 ) -> pd.DataFrame:
     """IVF-approximate cosine top-k per query (same output shape as
     brute force; recall < 1.0 by construction when nprobe < nlist)."""
-    sample_rows = ds.select_columns([emb_col]).limit(train_sample).to_pandas()
+    # NOT ds.limit(): limit's row set depends on block completion order,
+    # which varies run to run — centroids (and therefore recall) would
+    # silently drift. The hash-keyed sample is a pure function of ids.
+    from .hashing import deterministic_sample
+
+    sample_rows = deterministic_sample(ds, id_col, train_sample,
+                                       columns=[id_col, emb_col])
     centroids = train_centroids(
         np.asarray(sample_rows[emb_col].tolist(), dtype=np.float64),
         nlist, seed,

@@ -69,6 +69,7 @@ def _assign_partial(batch: pa.Table, centroids_ref: ray.ObjectRef,
 def kmeans_embeddings(
     ds: ray.data.Dataset,
     emb_col: str = "embedding",
+    id_col: str = "vec_id",
     k: int = 16,
     iters: int = 8,
     seed: int = 5,
@@ -76,10 +77,14 @@ def kmeans_embeddings(
     """Full-data Lloyd's k-means; returns per-cluster sizes and the
     integer-scaled centroid checksum (a compact deterministic signature
     of the fit, stable across block layouts and cluster sizes)."""
+    from .hashing import deterministic_sample
+
     ds = ds.materialize()  # iterative: pay the read once
 
-    # deterministic init: seeded sample of the first block's vectors
-    first = ds.limit(max(k * 8, 256)).to_pandas()
+    # deterministic init: hash-keyed sample (NOT ds.limit(), whose row
+    # set depends on block completion order run to run)
+    first = deterministic_sample(ds, id_col, max(k * 8, 256),
+                                 columns=[id_col, emb_col])
     init = _normalize(np.asarray(first[emb_col].tolist(),
                                  dtype=np.float64))
     rng = np.random.default_rng(seed)

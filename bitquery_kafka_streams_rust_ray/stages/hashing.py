@@ -32,3 +32,37 @@ def add_shard_column(
     """map_batches helper: append the shard id of ``key_col``."""
     keys = batch[key_col].to_numpy(zero_copy_only=False)
     return batch.append_column(out_col, pa.array(shard_of(keys, shards)))
+
+
+def deterministic_sample(
+    ds, id_col: str, n: int, columns: list[str] | None = None
+):
+    """Layout-independent n-row sample of a Dataset as pandas.
+
+    ``Dataset.limit(n)`` is NOT stable across runs: which rows arrive
+    first depends on block completion order, so any model trained on a
+    ``limit`` sample (IVF centroids, k-means init) silently varies run
+    to run. This sampler keys each row by a multiplicative hash of
+    ``id_col`` and keeps the globally smallest ``n`` — a uniform-ish
+    pseudo-random subset that is a pure function of the ids: same input
+    rows -> same sample, regardless of block layout, cluster size, or
+    scheduling. Per-batch partial bottom-n keeps the driver merge
+    output-sized.
+    """
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        if np.issubdtype(ids.dtype, np.integer):
+            h = (ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(
+                0xFFFFFFFF)
+        else:
+            h = hash_strings(ids)
+        df = df.assign(_h=h.astype(np.uint64))
+        return df.nsmallest(min(n, len(df)), ["_h", id_col])
+
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    reduced = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = reduced.nsmallest(min(n, len(reduced)), ["_h", id_col])
+    return out.drop(columns=["_h"]).reset_index(drop=True)

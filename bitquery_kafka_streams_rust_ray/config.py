@@ -74,6 +74,11 @@ class EngineConfig:
     sink_breaker_threshold: int = 3  # consecutive failed sink commits that
     sink_breaker_reset_s: float = 30.0  # open the sink circuit / its reset
 
+    # --- observability ---
+    http_port: int | None = None     # serve /health /ready /live /metrics
+    # /version on 127.0.0.1:<port> for the duration of run() (0 =
+    # ephemeral port; http_server.rs:41-87 analog). None = no listener.
+
     # --- filter defaults (F4 analog: weight x text_len >= threshold) ---
     min_text_len: int = 0
     min_weighted_len: float = 0.0

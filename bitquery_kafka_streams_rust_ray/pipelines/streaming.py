@@ -609,6 +609,23 @@ class StreamingPagesPipeline:
     # --- main loop -------------------------------------------------------
     def run(self, resume: bool = True, drain: bool = True) -> dict:
         cfg = self.cfg
+        if cfg.http_port is not None:
+            # probe surface for the duration of the run
+            # (http_server.rs:41-87); ephemeral port lands in
+            # self.http_server.port
+            from ..observability.http_server import ObservabilityServer
+
+            self.http_server = ObservabilityServer(
+                self.health, self.metrics, port=cfg.http_port,
+                version="2").start()
+            try:
+                return self._run_inner(resume=resume, drain=drain)
+            finally:
+                self.http_server.stop()
+        return self._run_inner(resume=resume, drain=drain)
+
+    def _run_inner(self, resume: bool, drain: bool) -> dict:
+        cfg = self.cfg
         # SPREAD: on a multi-node cluster the K num_cpus=0 state actors
         # must land on distinct nodes (default packing would co-locate
         # them on the head node, making finalize K-way on one box).

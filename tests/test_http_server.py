@@ -1,0 +1,137 @@
+"""HTTP observability endpoints (http_server.rs analog): status-code
+semantics per handler, Prometheus exposition, and clean shutdown."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from bitquery_kafka_streams_rust_ray.observability.health import (
+    ComponentHealth,
+    HealthChecker,
+    HealthMonitor,
+    HealthStatus,
+)
+from bitquery_kafka_streams_rust_ray.observability.http_server import (
+    ObservabilityServer,
+)
+from bitquery_kafka_streams_rust_ray.observability.metrics import (
+    MetricsRegistry,
+)
+
+
+class _FixedChecker(HealthChecker):
+    def __init__(self, name, status, critical=True):
+        self._name, self._status, self._critical = name, status, critical
+
+    def name(self):
+        return self._name
+
+    def is_critical(self):
+        return self._critical
+
+    def check_health(self):
+        return ComponentHealth(name=self._name, status=self._status)
+
+
+def _get(port, path):
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=5) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def _server(status):
+    mon = HealthMonitor()
+    mon.add_checker(_FixedChecker("c", status))
+    metrics = MetricsRegistry()
+    metrics.inc("rows_total", 7)
+    return ObservabilityServer(mon, metrics, port=0, version="2.0")
+
+
+def test_healthy_endpoints():
+    with _server(HealthStatus.HEALTHY) as srv:
+        code, body = _get(srv.port, "/health")
+        assert code == 200 and json.loads(body)["status"] == "healthy"
+        assert _get(srv.port, "/ready")[0] == 200
+        assert _get(srv.port, "/live")[0] == 200
+        code, body = _get(srv.port, "/metrics")
+        assert code == 200 and "rows_total 7" in body
+        code, body = _get(srv.port, "/version")
+        assert code == 200 and json.loads(body)["version"] == "2.0"
+        assert _get(srv.port, "/nope")[0] == 404
+
+
+def test_degraded_still_serves():
+    # http_server.rs:133 — degraded returns 200 on /health and /ready
+    with _server(HealthStatus.DEGRADED) as srv:
+        assert _get(srv.port, "/health")[0] == 200
+        assert _get(srv.port, "/ready")[0] == 200
+        assert _get(srv.port, "/live")[0] == 200
+
+
+def test_unhealthy_is_503_everywhere_but_alive_logic():
+    with _server(HealthStatus.UNHEALTHY) as srv:
+        assert _get(srv.port, "/health")[0] == 503
+        assert _get(srv.port, "/ready")[0] == 503
+        assert _get(srv.port, "/live")[0] == 503
+
+
+def test_stop_releases_port():
+    srv = _server(HealthStatus.HEALTHY).start()
+    port = srv.port
+    assert _get(port, "/ready")[0] == 200
+    srv.stop()
+    with pytest.raises(Exception):
+        _get(port, "/ready")
+
+
+def test_streaming_run_serves_probes(tmp_path, ray_session):
+    """cfg.http_port wires the server around run(): probe mid-run via a
+    checker thread, server gone after."""
+    import threading
+
+    from bitquery_kafka_streams_rust_ray.config import EngineConfig
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import (
+        ensure_pages_log,
+    )
+    from bitquery_kafka_streams_rust_ray.sources.pages import PagesSpec
+
+    data_dir = "/tmp/bitquery_kafka_streams_rust_ray_pages_httptest_1000"
+    ensure_pages_log(data_dir, PagesSpec(num_rows=1000))
+    cfg = EngineConfig(min_text_len=1, state_shards=2,
+                       extract_concurrency=2, http_port=0)
+
+    from bitquery_kafka_streams_rust_ray.pipelines.streaming import (
+        StreamingPagesPipeline,
+    )
+
+    pipe = StreamingPagesPipeline(data_dir, str(tmp_path / "out"), cfg)
+    seen = {}
+
+    def probe():
+        # wait for the server to exist, then hit it while run() works
+        for _ in range(200):
+            srv = getattr(pipe, "http_server", None)
+            if srv is not None:
+                try:
+                    seen["ready"] = _get(srv.port, "/ready")[0]
+                    seen["metrics"] = _get(srv.port, "/metrics")[0]
+                    seen["port"] = srv.port
+                    return
+                except Exception:
+                    pass
+            import time
+            time.sleep(0.05)
+
+    t = threading.Thread(target=probe)
+    t.start()
+    pipe.run(resume=False)
+    t.join(timeout=20)
+    assert seen.get("ready") in (200, 503)
+    assert seen.get("metrics") == 200
+    with pytest.raises(Exception):
+        _get(seen["port"], "/ready")  # stopped after run()

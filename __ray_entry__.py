@@ -60,6 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scalar functions (§2.8, M8/M9)
         "string_funcs_part": q.string_funcs_part,
         "json_props_events": q.json_props_events,
+        # rollup / pivot / per-key running windows (§2.6)
+        "rollup_orders": q.rollup_orders,
+        "pivot_lineitem": q.pivot_lineitem,
+        "running_events": q.running_events,
         # date/math/array scalar functions (§2.8)
         "monthly_orders": q.monthly_orders,
         "math_funcs_lineitem": q.math_funcs_lineitem,
@@ -244,6 +248,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id NOT IN (SELECT c_custkey FROM customer
                                   WHERE c_custkey % 2 = 0)
             ORDER BY event_id
+        """,
+        "rollup_orders": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(strftime(date_trunc('year', o_orderdate)
+                                     ::TIMESTAMP, '%Y'), 'ALL') AS year,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority,
+                             strftime(date_trunc('year', o_orderdate)
+                                      ::TIMESTAMP, '%Y'))
+            ORDER BY priority, year
+        """,
+        "pivot_lineitem": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus='F'
+                             THEN l_extendedprice ELSE 0 END), 2) AS total_f,
+                   round(sum(CASE WHEN l_linestatus='O'
+                             THEN l_extendedprice ELSE 0 END), 2) AS total_o,
+                   count(*) FILTER (l_linestatus='F') AS n_f,
+                   count(*) FILTER (l_linestatus='O') AS n_o
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "running_events": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events ORDER BY event_id
         """,
         "monthly_orders": """
             SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,

@@ -798,6 +798,99 @@ def docs_by_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+# --- §2.6 breadth: rollup / pivot / per-key running windows --------------
+
+
+def rollup_orders(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS / ROLLUP: one distributed groupby at the finest
+    grain, coarser levels derived from the REDUCED frame (sum of sums
+    is exact) — never a second pass over the data. The driver only
+    ever touches the ~priorities×years-row aggregate."""
+    orders = _t(sf_dir, "orders", ["o_orderpriority", "o_orderdate",
+                                   "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        years = pc.strftime(
+            pc.cast(t["o_orderdate"], pa.timestamp("us")), "%Y")
+        return pa.table({
+            "priority": t["o_orderpriority"],
+            "year": years,
+            "o_totalprice": t["o_totalprice"],
+        })
+
+    base = (orders.map_batches(keyed, batch_format="pyarrow")
+            .groupby(["priority", "year"])
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("o_totalprice", alias_name="total"))
+            .to_pandas())
+    lvl1 = (base.groupby("priority", as_index=False)
+            .agg(n_orders=("n_orders", "sum"), total=("total", "sum")))
+    lvl1["year"] = "ALL"
+    lvl0 = pd.DataFrame({
+        "priority": ["ALL"], "year": ["ALL"],
+        "n_orders": [base["n_orders"].sum()],
+        "total": [base["total"].sum()],
+    })
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out = _round2(out, ["total"])
+    return (out[["priority", "year", "n_orders", "total"]]
+            .sort_values(["priority", "year"]).reset_index(drop=True))
+
+
+def pivot_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Pivot (conditional aggregation): per-batch masked partials — one
+    row per (flag, batch) with the F/O sums and counts — then a tiny
+    groupby-sum. The status dimension never becomes a shuffle key."""
+    li = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        f = df["l_linestatus"] == "F"
+        price = df["l_extendedprice"]
+        return (df.assign(
+            total_f=price.where(f, 0.0),
+            total_o=price.where(~f, 0.0),
+            n_f=f.astype("int64"),
+            n_o=(~f).astype("int64"))
+            .groupby("l_returnflag", as_index=False, sort=False)
+            [["total_f", "total_o", "n_f", "n_o"]].sum())
+
+    out = (li.map_batches(partial, batch_format="pandas")
+           .groupby("l_returnflag")
+           .aggregate(Sum("total_f", alias_name="total_f"),
+                      Sum("total_o", alias_name="total_o"),
+                      Sum("n_f", alias_name="n_f"),
+                      Sum("n_o", alias_name="n_o"))
+           .to_pandas())
+    out["n_f"] = out["n_f"].astype("int64")
+    out["n_o"] = out["n_o"].astype("int64")
+    out = _round2(out, ["total_f", "total_o"])
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def running_events(sf_dir: str) -> pd.DataFrame:
+    """Per-key window functions (running sum + row_number): the group
+    is the parallelism unit — ``groupby(user).map_groups`` sorts each
+    user's events by (ts, event_id) and computes the cumulative values
+    vectorized. Matches SUM() OVER (PARTITION BY user ORDER BY ts)
+    ROWS UNBOUNDED PRECEDING."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def windowed(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "running_value": g["value"].cumsum().round(2),
+            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    out = (ds.groupby("user_id").map_groups(windowed, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # --- mergeable sketches: the 100 TB path for distinct/quantiles ----------
 
 

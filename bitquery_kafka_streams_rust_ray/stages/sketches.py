@@ -218,3 +218,104 @@ def histogram_quantiles(
            .map_groups(merge, batch_format="pandas")
            .to_pandas())
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+# --- Bloom filter (distributed build, broadcast probe) ------------------
+
+
+class BloomFilter:
+    """Plain Bloom filter over uint64 hashes: ``nbits`` bit slots,
+    ``k`` probes via double hashing (h1 + i*h2 — Kirsch-Mitzenmacher,
+    the standard public construction). Mergeable by OR, so per-batch
+    partial blooms fold associatively — the build side never collects
+    raw keys anywhere."""
+
+    def __init__(self, nbits: int, k: int, bits: np.ndarray | None = None):
+        if nbits % 64:
+            raise ValueError("nbits must be a multiple of 64")
+        self.nbits, self.k = nbits, k
+        self.words = (bits if bits is not None
+                      else np.zeros(nbits // 64, dtype=np.uint64))
+
+    @classmethod
+    def sized(cls, n_items: int, fp_rate: float = 0.01) -> "BloomFilter":
+        nbits = int(-n_items * np.log(fp_rate) / (np.log(2) ** 2))
+        nbits = max(64, ((nbits + 63) // 64) * 64)
+        k = max(1, int(round(nbits / max(1, n_items) * np.log(2))))
+        return cls(nbits, k)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        h1 = hashes
+        h2 = _splitmix64(hashes) | np.uint64(1)  # odd -> full-period
+        idx = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return (h1[None, :] + idx * h2[None, :]) % np.uint64(self.nbits)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        pos = self._positions(hashes).ravel()
+        np.bitwise_or.at(self.words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        pos = self._positions(hashes)
+        bits = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (other.nbits, other.k) != (self.nbits, self.k):
+            raise ValueError("incompatible bloom parameters")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        return self
+
+
+def build_bloom(
+    ds: ray.data.Dataset,
+    key_col: str,
+    n_items_hint: int,
+    fp_rate: float = 0.01,
+) -> BloomFilter:
+    """Distributed Bloom build: each batch hashes its keys into a
+    partial bloom, partials OR-fold on the driver — ``blocks × nbits/8``
+    bytes move, never the keys themselves. The standard scale path for
+    a semi-join whose allow-list is itself too big to broadcast raw."""
+    proto = BloomFilter.sized(n_items_hint, fp_rate)
+    nbits, k = proto.nbits, proto.k
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(nbits, k)
+        bf.add_hashes(_hash_column(t[key_col]))
+        return pa.table({"_bloom": pa.array([bf.words.tobytes()],
+                                            type=pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = BloomFilter(nbits, k)
+    for blob in parts["_bloom"]:
+        out.merge(BloomFilter(nbits, k,
+                              np.frombuffer(blob, dtype=np.uint64).copy()))
+    return out
+
+
+def bloom_semi_join(
+    ds: ray.data.Dataset,
+    bloom: BloomFilter,
+    col: str,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Probe-side bloom pre-filter: broadcast the bit array once
+    (``ray.put``), drop every row whose key can't be in the build side.
+    Approximate on its own (FP rate lets ~fp_rate of non-members
+    through; zero false negatives) — compose with an exact semi_join on
+    the survivors when exactness is required; the bloom has already
+    shrunk that join's input by the non-member fraction."""
+    import ray as _ray
+
+    words_ref = _ray.put(bloom.words)
+    nbits, k = bloom.nbits, bloom.k
+
+    def mask(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(nbits, k, _ray.get(words_ref))
+        m = bf.contains_hashes(_hash_column(t[col]))
+        return t.filter(pa.array(~m if anti else m))
+
+    return ds.map_batches(mask, batch_format="pyarrow")

@@ -90,3 +90,76 @@ def test_histogram_quantiles_determinism_across_block_layouts():
     a = histogram_quantiles(ds1, "event_type", "value")
     b = histogram_quantiles(ds2, "event_type", "value")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    import pyarrow as pa
+
+    from bitquery_kafka_streams_rust_ray.stages.sketches import (
+        BloomFilter,
+        _hash_column,
+    )
+
+    members = np.arange(10_000, dtype=np.int64)
+    others = np.arange(10_000, 30_000, dtype=np.int64)
+    bf = BloomFilter.sized(len(members), fp_rate=0.01)
+    bf.add_hashes(_hash_column(pa.array(members)))
+    assert bf.contains_hashes(_hash_column(pa.array(members))).all()
+    fp = bf.contains_hashes(_hash_column(pa.array(others))).mean()
+    assert fp < 0.03, fp  # 3x headroom over the 1% design point
+
+
+def test_bloom_merge_equals_whole():
+    import pyarrow as pa
+
+    from bitquery_kafka_streams_rust_ray.stages.sketches import (
+        BloomFilter,
+        _hash_column,
+    )
+
+    vals = np.arange(5000, dtype=np.int64)
+    whole = BloomFilter.sized(5000)
+    whole.add_hashes(_hash_column(pa.array(vals)))
+    a = BloomFilter(whole.nbits, whole.k)
+    b = BloomFilter(whole.nbits, whole.k)
+    a.add_hashes(_hash_column(pa.array(vals[:2500])))
+    b.add_hashes(_hash_column(pa.array(vals[2500:])))
+    merged = a.merge(b)
+    assert np.array_equal(whole.words, merged.words)
+
+
+def test_distributed_bloom_semi_join_superset_of_exact():
+    """bloom pre-filter keeps every true member (no false negatives)
+    and lets through < fp_rate*3 of non-members; composed with the
+    exact semi_join it reproduces the exact result."""
+    import ray.data
+
+    from bitquery_kafka_streams_rust_ray.stages.join import semi_join
+    from bitquery_kafka_streams_rust_ray.stages.sketches import (
+        bloom_semi_join,
+        build_bloom,
+    )
+
+    events = ray.data.read_parquet(f"{SF}/events.parquet",
+                                   columns=["event_id", "user_id"])
+    cust = ray.data.read_parquet(f"{SF}/customer.parquet",
+                                 columns=["c_custkey"])
+    n_cust = cust.count()
+    bloom = build_bloom(cust.map_batches(
+        lambda t: t.rename_columns(["user_id"]), batch_format="pyarrow"),
+        "user_id", n_items_hint=n_cust)
+    pre = bloom_semi_join(events, bloom, "user_id").to_pandas()
+    keys = set(duckdb.sql(
+        f"SELECT c_custkey FROM '{SF}/customer.parquet'").df()["c_custkey"])
+    exact = duckdb.sql(
+        f"SELECT event_id, user_id FROM '{SF}/events.parquet' "
+        f"WHERE user_id IN (SELECT c_custkey FROM "
+        f"'{SF}/customer.parquet')").df()
+    # superset, no false negatives
+    assert set(exact["event_id"]).issubset(set(pre["event_id"]))
+    extras = pre[~pre["user_id"].isin(keys)]
+    assert len(extras) / max(1, len(pre)) < 0.03
+    # composed with the exact membership pass -> exact result
+    refined = semi_join(
+        ray.data.from_pandas(pre), keys, col="user_id").to_pandas()
+    assert sorted(refined["event_id"]) == sorted(exact["event_id"])

@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_orders": q.segment_orders,
         "priority_revenue": q.priority_revenue,
         "asof_latest_order": q.asof_latest_order,
+        "asof_latest_order_partitioned": q.asof_latest_order_partitioned,
         "vip_events": q.vip_events,
         # sort/top-k/distinct/sampling/set ops (§2.7)
         "topk_orders": q.topk_orders,
@@ -204,6 +205,17 @@ def oracle_sql() -> dict[str, str]:
                        max(o_totalprice) AS latest_total
                 FROM orders GROUP BY o_custkey, o_orderdate
             ) o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        """,
+        # same semantics, both-sides-large physical plan in the engine
+        "asof_latest_order_partitioned": """
+            SELECT e.event_id,
+                   coalesce(o.latest_total, 0.0) AS latest_total
+            FROM events e ASOF LEFT JOIN (
+                SELECT o_custkey AS user_id, o_orderdate,
+                       max(o_totalprice) AS latest_total
+                FROM orders GROUP BY o_custkey, o_orderdate
+            ) o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
         """,
         "vip_events": """
             SELECT event_id, user_id, value FROM events

@@ -299,6 +299,32 @@ def asof_latest_order(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "latest_total"]]
 
 
+def asof_latest_order_partitioned(sf_dir: str) -> pd.DataFrame:
+    """Same result as ``asof_latest_order`` through the BOTH-SIDES-LARGE
+    physical plan: the versioned side stays a Dataset (collapsed to its
+    latest totals by a distributed groupby), both sides hash-co-partition
+    on the key, and merge_asof runs inside each group — nothing is
+    broadcast, nothing lands on the driver. The plan to reach for when
+    the version history itself is shuffle-scale."""
+    from ..stages.join import partitioned_asof_join
+
+    latest = (
+        _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_totalprice", alias_name="latest_total"))
+        .map_batches(lambda t: t.rename_columns(
+            ["user_id", "o_orderdate", "latest_total"]),
+            batch_format="pyarrow")
+    )
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = partitioned_asof_join(
+        events, latest, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        defaults={"latest_total": 0.0},
+    ).to_pandas()
+    return (out[["event_id", "latest_total"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def vip_events(sf_dir: str) -> pd.DataFrame:
     """Broadcast semi join: events of the top-10 customers by balance."""
     # prune right after the read — only the filtered candidate rows

@@ -17,6 +17,9 @@ enrichment as explicit joins:
 - **partitioned hash join** — both sides large: tag + union + hash
   shuffle on the key + per-group pandas merge. Used when the small-side
   assumption breaks; B buckets bound per-task memory.
+- **partitioned as-of join** — the both-sides-large as-of: typed-null
+  union + one hash co-partition + merge_asof per group. Assumes one
+  key's history fits a worker; salt/range-split hot keys upstream.
 """
 
 from __future__ import annotations
@@ -233,3 +236,79 @@ def hash_join(
         left_suffix="_x",
         right_suffix="_y",
     )
+
+
+def partitioned_asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    defaults: dict | None = None,
+) -> ray.data.Dataset:
+    """As-of join where BOTH sides are large: hash-co-partition by the
+    key and merge-asof inside each group.
+
+    The broadcast as-of assumes the versioned side fits in one object;
+    at 100 TB of versions it doesn't. Here each side is tagged, the two
+    streams union (one schema: left columns + right columns, the absent
+    side's columns null), and ``groupby(on)`` co-locates every key's
+    rows from both sides in one group, where a sorted
+    ``pd.merge_asof(direction="backward")`` runs vectorized. One hash
+    shuffle total; per-group memory is that key's rows only — the
+    partitioning assumption is per-key history fits a worker, salt or
+    range-split hot keys upstream if not.
+    """
+    from .timeops import column_ts_us
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols = [c for c in lschema.names if c not in (on, left_ts)]
+    rcols = [c for c in rschema.names if c not in (on, right_ts)]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {overlap}")
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    defaults = defaults or {}
+
+    # one explicit Arrow schema for both sides — the absent side's
+    # columns are TYPED nulls, otherwise per-block dtype drift (object
+    # None vs float NaN) breaks the shuffle's schema unification
+    def tag(side: int):
+        ts_col = left_ts if side == 0 else right_ts
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {on: t[on],
+                    "_ts": column_ts_us(t[ts_col]),
+                    "_side": pa.array(np.full(n, side, dtype=np.int8))}
+            for c in lcols:
+                cols[c] = t[c] if side == 0 else pa.nulls(n, ltypes[c])
+            for c in rcols:
+                cols[c] = t[c] if side == 1 else pa.nulls(n, rtypes[c])
+            return pa.table(cols)
+        return fn
+
+    u = (left.map_batches(tag(0), batch_format="pyarrow")
+         .union(right.map_batches(tag(1), batch_format="pyarrow")))
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0]
+        if not len(l):
+            return pd.DataFrame(columns=[on, "_ts", *lcols, *rcols])
+        r = g[g["_side"] == 1]
+        l = l.sort_values("_ts", kind="mergesort")[[on, "_ts", *lcols]]
+        if len(r):
+            r = r.sort_values("_ts", kind="mergesort")[["_ts", *rcols]]
+            out = pd.merge_asof(l, r, on="_ts", direction="backward")
+        else:
+            out = l.copy()
+            for c in rcols:
+                out[c] = None
+        for col, val in defaults.items():
+            if col in out.columns:
+                out[col] = out[col].astype("float64").fillna(val) \
+                    if isinstance(val, float) else out[col].fillna(val)
+        return out
+
+    return u.groupby(on).map_groups(asof_group, batch_format="pandas")

@@ -69,11 +69,17 @@ def test_state_shards_spread_across_nodes(pages_dir, tmp_path):
     script = tmp_path / "spread_probe.py"
     script.write_text(SCRIPT % {"repo": repo, "pages": d,
                                 "out": two_node_out})
-    out = subprocess.run(
-        [sys.executable, str(script)], capture_output=True, text=True,
-        timeout=280, cwd=repo,
-        env={**os.environ, "RAY_ADDRESS": ""},
-    )
+    # two attempts: the subprocess spins its own 2-node cluster and can
+    # lose the race for CPUs/ports when the full suite (plus sandbox
+    # noisy neighbors) is saturating the box
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, str(script)], capture_output=True, text=True,
+            timeout=540, cwd=repo,
+            env={**os.environ, "RAY_ADDRESS": ""},
+        )
+        if out.returncode == 0:
+            break
     assert out.returncode == 0, out.stderr[-2000:]
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["n_actors"] == 4

@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable sketches (scale path; approximate -> rows-only)
         "approx_distinct_users": q.approx_distinct_users,
         "approx_percentiles_events": q.approx_percentiles_events,
+        "approx_top_bigrams": q.approx_top_bigrams,
         # text analysis
         "doc_stats": q.doc_stats,
         "text_analysis_documents": q.text_analysis_documents,

@@ -955,6 +955,22 @@ def kmeans_embeddings_query(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def approx_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters over token bigrams (rows-only:
+    undercount-by-design; guarantees pinned by ``test_sketches.py``).
+    The frequency-sketch path for ``top_bigrams_documents`` when the
+    bigram vocabulary itself is shuffle-scale: per-batch summaries are
+    ≤ k entries no matter how many distinct bigrams a block holds."""
+    from ..stages.sketches import heavy_hitters
+
+    def bigrams(text):
+        toks = (text or "").split()
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    return heavy_hitters(_t(sf_dir, "documents", ["text"]),
+                         "text", k=256, items_fn=bigrams).head(20)
+
+
 # --- training-data text ops: scrubbing / n-gram counts / stratified ------
 
 _SCRUB_PATTERN = r"\b(customer|spark|vector)\b"

@@ -36,7 +36,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Max, Min
+from ray.data.aggregate import Max, Min, Sum
 
 
 # --- shared 64-bit mix (splitmix64 — public-domain constant mix) --------
@@ -319,3 +319,64 @@ def bloom_semi_join(
         return t.filter(pa.array(~m if anti else m))
 
     return ds.map_batches(mask, batch_format="pyarrow")
+
+
+# --- Misra-Gries heavy hitters ------------------------------------------
+
+
+def _mg_summarize(counts: dict, k: int) -> dict:
+    """Shrink a counter dict to at most k entries, Misra-Gries style:
+    subtract the (k+1)-th largest count from everything and drop
+    non-positives. Each surviving estimate undercounts its true
+    frequency by at most the subtracted amount (classic MG bound)."""
+    if len(counts) <= k:
+        return dict(counts)
+    cut = sorted(counts.values(), reverse=True)[k]
+    return {key: c - cut for key, c in counts.items() if c > cut}
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    value_col: str,
+    k: int = 64,
+    items_fn=None,
+) -> pd.DataFrame:
+    """Mergeable Misra-Gries heavy hitters over a column (or over
+    items derived from it via ``items_fn(value) -> iterable``, e.g.
+    token bigrams). Guarantees every item with true count
+    > total/(k+1) survives; estimates undercount by at most
+    total/(k+1). Per-batch summaries are ≤ k entries, merged summaries
+    re-shrink to k — constant exchange volume regardless of rows, the
+    frequency-sketch sibling of the HLL/histogram/Bloom family.
+
+    Returns (item, approx_count) sorted by estimate descending —
+    ``approx_count`` is an UNDER-estimate (MG semantics); rank ties are
+    broken by item for determinism."""
+    from collections import Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for v in t[value_col].to_pylist():
+            if items_fn is None:
+                counts[v] += 1
+            else:
+                counts.update(items_fn(v))
+        summary = _mg_summarize(counts, k)
+        return pa.table({
+            "item": pa.array([str(key) for key in summary],
+                             type=pa.string()),
+            "c": pa.array(list(summary.values()), type=pa.int64()),
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("item").aggregate(Sum("c", alias_name="c"))
+             .to_pandas())
+    # final shrink on the merged (item, summed-count) set — itself at
+    # most k x blocks rows, output-sized
+    final = _mg_summarize(dict(zip(parts["item"], parts["c"])), k)
+    out = pd.DataFrame({"item": list(final.keys()),
+                        "approx_count": list(final.values())})
+    out["approx_count"] = out["approx_count"].astype("int64")
+    return (out.sort_values(["approx_count", "item"],
+                            ascending=[False, True])
+            .reset_index(drop=True))

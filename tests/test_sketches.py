@@ -163,3 +163,53 @@ def test_distributed_bloom_semi_join_superset_of_exact():
     refined = semi_join(
         ray.data.from_pandas(pre), keys, col="user_id").to_pandas()
     assert sorted(refined["event_id"]) == sorted(exact["event_id"])
+
+
+def test_heavy_hitters_guarantee_and_bounds():
+    """MG guarantee: every item with true count > N/(k+1) survives, and
+    estimates never exceed true counts (undercount semantics)."""
+    import pyarrow as pa
+    import ray.data
+
+    from bitquery_kafka_streams_rust_ray.stages.sketches import heavy_hitters
+
+    # skewed synthetic stream: item i appears 1000//(i+1) times
+    items = [f"w{i}" for i in range(200) for _ in range(1000 // (i + 1))]
+    ds = ray.data.from_arrow(pa.table({"w": items})).repartition(7)
+    k = 32
+    got = heavy_hitters(ds, "w", k=k)
+    true = pd.Series(items).value_counts()
+    n = len(items)
+    # survival: every item above the threshold is present
+    must_survive = set(true[true > n / (k + 1)].index)
+    assert must_survive.issubset(set(got["item"]))
+    # undercount: estimate <= true count, error bounded by N/(k+1)
+    for _, row in got.iterrows():
+        t = int(true.get(row["item"], 0))
+        assert row["approx_count"] <= t
+        assert t - row["approx_count"] <= n / (k + 1) + 1e-9
+
+
+def test_heavy_hitters_bigrams_match_exact_top():
+    """Over the documents corpus with a bigram items_fn, the exact top-5
+    bigrams (from the oracle-checked top_bigrams query) all survive an
+    MG pass with generous k."""
+    import ray.data
+
+    from bitquery_kafka_streams_rust_ray.stages.sketches import heavy_hitters
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+
+    def bigrams(text):
+        toks = (text or "").split()
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    got = heavy_hitters(ds, "text", k=512, items_fn=bigrams)
+    exact = duckdb.sql(f"""
+        WITH toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+                      FROM '{SF}/documents.parquet' WHERE trim(text) <> ''),
+        pairs AS (SELECT w[i] || ' ' || w[i+1] AS bigram
+                  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t)
+        SELECT bigram, count(*) AS n FROM pairs GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 5""").df()
+    assert set(exact["bigram"]).issubset(set(got["item"]))

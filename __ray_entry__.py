@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": q.priority_revenue,
         "asof_latest_order": q.asof_latest_order,
         "asof_latest_order_partitioned": q.asof_latest_order_partitioned,
+        "orders_within_month": q.orders_within_month,
         "vip_events": q.vip_events,
         # sort/top-k/distinct/sampling/set ops (§2.7)
         "topk_orders": q.topk_orders,
@@ -217,6 +218,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY o_custkey, o_orderdate
             ) o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
             ORDER BY e.event_id
+        """,
+        "orders_within_month": """
+            SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND b.o_orderdate >= a.o_orderdate
+             AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+            ORDER BY key_a, key_b
         """,
         "vip_events": """
             SELECT event_id, user_id, value FROM events
@@ -398,8 +407,13 @@ def oracle_sql() -> dict[str, str]:
             ) <= 2
             ORDER BY event_id
         """,
-        # text_analysis_documents, minhash/simhash/embedding dedup,
-        # multimodal_decode and streaming_flagship are intentionally
-        # omitted: heuristic / iterative / stateful-streaming operators
-        # with no ANSI-SQL equivalent -> driver records rows-only checks.
+        # Intentionally omitted (driver records rows-only checks;
+        # pytest oracles pin each instead): text_analysis_documents,
+        # minhash/simhash/embedding dedup and ngram_jaccard (heuristic
+        # near-dup), kmeans_embeddings (iterative), ann_ivf_topk +
+        # approx_* sketches (approximate by construction; accuracy
+        # bounds pinned in test_sketches.py / test_cluster.py /
+        # test_ann.py), multimodal_* (stubbed codecs) and
+        # streaming_flagship (stateful streaming engine; pinned by the
+        # single-process oracle + golden-window + byte-identity tests).
     }

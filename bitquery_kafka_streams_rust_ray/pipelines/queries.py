@@ -325,6 +325,34 @@ def asof_latest_order_partitioned(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def orders_within_month(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join, self-join flavor: every (a, b) order pair
+    of the same customer where b's date falls inside [a.date,
+    a.date + 30 days] — one hash co-partition + per-group sorted
+    interval sweep (``stages/join.py::interval_join``), never a cross
+    product. The repeat-purchase-burst query shape."""
+    from ..stages.join import interval_join
+
+    base = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    probe = base.map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "key_b",
+                                      "o_custkey": "user_id"}),
+        batch_format="pandas")
+
+    def with_end(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"o_orderkey": "key_a",
+                                "o_custkey": "user_id"})
+        df["o_end"] = df["o_orderdate"] + pd.Timedelta(days=30)
+        return df.rename(columns={"o_orderdate": "o_start"})
+
+    intervals = base.map_batches(with_end, batch_format="pandas")
+    out = interval_join(probe, intervals, on="user_id",
+                        left_ts="o_orderdate", right_start="o_start",
+                        right_end="o_end").to_pandas()
+    return (out[["key_a", "key_b"]]
+            .sort_values(["key_a", "key_b"]).reset_index(drop=True))
+
+
 def vip_events(sf_dir: str) -> pd.DataFrame:
     """Broadcast semi join: events of the top-10 customers by balance."""
     # prune right after the read — only the filtered candidate rows

@@ -312,3 +312,87 @@ def partitioned_asof_join(
         return out
 
     return u.groupby(on).map_groups(asof_group, batch_format="pandas")
+
+
+def interval_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+) -> ray.data.Dataset:
+    """Range (interval) join: left row matches every right row of the
+    same key whose ``[start, end]`` interval contains the left ts
+    (inclusive both ends).
+
+    Same co-partition machinery as :func:`partitioned_asof_join` — one
+    hash shuffle on the key, then a per-group vectorized sweep: right
+    intervals sort by start; ``searchsorted`` bounds the candidate
+    window per left ts (starts <= ts), and an end >= ts mask finishes
+    the containment test. Output is one row per (left, matching right)
+    pair. Per-key work is O(L log R + pairs); the documented
+    partitioning assumption is per-key rows fit a worker — salt hot
+    keys upstream when they don't.
+    """
+    from .timeops import column_ts_us
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols = [c for c in lschema.names if c not in (on, left_ts)]
+    rcols = [c for c in rschema.names
+             if c not in (on, right_start, right_end)]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {overlap}")
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {on: t[on], "_side": pa.array(
+                np.full(n, side, dtype=np.int8))}
+            if side == 0:
+                cols["_ts"] = column_ts_us(t[left_ts])
+                cols["_end"] = pa.nulls(n, pa.int64())
+            else:
+                cols["_ts"] = column_ts_us(t[right_start])
+                cols["_end"] = column_ts_us(t[right_end])
+            for c in lcols:
+                cols[c] = t[c] if side == 0 else pa.nulls(n, ltypes[c])
+            for c in rcols:
+                cols[c] = t[c] if side == 1 else pa.nulls(n, rtypes[c])
+            return pa.table(cols)
+        return fn
+
+    u = (left.map_batches(tag(0), batch_format="pyarrow")
+         .union(right.map_batches(tag(1), batch_format="pyarrow")))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0]
+        r = g[g["_side"] == 1]
+        if not len(l) or not len(r):
+            return pd.DataFrame(columns=[on, *lcols, *rcols])
+        r = r.sort_values(["_ts", "_end"], kind="mergesort")
+        starts = r["_ts"].to_numpy()
+        ends = r["_end"].to_numpy()
+        out_l, out_r = [], []
+        hi = np.searchsorted(starts, l["_ts"].to_numpy(), side="right")
+        for li, (ts, h) in enumerate(zip(l["_ts"].to_numpy(), hi)):
+            if not h:
+                continue
+            cand = np.nonzero(ends[:h] >= ts)[0]
+            out_l.extend([li] * len(cand))
+            out_r.extend(cand.tolist())
+        if not out_l:
+            return pd.DataFrame(columns=[on, *lcols, *rcols])
+        lrows = l.iloc[out_l].reset_index(drop=True)
+        rrows = r.iloc[out_r].reset_index(drop=True)
+        out = pd.DataFrame({on: lrows[on]})
+        for c in lcols:
+            out[c] = lrows[c].values
+        for c in rcols:
+            out[c] = rrows[c].values
+        return out
+
+    return u.groupby(on).map_groups(sweep, batch_format="pandas")

@@ -396,3 +396,50 @@ def interval_join(
         return out
 
     return u.groupby(on).map_groups(sweep, batch_format="pandas")
+
+
+def salted_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    salts: int = 8,
+    how: str = "inner",
+    buckets: int = 64,
+) -> ray.data.Dataset:
+    """Hash join under key skew: a hot key overwhelms whichever single
+    partition owns it, so the LEFT (skewed) side splits each key into
+    ``salts`` sub-keys by a row hash, and the RIGHT side replicates
+    each row once per salt — the hot key's work then lands on ``salts``
+    partitions instead of one. Classic salted-join; correct for
+    inner/left joins because every left row still meets every matching
+    right row exactly once (its own salt's replica).
+
+    Cost: right side inflates x ``salts`` — use only when the right
+    side is the smaller (but still shuffle-scale) side and the left
+    carries the skew.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted join supports inner/left only")
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        # deterministic per-row salt: hash of the row's position-
+        # independent payload (the key + a cheap row fingerprint would
+        # do; a uniform split only needs decorrelation from the key)
+        h = np.arange(len(t), dtype=np.uint64)  # within-block spread
+        base = shard_of(t[on].to_numpy(zero_copy_only=False), 1 << 16)
+        salt = ((h + base.astype(np.uint64)) % np.uint64(salts))
+        return t.append_column("_salt", pa.array(salt.astype(np.int64)))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        idx = np.repeat(np.arange(n), salts)
+        rep = t.take(pa.array(idx))
+        salt = np.tile(np.arange(salts, dtype=np.int64), n)
+        return rep.append_column("_salt", pa.array(salt))
+
+    l = left.map_batches(salt_left, batch_format="pyarrow")
+    r = right.map_batches(replicate_right, batch_format="pyarrow")
+    join_type = {"inner": "inner", "left": "left_outer"}[how]
+    out = l.join(r, join_type, num_partitions=buckets,
+                 on=(on, "_salt"), left_suffix="_x", right_suffix="_y")
+    return out.drop_columns(["_salt"])

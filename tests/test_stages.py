@@ -230,3 +230,36 @@ def test_session_window_agg_us_dtype_regression():
     )
     assert out["doc_count"].tolist() == [2, 1]
     assert out["session_start"].iloc[0] == pd.Timestamp("2025-01-01 00:00:00")
+
+
+def test_salted_hash_join_matches_plain_on_skew(ray_session):
+    """A 90%-hot-key input joined with salts must equal the plain hash
+    join row-for-row (inner join, salt replicas each match once)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from bitquery_kafka_streams_rust_ray.stages.join import (
+        hash_join,
+        salted_hash_join,
+    )
+
+    rng = np.random.default_rng(3)
+    # left: 20k rows, 90% on key 7 (the skew), rest uniform over 100
+    keys = np.where(rng.random(20_000) < 0.9, 7,
+                    rng.integers(0, 100, 20_000))
+    left = pd.DataFrame({"k": keys, "v": np.arange(20_000)})
+    right = pd.DataFrame({"k": np.arange(100),
+                          "w": np.arange(100) * 10})
+    lds = ray.data.from_pandas(left).repartition(8)
+    rds = ray.data.from_pandas(right).repartition(2)
+
+    plain = hash_join(lds, rds, on="k", buckets=4).to_pandas()
+    salted = salted_hash_join(
+        ray.data.from_pandas(left).repartition(8),
+        ray.data.from_pandas(right).repartition(2),
+        on="k", salts=4, buckets=4).to_pandas()
+    cols = sorted(plain.columns)
+    a = plain[cols].sort_values(cols).reset_index(drop=True)
+    b = salted[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

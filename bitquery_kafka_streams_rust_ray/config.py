@@ -75,6 +75,11 @@ class EngineConfig:
     sink_breaker_reset_s: float = 30.0  # open the sink circuit / its reset
 
     # --- observability ---
+    collect_dataset_stats: bool = False  # persist Ray Dataset.stats()
+    # for each epoch's exchange under _observability/epoch=N/ — the
+    # per-operator wall-time/throughput breakdown used to verify a
+    # stage's time is useful compute, at the cost of a small driver-side
+    # string per epoch
     http_port: int | None = None     # serve /health /ready /live /metrics
     # /version on 127.0.0.1:<port> for the duration of run() (0 =
     # ephemeral port; http_server.rs:41-87 analog). None = no listener.

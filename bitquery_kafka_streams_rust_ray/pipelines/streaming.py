@@ -553,6 +553,7 @@ class StreamingPagesPipeline:
         self._meta_ref = None   # broadcast ref of the accumulated slow side
         self._meta_acc: pd.DataFrame | None = None  # accumulated versions
         self._meta_ingested_until = -1  # highest epoch already folded in
+        self._ds_stats: dict[int, str] = {}  # epoch -> Dataset.stats()
         if self.metadata_slices and self.host_metadata is None:
             # schema-stable empty base: epochs before the first arrival
             # still run the join (all defaults) so output schema never
@@ -795,6 +796,8 @@ class StreamingPagesPipeline:
         _t1 = _time.time()
         if os.environ.get("GRAFT_DEBUG_TIMING") == "2":
             print(stats_ds.stats(), flush=True)
+        if cfg.collect_dataset_stats:
+            self._ds_stats[epoch] = stats_ds.stats()
 
         counters = {
             c: int(stats[c].sum())
@@ -948,11 +951,15 @@ class StreamingPagesPipeline:
 
         self._wm_check.observe(wm_us)
         self._lag_check.observe(self._plan_len, epoch + 1)
-        self.sink.write_observability(epoch, {
+        obs = {
             "health.json": _json.dumps(self.health.check_health(),
                                        indent=1, sort_keys=True).encode(),
             "metrics.prom": self.metrics.export_prometheus().encode(),
-        })
+        }
+        ds_stats = self._ds_stats.pop(epoch, None)
+        if ds_stats is not None:
+            obs["dataset_stats.txt"] = ds_stats.encode()
+        self.sink.write_observability(epoch, obs)
 
     def _restore(self, actors, watermark, last_epoch) -> None:
         epoch_dir = self.sink.epoch_dir(last_epoch)

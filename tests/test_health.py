@@ -140,3 +140,33 @@ def test_streaming_run_writes_health_and_metrics(pages_dir, tmp_path):
     # and the run summary exposes the same histogram stats
     hist = summary["metrics"]["histograms"]["epoch_exchange_seconds"]
     assert hist["count"] >= 1 and hist["p99"] >= hist["p50"]
+
+
+def test_dataset_stats_persisted_per_epoch(tmp_path, ray_session):
+    """cfg.collect_dataset_stats writes the exchange Dataset.stats()
+    breakdown beside health.json for every committed epoch."""
+    import os
+
+    from bitquery_kafka_streams_rust_ray.config import EngineConfig
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import (
+        ensure_pages_log,
+        run_flagship,
+    )
+    from bitquery_kafka_streams_rust_ray.sources.pages import PagesSpec
+
+    data_dir = "/tmp/bitquery_kafka_streams_rust_ray_pages_dstats_1000"
+    ensure_pages_log(data_dir, PagesSpec(num_rows=1000))
+    out = str(tmp_path / "out")
+    summary = run_flagship(
+        data_dir, out,
+        config=EngineConfig(min_text_len=1, state_shards=2,
+                            collect_dataset_stats=True),
+        resume=False)
+    # every data epoch (the final entry is the drain commit, which has
+    # no exchange and therefore no dataset to profile)
+    for epoch in summary["epochs"][:-1]:
+        p = os.path.join(out, "_observability", f"epoch={epoch:06d}",
+                         "dataset_stats.txt")
+        assert os.path.exists(p), p
+        text = open(p).read()
+        assert "ReadParquet" in text or "Operator" in text, text[:200]

@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_documents": q.redact_documents,
         "top_bigrams_documents": q.top_bigrams_documents,
         "stratified_sample_events": q.stratified_sample_events,
+        "decontaminate_documents": q.decontaminate_documents,
+        "repetition_filter_documents": q.repetition_filter_documents,
         # near-dup family (training-data ops)
         "minhash_dedup_documents": q.minhash_dedup_documents,
         "simhash_dedup_documents": q.simhash_dedup_documents,
@@ -398,6 +400,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bigram, count(*) AS n FROM pairs GROUP BY bigram
             ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "decontaminate_documents": r"""
+            WITH docw AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+                FROM docw,
+                     LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+            hits AS (
+                SELECT d.doc_id, count(DISTINCT d.g) AS n_hits
+                FROM grams d JOIN bench b ON d.g = b.g GROUP BY d.doc_id
+            )
+            SELECT dw.doc_id AS doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+            FROM docw dw LEFT JOIN hits h ON dw.doc_id = h.doc_id
+            ORDER BY dw.doc_id
+        """,
+        "repetition_filter_documents": r"""
+            WITH docw AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            big AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+                FROM docw, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+            ),
+            bstats AS (
+                SELECT doc_id, count(*) AS n_bigrams,
+                       count(DISTINCT bg) AS n_distinct_bigrams
+                FROM big GROUP BY doc_id
+            ),
+            uni AS (
+                SELECT doc_id, max(c) AS top_word_n,
+                       CAST(sum(c) AS BIGINT) AS n_tokens
+                FROM (
+                    SELECT doc_id, word, count(*) AS c FROM (
+                        SELECT doc_id, unnest(w) AS word FROM docw
+                    ) GROUP BY doc_id, word
+                ) GROUP BY doc_id
+            )
+            SELECT s.doc_id AS doc_id, u.n_tokens AS n_tokens,
+                   s.n_bigrams AS n_bigrams,
+                   s.n_distinct_bigrams AS n_distinct_bigrams,
+                   u.top_word_n AS top_word_n,
+                   CAST(25 * s.n_distinct_bigrams >= 24 * s.n_bigrams
+                        AS BIGINT) AS keep_flag
+            FROM bstats s JOIN uni u ON s.doc_id = u.doc_id
+            ORDER BY s.doc_id
         """,
         "stratified_sample_events": """
             SELECT event_id, user_id, ts FROM events

@@ -321,8 +321,11 @@ def asof_latest_order_partitioned(sf_dir: str) -> pd.DataFrame:
         events, latest, on="user_id", left_ts="ts", right_ts="o_orderdate",
         defaults={"latest_total": 0.0},
     ).to_pandas()
-    return (out[["event_id", "latest_total"]]
-            .sort_values("event_id").reset_index(drop=True))
+    out = out[["event_id", "latest_total"]]
+    # the typed-null union upcasts event_id to float64; pin it back so
+    # the driver's dtype-sensitive value hash matches the BIGINT oracle
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 def orders_within_month(sf_dir: str) -> pd.DataFrame:
@@ -349,8 +352,11 @@ def orders_within_month(sf_dir: str) -> pd.DataFrame:
     out = interval_join(probe, intervals, on="user_id",
                         left_ts="o_orderdate", right_start="o_start",
                         right_end="o_end").to_pandas()
-    return (out[["key_a", "key_b"]]
-            .sort_values(["key_a", "key_b"]).reset_index(drop=True))
+    out = out[["key_a", "key_b"]]
+    # the probe/interval union upcasts keys to float64; pin to int64 so
+    # the dtype-sensitive value hash matches the BIGINT oracle
+    out = out.astype({"key_a": "int64", "key_b": "int64"})
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
 
 
 def vip_events(sf_dir: str) -> pd.DataFrame:
@@ -785,6 +791,9 @@ def monthly_orders(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     df["n_orders"] = df["n_orders"].astype("int64")
+    # date32 months surface as datetime64[s]; pin to us like every other
+    # timestamp column (the value hash is dtype-sensitive)
+    df["month"] = df["month"].astype("datetime64[us]")
     df = _round2(df, ["total"])
     label = pc.strftime(pa.Array.from_pandas(df["month"]), format="%Y-%m")
     df["month_label"] = label.to_pandas()
@@ -1095,6 +1104,107 @@ def stratified_sample_events(sf_dir: str, per_user: int = 2) -> pd.DataFrame:
            .groupby("user_id", sort=False).head(per_user)
            .sort_values("event_id").reset_index(drop=True))
     return out[["event_id", "user_id", "ts"]]
+
+
+_DECON_N = 8  # benchmark-overlap shingle width (words)
+_DECON_BENCH_MAX_ID = 10
+
+
+class _Decontaminator:
+    """Actor-pool stage: fetch the broadcast benchmark n-gram set once
+    per actor, then count per-document distinct overlapping shingles."""
+
+    def __init__(self, grams_ref):
+        import ray
+
+        self.grams: set[str] = ray.get(grams_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = _DECON_N
+        hits = np.empty(len(t), dtype=np.int64)
+        for j, text in enumerate(t["text"].to_pylist()):
+            toks = (text or "").split()
+            seen = {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+            hits[j] = len(seen & self.grams)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_hits": pa.array(hits, type=pa.int64()),
+            "contaminated": pa.array((hits > 0).astype(np.int64),
+                                     type=pa.int64()),
+        })
+
+
+def decontaminate_documents(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-style training-set
+    hygiene pass): flag every document that shares any word 8-gram with
+    a held-out benchmark set. The benchmark side is an eval set — tiny
+    by nature — so its shingle set is built once and BROADCAST
+    (``ray.put``, fetched once per actor) into a map-only membership
+    pass over the corpus; the 100-TB side never shuffles. ``n_hits``
+    counts *distinct* contaminated 8-grams per doc, matching the
+    oracle's ``count(DISTINCT g)``. Here the "benchmark" is the first
+    ``_DECON_BENCH_MAX_ID`` documents, so contamination == exact/near
+    copies of those docs elsewhere in the corpus."""
+    import ray
+
+    bench = (_t(sf_dir, "documents", ["doc_id", "text"])
+             .filter(expr=f"doc_id < {_DECON_BENCH_MAX_ID}").take_all())
+    bench_grams: set[str] = set()
+    for row in bench:
+        toks = (row["text"] or "").split()
+        for i in range(len(toks) - _DECON_N + 1):
+            bench_grams.add(" ".join(toks[i:i + _DECON_N]))
+    grams_ref = ray.put(bench_grams)
+
+    out = (_t(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(_Decontaminator,
+                        fn_constructor_kwargs={"grams_ref": grams_ref},
+                        # autoscaling (min,max) — a fixed-size pool equal
+                        # to cluster CPUs starves the upstream read
+                        batch_format="pyarrow", concurrency=(1, 8))
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def repetition_filter_documents(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style within-document repetition quality filter: per doc,
+    total vs distinct word-bigram counts and the top-unigram count.
+    ``keep_flag`` passes docs whose duplicate-bigram fraction is ≤ 4%,
+    computed in INTEGER arithmetic (``25·distinct ≥ 24·total``) so no
+    float division/rounding can diverge from the SQL oracle. Pure
+    map — one pass per batch, Counter per doc, no shuffle; emitted
+    columns are exact integers (hash-safe)."""
+    from collections import Counter
+
+    def stats(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            toks = (text or "").split()
+            if not toks:
+                continue
+            uni = Counter(toks)
+            bg = Counter(zip(toks, toks[1:]))
+            n_bigrams = len(toks) - 1
+            if n_bigrams <= 0:
+                continue
+            rows.append((doc_id, len(toks), n_bigrams, len(bg),
+                         max(uni.values()),
+                         int(25 * len(bg) >= 24 * n_bigrams)))
+        cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+        return pa.table({
+            "doc_id": pa.array(cols[0], type=pa.int64()),
+            "n_tokens": pa.array(cols[1], type=pa.int64()),
+            "n_bigrams": pa.array(cols[2], type=pa.int64()),
+            "n_distinct_bigrams": pa.array(cols[3], type=pa.int64()),
+            "top_word_n": pa.array(cols[4], type=pa.int64()),
+            "keep_flag": pa.array(cols[5], type=pa.int64()),
+        })
+
+    out = (_t(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(stats, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # --- streaming engine showcase (rows-only; pages aren't a DuckDB view) --

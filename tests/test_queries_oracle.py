@@ -60,6 +60,12 @@ def test_query_matches_oracle(name, con):
     want = normalize(con.execute(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns), f"{name} columns"
     assert len(got) == len(want), f"{name} row count: {len(got)} vs {len(want)}"
+    # the driver's value hash is dtype-sensitive (int64 1 != float64 1.0,
+    # datetime64[s] != [us]); normalize() only folds within a family, so
+    # any cross-family drift must fail here, not at the driver
+    assert list(got.dtypes.astype(str)) == list(want.dtypes.astype(str)), (
+        f"{name} dtypes: {dict(got.dtypes.astype(str))} vs "
+        f"{dict(want.dtypes.astype(str))}")
     pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name,
                                   check_exact=True)
 

@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": q.stratified_sample_events,
         "decontaminate_documents": q.decontaminate_documents,
         "repetition_filter_documents": q.repetition_filter_documents,
+        "curate_documents": q.curate_documents,
         # near-dup family (training-data ops)
         "minhash_dedup_documents": q.minhash_dedup_documents,
         "simhash_dedup_documents": q.simhash_dedup_documents,
@@ -452,6 +453,42 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS keep_flag
             FROM bstats s JOIN uni u ON s.doc_id = u.doc_id
             ORDER BY s.doc_id
+        """,
+        "curate_documents": r"""
+            WITH docw AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+                FROM docw,
+                     LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+            contaminated AS (
+                SELECT DISTINCT d.doc_id FROM grams d
+                JOIN bench b ON d.g = b.g
+            ),
+            big AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+                FROM docw, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+            ),
+            rep AS (
+                SELECT doc_id, count(*) AS n_bigrams,
+                       count(DISTINCT bg) AS nd
+                FROM big GROUP BY doc_id
+            ),
+            kept AS (
+                SELECT dw.doc_id AS doc_id, dw.text AS text,
+                       len(dw.w) AS n_tokens
+                FROM docw dw JOIN rep r ON dw.doc_id = r.doc_id
+                WHERE 25 * r.nd >= 24 * r.n_bigrams
+                  AND dw.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            )
+            SELECT min(doc_id) AS doc_id,
+                   CAST(min(n_tokens) AS BIGINT) AS n_tokens
+            FROM kept GROUP BY text ORDER BY doc_id
         """,
         "stratified_sample_events": """
             SELECT event_id, user_id, ts FROM events

@@ -1207,6 +1207,71 @@ def repetition_filter_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+class _Curator:
+    """Fused quality gate for ``curate_documents``: one scan per doc
+    computes the repetition stats AND the benchmark-overlap check, and
+    drops failing rows *before* the dedup shuffle — the cheap-map-first
+    ordering that matters at corpus scale (the shuffle only moves
+    surviving rows)."""
+
+    def __init__(self, grams_ref):
+        import ray
+
+        self.grams: set[str] = ray.get(grams_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = _DECON_N
+        ids, texts, ntoks = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            toks = (text or "").split()
+            if len(toks) < 2:
+                continue
+            n_big = len(toks) - 1
+            nd = len(set(zip(toks, toks[1:])))
+            if 25 * nd < 24 * n_big:  # duplicate-bigram fraction > 4%
+                continue
+            doc_grams = {" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)}
+            if doc_grams & self.grams:  # shares an 8-gram with the bench
+                continue
+            ids.append(doc_id)
+            texts.append(text)
+            ntoks.append(len(toks))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "n_tokens": pa.array(ntoks, type=pa.int64()),
+        })
+
+
+def curate_documents(sf_dir: str) -> pd.DataFrame:
+    """End-to-end training-corpus curation — the composition every
+    LLM-data pipeline actually ships: repetition quality filter +
+    benchmark decontamination (both fused into ONE map scan, broadcast
+    benchmark set, rows dropped before any shuffle) followed by exact
+    text dedup (hash-shard groupby, min doc_id survives). Returns the
+    surviving (doc_id, n_tokens) — the manifest of the curated corpus."""
+    import ray
+
+    bench = (_t(sf_dir, "documents", ["doc_id", "text"])
+             .filter(expr=f"doc_id < {_DECON_BENCH_MAX_ID}").take_all())
+    bench_grams: set[str] = set()
+    for row in bench:
+        toks = (row["text"] or "").split()
+        for i in range(len(toks) - _DECON_N + 1):
+            bench_grams.add(" ".join(toks[i:i + _DECON_N]))
+    grams_ref = ray.put(bench_grams)
+
+    kept = (_t(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(_Curator,
+                         fn_constructor_kwargs={"grams_ref": grams_ref},
+                         batch_format="pyarrow", concurrency=(1, 8)))
+    out = (exact_dedup(kept, key_cols=["text"], order_cols=["doc_id"])
+           .select_columns(["doc_id", "n_tokens"]).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # --- streaming engine showcase (rows-only; pages aren't a DuckDB view) --
 
 

@@ -554,6 +554,11 @@ class StreamingPagesPipeline:
         self._meta_acc: pd.DataFrame | None = None  # accumulated versions
         self._meta_ingested_until = -1  # highest epoch already folded in
         self._ds_stats: dict[int, str] = {}  # epoch -> Dataset.stats()
+        # deferred commit: (epoch, tables, snap_refs, wm_us, counters,
+        # blob, drain) — the snapshot-wait + manifest write of epoch e
+        # overlaps epoch e+1's exchange; flushed before the next
+        # settle/replay/drain (see _flush_commit)
+        self._pending_commit = None
         if self.metadata_slices and self.host_metadata is None:
             # schema-stable empty base: epochs before the first arrival
             # still run the join (all defaults) so output schema never
@@ -707,6 +712,7 @@ class StreamingPagesPipeline:
                 if pending is not None:
                     self._complete_epoch(actors, *pending)
                     pending = None
+                self._flush_commit()
                 attempt[0] += 1
                 # the bumped attempt id makes StateShards discard any
                 # in-flight pushes still arriving from the failed try
@@ -739,6 +745,7 @@ class StreamingPagesPipeline:
 
         if pending is not None:
             self._complete_epoch(actors, *pending)
+        self._flush_commit()
 
         if drain:
             self._drain_epoch(len(plan), actors, watermark)
@@ -819,6 +826,9 @@ class StreamingPagesPipeline:
         — actors never block on each other), close at the epoch's own
         frozen watermark, and 2PC-commit."""
         import time as _time
+        # settle the PREVIOUS epoch's deferred commit first (its
+        # snapshot writes ran under the exchange that just finished)
+        self._flush_commit()
         _t1 = _time.time()
         results = ray.get(fin_refs)
         win_calls: dict[int, list] = {}
@@ -872,7 +882,10 @@ class StreamingPagesPipeline:
 
     def _close_and_commit(self, epoch, actors, wm_us, counters,
                           wm_snapshot=None, drain=False) -> None:
+        import time as _time
+        _tc0 = _time.time()
         closed = ray.get([a.close.remote(wm_us) for a in actors])
+        _tc1 = _time.time()
         window_rows: list = []
         session_rows: list = []
         for cw, cs, _ in closed:
@@ -918,17 +931,50 @@ class StreamingPagesPipeline:
         ) + tables["session_host"].num_rows
 
         stage = os.path.join(self.sink.tmp_root, f"epoch={epoch:06d}")
-        ray.get([
+        _tc2 = _time.time()
+        # submit the K snapshot writes but do NOT wait: the 1-2 s of
+        # parallel state pickling overlaps the next epoch's exchange.
+        # Per-actor FIFO ordering (finalize(e) -> close(e) ->
+        # write_snapshot(e) -> finalize(e+1), all submitted by this
+        # driver in that order) still guarantees the snapshot captures
+        # exactly epoch e's state.
+        snap_refs = [
             a.write_snapshot.remote(
                 os.path.join(stage, f"state-{i:04d}.pkl")
             )
             for i, a in enumerate(actors)
-        ])
+        ]
         blob = pickle.dumps(
             {"watermark": wm_snapshot, "state_shards": len(actors)},
             protocol=4,
         )
         self.metrics.merge_counts(counters)
+        if os.environ.get("GRAFT_DEBUG_TIMING") == "2":
+            print(f"[epoch {epoch}] close={_tc1-_tc0:.2f}s "
+                  f"tables={_tc2-_tc1:.2f}s "
+                  f"snapshot_submit={_time.time()-_tc2:.2f}s", flush=True)
+        self._pending_commit = (epoch, tables, snap_refs, wm_us,
+                                counters, blob, drain)
+        if drain:
+            # the drain commit is the run's final word — make it durable
+            # before returning
+            self._flush_commit()
+
+    def _flush_commit(self) -> None:
+        """Settle the deferred commit: wait for the snapshot writes
+        (usually already resolved — they ran under the next epoch's
+        exchange) and write the manifest. Widens the replay-on-crash
+        window by one epoch; replay is deterministic, so output bytes
+        are unchanged."""
+        if self._pending_commit is None:
+            return
+        (epoch, tables, snap_refs, wm_us, counters, blob,
+         drain) = self._pending_commit
+        self._pending_commit = None
+        import time as _time
+        _tf0 = _time.time()
+        ray.get(snap_refs)
+        _tf1 = _time.time()
         # commit is idempotent (manifest-exists short-circuit), so the
         # retry is safe; the breaker fails fast once the sink
         # filesystem is persistently down
@@ -945,6 +991,9 @@ class StreamingPagesPipeline:
                 ),
             )
         )
+        if os.environ.get("GRAFT_DEBUG_TIMING") == "2":
+            print(f"[epoch {epoch}] snapshot_wait={_tf1-_tf0:.2f}s "
+                  f"sink_commit={_time.time()-_tf1:.2f}s", flush=True)
         # telemetry snapshot after the commit (never part of the 2PC
         # byte-identity contract — it carries wall-clock values)
         import json as _json

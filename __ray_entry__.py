@@ -41,6 +41,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup: exact (T1) and event-time windowed (T2)
         "dedup_documents_exact": q.dedup_documents_exact,
         "windowed_dedup_events": q.windowed_dedup_events,
+        # CEP pattern matching (sequence/funnel + absence/timeout)
+        "funnel_events": q.funnel_events,
+        "abandoned_views": q.abandoned_views,
         # event-time windows (A2/T7 + north rule)
         "tumbling_events": q.tumbling_events,
         "sliding_events": q.sliding_events,
@@ -153,6 +156,40 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 21600000000
             ORDER BY event_id
+        """,
+        "funnel_events": """
+            WITH a AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            b AS (
+                SELECT a.user_id, a.t1, min(e.ts) AS t2
+                FROM a JOIN events e
+                  ON e.user_id = a.user_id AND e.event_type = 'click'
+                 AND e.ts > a.t1
+                GROUP BY a.user_id, a.t1
+            ),
+            c AS (
+                SELECT b.user_id, b.t1, min(e.ts) AS t3
+                FROM b JOIN events e
+                  ON e.user_id = b.user_id AND e.event_type = 'purchase'
+                 AND e.ts > b.t2
+                GROUP BY b.user_id, b.t1
+            )
+            SELECT user_id, t1 AS start_ts, t3 AS end_ts FROM c
+            WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000::BIGINT
+            ORDER BY user_id
+        """,
+        "abandoned_views": """
+            SELECT v.event_id, v.user_id, v.ts FROM events v
+            WHERE v.event_type = 'view' AND NOT EXISTS (
+                SELECT 1 FROM events c
+                WHERE c.user_id = v.user_id AND c.event_type = 'click'
+                  AND c.ts > v.ts
+                  AND epoch_us(c.ts) - epoch_us(v.ts)
+                      <= 259200000000::BIGINT
+            )
+            ORDER BY v.event_id
         """,
         "tumbling_events": """
             SELECT event_type,

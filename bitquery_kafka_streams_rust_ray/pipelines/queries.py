@@ -220,6 +220,43 @@ def session_events(sf_dir: str) -> pd.DataFrame:
     return out[["user_id", "session_start", "session_last", "n_events"]]
 
 
+# --- CEP pattern matching -------------------------------------------------
+
+
+def funnel_events(sf_dir: str) -> pd.DataFrame:
+    """CEP ordered-sequence match: users completing view -> click ->
+    purchase (strictly increasing ts, greedy earliest chain) within 72h.
+    """
+    from ..stages.cep import funnel_match
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    out = funnel_match(
+        ds, "user_id", "ts", "event_type",
+        pattern=["view", "click", "purchase"], within_s=72 * 3600,
+        tiebreak_col="event_id", shards=16,
+    ).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    out["start_ts"] = out["start_ts"].astype("datetime64[us]")
+    out["end_ts"] = out["end_ts"].astype("datetime64[us]")
+    return out[["user_id", "start_ts", "end_ts"]]
+
+
+def abandoned_views(sf_dir: str) -> pd.DataFrame:
+    """CEP absence/timeout match: view events with no click by the same
+    user within the following 72h."""
+    from ..stages.cep import absence_match
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    out = absence_match(
+        ds, "user_id", "ts", "event_type", trigger="view",
+        followup="click", within_s=72 * 3600, id_cols=["event_id"],
+        shards=16,
+    ).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out[["event_id", "user_id", "ts"]]
+
+
 # --- §2.5 joins ----------------------------------------------------------
 
 

@@ -1,0 +1,203 @@
+"""CEP pattern operators: ordered-sequence (funnel) and absence matching.
+
+The reference is a complex-event-processing consumer — its core loop
+extracts typed events and reacts to *combinations* of them (the
+monitor examples chain a filter over extracted trade events with
+per-key stats, ``examples/dex_monitor.rs:31-51``; the processor wiring
+in ``src/consumer.rs:267-304`` picks the first matching event of a
+group). These operators re-express the two canonical CEP primitives
+over a Ray ``Dataset``:
+
+- ``funnel_match`` — per key, the *earliest greedy chain* of events
+  whose types follow ``pattern`` with strictly increasing timestamps:
+  stage 0 matches at the key's earliest ``pattern[0]`` event, stage i
+  at the earliest ``pattern[i]`` event strictly after stage i-1. The
+  key matches iff the full chain exists and spans ≤ ``within``.
+  (Greedy-earliest is the standard funnel semantic: deterministic,
+  O(n) per key, and exactly SQL-expressible — the driver oracle is a
+  chain of per-stage ``min(ts)`` joins.)
+- ``absence_match`` — per key, events of a trigger type with NO
+  follow-up type within ``(ts, ts + within]`` — the "A not followed
+  by B" timeout pattern (abandoned-cart detection).
+
+Scale shape: both shuffle once on a stable hash shard of the key (all
+events of a key land in one task — the same co-location contract as
+session windows) and run vectorized sweeps per shard; no driver-side
+work, output is per-key (funnel) or per-trigger-event (absence) sized.
+The streaming engine hosts the same chain semantics incrementally in
+``state/store.py::FunnelState``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .hashing import add_shard_column
+from .timeops import US, series_ts_us
+
+_SHARD = "_cep_shard"
+
+
+def _chain_earliest(
+    g: pd.DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: Sequence[str],
+    tiebreak_col: str | None,
+) -> pd.DataFrame:
+    """Per-key greedy earliest chain over one shard's rows.
+
+    Returns one row per key that completes the chain (no ``within``
+    filter here): ``key, start_us, end_us``.
+    """
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    g = g.sort_values(sort_cols, kind="mergesort")
+    ts = series_ts_us(g[ts_col]).to_numpy()
+    keys = g[key_col].to_numpy()
+    types = g[type_col].to_numpy()
+
+    # stage 0: earliest pattern[0] per key
+    m0 = types == pattern[0]
+    s0 = pd.DataFrame({"_k": keys[m0], "_t": ts[m0]})
+    cur = s0.groupby("_k", sort=False)["_t"].min()  # key -> chain ts
+    start = cur.copy()
+    for stage in pattern[1:]:
+        if cur.empty:
+            break
+        mi = types == stage
+        cand = pd.DataFrame({"_k": keys[mi], "_t": ts[mi]})
+        cand = cand.join(cur.rename("_prev"), on="_k", how="inner")
+        cand = cand[cand["_t"] > cand["_prev"]]
+        cur = cand.groupby("_k", sort=False)["_t"].min()
+    done = cur.index
+    return pd.DataFrame(
+        {
+            key_col: done.to_numpy(),
+            "_start_us": start.loc[done].to_numpy(),
+            "_end_us": cur.to_numpy(),
+        }
+    )
+
+
+def funnel_match(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: Sequence[str],
+    within_s: float,
+    tiebreak_col: str | None = None,
+    shards: int = 64,
+    start_name: str = "start_ts",
+    end_name: str = "end_ts",
+) -> ray.data.Dataset:
+    """Keys whose events contain the pattern chain within ``within_s``.
+
+    Output: one row per matching key — ``key_col, {start_name},
+    {end_name}`` (timestamps of the chain's first and last stage).
+    Ties on equal timestamps are broken by ``tiebreak_col`` for a
+    deterministic scan order; the chain itself uses strict ``>`` so
+    equal-ts rows never satisfy consecutive stages (matching the SQL
+    oracle's ``e.ts > prev`` join condition).
+    """
+    pattern = list(pattern)
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least two stages")
+    within_us = int(within_s * US)
+    keep = [key_col, ts_col, type_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        # prune non-pattern event types before the shuffle
+        mask = pa.compute.is_in(t[type_col], value_set=pa.array(pattern))
+        return add_shard_column(
+            t.select(keep).filter(mask), key_col, shards, _SHARD
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = _chain_earliest(g, key_col, ts_col, type_col, pattern,
+                              tiebreak_col)
+        out = out[out["_end_us"] - out["_start_us"] <= within_us]
+        res = pd.DataFrame(
+            {
+                key_col: out[key_col].to_numpy(),
+                start_name: pd.to_datetime(out["_start_us"], unit="us"),
+                end_name: pd.to_datetime(out["_end_us"], unit="us"),
+            }
+        )
+        return res.sort_values(key_col, kind="mergesort")
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(_SHARD)
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+def absence_match(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    trigger: str,
+    followup: str,
+    within_s: float,
+    id_cols: Sequence[str] = (),
+    shards: int = 64,
+) -> ray.data.Dataset:
+    """Trigger events with no follow-up on the key in ``(ts, ts+within]``.
+
+    The timeout/absence CEP pattern: emit each ``trigger``-type event
+    (with ``id_cols`` carried through) for which no ``followup``-type
+    event of the same key lands strictly after it and within
+    ``within_s``. Vectorized per shard with a forward ``merge_asof``
+    (nearest follow-up after each trigger, bounded by tolerance) — the
+    absence of a match IS the result row.
+    """
+    within_us = int(within_s * US)
+    keep = list(dict.fromkeys([key_col, ts_col, type_col, *id_cols]))
+
+    def pre(t: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(
+            t[type_col], value_set=pa.array([trigger, followup])
+        )
+        return add_shard_column(
+            t.select(keep).filter(mask), key_col, shards, _SHARD
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_ts_us=series_ts_us(g[ts_col]).to_numpy())
+        trig = g[g[type_col] == trigger].sort_values("_ts_us",
+                                                     kind="mergesort")
+        fol = (
+            g[g[type_col] == followup][[key_col, "_ts_us"]]
+            .rename(columns={"_ts_us": "_fol_us"})
+            .sort_values("_fol_us", kind="mergesort")
+        )
+        hit = pd.merge_asof(
+            trig,
+            fol,
+            left_on="_ts_us",
+            right_on="_fol_us",
+            by=key_col,
+            direction="forward",
+            allow_exact_matches=False,
+            tolerance=within_us,
+        )
+        out = hit[hit["_fol_us"].isna()]
+        sort_cols = list(id_cols) if id_cols else [key_col, "_ts_us"]
+        out = out.sort_values(sort_cols, kind="mergesort")
+        return out[[key_col, ts_col, *id_cols]]
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(_SHARD)
+        .map_groups(per_shard, batch_format="pandas")
+    )

@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data text ops: scrubbing / n-gram counts / stratified
         "redact_documents": q.redact_documents,
         "top_bigrams_documents": q.top_bigrams_documents,
+        "rare_terms_documents": q.rare_terms_documents,
+        "inverted_index_documents": q.inverted_index_documents,
         "stratified_sample_events": q.stratified_sample_events,
         "decontaminate_documents": q.decontaminate_documents,
         "repetition_filter_documents": q.repetition_filter_documents,
@@ -526,6 +528,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id,
                    CAST(min(n_tokens) AS BIGINT) AS n_tokens
             FROM kept GROUP BY text ORDER BY doc_id
+        """,
+        "rare_terms_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS word
+                FROM documents WHERE trim(text) <> ''
+            ),
+            tf AS (
+                SELECT doc_id, word, count(*) AS tf
+                FROM toks GROUP BY doc_id, word
+            ),
+            df AS (
+                SELECT word, count(*) AS df FROM tf GROUP BY word
+            )
+            SELECT doc_id, word AS rare_word, df, tf FROM (
+                SELECT t.doc_id, t.word, d.df, t.tf,
+                       row_number() OVER (
+                           PARTITION BY t.doc_id
+                           ORDER BY d.df, t.tf DESC, t.word) AS rn
+                FROM tf t JOIN df d USING (word)
+            ) WHERE rn = 1 ORDER BY doc_id
+        """,
+        "inverted_index_documents": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS word
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT word,
+                   array_to_string(list_sort(array_agg(doc_id)), ',')
+                       AS doc_ids,
+                   count(*) AS n_docs
+            FROM toks GROUP BY word ORDER BY word
         """,
         "stratified_sample_events": """
             SELECT event_id, user_id, ts FROM events

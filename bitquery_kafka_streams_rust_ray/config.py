@@ -33,6 +33,27 @@ class WindowConfig:
 
 
 @dataclass(frozen=True)
+class FunnelConfig:
+    """Streaming CEP funnel over the page stream (stages/cep.py
+    semantics hosted in ``state.store.FunnelState``).
+
+    Pages are classified into ordered size stages by ``text_len``
+    (small / medium / large via ``bounds``); a host matches when it
+    serves the full escalation within ``within_s`` of event time —
+    the per-key ordered-sequence pattern the reference's CEP loop
+    reacts to, keyed like the session windows.
+    """
+
+    enabled: bool = True
+    within_s: int = 600
+    bounds: tuple[int, int] = (250, 450)  # text_len stage boundaries
+
+    @property
+    def n_stages(self) -> int:
+        return len(self.bounds) + 1
+
+
+@dataclass(frozen=True)
 class EngineConfig:
     """Top-level configuration for the streaming engine.
 
@@ -50,6 +71,7 @@ class EngineConfig:
     dedup_window_s: int = 300
     allowed_lateness_s: int = 120
     windows: WindowConfig = field(default_factory=WindowConfig)
+    funnel: FunnelConfig = field(default_factory=FunnelConfig)
 
     # --- physical execution ---
     batch_size: int = 1024           # rows per Arrow batch in stateful stages

@@ -68,5 +68,6 @@ def flagship_outputs(output_dir: str) -> dict:
     sink = EpochSink(output_dir)
     return {
         name: sink.read_output(name)
-        for name in ("pages", "tumbling_lang", "sliding_lang", "session_host")
+        for name in ("pages", "tumbling_lang", "sliding_lang",
+                     "session_host", "funnel_host")
     }

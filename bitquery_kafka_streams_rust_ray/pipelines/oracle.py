@@ -22,7 +22,7 @@ from ..functions.compression import decompress_safe
 from ..functions.extract import html_to_text
 from ..functions.filters import PageFilter
 from ..sources.pages import pages_files
-from ..state.store import DedupState, SessionState, WindowState
+from ..state.store import DedupState, FunnelState, SessionState, WindowState
 from ..state.watermark import WatermarkTracker
 from ..stages.timeops import NEG_INF_TS, US, series_ts_us
 
@@ -50,6 +50,8 @@ def run_oracle(
     dedup = DedupState(cfg.dedup_window_s * US)
     windows = WindowState()
     sessions = SessionState(cfg.windows.session_gap_s * US)
+    funnel = (FunnelState(cfg.funnel.n_stages, cfg.funnel.within_s * US)
+              if cfg.funnel.enabled else None)
     watermark = WatermarkTracker(cfg.allowed_lateness_s * US)
 
     metadata_slices = metadata_slices or {}
@@ -68,11 +70,13 @@ def run_oracle(
         meta = prep(meta_acc)
 
     pages_out = []
-    win_rows, sess_rows = [], []
+    win_rows, sess_rows, fun_rows = [], [], []
     counters = {
         "rows_read": 0, "parse_errors": 0, "rows_filtered_out": 0,
         "late_dropped": 0, "rows_deduped": 0, "rows_written": 0,
     }
+    if funnel is not None:
+        counters["funnels_matched"] = 0
 
     def close(epoch: int) -> None:
         wm = watermark.watermark_us
@@ -80,6 +84,10 @@ def run_oracle(
             win_rows.append((epoch, *r))
         for r in sessions.close(wm):
             sess_rows.append((epoch, *r))
+        if funnel is not None:
+            for r in funnel.close(wm):
+                fun_rows.append((epoch, *r))
+                counters["funnels_matched"] += 1
         dedup.evict(wm)
 
     for epoch, epoch_files in enumerate(plan):
@@ -157,6 +165,12 @@ def run_oracle(
             _add_window(windows, "sliding:lang", df["lang"].fillna(""), ts,
                         lens, sld, slide)
             sessions.add(df["host"].tolist(), ts, lens)
+            if funnel is not None:
+                stages = np.searchsorted(
+                    np.asarray(cfg.funnel.bounds, dtype=np.int64),
+                    df["text_len"].to_numpy(), side="right",
+                ).astype(np.int64)
+                funnel.add(df["host"].fillna("").tolist(), stages, ts)
             counters["rows_written"] += len(df)
             pages_out.append(
                 df.drop(columns=["_ts_us"]).assign(_epoch=epoch)
@@ -179,6 +193,7 @@ def run_oracle(
         if pages_out else pd.DataFrame(),
         "windows": win_rows,
         "sessions": sess_rows,
+        "funnels": fun_rows,
         "counters": counters,
     }
 

@@ -1112,6 +1112,97 @@ def top_bigrams_documents(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out
 
 
+def rare_terms_documents(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF-style rarest distinguishing term per document, with the
+    ranking kept in integers so the oracle hash-matches exactly: per
+    doc, the word with minimal corpus document frequency (tiebreak:
+    max in-doc term frequency, then alphabetical).
+
+    Scale shape: one tokenize pass emits complete (doc, word, tf) rows
+    (a doc is one input row, so its tf is batch-local); DF is a
+    distributed ``groupby(word).count``; DF rides back via a hash join
+    on word (NOT a driver-side vocabulary broadcast — web-scale vocab
+    doesn't fit one process); per-doc argmin is a per-batch partial
+    best followed by one small per-doc reduce."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids, words, tfs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (text or "").split()
+            if not toks:
+                continue
+            from collections import Counter
+
+            for w, c in Counter(toks).items():
+                ids.append(did)
+                words.append(w)
+                tfs.append(c)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "word": pa.array(words, type=pa.string()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        })
+
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow")
+    df_counts = tf.groupby("word").aggregate(Count(alias_name="df"))
+    joined = hash_join(tf, df_counts, on="word",
+                       buckets=join_buckets(_tbytes(sf_dir, "documents")))
+
+    def best_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "tf", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("doc_id", sort=True).head(1)
+        return out[["doc_id", "word", "df", "tf"]]
+
+    # partial best inside each batch, then the per-doc reduce only
+    # moves one candidate row per (doc, batch)
+    out = (joined.map_batches(best_per_doc, batch_format="pandas")
+           .groupby("doc_id").map_groups(best_per_doc,
+                                         batch_format="pandas")
+           .to_pandas())
+    out = out.rename(columns={"word": "rare_word"})
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "df", "tf"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "rare_word", "df", "tf"]]
+
+
+def inverted_index_documents(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index construction: word -> sorted posting list of
+    doc_ids + document frequency. Postings are comma-joined strings
+    (the same layout ``docs_by_lang`` uses) so the oracle compare is
+    exact. Per-batch tokenize emits distinct (word, doc) pairs; one
+    ``groupby(word)`` assembles each posting list."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids, words = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = set((text or "").split())
+            ids.extend([did] * len(toks))
+            words.extend(toks)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "word": pa.array(words, type=pa.string()),
+        })
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        return pd.DataFrame({
+            "word": [g["word"].iloc[0]],
+            "doc_ids": [",".join(map(str, ids))],
+            "n_docs": [len(ids)],
+        })
+
+    out = (docs.map_batches(pairs, batch_format="pyarrow")
+           .groupby("word").map_groups(assemble, batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values("word").reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["word", "doc_ids", "n_docs"]]
+
+
 def stratified_sample_events(sf_dir: str, per_user: int = 2) -> pd.DataFrame:
     """Stratified (per-group) deterministic sampling: keep ``per_user``
     events per user, chosen by a multiplicative hash of the event id —

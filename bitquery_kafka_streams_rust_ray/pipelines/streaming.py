@@ -72,7 +72,7 @@ from ..observability.metrics import MetricsRegistry
 from ..reliability import CircuitBreaker, RetryConfig, RetryStrategy
 from ..sinks.exactly_once import EpochSink
 from ..sources.pages import pages_files
-from ..state.store import DedupState, SessionState, WindowState
+from ..state.store import DedupState, FunnelState, SessionState, WindowState
 from ..state.watermark import WatermarkTracker
 from ..stages.hashing import shard_of
 from ..stages.timeops import NEG_INF_TS, US, column_ts_us, series_ts_us
@@ -101,6 +101,10 @@ class StateShard:
         self.dedup = DedupState(config.dedup_window_s * US)
         self.windows = WindowState()
         self.sessions = SessionState(config.windows.session_gap_s * US)
+        self.funnel = (
+            FunnelState(config.funnel.n_stages, config.funnel.within_s * US)
+            if config.funnel.enabled else None
+        )
         self.buffers: dict[int, list[pa.Table]] = {}
         self.epoch_attempt: dict[int, int] = {}  # replay fence per epoch
         # K shards finalize concurrently on one node; Arrow kernels on
@@ -136,7 +140,8 @@ class StateShard:
         self.epoch_attempt.pop(epoch, None)
         stats = {"rows_deduped": 0, "rows_written": 0}
         if not chunks:
-            return {"stats": stats, "windows": {}, "sessions": {}}
+            return {"stats": stats, "windows": {}, "sessions": {},
+                    "funnels": {}}
 
         # pure Arrow end to end: the buffered chunks are zero-copy views
         # into the object store, and a pandas round-trip of the full
@@ -156,9 +161,9 @@ class StateShard:
         stats["rows_deduped"] = int((~keep).sum())
         tbl = tbl.filter(pa.array(keep))
         _t2 = _time.time()
-        windows, sessions = {}, {}
+        windows, sessions, funnels = {}, {}, {}
         if tbl.num_rows:
-            windows, sessions = self._partials(tbl)
+            windows, sessions, funnels = self._partials(tbl)
             _t3 = _time.time()
             path = os.path.join(stage_dir, f"pages-{self.shard_id:04d}.parquet")
             pq.write_table(tbl.drop_columns(["_ts_us"]), path)
@@ -171,9 +176,10 @@ class StateShard:
                 with open(path, "rb+") as f:
                     os.fsync(f.fileno())
             stats["rows_written"] = tbl.num_rows
-        return {"stats": stats, "windows": windows, "sessions": sessions}
+        return {"stats": stats, "windows": windows, "sessions": sessions,
+                "funnels": funnels}
 
-    def _partials(self, tbl: pa.Table) -> tuple[dict, dict]:
+    def _partials(self, tbl: pa.Table) -> tuple[dict, dict, dict]:
         """Pre-aggregate survivors into per-owner window partials and
         session runs — the two-level aggregation that keeps the exchange
         narrow (counts per (key, window), not rows). Only the four
@@ -200,7 +206,22 @@ class StateShard:
             windows.setdefault(owner, []).append(("sliding:lang", *payload))
         sessions = _session_runs(ok["host"], ts, lens,
                                  cfg.windows.session_gap_s * US, n)
-        return windows, sessions
+        funnels: dict[int, tuple] = {}
+        if self.funnel is not None:
+            # CEP stage per page: text_len size class (0..n_stages-1).
+            # The chain fold is order-sensitive so raw (key, stage, ts)
+            # triples ride to the key's owner — three narrow columns,
+            # already deduped, the one partial here that can't pre-reduce.
+            stages = np.searchsorted(
+                np.asarray(cfg.funnel.bounds, dtype=np.int64),
+                tbl.column("text_len").to_numpy(), side="right",
+            ).astype(np.int64)
+            hosts = ok["host"].fillna("").to_numpy()
+            owner = shard_of(hosts, n)
+            for o in np.unique(owner):
+                m = owner == o
+                funnels[int(o)] = (hosts[m].tolist(), stages[m], ts[m])
+        return windows, sessions, funnels
 
     def add_window_partials(self, batches: list[tuple]) -> None:
         for kind, keys, starts, ends, counts, totals in batches:
@@ -210,6 +231,10 @@ class StateShard:
         for keys, starts, lasts, counts, totals in batches:
             self.sessions.add_runs(keys, starts, lasts, counts, totals)
 
+    def add_funnel_events(self, batches: list[tuple]) -> None:
+        for keys, stages, ts in batches:
+            self.funnel.add(keys, stages, ts)
+
     def ping(self) -> int:
         """Liveness probe for the health monitor."""
         return self.shard_id
@@ -218,23 +243,29 @@ class StateShard:
         """Placement introspection (multi-node spread assertions)."""
         return ray.get_runtime_context().get_node_id()
 
-    def close(self, watermark_us: int) -> tuple[list, list, int]:
+    def close(self, watermark_us: int) -> tuple[list, list, list, int]:
         closed_windows = self.windows.close(watermark_us)
         closed_sessions = self.sessions.close(watermark_us)
+        closed_funnels = (self.funnel.close(watermark_us)
+                          if self.funnel is not None else [])
         evicted = self.dedup.evict(watermark_us)
-        return closed_windows, closed_sessions, evicted
+        return closed_windows, closed_sessions, closed_funnels, evicted
 
     def snapshot(self) -> dict:
         return {
             "dedup": self.dedup.snapshot(),
             "windows": self.windows.snapshot(),
             "sessions": self.sessions.snapshot(),
+            "funnel": (self.funnel.snapshot()
+                       if self.funnel is not None else None),
         }
 
     def restore(self, snap: dict) -> bool:
         self.dedup = DedupState.restore(snap["dedup"])
         self.windows = WindowState.restore(snap["windows"])
         self.sessions = SessionState.restore(snap["sessions"])
+        fun = snap.get("funnel")
+        self.funnel = FunnelState.restore(fun) if fun is not None else None
         return True
 
     def write_snapshot(self, path: str) -> int:
@@ -833,6 +864,7 @@ class StreamingPagesPipeline:
         results = ray.get(fin_refs)
         win_calls: dict[int, list] = {}
         sess_calls: dict[int, list] = {}
+        fun_calls: dict[int, list] = {}
         for r in results:
             for c in ("rows_deduped", "rows_written"):
                 counters[c] = counters.get(c, 0) + r["stats"][c]
@@ -840,11 +872,15 @@ class StreamingPagesPipeline:
                 win_calls.setdefault(owner, []).extend(batches)
             for owner, payload in r["sessions"].items():
                 sess_calls.setdefault(owner, []).append(payload)
+            for owner, payload in r.get("funnels", {}).items():
+                fun_calls.setdefault(owner, []).append(payload)
         ray.get(
             [actors[o].add_window_partials.remote(b)
              for o, b in win_calls.items()]
             + [actors[o].add_session_runs.remote(b)
                for o, b in sess_calls.items()]
+            + [actors[o].add_funnel_events.remote(b)
+               for o, b in fun_calls.items()]
         )
 
         _t2 = _time.time()
@@ -888,11 +924,14 @@ class StreamingPagesPipeline:
         _tc1 = _time.time()
         window_rows: list = []
         session_rows: list = []
-        for cw, cs, _ in closed:
+        funnel_rows: list = []
+        for cw, cs, cf, _ in closed:
             window_rows.extend(cw)
             session_rows.extend(cs)
+            funnel_rows.extend(cf)
         window_rows.sort()
         session_rows.sort()
+        funnel_rows.sort()
 
         tables = {}
         for kind_prefix, name in (("tumbling:lang", "tumbling_lang"),
@@ -925,10 +964,26 @@ class StreamingPagesPipeline:
             }
         )
 
+        if self.cfg.funnel.enabled:
+            tables["funnel_host"] = pa.table(
+                {
+                    "host": pa.array([r[0] for r in funnel_rows],
+                                     type=pa.string()),
+                    "start_ts": pa.array(
+                        np.array([r[1] for r in funnel_rows], dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                    "end_ts": pa.array(
+                        np.array([r[2] for r in funnel_rows], dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                }
+            )
+
         counters = dict(counters)
         counters["windows_emitted"] = sum(
-            t.num_rows for n, t in tables.items() if n != "session_host"
-        ) + tables["session_host"].num_rows
+            t.num_rows for n, t in tables.items() if n != "funnel_host"
+        )
+        if "funnel_host" in tables:
+            counters["funnels_matched"] = tables["funnel_host"].num_rows
 
         stage = os.path.join(self.sink.tmp_root, f"epoch={epoch:06d}")
         _tc2 = _time.time()

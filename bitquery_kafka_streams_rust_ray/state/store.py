@@ -18,6 +18,9 @@ Semantics ported from the reference:
 - ``WindowState``/``SessionState`` generalize the per-minute
   tumbling stats of ``examples/dex_monitor.rs:31-51`` to event-time
   tumbling / sliding / session windows.
+- ``FunnelState`` hosts the CEP ordered-sequence (funnel) match of
+  ``stages/cep.py::funnel_match`` incrementally: the greedy earliest
+  chain per key, folded in event-time order as the watermark advances.
 
 All methods are deterministic given the same sequence of (sorted)
 inputs and watermark advances; none look at the wall clock.
@@ -145,6 +148,116 @@ class WindowState:
             k = (key_list[0], key_list[1], int(key_list[2]))
             st.acc[k] = _Acc(count, total)
             st.window_end[k] = int(end)
+        return st
+
+
+class FunnelState:
+    """Streaming CEP funnel: greedy earliest stage chain per key.
+
+    Exactly the batch semantics of ``stages/cep.py::funnel_match``,
+    computed incrementally: events buffer until the watermark passes
+    their timestamp, then fold in global event-time order (accepted
+    events are never late, so "folded when the watermark passes" IS
+    timestamp order across epochs). The greedy chain recurrence
+    ``t[i] = min ts of a stage-i event with ts > t[i-1]`` is exact
+    under this fold because chain times, once set, can only be set by
+    strictly earlier folds and never decrease afterwards.
+
+    Emission is exactly-once and deterministic: a key's match surfaces
+    in ``close()`` of the first watermark that passes its chain-end
+    timestamp. Keys whose chain completed (matched or not) or whose
+    open chain can no longer finish within the bound
+    (``watermark > t[0] + within``) collapse to a tombstone in
+    ``done`` — without it a restarted chain could emit a second match
+    the batch semantics forbids. Per-key steady-state memory is the
+    tombstone entry; open state is O(stages + pending buffer).
+    """
+
+    def __init__(self, n_stages: int, within_us: int):
+        if n_stages < 2:
+            raise ValueError("funnel needs at least two stages")
+        self.n = n_stages
+        self.within_us = within_us
+        self.chains: dict[str, list[int | None]] = {}
+        self.pending: dict[str, list[tuple[int, int]]] = {}  # (ts, stage)
+        self.done: set[str] = set()
+
+    def add(self, keys: list[str], stages: np.ndarray,
+            ts_us: np.ndarray) -> None:
+        """Buffer (key, stage, ts) observations until watermark fold."""
+        pending = self.pending
+        done = self.done
+        for i, key in enumerate(keys):
+            if key in done:
+                continue
+            pending.setdefault(key, []).append(
+                (int(ts_us[i]), int(stages[i]))
+            )
+
+    def close(self, watermark_us: int) -> list[tuple[str, int, int]]:
+        """Fold buffered events below the watermark; emit completed
+        matches ``(key, start_us, end_us)`` sorted, evict dead keys."""
+        out: list[tuple[str, int, int]] = []
+        n, within = self.n, self.within_us
+        for key in list(self.pending):
+            buf = self.pending[key]
+            ripe = [e for e in buf if e[0] < watermark_us]
+            if not ripe:
+                continue
+            rest = [e for e in buf if e[0] >= watermark_us]
+            chain = self.chains.get(key)
+            if chain is None:
+                chain = self.chains[key] = [None] * n
+            ripe.sort()
+            for ts, stage in ripe:
+                if stage == 0:
+                    if chain[0] is None:
+                        chain[0] = ts
+                elif chain[stage] is None:
+                    prev = chain[stage - 1]
+                    if prev is not None and ts > prev:
+                        chain[stage] = ts
+                if chain[n - 1] is not None:
+                    break
+            if rest:
+                self.pending[key] = rest
+            else:
+                del self.pending[key]
+            if chain[n - 1] is not None:
+                if chain[n - 1] - chain[0] <= within:
+                    out.append((key, chain[0], chain[n - 1]))
+                self._tombstone(key)
+        # timeout eviction: an open chain whose completion would now
+        # violate the bound can never match
+        for key, chain in list(self.chains.items()):
+            if chain[0] is not None and watermark_us > chain[0] + within:
+                self._tombstone(key)
+        out.sort()
+        return out
+
+    def _tombstone(self, key: str) -> None:
+        self.done.add(key)
+        self.chains.pop(key, None)
+        self.pending.pop(key, None)
+
+    def snapshot(self) -> dict:
+        return {
+            "n": self.n,
+            "within_us": self.within_us,
+            "chains": {k: list(v) for k, v in self.chains.items()},
+            "pending": {k: [list(e) for e in v]
+                        for k, v in self.pending.items()},
+            "done": sorted(self.done),
+        }
+
+    @classmethod
+    def restore(cls, snap: dict) -> "FunnelState":
+        st = cls(snap["n"], snap["within_us"])
+        st.chains = {k: list(v) for k, v in snap["chains"].items()}
+        st.pending = {
+            k: [tuple(e) for e in v] for k, v in snap["pending"].items()
+        }
+        st.done = set(snap["done"])
         return st
 
 

@@ -148,3 +148,139 @@ def test_watermark_monotone_and_late():
     assert not wm.is_late(8 * US)
     wm2 = WatermarkTracker.restore(wm.snapshot())
     assert wm2.watermark_us == 8 * US
+
+
+# --- FunnelState (streaming CEP funnel) -----------------------------------
+
+
+def _fold_all(st, events, wm):
+    """events: list of (key, stage, ts_us)."""
+    import numpy as np
+
+    keys = [e[0] for e in events]
+    stages = np.array([e[1] for e in events], dtype=np.int64)
+    ts = np.array([e[2] for e in events], dtype=np.int64)
+    st.add(keys, stages, ts)
+    return st.close(wm)
+
+
+def test_funnel_basic_match_and_within():
+    from bitquery_kafka_streams_rust_ray.state.store import FunnelState
+
+    st = FunnelState(3, within_us=100)
+    out = _fold_all(
+        st,
+        [("a", 0, 10), ("a", 1, 20), ("a", 2, 30),   # match, span 20
+         ("b", 0, 10), ("b", 1, 20), ("b", 2, 200)],  # span 190 > 100
+        wm=1000,
+    )
+    assert out == [("a", 10, 30)]
+
+
+def test_funnel_strict_order_and_greedy_earliest():
+    from bitquery_kafka_streams_rust_ray.state.store import FunnelState
+
+    st = FunnelState(3, within_us=1000)
+    # stage-1 before any stage-0 doesn't count; equal ts doesn't chain
+    out = _fold_all(
+        st,
+        [("k", 1, 5), ("k", 0, 10), ("k", 1, 10), ("k", 1, 30),
+         ("k", 1, 20), ("k", 2, 25), ("k", 2, 21)],
+        wm=1000,
+    )
+    # chain: t0=10, t1=min(20,30)=20, t2=min ts>20 = 21
+    assert out == [("k", 10, 21)]
+
+
+def test_funnel_exactly_once_across_watermarks():
+    from bitquery_kafka_streams_rust_ray.state.store import FunnelState
+    import numpy as np
+
+    st = FunnelState(2, within_us=10**9)
+    st.add(["k"], np.array([0]), np.array([100]))
+    assert st.close(50) == []          # nothing below wm yet
+    assert st.close(150) == []         # only stage 0 folded
+    st.add(["k"], np.array([1]), np.array([200]))
+    assert st.close(300) == [("k", 100, 200)]
+    # later events on a matched key never re-emit
+    st.add(["k"], np.array([0]), np.array([400]))
+    st.add(["k"], np.array([1]), np.array([500]))
+    assert st.close(1000) == []
+
+
+def test_funnel_timeout_eviction_no_restart():
+    from bitquery_kafka_streams_rust_ray.state.store import FunnelState
+    import numpy as np
+
+    st = FunnelState(2, within_us=100)
+    st.add(["k"], np.array([0]), np.array([10]))
+    assert st.close(500) == []         # wm > t0+within: chain dead
+    assert "k" in st.done and "k" not in st.chains
+    # a fresh stage-0 + stage-1 later must NOT match (batch semantics:
+    # the greedy chain start is the earliest stage-0 event, which failed)
+    st.add(["k", "k"], np.array([0, 1]), np.array([600, 650]))
+    assert st.close(1000) == []
+
+
+def test_funnel_snapshot_roundtrip():
+    from bitquery_kafka_streams_rust_ray.state.store import FunnelState
+    import numpy as np
+
+    st = FunnelState(3, within_us=100)
+    st.add(["a", "a", "b"], np.array([0, 1, 0]), np.array([10, 20, 30]))
+    st.close(15)  # folds a's stage-0 only
+    st2 = FunnelState.restore(st.snapshot())
+    st.add(["a"], np.array([2]), np.array([40]))
+    st2.add(["a"], np.array([2]), np.array([40]))
+    assert st.close(1000) == st2.close(1000) == [("a", 10, 40)]
+
+
+def test_funnel_matches_batch_operator_semantics():
+    """Incremental fold across many watermarks == stages/cep.py greedy
+    chain over the same (non-late) event set."""
+    import numpy as np
+    from bitquery_kafka_streams_rust_ray.state.store import FunnelState
+
+    rng = np.random.default_rng(11)
+    n_keys, within = 30, 500
+    events = []
+    for k in range(n_keys):
+        for _ in range(rng.integers(2, 20)):
+            events.append((f"k{k}", int(rng.integers(0, 3)),
+                           int(rng.integers(0, 2000))))
+
+    # batch oracle: greedy earliest chain per key
+    def batch():
+        out = []
+        for k in sorted({e[0] for e in events}):
+            evs = sorted((ts, s) for key, s, ts in events if key == k)
+            t = None
+            chain = []
+            for stage in range(3):
+                cand = [ts for ts, s in evs
+                        if s == stage and (t is None or ts > t)]
+                if not cand:
+                    return_chain = None
+                    chain = None
+                    break
+                t = min(cand)
+                chain.append(t)
+            if chain and chain[-1] - chain[0] <= within:
+                out.append((k, chain[0], chain[-1]))
+        return sorted(out)
+
+    st = FunnelState(3, within_us=within)
+    emitted = []
+    # feed in arrival order with advancing watermarks (bounded disorder)
+    events_arrival = sorted(events, key=lambda e: e[2] + (hash(e[0]) % 97))
+    cuts = [0, 300, 700, 1100, 1600, 10**6]
+    lo = 0
+    for wm in cuts[1:]:
+        batch_evs = [e for e in events_arrival if lo <= e[2] < wm]
+        lo = wm
+        if batch_evs:
+            st.add([e[0] for e in batch_evs],
+                   np.array([e[1] for e in batch_evs]),
+                   np.array([e[2] for e in batch_evs]))
+        emitted.extend(st.close(wm))
+    assert sorted(emitted) == batch()

@@ -96,6 +96,22 @@ def test_pipeline_matches_oracle(flagship_run, pages_dir):
         obj="session_host",
     )
 
+    # --- CEP funnel matches (exactly-once, one per matching host)
+    f = norm(got["funnel_host"].to_pandas(), ["host"])
+    rows = oracle["funnels"]
+    w = pd.DataFrame(
+        {
+            "host": [r[1] for r in rows],
+            "start_ts": pd.to_datetime([r[2] for r in rows], unit="us"),
+            "end_ts": pd.to_datetime([r[3] for r in rows], unit="us"),
+        }
+    )
+    assert len(f) > 0, "funnel fixture produced no matches"
+    assert f["host"].is_unique
+    pd.testing.assert_frame_equal(
+        f, norm(w, ["host"]), check_dtype=False, obj="funnel_host",
+    )
+
 
 def test_dedup_fixtures_end_to_end(flagship_run):
     _, out, _ = flagship_run

@@ -1112,6 +1112,22 @@ def top_bigrams_documents(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out
 
 
+def _word_pairs(t: pa.Table) -> pa.Table:
+    """Vectorized tokenize: explode each doc's whitespace-split words
+    into (doc_id, word) rows with Arrow list kernels (split → flatten →
+    parent-index take), no per-row Python. Empty tokens from
+    leading/trailing whitespace are filtered, matching
+    ``regexp_split_to_array(trim(text), '\\s+')`` semantics."""
+    toks = pc.utf8_split_whitespace(t.column("text").combine_chunks())
+    words = pc.list_flatten(toks)
+    ids = pc.take(t.column("doc_id"), pc.list_parent_indices(toks))
+    mask = pc.not_equal(words, "")
+    return pa.table({
+        "doc_id": pc.filter(ids, mask).cast(pa.int64()),
+        "word": pc.filter(words, mask),
+    })
+
+
 def rare_terms_documents(sf_dir: str) -> pd.DataFrame:
     """TF-IDF-style rarest distinguishing term per document, with the
     ranking kept in integers so the oracle hash-matches exactly: per
@@ -1127,22 +1143,11 @@ def rare_terms_documents(sf_dir: str) -> pd.DataFrame:
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def tf_rows(t: pa.Table) -> pa.Table:
-        ids, words, tfs = [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = (text or "").split()
-            if not toks:
-                continue
-            from collections import Counter
-
-            for w, c in Counter(toks).items():
-                ids.append(did)
-                words.append(w)
-                tfs.append(c)
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "word": pa.array(words, type=pa.string()),
-            "tf": pa.array(tfs, type=pa.int64()),
-        })
+        # batch-local tf: a doc is one input row, so its counts are
+        # complete within the batch
+        return (_word_pairs(t).group_by(["doc_id", "word"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["doc_id", "word", "tf"]))
 
     tf = docs.map_batches(tf_rows, batch_format="pyarrow")
     df_counts = tf.groupby("word").aggregate(Count(alias_name="df"))
@@ -1177,15 +1182,8 @@ def inverted_index_documents(sf_dir: str) -> pd.DataFrame:
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def pairs(t: pa.Table) -> pa.Table:
-        ids, words = [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = set((text or "").split())
-            ids.extend([did] * len(toks))
-            words.extend(toks)
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "word": pa.array(words, type=pa.string()),
-        })
+        return (_word_pairs(t).group_by(["doc_id", "word"])
+                .aggregate([]))  # distinct (doc, word) within the batch
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())

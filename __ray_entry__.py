@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams_documents": q.top_bigrams_documents,
         "rare_terms_documents": q.rare_terms_documents,
         "inverted_index_documents": q.inverted_index_documents,
+        "doc_components": q.doc_components,
         "stratified_sample_events": q.stratified_sample_events,
         "decontaminate_documents": q.decontaminate_documents,
         "repetition_filter_documents": q.repetition_filter_documents,
@@ -563,6 +564,30 @@ def oracle_sql() -> dict[str, str]:
                        AS doc_ids,
                    count(*) AS n_docs
             FROM toks GROUP BY word ORDER BY word
+        """,
+        "doc_components": """
+            WITH RECURSIVE
+            edges AS (
+                SELECT a, b FROM (
+                    SELECT min(doc_id) OVER (PARTITION BY text) AS a,
+                           doc_id AS b
+                    FROM documents
+                    UNION ALL
+                    SELECT min(doc_id) OVER (
+                               PARTITION BY lang, n_chars // 50) AS a,
+                           doc_id AS b
+                    FROM documents
+                ) WHERE a <> b
+            ),
+            sym AS (SELECT a AS s, b AS d FROM edges
+                    UNION SELECT b, a FROM edges),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.d, r.lab FROM reach r JOIN sym s ON s.s = r.node
+            )
+            SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "stratified_sample_events": """
             SELECT event_id, user_id, ts FROM events

@@ -28,7 +28,8 @@ from ..stages.dedup import exact_dedup, windowed_dedup
 from ..stages.hashing import shard_of
 from ..stages.join import (broadcast_asof_join, broadcast_join, hash_join,
                            join_buckets, semi_join)
-from ..stages.neardup import embedding_dedup, minhash_dedup, simhash_dedup
+from ..stages.neardup import (embedding_dedup, minhash_dedup,
+                              propagate_min_labels, simhash_dedup)
 from ..stages.timeops import US, column_ts_us, series_ts_us, us_to_timestamp_array
 from ..stages.windows import session_window_agg, windowed_agg
 
@@ -1199,6 +1200,60 @@ def inverted_index_documents(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values("word").reset_index(drop=True)
     out["n_docs"] = out["n_docs"].astype("int64")
     return out[["word", "doc_ids", "n_docs"]]
+
+
+def doc_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components over a document-similarity graph, computed
+    with the distributed min-label-propagation kernel the near-dup
+    family clusters with (``stages/neardup.py::propagate_min_labels``)
+    — exposed as a first-class graph operator with an exact recursive
+    oracle.
+
+    Graph: docs are adjacent when they share exact text OR the same
+    (lang, n_chars // 50) size bucket; text-dup edges bridge size
+    buckets, so components are genuinely transitive (not cliques).
+
+    Scale shape: each equality relation contributes STAR edges
+    ((group-min, member) per group — linear in corpus size, never the
+    quadratic clique) via one ``groupby().map_groups``; self-edges keep
+    singletons addressable; label propagation is one hash join + one
+    Min-groupby per round, converging in O(diameter) rounds with a
+    scalar-only convergence check on the driver."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        m = int(g["doc_id"].min())
+        others = g["doc_id"][g["doc_id"] != m]
+        return pd.DataFrame({
+            "id_a": np.full(len(others), m, dtype=np.int64),
+            "id_b": others.to_numpy(dtype=np.int64),
+        })
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "size_bucket",
+            pc.cast(pc.floor(pc.divide(
+                pc.cast(t["n_chars"], pa.float64()), 50.0)), pa.int64()),
+        )
+
+    text_edges = docs.groupby("text").map_groups(star, batch_format="pandas")
+    size_edges = (docs.map_batches(bucketed, batch_format="pyarrow")
+                  .groupby(["lang", "size_bucket"])
+                  .map_groups(star, batch_format="pandas"))
+    self_edges = docs.map_batches(
+        lambda t: pa.table({"id_a": t["doc_id"], "id_b": t["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    pairs = text_edges.union(size_edges).union(self_edges)
+    labels = propagate_min_labels(pairs)
+    out = (labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    ).to_pandas())
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "component"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "component"]]
 
 
 def stratified_sample_events(sf_dir: str, per_user: int = 2) -> pd.DataFrame:

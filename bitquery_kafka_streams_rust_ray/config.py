@@ -72,6 +72,14 @@ class EngineConfig:
     allowed_lateness_s: int = 120
     windows: WindowConfig = field(default_factory=WindowConfig)
     funnel: FunnelConfig = field(default_factory=FunnelConfig)
+    topk_hosts: int = 10             # running top-k hosts by cumulative doc
+    # count, re-emitted exactly every epoch (0 disables). Exact: hosts
+    # are owner-partitioned across state shards, so the global top-k is
+    # the k-merge of per-shard top-k candidates. For unbounded key
+    # domains cap per-shard memory with ``topk_max_keys``.
+    topk_max_keys: int = 0           # 0 = exact counts (memory O(distinct
+    # keys per shard)); >0 = Misra-Gries shrink to this many counters
+    # per shard (counts become lower bounds with error <= total/(cap+1))
 
     # --- physical execution ---
     batch_size: int = 1024           # rows per Arrow batch in stateful stages

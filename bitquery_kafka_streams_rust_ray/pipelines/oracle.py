@@ -22,7 +22,8 @@ from ..functions.compression import decompress_safe
 from ..functions.extract import html_to_text
 from ..functions.filters import PageFilter
 from ..sources.pages import pages_files
-from ..state.store import DedupState, FunnelState, SessionState, WindowState
+from ..state.store import (DedupState, FunnelState, SessionState, TopKState,
+                           WindowState)
 from ..state.watermark import WatermarkTracker
 from ..stages.timeops import NEG_INF_TS, US, series_ts_us
 
@@ -52,6 +53,8 @@ def run_oracle(
     sessions = SessionState(cfg.windows.session_gap_s * US)
     funnel = (FunnelState(cfg.funnel.n_stages, cfg.funnel.within_s * US)
               if cfg.funnel.enabled else None)
+    topk = (TopKState(cfg.topk_hosts, cfg.topk_max_keys)
+            if cfg.topk_hosts > 0 else None)
     watermark = WatermarkTracker(cfg.allowed_lateness_s * US)
 
     metadata_slices = metadata_slices or {}
@@ -70,7 +73,7 @@ def run_oracle(
         meta = prep(meta_acc)
 
     pages_out = []
-    win_rows, sess_rows, fun_rows = [], [], []
+    win_rows, sess_rows, fun_rows, topk_rows = [], [], [], []
     counters = {
         "rows_read": 0, "parse_errors": 0, "rows_filtered_out": 0,
         "late_dropped": 0, "rows_deduped": 0, "rows_written": 0,
@@ -88,6 +91,9 @@ def run_oracle(
             for r in funnel.close(wm):
                 fun_rows.append((epoch, *r))
                 counters["funnels_matched"] += 1
+        if topk is not None:
+            for rank, (host, c) in enumerate(topk.top(), start=1):
+                topk_rows.append((epoch, rank, host, c))
         dedup.evict(wm)
 
     for epoch, epoch_files in enumerate(plan):
@@ -165,6 +171,9 @@ def run_oracle(
             _add_window(windows, "sliding:lang", df["lang"].fillna(""), ts,
                         lens, sld, slide)
             sessions.add(df["host"].tolist(), ts, lens)
+            if topk is not None:
+                vc = df["host"].fillna("").value_counts()
+                topk.add(vc.index.tolist(), vc.to_numpy())
             if funnel is not None:
                 stages = np.searchsorted(
                     np.asarray(cfg.funnel.bounds, dtype=np.int64),
@@ -194,6 +203,7 @@ def run_oracle(
         "windows": win_rows,
         "sessions": sess_rows,
         "funnels": fun_rows,
+        "topk": topk_rows,
         "counters": counters,
     }
 

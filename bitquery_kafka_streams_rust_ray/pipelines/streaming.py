@@ -72,7 +72,8 @@ from ..observability.metrics import MetricsRegistry
 from ..reliability import CircuitBreaker, RetryConfig, RetryStrategy
 from ..sinks.exactly_once import EpochSink
 from ..sources.pages import pages_files
-from ..state.store import DedupState, FunnelState, SessionState, WindowState
+from ..state.store import (DedupState, FunnelState, SessionState, TopKState,
+                           WindowState)
 from ..state.watermark import WatermarkTracker
 from ..stages.hashing import shard_of
 from ..stages.timeops import NEG_INF_TS, US, column_ts_us, series_ts_us
@@ -105,6 +106,8 @@ class StateShard:
             FunnelState(config.funnel.n_stages, config.funnel.within_s * US)
             if config.funnel.enabled else None
         )
+        self.topk = (TopKState(config.topk_hosts, config.topk_max_keys)
+                     if config.topk_hosts > 0 else None)
         self.buffers: dict[int, list[pa.Table]] = {}
         self.epoch_attempt: dict[int, int] = {}  # replay fence per epoch
         # K shards finalize concurrently on one node; Arrow kernels on
@@ -141,7 +144,7 @@ class StateShard:
         stats = {"rows_deduped": 0, "rows_written": 0}
         if not chunks:
             return {"stats": stats, "windows": {}, "sessions": {},
-                    "funnels": {}}
+                    "funnels": {}, "hostcounts": {}}
 
         # pure Arrow end to end: the buffered chunks are zero-copy views
         # into the object store, and a pandas round-trip of the full
@@ -161,9 +164,9 @@ class StateShard:
         stats["rows_deduped"] = int((~keep).sum())
         tbl = tbl.filter(pa.array(keep))
         _t2 = _time.time()
-        windows, sessions, funnels = {}, {}, {}
+        windows, sessions, funnels, hostcounts = {}, {}, {}, {}
         if tbl.num_rows:
-            windows, sessions, funnels = self._partials(tbl)
+            windows, sessions, funnels, hostcounts = self._partials(tbl)
             _t3 = _time.time()
             path = os.path.join(stage_dir, f"pages-{self.shard_id:04d}.parquet")
             pq.write_table(tbl.drop_columns(["_ts_us"]), path)
@@ -177,9 +180,9 @@ class StateShard:
                     os.fsync(f.fileno())
             stats["rows_written"] = tbl.num_rows
         return {"stats": stats, "windows": windows, "sessions": sessions,
-                "funnels": funnels}
+                "funnels": funnels, "hostcounts": hostcounts}
 
-    def _partials(self, tbl: pa.Table) -> tuple[dict, dict, dict]:
+    def _partials(self, tbl: pa.Table) -> tuple[dict, dict, dict, dict]:
         """Pre-aggregate survivors into per-owner window partials and
         session runs — the two-level aggregation that keeps the exchange
         narrow (counts per (key, window), not rows). Only the four
@@ -221,7 +224,18 @@ class StateShard:
             for o in np.unique(owner):
                 m = owner == o
                 funnels[int(o)] = (hosts[m].tolist(), stages[m], ts[m])
-        return windows, sessions, funnels
+        hostcounts: dict[int, tuple] = {}
+        if self.topk is not None:
+            # running top-k partial: pre-reduce to (host, count) pairs —
+            # the exchange ships one row per distinct host per shard
+            vc = ok["host"].fillna("").value_counts()
+            hs = vc.index.to_numpy()
+            owner = shard_of(hs, n)
+            cnts = vc.to_numpy()
+            for o in np.unique(owner):
+                m = owner == o
+                hostcounts[int(o)] = (hs[m].tolist(), cnts[m])
+        return windows, sessions, funnels, hostcounts
 
     def add_window_partials(self, batches: list[tuple]) -> None:
         for kind, keys, starts, ends, counts, totals in batches:
@@ -235,6 +249,10 @@ class StateShard:
         for keys, stages, ts in batches:
             self.funnel.add(keys, stages, ts)
 
+    def add_host_counts(self, batches: list[tuple]) -> None:
+        for keys, counts in batches:
+            self.topk.add(keys, counts)
+
     def ping(self) -> int:
         """Liveness probe for the health monitor."""
         return self.shard_id
@@ -243,13 +261,14 @@ class StateShard:
         """Placement introspection (multi-node spread assertions)."""
         return ray.get_runtime_context().get_node_id()
 
-    def close(self, watermark_us: int) -> tuple[list, list, list, int]:
+    def close(self, watermark_us: int) -> tuple[list, list, list, list, int]:
         closed_windows = self.windows.close(watermark_us)
         closed_sessions = self.sessions.close(watermark_us)
         closed_funnels = (self.funnel.close(watermark_us)
                           if self.funnel is not None else [])
+        topk = self.topk.top() if self.topk is not None else []
         evicted = self.dedup.evict(watermark_us)
-        return closed_windows, closed_sessions, closed_funnels, evicted
+        return closed_windows, closed_sessions, closed_funnels, topk, evicted
 
     def snapshot(self) -> dict:
         return {
@@ -258,6 +277,8 @@ class StateShard:
             "sessions": self.sessions.snapshot(),
             "funnel": (self.funnel.snapshot()
                        if self.funnel is not None else None),
+            "topk": (self.topk.snapshot()
+                     if self.topk is not None else None),
         }
 
     def restore(self, snap: dict) -> bool:
@@ -266,6 +287,8 @@ class StateShard:
         self.sessions = SessionState.restore(snap["sessions"])
         fun = snap.get("funnel")
         self.funnel = FunnelState.restore(fun) if fun is not None else None
+        tk = snap.get("topk")
+        self.topk = TopKState.restore(tk) if tk is not None else None
         return True
 
     def write_snapshot(self, path: str) -> int:
@@ -865,6 +888,7 @@ class StreamingPagesPipeline:
         win_calls: dict[int, list] = {}
         sess_calls: dict[int, list] = {}
         fun_calls: dict[int, list] = {}
+        host_calls: dict[int, list] = {}
         for r in results:
             for c in ("rows_deduped", "rows_written"):
                 counters[c] = counters.get(c, 0) + r["stats"][c]
@@ -874,6 +898,8 @@ class StreamingPagesPipeline:
                 sess_calls.setdefault(owner, []).append(payload)
             for owner, payload in r.get("funnels", {}).items():
                 fun_calls.setdefault(owner, []).append(payload)
+            for owner, payload in r.get("hostcounts", {}).items():
+                host_calls.setdefault(owner, []).append(payload)
         ray.get(
             [actors[o].add_window_partials.remote(b)
              for o, b in win_calls.items()]
@@ -881,6 +907,8 @@ class StreamingPagesPipeline:
                for o, b in sess_calls.items()]
             + [actors[o].add_funnel_events.remote(b)
                for o, b in fun_calls.items()]
+            + [actors[o].add_host_counts.remote(b)
+               for o, b in host_calls.items()]
         )
 
         _t2 = _time.time()
@@ -925,10 +953,12 @@ class StreamingPagesPipeline:
         window_rows: list = []
         session_rows: list = []
         funnel_rows: list = []
-        for cw, cs, cf, _ in closed:
+        topk_cands: list = []
+        for cw, cs, cf, tk, _ in closed:
             window_rows.extend(cw)
             session_rows.extend(cs)
             funnel_rows.extend(cf)
+            topk_cands.extend(tk)
         window_rows.sort()
         session_rows.sort()
         funnel_rows.sort()
@@ -978,9 +1008,25 @@ class StreamingPagesPipeline:
                 }
             )
 
+        if self.cfg.topk_hosts > 0:
+            # exact global top-k: keys are owner-partitioned, so the
+            # k-merge of per-shard candidates is the true leaderboard
+            top = TopKState.merge_top(topk_cands, self.cfg.topk_hosts)
+            tables["topk_host"] = pa.table(
+                {
+                    "epoch": pa.array([epoch] * len(top), type=pa.int64()),
+                    "rank": pa.array(range(1, len(top) + 1),
+                                     type=pa.int64()),
+                    "host": pa.array([h for h, _ in top], type=pa.string()),
+                    "doc_count": pa.array([c for _, c in top],
+                                          type=pa.int64()),
+                }
+            )
+
         counters = dict(counters)
         counters["windows_emitted"] = sum(
-            t.num_rows for n, t in tables.items() if n != "funnel_host"
+            t.num_rows for n, t in tables.items()
+            if n not in ("funnel_host", "topk_host")
         )
         if "funnel_host" in tables:
             counters["funnels_matched"] = tables["funnel_host"].num_rows

@@ -261,6 +261,60 @@ class FunnelState:
         return st
 
 
+class TopKState:
+    """Running per-key counts with top-k extraction — the cross-epoch
+    "leaderboard" emission mode (re-emitted every epoch as counts grow),
+    versus the watermark-closed emission of windows/sessions.
+
+    Hosted per state shard with keys owner-partitioned, each shard's
+    counts are complete for its keys, so the global top-k is exactly the
+    k-merge of per-shard ``top()`` candidates. ``max_keys > 0`` bounds
+    per-shard memory Misra-Gries style (periodic shrink; counts become
+    lower bounds with the classic error <= total/(max_keys+1)) for
+    unbounded key domains — the streaming sibling of
+    ``stages/sketches.py::heavy_hitters``.
+    """
+
+    def __init__(self, k: int, max_keys: int = 0):
+        if k < 1:
+            raise ValueError("top-k needs k >= 1")
+        self.k = k
+        self.max_keys = max_keys
+        self.counts: dict[str, int] = {}
+
+    def add(self, keys: list[str], counts: np.ndarray) -> None:
+        c = self.counts
+        for key, n in zip(keys, counts):
+            c[key] = c.get(key, 0) + int(n)
+        if self.max_keys and len(c) > 2 * self.max_keys:
+            # amortized MG shrink: subtract the (max_keys+1)-th largest
+            # count, drop non-positives (error bound per sketches.py)
+            cut = sorted(c.values(), reverse=True)[self.max_keys]
+            self.counts = {key: v - cut for key, v in c.items() if v > cut}
+
+    def top(self) -> list[tuple[str, int]]:
+        """Local top-k candidates, count-desc then key-asc (deterministic)."""
+        return sorted(self.counts.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[: self.k]
+
+    @staticmethod
+    def merge_top(candidates: list[tuple[str, int]],
+                  k: int) -> list[tuple[str, int]]:
+        """Global top-k from per-shard candidate lists (exact when key
+        ownership is disjoint across shards)."""
+        return sorted(candidates, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def snapshot(self) -> dict:
+        return {"k": self.k, "max_keys": self.max_keys,
+                "counts": dict(self.counts)}
+
+    @classmethod
+    def restore(cls, snap: dict) -> "TopKState":
+        st = cls(snap["k"], snap.get("max_keys", 0))
+        st.counts = dict(snap["counts"])
+        return st
+
+
 @dataclass
 class _Session:
     start: int

@@ -284,3 +284,54 @@ def test_funnel_matches_batch_operator_semantics():
                    np.array([e[2] for e in batch_evs]))
         emitted.extend(st.close(wm))
     assert sorted(emitted) == batch()
+
+
+# --- TopKState (running top-k leaderboard) --------------------------------
+
+
+def test_topk_exact_counts_and_ordering():
+    from bitquery_kafka_streams_rust_ray.state.store import TopKState
+    import numpy as np
+
+    st = TopKState(3)
+    st.add(["a", "b", "c"], np.array([5, 3, 3]))
+    st.add(["b", "d"], np.array([4, 6]))
+    # counts: a=5 b=7 c=3 d=6 -> top3 = b,d,a; ties broken by key asc
+    assert st.top() == [("b", 7), ("d", 6), ("a", 5)]
+    st2 = TopKState.restore(st.snapshot())
+    assert st2.top() == st.top()
+
+
+def test_topk_sharded_merge_is_exact():
+    """Global top-k == k-merge of per-shard top-k when key ownership is
+    disjoint — the property the streaming emission relies on."""
+    from bitquery_kafka_streams_rust_ray.state.store import TopKState
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    keys = [f"h{i}" for i in range(40)]
+    counts = {k: int(rng.integers(1, 1000)) for k in keys}
+    shards = [TopKState(5) for _ in range(4)]
+    for k, c in counts.items():
+        shards[hash(k) % 4].add([k], np.array([c]))
+    cands = [kv for s in shards for kv in s.top()]
+    got = TopKState.merge_top(cands, 5)
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+
+
+def test_topk_mg_cap_keeps_heavy_hitters():
+    """With max_keys the counts become lower bounds but every key with
+    true count > total/(cap+1) survives (Misra-Gries guarantee)."""
+    from bitquery_kafka_streams_rust_ray.state.store import TopKState
+    import numpy as np
+
+    st = TopKState(2, max_keys=4)
+    # heavy: x appears 50 times among 90 total adds
+    for i in range(90):
+        key = "x" if i % 2 == 0 or i < 10 else f"t{i}"
+        st.add([key], np.array([1]))
+    assert len(st.counts) <= 8  # bounded memory (2 * max_keys shrink point)
+    top = st.top()
+    assert top[0][0] == "x"
+    assert top[0][1] <= 55  # lower bound, never over-counts

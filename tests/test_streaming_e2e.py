@@ -112,6 +112,22 @@ def test_pipeline_matches_oracle(flagship_run, pages_dir):
         f, norm(w, ["host"]), check_dtype=False, obj="funnel_host",
     )
 
+    # --- running top-k leaderboard (re-emitted every epoch, exact)
+    tk = norm(got["topk_host"].to_pandas(), ["epoch", "rank"])
+    rows = oracle["topk"]
+    w = pd.DataFrame(
+        {
+            "epoch": [r[0] for r in rows],
+            "rank": [r[1] for r in rows],
+            "host": [r[2] for r in rows],
+            "doc_count": [r[3] for r in rows],
+        }
+    )
+    assert len(tk) > 0, "topk fixture produced no rows"
+    pd.testing.assert_frame_equal(
+        tk, norm(w, ["epoch", "rank"]), check_dtype=False, obj="topk_host",
+    )
+
 
 def test_dedup_fixtures_end_to_end(flagship_run):
     _, out, _ = flagship_run

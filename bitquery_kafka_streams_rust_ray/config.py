@@ -134,6 +134,79 @@ class EngineConfig:
             raise ValueError("epoch_replay_budget must be >= 0")
         if self.sink_breaker_threshold <= 0:
             raise ValueError("sink_breaker_threshold must be positive")
+        if self.topk_hosts < 0 or self.topk_max_keys < 0:
+            raise ValueError("topk_hosts / topk_max_keys must be >= 0")
+
+    @classmethod
+    def from_env(cls, env: dict | None = None,
+                 prefix: str = "GRAFT_CFG_") -> "EngineConfig":
+        """Build a config from environment overrides on the defaults —
+        the reference's load_configuration + env override pass
+        (src/main.rs:106-156, src/config.rs env parsing) as a typed
+        dataclass walk.
+
+        ``GRAFT_CFG_<FIELD>`` overrides a top-level field;
+        ``GRAFT_CFG_WINDOWS_<FIELD>`` / ``GRAFT_CFG_FUNNEL_<FIELD>``
+        override the nested sections. Values are coerced to the field's
+        declared type; an unknown name or an uncoercible value raises
+        ``ValueError`` naming the variable (fail fast, never silently
+        ignore a typo'd knob). The result is ``validate()``d.
+        """
+        import os as _os
+        from dataclasses import fields as _fields
+
+        src = dict(env if env is not None else _os.environ)
+        picked = {k: v for k, v in src.items() if k.startswith(prefix)}
+
+        def coerce(name: str, raw: str, ftype: str):
+            try:
+                if "bool" in ftype:
+                    if raw.lower() in ("1", "true", "yes", "on"):
+                        return True
+                    if raw.lower() in ("0", "false", "no", "off"):
+                        return False
+                    raise ValueError(raw)
+                if "tuple" in ftype:  # comma-separated ints, e.g. "250,450"
+                    return tuple(int(x) for x in raw.split(","))
+                if "float" in ftype:
+                    return float(raw)
+                if "int" in ftype:  # also covers `int | None`
+                    return None if raw.lower() == "none" else int(raw)
+                raise ValueError(f"unsupported type {ftype}")
+            except ValueError as e:
+                raise ValueError(
+                    f"env override {name}={raw!r}: cannot coerce to "
+                    f"{ftype}"
+                ) from e
+
+        sections = {"WINDOWS": WindowConfig, "FUNNEL": FunnelConfig}
+        top: dict = {}
+        nested: dict[str, dict] = {k: {} for k in sections}
+        simple = {f.name: str(f.type) for f in _fields(cls)
+                  if f.name not in ("windows", "funnel")}
+        for name, raw in sorted(picked.items()):
+            key = name[len(prefix):]
+            sec = next((s for s in sections if key.startswith(s + "_")), None)
+            if sec is not None:
+                fname = key[len(sec) + 1:].lower()
+                ftypes = {f.name: str(f.type) for f in _fields(sections[sec])}
+                if fname not in ftypes:
+                    raise ValueError(
+                        f"unknown config env var {name} "
+                        f"(no field {fname!r} in {sections[sec].__name__})")
+                nested[sec][fname] = coerce(name, raw, ftypes[fname])
+            else:
+                fname = key.lower()
+                if fname not in simple:
+                    raise ValueError(f"unknown config env var {name}")
+                top[fname] = coerce(name, raw, simple[fname])
+        if nested["WINDOWS"]:
+            top["windows"] = WindowConfig(**nested["WINDOWS"])
+        if nested["FUNNEL"]:
+            top["funnel"] = FunnelConfig(**nested["FUNNEL"])
+        cfg = cls(**top)
+        cfg.validate()
+        return cfg
 
 
 DEFAULT_CONFIG = EngineConfig()

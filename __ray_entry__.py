@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms_documents": q.rare_terms_documents,
         "inverted_index_documents": q.inverted_index_documents,
         "doc_components": q.doc_components,
+        "substring_dedup_documents": q.substring_dedup_documents,
         "stratified_sample_events": q.stratified_sample_events,
         "decontaminate_documents": q.decontaminate_documents,
         "repetition_filter_documents": q.repetition_filter_documents,
@@ -588,6 +589,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "substring_dedup_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) <> ''
+            ),
+            idx AS (
+                SELECT doc_id, a, unnest(range(1, len(a) - 6)) AS i
+                FROM toks WHERE len(a) >= 8
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(a, i, i + 7), ' ') AS sh
+                FROM idx
+            ),
+            owners AS (SELECT sh, min(doc_id) AS own FROM sh GROUP BY sh)
+            SELECT s.doc_id,
+                   CAST(max(CASE WHEN o.own < s.doc_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS is_dup
+            FROM sh s JOIN owners o USING (sh)
+            GROUP BY s.doc_id ORDER BY s.doc_id
         """,
         "stratified_sample_events": """
             SELECT event_id, user_id, ts FROM events

@@ -1256,6 +1256,62 @@ def doc_components(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "component"]]
 
 
+def substring_dedup_documents(sf_dir: str, w: int = 8) -> pd.DataFrame:
+    """Cross-document exact substring-overlap dedup: flag every doc
+    that shares any ``w``-word span with a lower-id doc (the span-level
+    exact-dedup family of "Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022 — the exact sibling of the
+    MinHash/SimHash approximate path).
+
+    Scale shape: one tokenize pass emits distinct (shingle, doc) pairs;
+    span ownership is a distributed ``groupby(shingle).min(doc_id)``;
+    ownership rides back on a hash join (no driver state); the per-doc
+    verdict is a per-batch partial max + one tiny per-doc Max reduce.
+    Only docs with >= w tokens appear (shorter docs have no spans).
+    At 100 TB the same topology runs on uint64 rolling-hash shingles
+    (constant-width exchange instead of span strings, at the cost of
+    hash-collision false positives); strings are kept here so the SQL
+    oracle is exact."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles(t: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (text or "").split()
+            if len(toks) < w:
+                continue
+            seen = set()
+            for i in range(len(toks) - w + 1):
+                s = " ".join(toks[i:i + w])
+                if s not in seen:
+                    seen.add(s)
+                    ids.append(did)
+                    shs.append(s)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "sh": pa.array(shs, type=pa.string()),
+        })
+
+    sh = docs.map_batches(shingles, batch_format="pyarrow")
+    owners = sh.groupby("sh").aggregate(Min("doc_id", alias_name="own"))
+    joined = hash_join(sh, owners, on="sh",
+                       buckets=join_buckets(_tbytes(sf_dir, "documents")))
+
+    def flag(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.less(t["own"], t["doc_id"]), pa.int64())
+        tt = pa.table({"doc_id": t["doc_id"], "is_dup": d})
+        return (tt.group_by(["doc_id"]).aggregate([("is_dup", "max")])
+                .rename_columns(["doc_id", "is_dup"]))
+
+    out = (joined.map_batches(flag, batch_format="pyarrow")
+           .groupby("doc_id").aggregate(Max("is_dup", alias_name="is_dup"))
+           .to_pandas())
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "is_dup"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "is_dup"]]
+
+
 def stratified_sample_events(sf_dir: str, per_user: int = 2) -> pd.DataFrame:
     """Stratified (per-group) deterministic sampling: keep ``per_user``
     events per user, chosen by a multiplicative hash of the event id —

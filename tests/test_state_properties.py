@@ -1,0 +1,203 @@
+"""Property-based (hypothesis) pins for the state stores.
+
+The engine's core determinism claim is that incremental folding —
+events arriving in epochs, interleaved with watermark closes, state
+snapshot/restored at arbitrary points — produces exactly the output of
+a single-process batch computation. These properties generate random
+streams, random epoch boundaries, and random chunkings and assert that
+equivalence for every store.
+
+Feeding respects the engine invariant the streaming driver enforces:
+an event with ``ts < watermark`` is never delivered after ``close``
+ran at that watermark (late rows are dropped at the gate, so accepted
+rows are never late).
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from bitquery_kafka_streams_rust_ray.state.store import (DedupState,
+                                                         FunnelState,
+                                                         SessionState,
+                                                         TopKState,
+                                                         WindowState)
+
+US = 1_000_000
+
+
+def _epochs(events, cuts):
+    """Partition (ts-keyed) events into watermark epochs [cut_i, cut_i+1)."""
+    out = []
+    lo = -(10 ** 18)
+    for hi in cuts:
+        out.append(([e for e in events if lo <= e[0] < hi], hi))
+        lo = hi
+    out.append(([e for e in events if e[0] >= lo], 10 ** 18))
+    return out
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2000),        # ts
+        st.integers(min_value=0, max_value=5),           # key id
+        st.integers(min_value=1, max_value=9),           # integer payload
+    ),
+    min_size=1, max_size=120,
+)
+
+cuts_strategy = st.lists(
+    st.integers(min_value=1, max_value=2100), min_size=1, max_size=5,
+).map(sorted)
+
+
+@settings(max_examples=60, deadline=None)
+@given(events=events_strategy, cuts=cuts_strategy, gap=st.integers(5, 400))
+def test_sessions_incremental_equals_batch(events, cuts, gap):
+    # batch oracle: all events at once, one final close
+    batch = SessionState(gap)
+    ts = np.array([e[0] for e in events], dtype=np.int64)
+    keys = [f"k{e[1]}" for e in events]
+    tot = np.array([float(e[2]) for e in events])
+    batch.add(keys, ts, tot)
+    want = batch.close(10 ** 18)
+
+    # incremental: epoch-partitioned feed + close at each watermark,
+    # with a snapshot/restore round-trip between epochs
+    inc = SessionState(gap)
+    got = []
+    for epoch_events, wm in _epochs(events, cuts):
+        if epoch_events:
+            inc.add(
+                [f"k{e[1]}" for e in epoch_events],
+                np.array([e[0] for e in epoch_events], dtype=np.int64),
+                np.array([float(e[2]) for e in epoch_events]),
+            )
+        got.extend(inc.close(wm))
+        inc = SessionState.restore(inc.snapshot())
+    assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(events=events_strategy, cuts=cuts_strategy, window=st.integers(1, 500))
+def test_dedup_incremental_with_eviction_equals_batch(events, cuts, window):
+    # the shard sorts each epoch's rows by (key, ts) before processing;
+    # the batch oracle sees the same rows sorted the same way globally.
+    # Survivor multiset must match despite interleaved evictions.
+    def fold(state, evs):
+        evs = sorted(evs, key=lambda e: (e[1], e[0]))
+        if not evs:
+            return []
+        keys = [f"k{e[1]}" for e in evs]
+        ts = np.array([e[0] for e in evs], dtype=np.int64)
+        keep = state.process(keys, ts)
+        return [e for e, k in zip(evs, keep) if k]
+
+    # batch epochs must match incremental epoch boundaries (dedup is
+    # epoch-sequential by design); the property under test is that
+    # EVICTION at each watermark never changes any decision
+    plain = DedupState(window)
+    evicting = DedupState(window)
+    for epoch_events, wm in _epochs(events, cuts):
+        assert fold(plain, epoch_events) == fold(evicting, epoch_events)
+        evicting.evict(wm)
+        evicting = DedupState.restore(evicting.snapshot())
+
+
+@settings(max_examples=60, deadline=None)
+@given(events=events_strategy, cuts=cuts_strategy, size=st.integers(10, 300))
+def test_tumbling_windows_incremental_equals_batch(events, cuts, size):
+    def partial(evs):
+        # one (key, window) partial per event — worst-case chunking
+        keys = [f"k{e[1]}" for e in evs]
+        starts = np.array([(e[0] // size) * size for e in evs], dtype=np.int64)
+        ends = starts + size
+        counts = np.ones(len(evs), dtype=np.int64)
+        totals = np.array([float(e[2]) for e in evs])
+        return keys, starts, ends, counts, totals
+
+    batch = WindowState()
+    batch.add_partials("t", *partial(events))
+    want = batch.close(10 ** 18)
+
+    inc = WindowState()
+    got = []
+    for epoch_events, wm in _epochs(events, cuts):
+        if epoch_events:
+            inc.add_partials("t", *partial(epoch_events))
+        got.extend(inc.close(wm))
+        inc = WindowState.restore(inc.snapshot())
+    got.extend(inc.close(10 ** 18))
+    assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    adds=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(1, 50)),
+        min_size=1, max_size=80,
+    ),
+    chunks=st.integers(1, 6),
+    k=st.integers(1, 5),
+)
+def test_topk_chunked_adds_equal_counter(adds, chunks, k):
+    from collections import Counter
+
+    want_counts = Counter()
+    for key_id, n in adds:
+        want_counts[f"h{key_id}"] += n
+    want = sorted(want_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    state = TopKState(k)
+    for i in range(chunks):
+        part = adds[i::chunks]
+        if part:
+            state.add([f"h{e[0]}" for e in part],
+                      np.array([e[1] for e in part], dtype=np.int64))
+        state = TopKState.restore(state.snapshot())
+    assert state.top() == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2000),          # ts
+            st.integers(0, 3),             # key
+            st.integers(0, 2),             # stage
+        ),
+        min_size=1, max_size=80,
+    ),
+    cuts=cuts_strategy,
+    within=st.integers(10, 2000),
+)
+def test_funnel_incremental_equals_batch(events, cuts, within):
+    # batch oracle: greedy earliest chain per key over all events
+    def batch():
+        out = []
+        for kid in sorted({e[1] for e in events}):
+            evs = sorted((ts, s) for ts, k, s in events if k == kid)
+            t, chain = None, []
+            for stage in range(3):
+                cand = [ts for ts, s in evs
+                        if s == stage and (t is None or ts > t)]
+                if not cand:
+                    chain = None
+                    break
+                t = min(cand)
+                chain.append(t)
+            if chain and chain[-1] - chain[0] <= within:
+                out.append((f"k{kid}", chain[0], chain[-1]))
+        return sorted(out)
+
+    inc = FunnelState(3, within)
+    got = []
+    for epoch_events, wm in _epochs(events, cuts):
+        if epoch_events:
+            inc.add(
+                [f"k{e[1]}" for e in epoch_events],
+                np.array([e[2] for e in epoch_events], dtype=np.int64),
+                np.array([e[0] for e in epoch_events], dtype=np.int64),
+            )
+        got.extend(inc.close(wm))
+        inc = FunnelState.restore(inc.snapshot())
+    assert sorted(got) == batch()

@@ -409,6 +409,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS token_count
             FROM documents
         """,
+        "ngram_jaccard_documents": r"""
+            WITH norm AS (
+                SELECT doc_id, lang,
+                       array_to_string(
+                           regexp_split_to_array(trim(lower(text)),
+                                                 '\s+'), ' ') AS s
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, lang, substring(s, i, 3) AS g
+                FROM (SELECT doc_id, lang, s,
+                             unnest(range(1, len(s) - 1)) AS i
+                      FROM norm WHERE len(s) >= 3)
+                UNION
+                SELECT doc_id, lang, s AS g FROM norm
+                WHERE len(s) BETWEEN 1 AND 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            pair AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ints
+                FROM sh a JOIN sh b
+                  ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT ia AS id_a, ib AS id_b,
+                   CAST(ints AS DOUBLE) / (sa.sz + sb.sz - ints) AS jaccard,
+                   CAST(ints AS BIGINT) AS inter,
+                   CAST(sa.sz + sb.sz - ints AS BIGINT) AS uni
+            FROM pair JOIN sizes sa ON sa.doc_id = ia
+                      JOIN sizes sb ON sb.doc_id = ib
+            WHERE CAST(ints AS DOUBLE) / (sa.sz + sb.sz - ints) >= 0.8
+            ORDER BY id_a, id_b
+        """,
         "ann_topk": """
             SELECT query_id, vec_id, rank FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

@@ -673,11 +673,18 @@ def nested_doc_words(sf_dir: str) -> pd.DataFrame:
 
 def ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
     """Exact all-pairs char-trigram Jaccard >= 0.8 within lang blocks
-    (the block column bounds the quadratic comparison)."""
+    (the block column bounds the quadratic comparison). Emits the
+    integer intersection/union beside the double so the SQL oracle is
+    bit-exact (the ratio of the same two ints is the same double in
+    any engine)."""
     from ..stages.neardup import ngram_jaccard_pairs
 
     ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
-    return ngram_jaccard_pairs(ds, threshold=0.8, block_col="lang")
+    out = ngram_jaccard_pairs(ds, threshold=0.8, block_col="lang")
+    for c in ("id_a", "id_b", "inter", "uni"):
+        out[c] = out[c].astype("int64")
+    out["jaccard"] = out["jaccard"].astype("float64")
+    return out.reset_index(drop=True)
 
 
 # --- §2.7 sampling / set ops / per-group top-k ---------------------------

@@ -839,7 +839,7 @@ def ngram_jaccard_pairs(
             for y in range(x + 1, len(zeros)):
                 zi, zj = ids[zeros[x]], ids[zeros[y]]
                 a, b = (zi, zj) if zi <= zj else (zj, zi)
-                out.append((a, b, 1.0))
+                out.append((a, b, 1.0, 0, 0))
         for a_pos in range(len(order)):
             i = order[a_pos]
             if sizes[i] == 0:
@@ -849,11 +849,18 @@ def ngram_jaccard_pairs(
                 j = order[b_pos]
                 if sizes[j] > max_size:
                     break  # sorted by size: nothing further qualifies
-                sim = jaccard(shingle_sets[i], shingle_sets[j])
+                # integer intersection/union alongside the double: the
+                # ratio of the same two ints is bit-identical in any
+                # engine, which is what lets a SQL oracle hash-match
+                inter = len(shingle_sets[i] & shingle_sets[j])
+                uni = int(sizes[i] + sizes[j]) - inter
+                sim = inter / uni
                 if sim >= threshold:
                     a, b = (ids[i], ids[j]) if ids[i] <= ids[j] else (ids[j], ids[i])
-                    out.append((a, b, round(sim, 6)))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+                    out.append((a, b, sim, inter, uni))
+        return pd.DataFrame(
+            out, columns=["id_a", "id_b", "jaccard", "inter", "uni"],
+        ).astype({"jaccard": "float64", "inter": "int64", "uni": "int64"})
 
     pairs = (
         sub.groupby(block_col)

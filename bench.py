@@ -112,6 +112,8 @@ QUERY_NAMES = [
     "asof_latest_order",
     "distinct_users",
     "minhash_dedup_documents",
+    "substring_dedup_documents",
+    "curate_documents",
     "ann_topk",
     "text_analysis_documents",
 ]

@@ -20,7 +20,7 @@ if not ray.is_initialized():
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              logging_level="ERROR")
 
-from bitquery_kafka_streams_rust_ray.config import EngineConfig, WindowConfig
+from bitquery_kafka_streams_rust_ray.config import EngineConfig
 from bitquery_kafka_streams_rust_ray.pipelines.flagship import (
     ensure_pages_log,
     flagship_outputs,
@@ -33,11 +33,19 @@ out_dir = data_dir + "_out"
 ensure_pages_log(data_dir, PagesSpec(num_rows=20000, span_s=1200))
 shutil.rmtree(out_dir, ignore_errors=True)
 
-cfg = EngineConfig(
-    min_text_len=1,
-    windows=WindowConfig(tumbling_size_s=60, sliding_size_s=120,
-                         sliding_slide_s=60, session_gap_s=180),
-)
+# base settings + GRAFT_CFG_* env overrides — the reference's
+# load_configuration + env override pass (main.rs:106-156): e.g.
+#   GRAFT_CFG_WINDOWS_TUMBLING_SIZE_S=30 python examples/pages_monitor.py
+base = {
+    "GRAFT_CFG_MIN_TEXT_LEN": "1",
+    "GRAFT_CFG_WINDOWS_TUMBLING_SIZE_S": "60",
+    "GRAFT_CFG_WINDOWS_SLIDING_SIZE_S": "120",
+    "GRAFT_CFG_WINDOWS_SLIDING_SLIDE_S": "60",
+    "GRAFT_CFG_WINDOWS_SESSION_GAP_S": "180",
+}
+overrides = {k: v for k, v in os.environ.items()
+             if k.startswith("GRAFT_CFG_")}
+cfg = EngineConfig.from_env(env={**base, **overrides})
 summary = run_flagship(data_dir, out_dir, config=cfg, resume=False)
 
 windows = flagship_outputs(out_dir)["tumbling_lang"].to_pandas()

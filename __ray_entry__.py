@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_documents": q.inverted_index_documents,
         "doc_components": q.doc_components,
         "substring_dedup_documents": q.substring_dedup_documents,
+        "pack_documents": q.pack_documents,
         "stratified_sample_events": q.stratified_sample_events,
         "decontaminate_documents": q.decontaminate_documents,
         "repetition_filter_documents": q.repetition_filter_documents,
@@ -622,6 +623,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "pack_documents": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, doc_id // 50 AS part,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                       END AS tok
+                FROM documents
+            ),
+            t AS (SELECT *, row_number() OVER (
+                      PARTITION BY part ORDER BY doc_id) AS rn
+                  FROM toks),
+            pack AS (
+                SELECT part, rn, doc_id, tok, tok AS fill, 0 AS bin
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.part, t.rn, t.doc_id, t.tok,
+                       CASE WHEN p.fill + t.tok > 200 THEN t.tok
+                            ELSE p.fill + t.tok END,
+                       CASE WHEN p.fill + t.tok > 200 THEN p.bin + 1
+                            ELSE p.bin END
+                FROM pack p JOIN t ON t.part = p.part AND t.rn = p.rn + 1
+            )
+            SELECT doc_id, CAST(part AS BIGINT) AS part,
+                   CAST(bin AS BIGINT) AS bin,
+                   CAST(tok AS BIGINT) AS n_tokens
+            FROM pack ORDER BY doc_id
         """,
         "substring_dedup_documents": r"""
             WITH toks AS (

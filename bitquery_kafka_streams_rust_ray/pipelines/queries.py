@@ -1319,6 +1319,60 @@ def substring_dedup_documents(sf_dir: str, w: int = 8) -> pd.DataFrame:
     return out[["doc_id", "is_dup"]]
 
 
+def pack_documents(sf_dir: str, budget: int = 200,
+                   part_size: int = 50) -> pd.DataFrame:
+    """Sequence packing for training batches: greedy next-fit
+    bin-packing of documents into fixed token-budget sequences, the
+    batch-assembly step of an LLM training-data pipeline.
+
+    Packing is inherently sequential, so it runs within partitions:
+    the partition key is a pure function of the data (``doc_id //
+    part_size``), docs pack in ``doc_id`` order inside each partition
+    (one small sequential ``map_groups`` per partition, partitions in
+    parallel), and bins never cross partitions — exactly how real
+    pipelines shard packing, and what keeps the result deterministic
+    and layout-independent. Token counts are vectorized Arrow.
+    A doc larger than the budget gets a bin of its own (next-fit
+    semantics)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_tokens(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text").combine_chunks())
+        n = pc.list_value_length(pc.utf8_split_whitespace(trimmed))
+        n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), n)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "part": pc.divide(t["doc_id"], part_size),
+            "tok": pc.cast(n, pa.int64()),
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        bins = np.empty(len(g), dtype=np.int64)
+        fill, b = 0, 0
+        for i, tok in enumerate(g["tok"].to_numpy()):
+            if i and fill + tok > budget:
+                b += 1
+                fill = int(tok)
+            else:
+                fill += int(tok)
+            bins[i] = b
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "part": g["part"].to_numpy(),
+            "bin": bins,
+            "n_tokens": g["tok"].to_numpy(),
+        })
+
+    out = (docs.map_batches(with_tokens, batch_format="pyarrow")
+           .groupby("part").map_groups(pack, batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "part", "bin", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "part", "bin", "n_tokens"]]
+
+
 def stratified_sample_events(sf_dir: str, per_user: int = 2) -> pd.DataFrame:
     """Stratified (per-group) deterministic sampling: keep ``per_user``
     events per user, chosen by a multiplicative hash of the event id —

@@ -358,3 +358,30 @@ def test_resume_rejects_shard_count_change(pages_dir, tmp_path):
     with pytest.raises(ValueError, match="state shards"):
         StreamingPagesPipeline(d, out, bad, PageFilter(min_text_len=1),
                                meta).run(resume=True)
+
+
+def test_disabled_funnel_and_topk_still_match_oracle(pages_dir,
+                                                     tmp_path_factory):
+    """Feature toggles: funnel off + top-k off runs clean, counters
+    still match the oracle, and the disabled outputs are just absent."""
+    from bitquery_kafka_streams_rust_ray.config import FunnelConfig
+
+    d, _, _ = pages_dir
+    cfg = EngineConfig(min_text_len=1, state_shards=2,
+                       extract_concurrency=2, files_per_epoch=4,
+                       funnel=FunnelConfig(enabled=False), topk_hosts=0)
+    out = str(tmp_path_factory.mktemp("flagship_toggles_out"))
+    summary = run_flagship(d, out, config=cfg)
+
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+    oracle = run_oracle(d, cfg, PageFilter(min_text_len=1), meta)
+    c = {k: int(v) for k, v in summary["metrics"]["counters"].items()
+         if k != "windows_emitted"}
+    assert c == oracle["counters"]
+    assert "funnels_matched" not in c
+    got = flagship_outputs(out)
+    assert got["funnel_host"].num_rows == 0
+    assert got["topk_host"].num_rows == 0
+    assert got["pages"].num_rows == oracle["counters"]["rows_written"]

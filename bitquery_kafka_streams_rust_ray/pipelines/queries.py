@@ -1146,8 +1146,11 @@ def rare_terms_documents(sf_dir: str) -> pd.DataFrame:
     (a doc is one input row, so its tf is batch-local); DF is a
     distributed ``groupby(word).count``; DF rides back via a hash join
     on word (NOT a driver-side vocabulary broadcast — web-scale vocab
-    doesn't fit one process); per-doc argmin is a per-batch partial
-    best followed by one small per-doc reduce."""
+    doesn't fit one process); the per-doc argmin is ONE hash-combining
+    Min aggregate over an order-encoding key (zero-padded df, inverted
+    tf, then the word — lexicographic min IS the (df asc, tf desc,
+    word asc) winner), so the reduce is partial-combined per block
+    instead of a sort shuffle + per-group calls."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def tf_rows(t: pa.Table) -> pa.Table:
@@ -1162,20 +1165,29 @@ def rare_terms_documents(sf_dir: str) -> pd.DataFrame:
     joined = hash_join(tf, df_counts, on="word",
                        buckets=join_buckets(_tbytes(sf_dir, "documents")))
 
-    def best_per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["df", "tf", "word"],
-                          ascending=[True, False, True], kind="mergesort")
-        out = g.groupby("doc_id", sort=True).head(1)
-        return out[["doc_id", "word", "df", "tf"]]
+    def keyed_partial(t: pa.Table) -> pa.Table:
+        # order-encoding key: lexicographic min == ranking winner
+        # (df and tf are bounded by the corpus doc count / doc length;
+        # 8 digits holds any corpus this engine meets per shard)
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(t["df"], pa.string()), 8, "0"),
+            pc.utf8_lpad(pc.cast(pc.subtract(pa.scalar(10 ** 8),
+                                             t["tf"]), pa.string()), 8, "0"),
+            t["word"].combine_chunks(), "",
+        )
+        tt = pa.table({"doc_id": t["doc_id"], "key": key})
+        # batch-local partial min: one candidate row per (doc, batch)
+        return (tt.group_by(["doc_id"]).aggregate([("key", "min")])
+                .rename_columns(["doc_id", "key"]))
 
-    # partial best inside each batch, then the per-doc reduce only
-    # moves one candidate row per (doc, batch)
-    out = (joined.map_batches(best_per_doc, batch_format="pandas")
-           .groupby("doc_id").map_groups(best_per_doc,
-                                         batch_format="pandas")
+    out = (joined.map_batches(keyed_partial, batch_format="pyarrow")
+           .groupby("doc_id").aggregate(Min("key", alias_name="key"))
            .to_pandas())
-    out = out.rename(columns={"word": "rare_word"})
-    out = out.sort_values("doc_id").reset_index(drop=True)
+    out["df"] = out["key"].str[:8].astype("int64")
+    out["tf"] = 10 ** 8 - out["key"].str[8:16].astype("int64")
+    out["rare_word"] = out["key"].str[16:]
+    out = out.drop(columns=["key"]).sort_values("doc_id")
+    out = out.reset_index(drop=True)
     for c in ("doc_id", "df", "tf"):
         out[c] = out[c].astype("int64")
     return out[["doc_id", "rare_word", "df", "tf"]]

@@ -69,5 +69,6 @@ def flagship_outputs(output_dir: str) -> dict:
     return {
         name: sink.read_output(name)
         for name in ("pages", "tumbling_lang", "sliding_lang",
-                     "session_host", "funnel_host", "topk_host")
+                     "session_host", "funnel_host", "topk_host",
+                     "quarantine")
     }

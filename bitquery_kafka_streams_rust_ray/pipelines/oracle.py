@@ -74,6 +74,7 @@ def run_oracle(
 
     pages_out = []
     win_rows, sess_rows, fun_rows, topk_rows = [], [], [], []
+    quarantine_rows: list[tuple] = []
     counters = {
         "rows_read": 0, "parse_errors": 0, "rows_filtered_out": 0,
         "late_dropped": 0, "rows_deduped": 0, "rows_written": 0,
@@ -122,6 +123,9 @@ def run_oracle(
 
         parse_err = df["text"].eq("")
         counters["parse_errors"] += int(parse_err.sum())
+        for _, r in df[parse_err].iterrows():
+            quarantine_rows.append(
+                (epoch, r["url"], r["warc_ts"], "parse_error"))
         df = df[~parse_err]
         late = df["_ts_us"] < wm_before
         counters["late_dropped"] += int(late.sum())
@@ -204,6 +208,7 @@ def run_oracle(
         "sessions": sess_rows,
         "funnels": fun_rows,
         "topk": topk_rows,
+        "quarantine": quarantine_rows,
         "counters": counters,
     }
 

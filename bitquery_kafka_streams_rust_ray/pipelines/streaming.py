@@ -109,6 +109,7 @@ class StateShard:
         self.topk = (TopKState(config.topk_hosts, config.topk_max_keys)
                      if config.topk_hosts > 0 else None)
         self.buffers: dict[int, list[pa.Table]] = {}
+        self.qbuffers: dict[int, list[pa.Table]] = {}  # dead-letter rows
         self.epoch_attempt: dict[int, int] = {}  # replay fence per epoch
         # K shards finalize concurrently on one node; Arrow kernels on
         # ~100k-row shard tables gain nothing from intra-actor threads,
@@ -128,8 +129,18 @@ class StateShard:
         self.buffers.setdefault(epoch, []).append(table)
         return table.num_rows
 
+    def accept_quarantine(self, epoch: int, table: pa.Table,
+                          attempt: int = 0) -> int:
+        """Buffer dead-letter rows (poison pills the row path rejected,
+        F7/F8) for this epoch — same replay fence as ``accept_rows``."""
+        if attempt < self.epoch_attempt.get(epoch, 0):
+            return 0
+        self.qbuffers.setdefault(epoch, []).append(table)
+        return table.num_rows
+
     def drop_epoch(self, epoch: int, next_attempt: int = 1) -> bool:
         self.epoch_attempt[epoch] = next_attempt
+        self.qbuffers.pop(epoch, None)
         return self.buffers.pop(epoch, None) is not None
 
     def finalize_epoch(self, epoch: int, stage_dir: str) -> dict:
@@ -140,8 +151,21 @@ class StateShard:
         import pyarrow.compute as pc
 
         chunks = self.buffers.pop(epoch, [])
+        qchunks = self.qbuffers.pop(epoch, [])
         self.epoch_attempt.pop(epoch, None)
         stats = {"rows_deduped": 0, "rows_written": 0}
+        if qchunks:
+            # dead-letter output (F7/F8 poison pills): sorted for
+            # byte-identical replays, committed with the epoch
+            qt = pa.concat_tables(qchunks)
+            qt = qt.take(pc.sort_indices(
+                qt, sort_keys=[("url", "ascending"),
+                               ("warc_ts", "ascending")]))
+            pq.write_table(
+                qt,
+                os.path.join(stage_dir,
+                             f"quarantine-{self.shard_id:04d}.parquet"),
+            )
         if not chunks:
             return {"stats": stats, "windows": {}, "sessions": {},
                     "funnels": {}, "hostcounts": {}}
@@ -439,6 +463,28 @@ class ExchangeToShards:
             "late_dropped": int((status == LATE).sum()),
             "max_ts_us": NEG_INF_TS,
         }
+        err_idx = np.nonzero(status == PARSE_ERROR)[0]
+        if err_idx.size:
+            # dead-letter routing (F7/F8): poison rows ride to their
+            # url-owner shard as three narrow columns and surface as a
+            # committed quarantine table instead of vanishing into a
+            # counter
+            bad = batch.take(err_idx)
+            qt = pa.table({
+                "url": bad.column("url"),
+                "warc_ts": bad.column("warc_ts"),
+                "reason": pa.array(["parse_error"] * len(err_idx),
+                                   type=pa.string()),
+            })
+            qshards = shard_of(qt.column("url").to_numpy(zero_copy_only=False),
+                               self.state_shards)
+            ray.get([
+                self.actors[int(k)].accept_quarantine.remote(
+                    self.epoch, qt.take(np.nonzero(qshards == k)[0]),
+                    self.attempt,
+                )
+                for k in np.unique(qshards)
+            ])
         ok_idx = np.nonzero(status == OK)[0]
         if ok_idx.size:
             ok = batch.take(ok_idx).drop_columns(["_status"])

@@ -128,6 +128,22 @@ def test_pipeline_matches_oracle(flagship_run, pages_dir):
         tk, norm(w, ["epoch", "rank"]), check_dtype=False, obj="topk_host",
     )
 
+    # --- dead-letter quarantine (F7/F8 poison pills surface, not vanish)
+    qt = norm(got["quarantine"].to_pandas(), ["url", "warc_ts"])
+    rows = oracle["quarantine"]
+    w = pd.DataFrame(
+        {
+            "url": [r[1] for r in rows],
+            "warc_ts": pd.to_datetime([r[2] for r in rows]),
+            "reason": [r[3] for r in rows],
+        }
+    )
+    assert len(qt) > 0, "quarantine fixture produced no rows"
+    assert len(qt) == c["parse_errors"]
+    pd.testing.assert_frame_equal(
+        qt, norm(w, ["url", "warc_ts"]), check_dtype=False, obj="quarantine",
+    )
+
 
 def test_dedup_fixtures_end_to_end(flagship_run):
     _, out, _ = flagship_run

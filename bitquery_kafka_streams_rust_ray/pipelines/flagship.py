@@ -9,6 +9,7 @@ exactly-once sink output, and return the committed results.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pandas as pd
 import pyarrow.parquet as pq
@@ -26,13 +27,23 @@ from .streaming import StreamingPagesPipeline
 
 
 def ensure_pages_log(data_dir: str, spec: PagesSpec) -> str:
-    """Generate the deterministic pages log once; reuse if present."""
+    """Generate the deterministic pages log once; reuse if present.
+
+    The marker records the FULL spec, so changing any field (span,
+    skew, disorder bound, ...) regenerates rather than silently
+    reusing a log produced under different parameters.
+    """
     marker = os.path.join(data_dir, ".complete")
-    if not os.path.exists(marker):
-        generate_pages(data_dir, spec)
-        generate_host_metadata(data_dir, spec)
-        with open(marker, "w") as f:
-            f.write(f"rows={spec.num_rows} seed={spec.seed}\n")
+    want = repr(spec)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == want:
+                return data_dir
+        shutil.rmtree(data_dir, ignore_errors=True)
+    generate_pages(data_dir, spec)
+    generate_host_metadata(data_dir, spec)
+    with open(marker, "w") as f:
+        f.write(want + "\n")
     return data_dir
 
 

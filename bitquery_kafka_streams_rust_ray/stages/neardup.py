@@ -858,9 +858,12 @@ def ngram_jaccard_pairs(
                 if sim >= threshold:
                     a, b = (ids[i], ids[j]) if ids[i] <= ids[j] else (ids[j], ids[i])
                     out.append((a, b, sim, inter, uni))
+        # pin id dtypes too: an empty block otherwise yields object
+        # columns, which Ray's block size estimator warns on noisily
         return pd.DataFrame(
             out, columns=["id_a", "id_b", "jaccard", "inter", "uni"],
-        ).astype({"jaccard": "float64", "inter": "int64", "uni": "int64"})
+        ).astype({"id_a": g[id_col].dtype, "id_b": g[id_col].dtype,
+                  "jaccard": "float64", "inter": "int64", "uni": "int64"})
 
     pairs = (
         sub.groupby(block_col)

@@ -87,3 +87,22 @@ def test_threshold_fixture_lengths(pages_dir):
     assert len(at) == spec.threshold_len
     assert len(above) == spec.threshold_len + 1
     assert len(below) == spec.threshold_len - 1
+
+
+def test_ensure_pages_log_spec_sensitivity(tmp_path):
+    """The reuse marker keys on the FULL spec: same spec reuses the
+    cached log, any changed field regenerates it (a stale log under a
+    changed span previously mass-dropped rows as late)."""
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import ensure_pages_log
+
+    d = str(tmp_path / "log")
+    marker = os.path.join(d, ".complete")
+    ensure_pages_log(d, PagesSpec(num_rows=200, span_s=600))
+    m1 = os.path.getmtime(marker)
+    ensure_pages_log(d, PagesSpec(num_rows=200, span_s=600))
+    assert os.path.getmtime(marker) == m1          # unchanged spec: reuse
+    ensure_pages_log(d, PagesSpec(num_rows=200, span_s=1200))
+    assert os.path.getmtime(marker) > m1           # changed spec: regenerate
+    t = read_all(d)
+    span_us = max(t["warc_ts"].to_pylist()) - min(t["warc_ts"].to_pylist())
+    assert span_us.total_seconds() > 600           # data reflects the new span

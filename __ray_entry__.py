@@ -684,8 +684,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,
-        # minhash/simhash/embedding dedup and ngram_jaccard (heuristic
-        # near-dup), kmeans_embeddings (iterative), ann_ivf_topk +
+        # minhash/simhash/embedding dedup (heuristic near-dup; exact
+        # n-gram Jaccard has the bit-exact oracle above),
+        # kmeans_embeddings (iterative), ann_ivf_topk +
         # approx_* sketches (approximate by construction; accuracy
         # bounds pinned in test_sketches.py / test_cluster.py /
         # test_ann.py), multimodal_* (stubbed codecs) and

@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": q.ann_topk,
         "ann_ivf_topk": q.ann_ivf_topk,
+        "nearest_ref_vector": q.nearest_ref_vector,
+        # host/source-level quality gate (two-stage aggregate + semi join)
+        "source_quality_filter": q.source_quality_filter,
         # distributed iterative clustering (rows-only: not ANSI SQL)
         "kmeans_embeddings": q.kmeans_embeddings_query,
         "ngram_jaccard_documents": q.ngram_jaccard_documents,
@@ -442,6 +445,26 @@ def oracle_sql() -> dict[str, str]:
                       JOIN sizes sb ON sb.doc_id = ib
             WHERE CAST(ints AS DOUBLE) / (sa.sz + sb.sz - ints) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "nearest_ref_vector": """
+            SELECT vec_id, ref_id FROM (
+                SELECT e.vec_id AS vec_id, r.vec_id AS ref_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding,
+                                                           r.embedding) DESC,
+                                    r.vec_id
+                       ) AS rn
+                FROM embeddings e JOIN embeddings r ON r.vec_id < 50
+                WHERE e.vec_id >= 50
+            ) WHERE rn = 1 ORDER BY vec_id
+        """,
+        "source_quality_filter": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE source IN (
+                SELECT source FROM documents GROUP BY source
+                HAVING sum(n_chars) >= 290 * count(*)
+            ) ORDER BY doc_id
         """,
         "ann_topk": """
             SELECT query_id, vec_id, rank FROM (

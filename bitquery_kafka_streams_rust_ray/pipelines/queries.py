@@ -635,6 +635,62 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "vec_id", "rank"]]
 
 
+def nearest_ref_vector(sf_dir: str) -> pd.DataFrame:
+    """Broadcast similarity join (the transposed-broadcast ANN
+    direction): every vector outside the reference set (vec_id >= 50)
+    is assigned its nearest reference vector (vec_id < 50) by cosine.
+    The reference matrix ships once via ``ray.put``; the corpus side is
+    a pure streaming map — no shuffle, scales with corpus size only."""
+    from ..stages.ann import similarity_join
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    refdf = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(50))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # reference side only — 50 rows by construction
+        .sort_values("vec_id")
+    )
+    corpus = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], pa.scalar(50))),
+        batch_format="pyarrow",
+    )
+    out = similarity_join(
+        corpus,
+        refdf["vec_id"].to_numpy(),
+        np.asarray(refdf["embedding"].tolist(), dtype=np.float64),
+    ).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["ref_id"] = out["ref_id"].astype("int64")
+    return (out[["vec_id", "ref_id"]]
+            .sort_values("vec_id").reset_index(drop=True))
+
+
+def source_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """C4/Gopher-style host-level quality gate: keep only documents
+    from sources whose MEAN document length clears a floor. Two-stage:
+    a distributed ``groupby(source)`` reduces to one (sum, count) row
+    per source; the (tiny) passing-source list broadcasts back as a
+    semi-join mask — the corpus never shuffles. The threshold compare
+    is integer arithmetic (sum >= floor * count), so the SQL oracle
+    hash-matches exactly."""
+    floor_chars = 290
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    per_source = (
+        ds.groupby("source")
+        .aggregate(Sum("n_chars", alias_name="sum_chars"),
+                   Count(alias_name="n_docs"))
+        .to_pandas()  # one row per source — small by construction
+    )
+    kept = per_source[
+        per_source["sum_chars"] >= floor_chars * per_source["n_docs"]
+    ]["source"].tolist()
+    out = semi_join(ds, kept, "source").to_pandas()
+    return (out[["doc_id", "source", "n_chars"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def nested_doc_words(sf_dir: str) -> pd.DataFrame:
     """Arrow struct/list columns end-to-end (SURVEY §1.2 nested-payload
     breadth: ``repeated``/nested protobuf fields -> ``pa.list_`` /

@@ -188,3 +188,57 @@ def ann_ivf(
         concurrency=(1, concurrency),
     ).to_pandas()
     return _merge_topk(partials, k)
+
+
+class NearestRefJoiner:
+    """Per-batch cosine argmax vs a broadcast reference matrix — the
+    transposed-broadcast ANN direction: instead of a few queries probing
+    the whole corpus, every corpus row finds its nearest member of a
+    small reference set (centroid assignment, eval-set matching). Pure
+    map: no shuffle, output is one row per input row.
+
+    Tie-break = smallest reference id: reference rows arrive sorted by
+    id, and ``argmax`` returns the first maximum.
+    """
+
+    def __init__(self, ref_ref: ray.ObjectRef, emb_col: str, id_col: str):
+        ref_ids, ref_mat = ray.get(ref_ref)
+        self.ref_ids = np.asarray(ref_ids)
+        self.ref_mat = _normalize(np.asarray(ref_mat, dtype=np.float64))
+        self.emb_col, self.id_col = emb_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = _normalize(
+            np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
+        )
+        scores = embs @ self.ref_mat.T  # (n, r)
+        best = np.argmax(scores, axis=1)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "ref_id": pa.array(self.ref_ids[best]),
+                "score": pa.array(
+                    np.round(scores[np.arange(len(best)), best], 8)
+                ),
+            }
+        )
+
+
+def similarity_join(
+    ds: ray.data.Dataset,
+    ref_ids: np.ndarray,
+    ref_mat: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Broadcast similarity join: each row of ``ds`` gains the id of its
+    nearest (cosine) reference vector. The reference side ships once via
+    ``ray.put``; the big side streams through plain map tasks. Reference
+    rows must be sorted by id (deterministic smallest-id tie-break)."""
+    order = np.argsort(np.asarray(ref_ids))
+    ref = ray.put((np.asarray(ref_ids)[order],
+                   np.asarray(ref_mat, dtype=np.float64)[order]))
+    return ds.map_batches(
+        NearestRefJoiner(ref_ref=ref, emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow",
+    )

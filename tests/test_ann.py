@@ -96,3 +96,21 @@ def test_ivf_recall_on_sf001_embeddings():
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_similarity_join_matches_numpy(vectors):
+    from bitquery_kafka_streams_rust_ray.stages.ann import similarity_join
+
+    df, embs, _ = vectors
+    ref_ids = np.arange(8, dtype=np.int64)
+    ref = embs[:8]
+    got = (similarity_join(rd.from_pandas(df), ref_ids, ref)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    rn = ref / np.linalg.norm(ref, axis=1, keepdims=True)
+    want = (en @ rn.T).argmax(axis=1)
+    assert got["ref_id"].tolist() == [int(ref_ids[i]) for i in want]
+    # each row's score is the cosine against its chosen reference
+    row = got.iloc[13]
+    cos = float(en[int(row["vec_id"])] @ rn[int(row["ref_id"])])
+    assert abs(cos - row["score"]) < 1e-6

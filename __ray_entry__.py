@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (§2.5)
         "segment_orders": q.segment_orders,
         "priority_revenue": q.priority_revenue,
+        "q3_shipping": q.q3_shipping,
         "asof_latest_order": q.asof_latest_order,
         "asof_latest_order_partitioned": q.asof_latest_order_partitioned,
         "orders_within_month": q.orders_within_month,
@@ -246,6 +247,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "q3_shipping": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100.0, 0) AS BIGINT))
+                        AS BIGINT) AS revenue_e4,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey LIMIT 10
         """,
         "asof_latest_order": """
             SELECT e.event_id,

@@ -304,6 +304,71 @@ def priority_revenue(sf_dir: str) -> pd.DataFrame:
     return _round2(out, ["revenue"])
 
 
+def q3_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3-shaped three-way join: segment-filtered customers
+    (small side, broadcast semi join — the customer table never
+    shuffles) -> date-filtered orders, hash-joined with
+    shipdate-filtered lineitem on the order key -> grouped revenue ->
+    top 10. Both date filters prune BEFORE the join, so only
+    qualifying rows enter the shuffle. Revenue is summed in integer
+    1e-4 units (cents x cents), making the ranking — and the SQL
+    oracle's hash — bit-exact."""
+    cutoff = pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))
+
+    cust = (
+        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"],
+                                        pa.scalar("BUILDING"))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # filtered keys only — the broadcast side
+    )
+    keys = cust["c_custkey"].tolist()
+
+    orders = semi_join(
+        _t(sf_dir, "orders",
+           ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]),
+        keys, "o_custkey",
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), t["l_discount"]), 100.0)), pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev_e4": pc.multiply(cents, disc),
+        })
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+            ).map_batches(li_rev, batch_format="pyarrow")
+
+    joined = hash_join(li, orders, on="l_orderkey",
+                       buckets=join_buckets(_tbytes(sf_dir, "lineitem",
+                                                    "orders")))
+    grouped = (
+        joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+        .to_pandas()  # one row per qualifying order — reduced frame
+    )
+    grouped["revenue_e4"] = grouped["revenue_e4"].astype("int64")
+    out = grouped.sort_values(
+        ["revenue_e4", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True], kind="mergesort",
+    ).head(10)
+    return out[["l_orderkey", "revenue_e4", "o_orderdate",
+                "o_orderpriority"]].reset_index(drop=True)
+
+
 def asof_latest_order(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event enriched with the customer's latest order
     total at event time (symbol-table metadata semantics)."""

@@ -118,6 +118,14 @@ class EngineConfig:
     min_text_len: int = 0
     min_weighted_len: float = 0.0
 
+    # --- post-drain maintenance ---
+    compact_after_drain: bool = False  # after the drain commit, merge
+    # each output's per-epoch/per-shard files into ~compact_target_bytes
+    # files under <out>/compacted/ (own 2PC manifest; readers prefer
+    # compacted generations). Opt-in: leaves per-epoch layout untouched
+    # by default.
+    compact_target_bytes: int = 128 << 20
+
     def validate(self) -> None:
         """Fail fast on nonsense values (reference src/config.rs:43-49)."""
         if self.dedup_window_s <= 0:
@@ -136,6 +144,8 @@ class EngineConfig:
             raise ValueError("sink_breaker_threshold must be positive")
         if self.topk_hosts < 0 or self.topk_max_keys < 0:
             raise ValueError("topk_hosts / topk_max_keys must be >= 0")
+        if self.compact_target_bytes <= 0:
+            raise ValueError("compact_target_bytes must be positive")
 
     @classmethod
     def from_env(cls, env: dict | None = None,

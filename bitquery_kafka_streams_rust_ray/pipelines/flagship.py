@@ -75,10 +75,13 @@ def run_flagship(
 
 
 def flagship_outputs(output_dir: str) -> dict:
-    """Read back all committed outputs of a flagship run."""
+    """Read back all committed outputs of a flagship run (compaction-
+    aware: identical to the per-epoch read when no compaction ran)."""
+    from ..sinks.compaction import read_output_compacted
+
     sink = EpochSink(output_dir)
     return {
-        name: sink.read_output(name)
+        name: read_output_compacted(sink, name)
         for name in ("pages", "tumbling_lang", "sliding_lang",
                      "session_host", "funnel_host", "topk_host",
                      "quarantine")

@@ -849,6 +849,18 @@ class StreamingPagesPipeline:
 
         if drain:
             self._drain_epoch(len(plan), actors, watermark)
+            if cfg.compact_after_drain:
+                # post-drain maintenance: merge the many per-epoch/
+                # per-shard files into bounded-size files (own 2PC
+                # manifest; readers prefer compacted generations). Only
+                # after a drain — the run is finished, so the per-epoch
+                # resume layout is no longer needed.
+                from ..sinks.compaction import compact_all
+
+                compacted = compact_all(self.sink,
+                                        cfg.compact_target_bytes)
+                self.log.info("compacted_outputs", outputs=sorted(
+                    n for n, m in compacted.items() if m is not None))
 
         summary = {
             "epochs": self.sink.committed_epochs(),

@@ -168,6 +168,25 @@ def compact_output(
     return manifest
 
 
+def compact_all(sink: EpochSink, target_bytes: int = 128 << 20) -> dict:
+    """Compact every parquet output named in the committed manifests.
+
+    Base names derive from the manifest inventory: ``pages-0003.parquet``
+    and ``pages.parquet`` both belong to output ``pages`` (the same
+    matching rule readers use). Returns {output: manifest-or-None}."""
+    import re
+
+    names: set[str] = set()
+    for e in sink.committed_epochs():
+        for fname in sink.read_manifest(e).get("outputs", {}):
+            if not fname.endswith(".parquet"):
+                continue
+            stem = fname[: -len(".parquet")]
+            m = re.match(r"^(.*)-(\d+)$", stem)
+            names.add(m.group(1) if m else stem)
+    return {n: compact_output(sink, n, target_bytes) for n in sorted(names)}
+
+
 def read_output_compacted(sink: EpochSink, output: str) -> pa.Table:
     """Read one named output across compacted generations + any epochs
     not yet compacted, preserving the original (epoch, shard) row order.

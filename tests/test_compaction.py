@@ -102,3 +102,42 @@ def test_crash_between_manifest_and_cleanup(sink, monkeypatch):
         assert [f for f in os.listdir(sink.epoch_dir(e))
                 if f.startswith("pages-")] == []
     assert read_output_compacted(sink, "pages").equals(before)
+
+
+def test_flagship_compact_after_drain_outputs_identical(pages_dir, tmp_path):
+    """An engine run with compact_after_drain=True yields byte-identical
+    read-back tables to a plain run, with the per-epoch small files
+    folded into one file per output."""
+    from bitquery_kafka_streams_rust_ray.config import EngineConfig
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import (
+        flagship_outputs,
+        run_flagship,
+    )
+
+    d, _spec, _ = pages_dir
+    cfg = EngineConfig(min_text_len=1, state_shards=4,
+                       extract_concurrency=2, files_per_epoch=2)
+    plain_out = str(tmp_path / "plain")
+    run_flagship(d, plain_out, config=cfg)
+    import dataclasses
+
+    ccfg = dataclasses.replace(cfg, compact_after_drain=True,
+                               compact_target_bytes=1 << 30)
+    comp_out = str(tmp_path / "compacted")
+    run_flagship(d, comp_out, config=ccfg)
+
+    plain = flagship_outputs(plain_out)
+    comp = flagship_outputs(comp_out)
+    assert set(plain) == set(comp)
+    for name in plain:
+        assert comp[name].equals(plain[name]), name
+
+    # per-epoch parquet files replaced by a single compacted file per
+    # multi-file output
+    sink = EpochSink(comp_out)
+    for e in sink.committed_epochs():
+        left = [f for f in os.listdir(sink.epoch_dir(e))
+                if f.startswith("pages-") and f.endswith(".parquet")]
+        assert left == []
+    gen_dir = os.path.join(comp_out, "compacted", "pages-gen=000000")
+    assert len(os.listdir(gen_dir)) == 1

@@ -295,11 +295,23 @@ def priority_revenue(sf_dir: str) -> pd.DataFrame:
     joined = hash_join(li, orders, on="l_orderkey",
                        buckets=join_buckets(_tbytes(sf_dir, "lineitem",
                                                     "orders")))
-    out = (
-        joined.groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
-        .to_pandas()
-    )
+
+    # the final aggregate has ~5 groups: per-batch partials + an
+    # output-sized driver merge beat a second shuffle (the groupby
+    # would spin its own aggregator actors to reduce to 5 rows)
+    def partial(t: pa.Table) -> pa.Table:
+        df = (t.select(["o_orderpriority", "revenue"]).to_pandas()
+              .groupby("o_orderpriority", sort=False)["revenue"]
+              .agg(["count", "sum"]).reset_index())
+        return pa.Table.from_pandas(
+            df.rename(columns={"count": "n_items", "sum": "revenue"}),
+            preserve_index=False,
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (partials.groupby("o_orderpriority", sort=True)
+           .agg(n_items=("n_items", "sum"), revenue=("revenue", "sum"))
+           .reset_index())
     out["n_items"] = out["n_items"].astype("int64")
     return _round2(out, ["revenue"])
 
@@ -625,12 +637,15 @@ def doc_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def text_analysis_documents(sf_dir: str) -> pd.DataFrame:
-    """Lang-ID + quality + fingerprint (actor-pool stage; rows-only check:
-    the heuristics are not SQL-expressible)."""
+    """Lang-ID + quality + fingerprint (rows-only check: the heuristics
+    are not SQL-expressible).
+
+    Plain tasks, not an actor pool: the analyzer instance holds two
+    scalars (see the minhash_candidates note) — a model-backed analyzer
+    would pass the class + ``concurrency=`` instead."""
     ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = ds.map_batches(
-        TextAnalyzer, fn_constructor_kwargs={"text_col": "text"},
-        batch_format="pyarrow", concurrency=(1, 4),
+        TextAnalyzer(text_col="text"), batch_format="pyarrow",
     ).to_pandas()
     out["lang_match"] = (out["lang_id"] == out["lang"]).astype("int64")
     return out[["doc_id", "lang_id", "lang_match", "quality", "token_count",
@@ -1404,14 +1419,20 @@ def substring_dedup_documents(sf_dir: str, w: int = 8) -> pd.DataFrame:
     MinHash/SimHash approximate path).
 
     Scale shape: one tokenize pass emits distinct (shingle, doc) pairs;
-    span ownership is a distributed ``groupby(shingle).min(doc_id)``;
-    ownership rides back on a hash join (no driver state); the per-doc
-    verdict is a per-batch partial max + one tiny per-doc Max reduce.
-    Only docs with >= w tokens appear (shorter docs have no spans).
+    ONE shingle-hash shard shuffle co-locates each span's sightings
+    (two-level grouping — a per-shingle group would be the many-tiny-
+    groups trap, and the previous ownership-groupby + hash-join-back +
+    per-doc-groupby topology paid three wide ops for the same answer);
+    inside each shard a vectorized pandas pass resolves ownership
+    (transform-min) and reduces to one verdict partial per (shard,
+    doc); the driver merges output-sized partials only. Only docs with
+    >= w tokens appear (shorter docs have no spans).
     At 100 TB the same topology runs on uint64 rolling-hash shingles
     (constant-width exchange instead of span strings, at the cost of
     hash-collision false positives); strings are kept here so the SQL
     oracle is exact."""
+    from ..stages.hashing import hash_strings
+
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def shingles(t: pa.Table) -> pa.Table:
@@ -1432,21 +1453,32 @@ def substring_dedup_documents(sf_dir: str, w: int = 8) -> pd.DataFrame:
             "sh": pa.array(shs, type=pa.string()),
         })
 
-    sh = docs.map_batches(shingles, batch_format="pyarrow")
-    owners = sh.groupby("sh").aggregate(Min("doc_id", alias_name="own"))
-    joined = hash_join(sh, owners, on="sh",
-                       buckets=join_buckets(_tbytes(sf_dir, "documents")))
+    shards = 32
 
-    def flag(t: pa.Table) -> pa.Table:
-        d = pc.cast(pc.less(t["own"], t["doc_id"]), pa.int64())
-        tt = pa.table({"doc_id": t["doc_id"], "is_dup": d})
-        return (tt.group_by(["doc_id"]).aggregate([("is_dup", "max")])
-                .rename_columns(["doc_id", "is_dup"]))
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = hash_strings(np.asarray(t["sh"].to_pylist(), dtype=object))
+        return t.append_column(
+            "_shard",
+            pa.array((h % np.uint64(shards)).astype(np.int32)),
+        )
 
-    out = (joined.map_batches(flag, batch_format="pyarrow")
-           .groupby("doc_id").aggregate(Max("is_dup", alias_name="is_dup"))
-           .to_pandas())
-    out = out.sort_values("doc_id").reset_index(drop=True)
+    def shard_flags(g: pd.DataFrame) -> pd.DataFrame:
+        # all sightings of a span live in this shard: ownership is a
+        # transform-min, the verdict partial a per-doc max — both C-level
+        own = g.groupby("sh", sort=False)["doc_id"].transform("min")
+        dup = (g["doc_id"].to_numpy() > own.to_numpy()).astype("int64")
+        return (pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "is_dup": dup})
+                .groupby("doc_id", sort=False)["is_dup"].max().reset_index())
+
+    partials = (
+        docs.map_batches(shingles, batch_format="pyarrow")
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_flags, batch_format="pandas")
+        .to_pandas()  # <= shards x docs verdict partials — output-sized
+    )
+    out = (partials.groupby("doc_id", sort=True)["is_dup"].max()
+           .reset_index())
     for c in ("doc_id", "is_dup"):
         out[c] = out[c].astype("int64")
     return out[["doc_id", "is_dup"]]

@@ -73,17 +73,27 @@ def ann_brute_force(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> pd.DataFrame:
-    """Exact cosine top-k per query: (query_id, vec_id, score, rank)."""
+    """Exact cosine top-k per query: (query_id, vec_id, score, rank).
+
+    Plain tasks by default (the scorer instance is the normalized query
+    matrix — KBs here; per-pipeline actor-pool spin-up costs more than
+    it saves). Pass ``concurrency`` to switch to an actor pool when the
+    query matrix is big enough that a per-actor ``ray.get`` of the
+    broadcast ref beats shipping the matrix inside the task closure."""
     ref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"queries_ref": ref, "emb_col": emb_col,
-                               "id_col": id_col, "k": k},
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-    ).to_pandas()
+    kwargs = {"queries_ref": ref, "emb_col": emb_col,
+              "id_col": id_col, "k": k}
+    if concurrency:
+        stage = ds.map_batches(
+            BruteForceScorer, fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow", concurrency=(1, concurrency),
+        )
+    else:
+        stage = ds.map_batches(BruteForceScorer(**kwargs),
+                               batch_format="pyarrow")
+    partials = stage.to_pandas()
     return _merge_topk(partials, k)
 
 
@@ -161,7 +171,7 @@ def ann_ivf(
     nprobe: int = 4,
     seed: int = 5,
     train_sample: int = 2048,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> pd.DataFrame:
     """IVF-approximate cosine top-k per query (same output shape as
     brute force; recall < 1.0 by construction when nprobe < nlist)."""
@@ -178,15 +188,20 @@ def ann_ivf(
     )
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
     c_ref = ray.put(centroids)
-    partials = ds.map_batches(
-        IvfScorer,
-        fn_constructor_kwargs={
-            "queries_ref": q_ref, "centroids_ref": c_ref, "emb_col": emb_col,
-            "id_col": id_col, "k": k, "nprobe": nprobe,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-    ).to_pandas()
+    kwargs = {
+        "queries_ref": q_ref, "centroids_ref": c_ref, "emb_col": emb_col,
+        "id_col": id_col, "k": k, "nprobe": nprobe,
+    }
+    # plain tasks by default (see ann_brute_force); the IVF scorer's
+    # state is the probe-list sets + two small matrices
+    if concurrency:
+        stage = ds.map_batches(
+            IvfScorer, fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow", concurrency=(1, concurrency),
+        )
+    else:
+        stage = ds.map_batches(IvfScorer(**kwargs), batch_format="pyarrow")
+    partials = stage.to_pandas()
     return _merge_topk(partials, k)
 
 

@@ -28,8 +28,8 @@ from ..stages.dedup import exact_dedup, windowed_dedup
 from ..stages.hashing import shard_of
 from ..stages.join import (broadcast_asof_join, broadcast_join, hash_join,
                            join_buckets, semi_join)
-from ..stages.neardup import (embedding_dedup, minhash_dedup,
-                              propagate_min_labels, simhash_dedup)
+from ..stages.neardup import (component_labels, embedding_dedup,
+                              minhash_dedup, simhash_dedup)
 from ..stages.timeops import US, column_ts_us, series_ts_us, us_to_timestamp_array
 from ..stages.windows import session_window_agg, windowed_agg
 
@@ -416,17 +416,17 @@ def asof_latest_order(sf_dir: str) -> pd.DataFrame:
 
 def asof_latest_order_partitioned(sf_dir: str) -> pd.DataFrame:
     """Same result as ``asof_latest_order`` through the BOTH-SIDES-LARGE
-    physical plan: the versioned side stays a Dataset (collapsed to its
-    latest totals by a distributed groupby), both sides hash-co-partition
-    on the key, and merge_asof runs inside each group — nothing is
-    broadcast, nothing lands on the driver. The plan to reach for when
-    the version history itself is shuffle-scale."""
+    physical plan: the raw version history stays a Dataset, both sides
+    hash-co-partition on the key, and merge_asof runs inside each shard
+    — nothing is broadcast, nothing lands on the driver. The
+    max-total-per-(key, date) collapse costs NO extra shuffle: the
+    right side's in-shard sort tiebreaks on the total, and backward
+    merge_asof takes the last (= max) same-ts row per key. The plan to
+    reach for when the version history itself is shuffle-scale."""
     from ..stages.join import partitioned_asof_join
 
     latest = (
         _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
-        .groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max("o_totalprice", alias_name="latest_total"))
         .map_batches(lambda t: t.rename_columns(
             ["user_id", "o_orderdate", "latest_total"]),
             batch_format="pyarrow")
@@ -434,7 +434,7 @@ def asof_latest_order_partitioned(sf_dir: str) -> pd.DataFrame:
     events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = partitioned_asof_join(
         events, latest, on="user_id", left_ts="ts", right_ts="o_orderdate",
-        defaults={"latest_total": 0.0},
+        defaults={"latest_total": 0.0}, right_tiebreak=["latest_total"],
     ).to_pandas()
     out = out[["event_id", "latest_total"]]
     # the typed-null union upcasts event_id to float64; pin it back so
@@ -1360,9 +1360,10 @@ def inverted_index_documents(sf_dir: str) -> pd.DataFrame:
 def doc_components(sf_dir: str) -> pd.DataFrame:
     """Connected components over a document-similarity graph, computed
     with the distributed min-label-propagation kernel the near-dup
-    family clusters with (``stages/neardup.py::propagate_min_labels``)
-    — exposed as a first-class graph operator with an exact recursive
-    oracle.
+    family clusters with (``stages/neardup.py::component_labels``:
+    min-label propagation above the pair-count cutoff, one-task
+    union-find below it — same min-id labels either way) — exposed as
+    a first-class graph operator with an exact recursive oracle.
 
     Graph: docs are adjacent when they share exact text OR the same
     (lang, n_chars // 50) size bucket; text-dup edges bridge size
@@ -1400,7 +1401,7 @@ def doc_components(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
     pairs = text_edges.union(size_edges).union(self_edges)
-    labels = propagate_min_labels(pairs)
+    labels = component_labels(pairs)
     out = (labels.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "component": t["label"]}),
         batch_format="pyarrow",

@@ -245,6 +245,8 @@ def partitioned_asof_join(
     left_ts: str,
     right_ts: str,
     defaults: dict | None = None,
+    shards: int = 32,
+    right_tiebreak: Sequence[str] = (),
 ) -> ray.data.Dataset:
     """As-of join where BOTH sides are large: hash-co-partition by the
     key and merge-asof inside each group.
@@ -252,12 +254,13 @@ def partitioned_asof_join(
     The broadcast as-of assumes the versioned side fits in one object;
     at 100 TB of versions it doesn't. Here each side is tagged, the two
     streams union (one schema: left columns + right columns, the absent
-    side's columns null), and ``groupby(on)`` co-locates every key's
-    rows from both sides in one group, where a sorted
-    ``pd.merge_asof(direction="backward")`` runs vectorized. One hash
-    shuffle total; per-group memory is that key's rows only — the
-    partitioning assumption is per-key history fits a worker, salt or
-    range-split hot keys upstream if not.
+    side's columns null), and a key-SHARD groupby co-locates every
+    key's rows from both sides (two-level grouping — one Ray group per
+    key would be the many-tiny-groups trap); inside each shard ONE
+    ``pd.merge_asof(by=on, direction="backward")`` handles every key
+    vectorized. One hash shuffle total; per-shard memory is its keys'
+    rows only — the partitioning assumption is per-shard history fits
+    a worker; raise ``shards`` (or salt hot keys upstream) if not.
     """
     from .timeops import column_ts_us
 
@@ -289,18 +292,30 @@ def partitioned_asof_join(
             return pa.table(cols)
         return fn
 
-    u = (left.map_batches(tag(0), batch_format="pyarrow")
-         .union(right.map_batches(tag(1), batch_format="pyarrow")))
+    from .hashing import add_shard_column
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    u = (left.map_batches(tag(0), batch_format="pyarrow")
+         .union(right.map_batches(tag(1), batch_format="pyarrow"))
+         .map_batches(lambda t: add_shard_column(t, on, shards),
+                      batch_format="pyarrow"))
+
+    def asof_shard(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0]
         if not len(l):
             return pd.DataFrame(columns=[on, "_ts", *lcols, *rcols])
         r = g[g["_side"] == 1]
+        # merge_asof(by=on) runs every key in this shard in one
+        # vectorized pass; both frames need only the _ts sort.
+        # right_tiebreak pins which of several same-(key, ts) version
+        # rows wins (merge_asof backward takes the LAST in sort order)
+        # — e.g. tiebreak on the value column == take its max, which
+        # lets callers skip a whole pre-collapse groupby shuffle.
         l = l.sort_values("_ts", kind="mergesort")[[on, "_ts", *lcols]]
         if len(r):
-            r = r.sort_values("_ts", kind="mergesort")[["_ts", *rcols]]
-            out = pd.merge_asof(l, r, on="_ts", direction="backward")
+            r = r.sort_values(["_ts", *right_tiebreak],
+                              kind="mergesort")[[on, "_ts", *rcols]]
+            out = pd.merge_asof(l, r, on="_ts", by=on,
+                                direction="backward")
         else:
             out = l.copy()
             for c in rcols:
@@ -311,7 +326,7 @@ def partitioned_asof_join(
                     if isinstance(val, float) else out[col].fillna(val)
         return out
 
-    return u.groupby(on).map_groups(asof_group, batch_format="pandas")
+    return u.groupby("_shard").map_groups(asof_shard, batch_format="pandas")
 
 
 def interval_join(
@@ -327,7 +342,8 @@ def interval_join(
     (inclusive both ends).
 
     Same co-partition machinery as :func:`partitioned_asof_join` — one
-    hash shuffle on the key, then a per-group vectorized sweep: right
+    hash shuffle on a key shard, then per-key vectorized sweeps inside
+    each shard task: right
     intervals sort by start; ``searchsorted`` bounds the candidate
     window per left ts (starts <= ts), and an end >= ts mask finishes
     the containment test. Output is one row per (left, matching right)
@@ -365,8 +381,12 @@ def interval_join(
             return pa.table(cols)
         return fn
 
+    from .hashing import add_shard_column
+
     u = (left.map_batches(tag(0), batch_format="pyarrow")
-         .union(right.map_batches(tag(1), batch_format="pyarrow")))
+         .union(right.map_batches(tag(1), batch_format="pyarrow"))
+         .map_batches(lambda t: add_shard_column(t, on, 32),
+                      batch_format="pyarrow"))
 
     def sweep(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0]
@@ -395,7 +415,16 @@ def interval_join(
             out[c] = rrows[c].values
         return out
 
-    return u.groupby(on).map_groups(sweep, batch_format="pandas")
+    def sweep_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # two-level grouping: one Ray group per key-SHARD, the per-key
+        # sweeps run as a pandas groupby loop inside the task
+        outs = [sweep(sub) for _, sub in g.groupby(on, sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame(columns=[on, *lcols, *rcols])
+        return pd.concat(outs, ignore_index=True)
+
+    return u.groupby("_shard").map_groups(sweep_shard, batch_format="pandas")
 
 
 def salted_hash_join(

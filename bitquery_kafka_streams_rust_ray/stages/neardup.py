@@ -405,6 +405,53 @@ _TASK_UNIONFIND_PAIR_LIMIT = 2_000_000
 
 
 @ray.remote
+def _unionfind_labels(*blocks) -> pa.Table:
+    """Single-task component labels over pair blocks: (node, label)
+    for every endpoint, label = the component's min id — the same
+    contract as :func:`propagate_min_labels`."""
+    uf = UnionFind()
+    for t in blocks:
+        if isinstance(t, pd.DataFrame):
+            if len(t) == 0 or "id_a" not in t.columns:
+                continue
+            ab = zip(t["id_a"].tolist(), t["id_b"].tolist())
+        else:
+            if t.num_rows == 0 or "id_a" not in t.column_names:
+                continue
+            ab = zip(t.column("id_a").to_pylist(),
+                     t.column("id_b").to_pylist())
+        for a, b in ab:
+            uf.union(a, b)
+    nodes = sorted(uf.parent)
+    return pa.table({
+        "node": pa.array(nodes),
+        "label": pa.array([uf.find(x) for x in nodes]),
+    })
+
+
+def component_labels(
+    pairs: ray.data.Dataset,
+    task_limit: int = _TASK_UNIONFIND_PAIR_LIMIT,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Connected-component labels of a pair graph: ``(node, label)``
+    with label = the component's min node id.
+
+    Same cutoff switch as :func:`cluster_and_drop`: small pair sets
+    label in ONE worker task (union-find over block refs — pairs never
+    touch the driver, and the fixed cost is one task instead of the
+    2-4 shuffle rounds each propagation round costs); large ones run
+    distributed :func:`propagate_min_labels`. Both keep min-id labels,
+    so the switch never changes output."""
+    pairs = pairs.materialize()
+    if pairs.count() <= task_limit:
+        refs = [ref for bundle in pairs.iter_internal_ref_bundles()
+                for ref, _meta in bundle.blocks]
+        return ray.data.from_arrow_refs([_unionfind_labels.remote(*refs)])
+    return propagate_min_labels(pairs, num_partitions=num_partitions)
+
+
+@ray.remote
 def _unionfind_losers(*blocks) -> pa.Array:
     """Single-task clustering over pair blocks (Arrow or pandas —
     map_groups emits pandas blocks); returns the loser ids."""

@@ -164,3 +164,25 @@ def test_minhash_dedup_matches_single_process_oracle():
     losers = losers_from_pairs(verified)
     want = sorted(set(df["doc_id"]) - losers)
     assert kept == want
+
+
+def test_component_labels_cutoff_paths_agree():
+    """component_labels' one-task union-find path (below the pair-count
+    cutoff) and distributed propagation path (above it) produce the
+    same min-id labels."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bitquery_kafka_streams_rust_ray.stages.neardup import component_labels
+
+    pairs = [(10, 2), (2, 7), (7, 5), (5, 9), (20, 21), (21, 22),
+             (20, 22), (30, 31), (40, 40)]
+    ds = rd.from_arrow(pa.table({
+        "id_a": [a for a, _ in pairs],
+        "id_b": [b for _, b in pairs],
+    }))
+    small = component_labels(ds, task_limit=1_000_000).to_pandas()
+    large = component_labels(ds, task_limit=0).to_pandas()
+    to_map = lambda df: dict(zip(df["node"], df["label"]))  # noqa: E731
+    assert to_map(small) == to_map(large)
+    assert to_map(small)[9] == 2 and to_map(small)[22] == 20

@@ -267,13 +267,23 @@ def segment_orders(sf_dir: str) -> pd.DataFrame:
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
     ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = broadcast_join(ds, cust, on="o_custkey", how="inner",
-                            concurrency=2)
-    out = (
-        joined.groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"),
-                   Sum("o_totalprice", alias_name="total"))
-        .to_pandas()
-    )
+                            concurrency=8)
+
+    # ~5 segments: per-batch partials + driver merge beat a shuffle
+    # (see priority_revenue)
+    def partial(t: pa.Table) -> pa.Table:
+        df = (t.select(["c_mktsegment", "o_totalprice"]).to_pandas()
+              .groupby("c_mktsegment", sort=False)["o_totalprice"]
+              .agg(["count", "sum"]).reset_index())
+        return pa.Table.from_pandas(
+            df.rename(columns={"count": "n_orders", "sum": "total"}),
+            preserve_index=False,
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (partials.groupby("c_mktsegment", sort=True)
+           .agg(n_orders=("n_orders", "sum"), total=("total", "sum"))
+           .reset_index())
     out["n_orders"] = out["n_orders"].astype("int64")
     return _round2(out, ["total"])
 

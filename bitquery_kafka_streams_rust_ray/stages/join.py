@@ -69,6 +69,10 @@ def broadcast_join(
     ``defaults`` fills unmatched rows (e.g. ``{"category": "unknown"}``,
     mirroring the reference's null-safe ``unknown`` defaults,
     ``src/consumer.rs:316-327``).
+
+    ``concurrency`` is the pool MAX: the (1, max) range autoscales, so
+    a max above the cluster's CPU count degrades instead of
+    deadlocking (a bare int would demand that many actors up front).
     """
     ref = ray.put(small)
     return ds.map_batches(
@@ -77,7 +81,7 @@ def broadcast_join(
                                "defaults": defaults},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
@@ -166,6 +170,10 @@ def broadcast_asof_join(
                               batch_size=batch_size)
 
     ref = ray.put(versioned_small)
+    if isinstance(concurrency, int):
+        # autoscaling range: a bare int demands a fixed-size pool up
+        # front and deadlocks when it exceeds the cluster's CPUs
+        concurrency = (1, concurrency)
     return ds.map_batches(
         _BroadcastAsofJoiner,
         fn_constructor_kwargs={
@@ -388,24 +396,50 @@ def interval_join(
          .map_batches(lambda t: add_shard_column(t, on, 32),
                       batch_format="pyarrow"))
 
-    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+    def sweep_shard(g: pd.DataFrame) -> pd.DataFrame:
+        """All keys of one shard in one numpy pass: both sides sort by
+        (key, ts); per distinct key the right segment comes from ONE
+        pair of searchsorted calls on the key array, the per-left-row
+        candidate counts from one searchsorted on that segment's
+        starts, and the pair expansion + end>=ts containment mask run
+        vectorized over the whole shard — no per-key pandas frames.
+        Output order is (key, left ts)-major: a pure function of the
+        data, independent of block layout."""
+        empty = pd.DataFrame(columns=[on, *lcols, *rcols])
         l = g[g["_side"] == 0]
         r = g[g["_side"] == 1]
         if not len(l) or not len(r):
-            return pd.DataFrame(columns=[on, *lcols, *rcols])
-        r = r.sort_values(["_ts", "_end"], kind="mergesort")
-        starts = r["_ts"].to_numpy()
-        ends = r["_end"].to_numpy()
-        out_l, out_r = [], []
-        hi = np.searchsorted(starts, l["_ts"].to_numpy(), side="right")
-        for li, (ts, h) in enumerate(zip(l["_ts"].to_numpy(), hi)):
-            if not h:
+            return empty
+        l = l.sort_values([on, "_ts"], kind="mergesort")
+        r = r.sort_values([on, "_ts", "_end"], kind="mergesort")
+        keys_l, keys_r = l[on].to_numpy(), r[on].to_numpy()
+        ts_l = l["_ts"].to_numpy()
+        starts, ends = r["_ts"].to_numpy(), r["_end"].to_numpy()
+
+        uk, l_first = np.unique(keys_l, return_index=True)
+        lbounds = np.append(l_first, len(l))
+        rlo = np.searchsorted(keys_r, uk, side="left")
+        rhi = np.searchsorted(keys_r, uk, side="right")
+        counts = np.zeros(len(l), dtype=np.int64)
+        lo_of = np.zeros(len(l), dtype=np.int64)
+        for i in range(len(uk)):  # one small searchsorted per key
+            if rlo[i] == rhi[i]:
                 continue
-            cand = np.nonzero(ends[:h] >= ts)[0]
-            out_l.extend([li] * len(cand))
-            out_r.extend(cand.tolist())
-        if not out_l:
-            return pd.DataFrame(columns=[on, *lcols, *rcols])
+            a, b = lbounds[i], lbounds[i + 1]
+            counts[a:b] = np.searchsorted(
+                starts[rlo[i]:rhi[i]], ts_l[a:b], side="right")
+            lo_of[a:b] = rlo[i]
+        total = int(counts.sum())
+        if not total:
+            return empty
+        idx_l = np.repeat(np.arange(len(l)), counts)
+        idx_r = (np.arange(total)
+                 - np.repeat(np.cumsum(counts) - counts, counts)
+                 + np.repeat(lo_of, counts))
+        keep = ends[idx_r] >= ts_l[idx_l]
+        out_l, out_r = idx_l[keep], idx_r[keep]
+        if not len(out_l):
+            return empty
         lrows = l.iloc[out_l].reset_index(drop=True)
         rrows = r.iloc[out_r].reset_index(drop=True)
         out = pd.DataFrame({on: lrows[on]})
@@ -414,15 +448,6 @@ def interval_join(
         for c in rcols:
             out[c] = rrows[c].values
         return out
-
-    def sweep_shard(g: pd.DataFrame) -> pd.DataFrame:
-        # two-level grouping: one Ray group per key-SHARD, the per-key
-        # sweeps run as a pandas groupby loop inside the task
-        outs = [sweep(sub) for _, sub in g.groupby(on, sort=False)]
-        outs = [o for o in outs if len(o)]
-        if not outs:
-            return pd.DataFrame(columns=[on, *lcols, *rcols])
-        return pd.concat(outs, ignore_index=True)
 
     return u.groupby("_shard").map_groups(sweep_shard, batch_format="pandas")
 

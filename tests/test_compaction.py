@@ -141,3 +141,31 @@ def test_flagship_compact_after_drain_outputs_identical(pages_dir, tmp_path):
         assert left == []
     gen_dir = os.path.join(comp_out, "compacted", "pages-gen=000000")
     assert len(os.listdir(gen_dir)) == 1
+
+
+def test_resume_after_compaction_is_noop(pages_dir, tmp_path):
+    """Resuming a drained-and-compacted run over unchanged input must
+    early-return from the drain manifest (the per-epoch parquet files
+    are gone — only the manifest record matters) and read back the
+    same tables."""
+    import dataclasses
+
+    from bitquery_kafka_streams_rust_ray.config import EngineConfig
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import (
+        flagship_outputs,
+        run_flagship,
+    )
+
+    d, _spec, _ = pages_dir
+    cfg = dataclasses.replace(
+        EngineConfig(min_text_len=1, state_shards=4, extract_concurrency=2,
+                     files_per_epoch=2),
+        compact_after_drain=True, compact_target_bytes=1 << 30)
+    out = str(tmp_path / "out")
+    run_flagship(d, out, config=cfg)
+    before = flagship_outputs(out)
+    summary = run_flagship(d, out, config=cfg, resume=True)
+    assert summary["epochs"]  # early-returned committed epochs
+    after = flagship_outputs(out)
+    for name in before:
+        assert after[name].equals(before[name]), name

@@ -97,6 +97,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": q.decontaminate_documents,
         "repetition_filter_documents": q.repetition_filter_documents,
         "curate_documents": q.curate_documents,
+        # chunking / splits / balancing / cross-corpus novelty / pairs
+        "chunk_documents": q.chunk_documents,
+        "split_documents": q.split_documents,
+        "lang_balanced_documents": q.lang_balanced_documents,
+        "novel_documents": q.novel_documents,
+        "cosine_pairs_embeddings": q.cosine_pairs_embeddings,
         # near-dup family (training-data ops)
         "minhash_dedup_documents": q.minhash_dedup_documents,
         "simhash_dedup_documents": q.simhash_dedup_documents,
@@ -603,6 +609,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id,
                    CAST(min(n_tokens) AS BIGINT) AS n_tokens
             FROM kept GROUP BY text ORDER BY doc_id
+        """,
+        "chunk_documents": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, words,
+                       unnest(generate_series(0, len(words) - 1, 24)) AS s
+                FROM w
+            )
+            SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_idx,
+                   array_to_string(words[s + 1 : s + 32], ' ') AS chunk_text,
+                   CAST(least(s + 32, len(words)) - s AS BIGINT) AS n_words
+            FROM s ORDER BY doc_id, chunk_idx
+        """,
+        "split_documents": """
+            SELECT doc_id, lang,
+                   CASE WHEN b < 5 THEN 'test'
+                        WHEN b < 15 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (SELECT doc_id, lang,
+                         (doc_id * 2654435761) % 4294967296 % 100 AS b
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "lang_balanced_documents": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 30 ORDER BY doc_id
+        """,
+        "novel_documents": """
+            WITH p AS (
+                SELECT doc_id,
+                       array_to_string(string_split(text, ' ')[1:8], ' ')
+                           AS pre
+                FROM documents
+            ),
+            cut AS (SELECT max(doc_id) // 2 AS m FROM p)
+            SELECT d.doc_id FROM p d, cut
+            WHERE d.doc_id >= cut.m
+              AND NOT EXISTS (SELECT 1 FROM p r, cut
+                              WHERE r.doc_id < cut.m AND r.pre = d.pre)
+            ORDER BY d.doc_id
+        """,
+        "cosine_pairs_embeddings": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cos4
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= 0.42
+            ORDER BY vec_id_a, vec_id_b
         """,
         "rare_terms_documents": r"""
             WITH toks AS (

@@ -1746,6 +1746,198 @@ def curate_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# --- training-data ops: chunking / splits / balancing / novelty / pairs --
+
+
+def chunk_documents(sf_dir: str, chunk: int = 32,
+                    stride: int = 24) -> pd.DataFrame:
+    """Fixed-size token chunking with overlap — the op that turns a
+    document corpus into training sequences (chunk=32 words, stride=24,
+    i.e. 8 words of overlap). One pure flat-map, fully vectorized: the
+    per-batch kernel never touches a Python row — split to a ListArray,
+    build the (row, start) grid in numpy, gather the flat word values
+    once, and re-join each chunk with ``pc.binary_join``. At 100 TB this
+    is a streaming map with no shuffle; output rows carry (doc_id,
+    chunk_idx) so downstream packing/shuffling can key on them."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "chunk_idx": pa.array([], pa.int64()),
+                      "chunk_text": pa.array([], pa.string()),
+                      "n_words": pa.array([], pa.int64())})
+
+    def chunks(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        la = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = la.values
+        offs = la.offsets.to_numpy().astype(np.int64)
+        nw = np.diff(offs)
+        # (row, chunk) grid: starts step by `stride`, every start < n_words
+        max_chunks = int(np.ceil(nw.max() / stride)) if nw.max() else 1
+        grid = np.arange(max_chunks, dtype=np.int64) * stride
+        row_idx, chunk_pos = np.nonzero(grid[None, :] < nw[:, None])
+        starts = grid[chunk_pos]
+        cs = offs[row_idx] + starts                      # flat-coord begin
+        ce = np.minimum(cs + chunk, offs[row_idx + 1])   # clipped end
+        lengths = ce - cs
+        out_offs = np.concatenate([[0], np.cumsum(lengths)])
+        idx = (np.arange(out_offs[-1], dtype=np.int64)
+               - np.repeat(out_offs[:-1], lengths) + np.repeat(cs, lengths))
+        gathered = flat.take(pa.array(idx, type=pa.int64()))
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(out_offs, type=pa.int64()), gathered)
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(row_idx, pa.int64())),
+            "chunk_idx": pa.array(chunk_pos, pa.int64()),
+            "chunk_text": pc.binary_join(lst, " "),
+            "n_words": pa.array(lengths, pa.int64()),
+        })
+
+    out = docs.map_batches(chunks, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+# Knuth multiplicative hash: deterministic, order-free, and exactly
+# computable in both int64 numpy and ANSI SQL (no library hash needed).
+# doc_id * 2654435761 stays inside int64 for doc_id < ~3.47e9; the
+# 100 TB variant is the same trick on a splitmix64 of a content hash.
+_SPLIT_MULT = 2654435761
+_SPLIT_MOD = 4294967296
+
+
+def _doc_hash(ids: np.ndarray) -> np.ndarray:
+    return (ids.astype(np.int64) * _SPLIT_MULT) % _SPLIT_MOD
+
+
+def split_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment — hash-bucket split
+    (5% test, 10% val, 85% train) as a pure vectorized map: stable
+    under reshuffling, appends, and cluster size, because the split is
+    a function of the key alone, never of row position."""
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = _doc_hash(t["doc_id"].to_numpy()) % 100
+        split = np.where(b < 5, "test", np.where(b < 15, "val", "train"))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "split": pa.array(split.astype(object),
+                                           pa.string())})
+
+    out = docs.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_balanced_documents(sf_dir: str, cap: int = 30) -> pd.DataFrame:
+    """Language-balanced corpus cap: keep at most ``cap`` docs per lang,
+    chosen by deterministic hash priority (not arrival order, so the
+    pick is layout- and cluster-size-independent). Partial top-k shape:
+    each batch keeps its own ``cap`` smallest (lang, priority) rows, the
+    final per-lang reduce sees at most blocks x cap rows — the corpus
+    itself never sorts or shuffles whole."""
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_h=_doc_hash(df["doc_id"].to_numpy()))
+        return (df.sort_values(["_h", "doc_id"]).groupby("lang", sort=False)
+                .head(cap))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["_h", "doc_id"]).head(cap)
+                [["doc_id", "lang"]])
+
+    out = (docs.map_batches(partial, batch_format="pandas")
+           .groupby("lang").map_groups(final, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def novel_documents(sf_dir: str) -> pd.DataFrame:
+    """Cross-corpus novelty: keep new-crawl docs (upper doc_id half)
+    whose 8-word prefix signature never appeared in the previous crawl
+    (lower half) — incremental-crawl dedup, the other direction of
+    decontamination. Scale shape: the reference side folds into a
+    distributed Bloom (raw keys never collect anywhere); definite
+    non-members pass with zero join work; only the ~fp_rate+hit sliver
+    goes through the exact hash anti-join, preserving exactness."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    cut = int(docs.max("doc_id")) // 2
+
+    def with_prefix(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        pre = pc.binary_join(pc.list_slice(words, 0, 8), " ")
+        return pa.table({"doc_id": t["doc_id"], "prefix": pre})
+
+    keyed = docs.map_batches(with_prefix, batch_format="pyarrow")
+    ref = keyed.filter(expr=f"doc_id < {cut}")
+    new = keyed.filter(expr=f"doc_id >= {cut}")
+
+    from ..stages.sketches import bloom_semi_join, build_bloom
+    bloom = build_bloom(ref, "prefix", n_items_hint=max(64, cut))
+    definite = bloom_semi_join(new, bloom, "prefix", anti=True)
+    maybe = bloom_semi_join(new, bloom, "prefix")  # hits + false positives
+
+    # exact verify of the sliver: tagged union + ONE prefix co-partition
+    # (the same physical shape partitioned_asof_join uses) — a group's
+    # new rows survive iff no reference row shares its prefix
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "prefix": t["prefix"], "doc_id": t["doc_id"],
+                "_side": pa.array([side] * len(t), pa.int8()),
+            })
+        return f
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["_side"] == 0).any():
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        return g[["doc_id"]]
+
+    survivors = (
+        ref.map_batches(tag(0), batch_format="pyarrow")
+        .union(maybe.map_batches(tag(1), batch_format="pyarrow"))
+        .groupby("prefix").map_groups(verify, batch_format="pandas")
+    )
+    out = definite.select_columns(["doc_id"]).union(survivors).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def cosine_pairs_embeddings(sf_dir: str, tau: float = 0.42) -> pd.DataFrame:
+    """Exact cosine pair mining: every unordered vector pair with
+    cosine >= tau. The corpus doubles as the broadcast side (``ray.put``
+    of the L2-normalized matrix, read once per task), each batch does
+    one ``rows @ matrix.T`` matmul and keeps the masked upper triangle —
+    O(n^2) flops but vectorized and embarrassingly parallel. This is
+    the exact baseline; ``embedding_dedup`` (hyperplane LSH) and
+    ``similarity_join`` are the 100 TB paths when n^2 is off the table."""
+    import ray
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    X = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    mat_ref = ray.put((ids, X))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        all_ids, mat = ray.get(mat_ref)
+        rid = t["vec_id"].to_numpy()
+        q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        sims = q @ mat.T
+        # unordered pairs once: this row is the smaller id of the pair
+        keep = (sims >= tau) & (rid[:, None] < all_ids[None, :])
+        r, c = np.nonzero(keep)
+        return pa.table({
+            "vec_id_a": pa.array(rid[r], pa.int64()),
+            "vec_id_b": pa.array(all_ids[c], pa.int64()),
+            "cos4": pa.array(np.round(sims[r, c], 4), pa.float64()),
+        })
+
+    out = (_t(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .map_batches(pairs, batch_format="pyarrow").to_pandas())
+    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
 # --- streaming engine showcase (rows-only; pages aren't a DuckDB view) --
 
 

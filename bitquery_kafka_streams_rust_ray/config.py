@@ -69,6 +69,12 @@ class EngineConfig:
 
     # --- event-time semantics ---
     dedup_window_s: int = 300
+    dedup_spill_dir: str | None = None  # directory for sqlite-backed
+    # per-shard dedup state (state/store.py::SpillDedupState) — the
+    # 10^12-url path where per-shard last-seen maps exceed actor RAM.
+    # None = in-memory dict (default); ":memory:" exercises the sqlite
+    # code path without touching disk. Semantics, snapshots and resume
+    # are identical either way (property-pinned).
     allowed_lateness_s: int = 120
     windows: WindowConfig = field(default_factory=WindowConfig)
     funnel: FunnelConfig = field(default_factory=FunnelConfig)
@@ -178,6 +184,8 @@ class EngineConfig:
                     raise ValueError(raw)
                 if "tuple" in ftype:  # comma-separated ints, e.g. "250,450"
                     return tuple(int(x) for x in raw.split(","))
+                if "str" in ftype:  # also covers `str | None`
+                    return None if raw.lower() == "none" else raw
                 if "float" in ftype:
                     return float(raw)
                 if "int" in ftype:  # also covers `int | None`

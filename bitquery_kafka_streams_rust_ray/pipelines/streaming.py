@@ -72,7 +72,8 @@ from ..observability.metrics import MetricsRegistry
 from ..reliability import CircuitBreaker, RetryConfig, RetryStrategy
 from ..sinks.exactly_once import EpochSink
 from ..sources.pages import pages_files
-from ..state.store import (DedupState, FunnelState, SessionState, TopKState,
+from ..state.store import (DedupState, FunnelState, SessionState,
+                           SpillDedupState, TopKState, restore_dedup,
                            WindowState)
 from ..state.watermark import WatermarkTracker
 from ..stages.hashing import shard_of
@@ -99,7 +100,14 @@ class StateShard:
     def __init__(self, shard_id: int, config: EngineConfig):
         self.shard_id = shard_id
         self.cfg = config
-        self.dedup = DedupState(config.dedup_window_s * US)
+        self._dedup_db = (
+            None if config.dedup_spill_dir in (None, ":memory:")
+            else os.path.join(config.dedup_spill_dir,
+                              f"dedup_shard{shard_id}.sqlite"))
+        self.dedup = (
+            SpillDedupState(config.dedup_window_s * US, self._dedup_db)
+            if config.dedup_spill_dir is not None
+            else DedupState(config.dedup_window_s * US))
         self.windows = WindowState()
         self.sessions = SessionState(config.windows.session_gap_s * US)
         self.funnel = (
@@ -306,7 +314,7 @@ class StateShard:
         }
 
     def restore(self, snap: dict) -> bool:
-        self.dedup = DedupState.restore(snap["dedup"])
+        self.dedup = restore_dedup(snap["dedup"], self._dedup_db)
         self.windows = WindowState.restore(snap["windows"])
         self.sessions = SessionState.restore(snap["sessions"])
         fun = snap.get("funnel")

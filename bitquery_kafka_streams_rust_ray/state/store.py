@@ -76,6 +76,97 @@ class DedupState:
         return st
 
 
+class SpillDedupState:
+    """Disk-backed ``DedupState``: identical semantics and snapshot
+    contract, but the key -> last_seen map lives in a sqlite B-tree
+    (the stdlib stand-in for the RocksDB-style store the north star
+    names) instead of a Python dict. RAM per ``process`` call is
+    bounded by the batch's unique keys, not the key domain — the
+    10^12-url path where a shard's window of distinct keys exceeds
+    actor memory.
+
+    Durability is NOT sqlite's job here (journaling off): the engine's
+    correctness contract is per-epoch snapshots + replay, so the file
+    is a cache of state whose authoritative copy is the last committed
+    checkpoint. ``snapshot()`` uses ``Connection.serialize()`` — the
+    blob is a verbatim database image and rides the same pickle path
+    as the dict store's snapshot.
+    """
+
+    def __init__(self, window_us: int, db_path: str | None = None,
+                 _image: bytes | None = None):
+        import os
+        import sqlite3
+
+        self.window_us = window_us
+        self.db_path = db_path
+        if db_path:
+            os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
+            if _image is not None:
+                with open(db_path, "wb") as f:
+                    f.write(_image)
+            elif os.path.exists(db_path):
+                os.remove(db_path)  # a fresh run starts with empty state
+        self.con = sqlite3.connect(db_path or ":memory:")
+        if _image is not None and not db_path:
+            self.con.deserialize(_image)
+        self.con.execute("PRAGMA journal_mode=OFF")
+        self.con.execute("PRAGMA synchronous=OFF")
+        self.con.execute(
+            "CREATE TABLE IF NOT EXISTS kv "
+            "(k TEXT PRIMARY KEY, ts INTEGER NOT NULL) WITHOUT ROWID")
+
+    def process(self, keys: list[str], ts_us: np.ndarray) -> np.ndarray:
+        """Same keep-mask recurrence as ``DedupState.process``; reads
+        touch only this batch's unique keys, writes are one upsert per
+        unique key."""
+        uniq = list(dict.fromkeys(keys))
+        local: dict[str, int] = {}
+        cur = self.con.cursor()
+        for i in range(0, len(uniq), 500):  # sqlite parameter cap
+            chunk = uniq[i:i + 500]
+            marks = ",".join("?" * len(chunk))
+            local.update(cur.execute(
+                f"SELECT k, ts FROM kv WHERE k IN ({marks})", chunk))
+        keep = np.empty(len(keys), dtype=bool)
+        window = self.window_us
+        for i, key in enumerate(keys):
+            ts = int(ts_us[i])
+            prev = local.get(key)
+            keep[i] = prev is None or ts - prev >= window
+            local[key] = ts
+        cur.executemany(
+            "INSERT INTO kv VALUES (?, ?) "
+            "ON CONFLICT(k) DO UPDATE SET ts = excluded.ts",
+            local.items())
+        self.con.commit()
+        return keep
+
+    def evict(self, watermark_us: int) -> int:
+        cur = self.con.execute("DELETE FROM kv WHERE ts < ?",
+                               (watermark_us - self.window_us,))
+        self.con.commit()
+        return cur.rowcount
+
+    def snapshot(self) -> dict:
+        return {"window_us": self.window_us,
+                "db": bytes(self.con.serialize())}
+
+    @classmethod
+    def restore(cls, snap: dict,
+                db_path: str | None = None) -> "SpillDedupState":
+        return cls(snap["window_us"], db_path, _image=snap["db"])
+
+
+def restore_dedup(snap: dict, db_path: str | None = None):
+    """Restore whichever dedup backend wrote the snapshot — snapshots
+    are self-describing, so resume stays correct even if the config's
+    ``dedup_spill_dir`` changed between the runs."""
+    if "db" in snap:
+        return SpillDedupState.restore(snap, db_path)
+    return DedupState.restore(snap)
+
+
 @dataclass
 class _Acc:
     count: int = 0

@@ -64,6 +64,7 @@ def test_from_env_overrides_typed_fields():
         "GRAFT_CFG_FSYNC_OUTPUT": "true",
         "GRAFT_CFG_HTTP_PORT": "none",
         "GRAFT_CFG_STATE_SHARDS": "4",
+        "GRAFT_CFG_DEDUP_SPILL_DIR": "/tmp/spill",
         "UNRELATED": "ignored",
     })
     assert cfg.dedup_window_s == 120
@@ -71,6 +72,9 @@ def test_from_env_overrides_typed_fields():
     assert cfg.fsync_output is True
     assert cfg.http_port is None
     assert cfg.state_shards == 4
+    assert cfg.dedup_spill_dir == "/tmp/spill"
+    assert EngineConfig.from_env(env={
+        "GRAFT_CFG_DEDUP_SPILL_DIR": "none"}).dedup_spill_dir is None
     # untouched fields keep defaults
     assert cfg.batch_size == EngineConfig().batch_size
 

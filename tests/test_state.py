@@ -1,32 +1,50 @@
-"""State-store semantics: ports deduplicator.rs:88-150 tests to event time."""
+"""State-store semantics: ports deduplicator.rs:88-150 tests to event time.
+
+The dedup tests run against BOTH backends (in-memory dict and the
+sqlite-backed ``SpillDedupState``) — same semantics contract.
+"""
 
 import numpy as np
+import pytest
 
-from bitquery_kafka_streams_rust_ray.state.store import DedupState, SessionState, WindowState
+from bitquery_kafka_streams_rust_ray.state.store import (DedupState, SessionState,
+                                                         SpillDedupState, WindowState,
+                                                         restore_dedup)
 from bitquery_kafka_streams_rust_ray.state.watermark import WatermarkTracker
 
 US = 1_000_000
 
 
-def run(st: DedupState, pairs):
+@pytest.fixture(params=["dict", "sqlite", "sqlite-file"])
+def make_dedup(request, tmp_path):
+    def make(window_us):
+        if request.param == "dict":
+            return DedupState(window_us)
+        path = (str(tmp_path / "dedup.sqlite")
+                if request.param == "sqlite-file" else None)
+        return SpillDedupState(window_us, path)
+    return make
+
+
+def run(st, pairs):
     keys = [k for k, _ in pairs]
     ts = np.array([t for _, t in pairs], dtype=np.int64)
     return list(st.process(keys, ts))
 
 
-def test_dedup_new_message():
-    st = DedupState(window_us=1 * US)
+def test_dedup_new_message(make_dedup):
+    st = make_dedup(1 * US)
     assert run(st, [("sig1", 0)]) == [True]
 
 
-def test_dedup_duplicate_within_window():
-    st = DedupState(window_us=1 * US)
+def test_dedup_duplicate_within_window(make_dedup):
+    st = make_dedup(1 * US)
     assert run(st, [("sig1", 0), ("sig1", US // 2)]) == [True, False]
 
 
-def test_dedup_duplicate_outside_window():
+def test_dedup_duplicate_outside_window(make_dedup):
     # deduplicator.rs:107-118: process / dup / wait past window / process / dup
-    st = DedupState(window_us=US)
+    st = make_dedup(US)
     assert run(st, [("sig1", 0)]) == [True]
     assert run(st, [("sig1", US // 10)]) == [False]
     # the duplicate refreshed last_seen to US//10; window passes from there
@@ -34,34 +52,35 @@ def test_dedup_duplicate_outside_window():
     assert run(st, [("sig1", US // 10 + US + 1)]) == [False]
 
 
-def test_dedup_boundary_exact_window_passes():
-    st = DedupState(window_us=US)
+def test_dedup_boundary_exact_window_passes(make_dedup):
+    st = make_dedup(US)
     # strict `< window` duplicate check => delta == window is NOT a dup
     assert run(st, [("k", 0), ("k", US)]) == [True, True]
     assert run(st, [("k", 2 * US - 1)]) == [False]
 
 
-def test_dedup_multiple_signatures():
-    st = DedupState(window_us=US)
+def test_dedup_multiple_signatures(make_dedup):
+    st = make_dedup(US)
     assert run(st, [("a", 0), ("b", 1), ("a", 2), ("b", 3), ("c", 4)]) == [
         True, True, False, False, True,
     ]
 
 
-def test_dedup_watermark_eviction():
-    st = DedupState(window_us=US)
+def test_dedup_watermark_eviction(make_dedup):
+    st = make_dedup(US)
     run(st, [("old", 0), ("new", 5 * US)])
     evicted = st.evict(watermark_us=3 * US)  # horizon = 2s; only "old" stale
     assert evicted == 1
-    assert "old" not in st.last_seen and "new" in st.last_seen
-    # evicted key behaves as brand new
+    # evicted key behaves as brand new; surviving key still dedups
     assert run(st, [("old", 3 * US)]) == [True]
+    assert run(st, [("new", 5 * US + 1)]) == [False]
 
 
-def test_dedup_snapshot_restore():
-    st = DedupState(window_us=US)
+def test_dedup_snapshot_restore(make_dedup, tmp_path):
+    st = make_dedup(US)
     run(st, [("a", 0), ("b", 1)])
-    st2 = DedupState.restore(st.snapshot())
+    st2 = restore_dedup(st.snapshot(), str(tmp_path / "restored.sqlite"))
+    assert type(st2) is type(st)  # snapshots are backend-self-describing
     assert run(st2, [("a", 2)]) == [False]
     assert st2.window_us == US
 

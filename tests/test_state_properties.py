@@ -201,3 +201,29 @@ def test_funnel_incremental_equals_batch(events, cuts, within):
         got.extend(inc.close(wm))
         inc = FunnelState.restore(inc.snapshot())
     assert sorted(got) == batch()
+
+
+@settings(max_examples=60, deadline=None)
+@given(events=events_strategy, cuts=cuts_strategy, window=st.integers(1, 500))
+def test_spill_dedup_equals_dict_backend(events, cuts, window):
+    """The sqlite-backed store is decision-identical to the dict store
+    over random streams with interleaved eviction and snapshot/restore
+    round-trips (including a cross-backend restore of the blob image)."""
+    from bitquery_kafka_streams_rust_ray.state.store import SpillDedupState, restore_dedup
+
+    def fold(state, evs):
+        evs = sorted(evs, key=lambda e: (e[1], e[0]))
+        if not evs:
+            return []
+        keys = [f"k{e[1]}" for e in evs]
+        ts = np.array([e[0] for e in evs], dtype=np.int64)
+        keep = state.process(keys, ts)
+        return [e for e, k in zip(evs, keep) if k]
+
+    ref = DedupState(window)
+    spill = SpillDedupState(window)
+    for epoch_events, wm in _epochs(events, cuts):
+        assert fold(ref, epoch_events) == fold(spill, epoch_events)
+        assert ref.evict(wm) == spill.evict(wm)
+        ref = DedupState.restore(ref.snapshot())
+        spill = restore_dedup(spill.snapshot())

@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_balanced_documents": q.lang_balanced_documents,
         "novel_documents": q.novel_documents,
         "cosine_pairs_embeddings": q.cosine_pairs_embeddings,
+        # model scoring (broadcast weights, actor pool) / feature hashing
+        "quality_model_documents": q.quality_model_documents,
+        "featurize_documents": q.featurize_documents,
         # near-dup family (training-data ops)
         "minhash_dedup_documents": q.minhash_dedup_documents,
         "simhash_dedup_documents": q.simhash_dedup_documents,
@@ -670,6 +673,56 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[]))
                   >= 0.42
             ORDER BY vec_id_a, vec_id_b
+        """,
+        "quality_model_documents": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       count(DISTINCT w) AS n_distinct
+                FROM toks GROUP BY doc_id
+            ),
+            c AS (
+                SELECT doc_id,
+                       length(replace(text, ' ', '')) AS n_chars
+                FROM documents
+            )
+            SELECT f.doc_id,
+                   CAST(50*n_distinct - 10*(n_tokens - n_distinct) + n_chars
+                        AS BIGINT) AS score,
+                   CAST(50*n_distinct - 10*(n_tokens - n_distinct) + n_chars
+                        >= 1100 AS BIGINT) AS kept
+            FROM f JOIN c USING (doc_id) ORDER BY doc_id
+        """,
+        "featurize_documents": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, (ascii(w)*31 + length(w)) % 16 AS bkt
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN bkt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+                   CAST(sum(CASE WHEN bkt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                   CAST(sum(CASE WHEN bkt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                   CAST(sum(CASE WHEN bkt = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+                   CAST(sum(CASE WHEN bkt = 4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+                   CAST(sum(CASE WHEN bkt = 5 THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+                   CAST(sum(CASE WHEN bkt = 6 THEN 1 ELSE 0 END) AS BIGINT) AS f6,
+                   CAST(sum(CASE WHEN bkt = 7 THEN 1 ELSE 0 END) AS BIGINT) AS f7,
+                   CAST(sum(CASE WHEN bkt = 8 THEN 1 ELSE 0 END) AS BIGINT) AS f8,
+                   CAST(sum(CASE WHEN bkt = 9 THEN 1 ELSE 0 END) AS BIGINT) AS f9,
+                   CAST(sum(CASE WHEN bkt = 10 THEN 1 ELSE 0 END) AS BIGINT) AS f10,
+                   CAST(sum(CASE WHEN bkt = 11 THEN 1 ELSE 0 END) AS BIGINT) AS f11,
+                   CAST(sum(CASE WHEN bkt = 12 THEN 1 ELSE 0 END) AS BIGINT) AS f12,
+                   CAST(sum(CASE WHEN bkt = 13 THEN 1 ELSE 0 END) AS BIGINT) AS f13,
+                   CAST(sum(CASE WHEN bkt = 14 THEN 1 ELSE 0 END) AS BIGINT) AS f14,
+                   CAST(sum(CASE WHEN bkt = 15 THEN 1 ELSE 0 END) AS BIGINT) AS f15
+            FROM b GROUP BY doc_id ORDER BY doc_id
         """,
         "rare_terms_documents": r"""
             WITH toks AS (

@@ -1938,6 +1938,95 @@ def cosine_pairs_embeddings(sf_dir: str, tau: float = 0.42) -> pd.DataFrame:
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 
 
+class _LinearQualityModel:
+    """Broadcast-weights model inference — the batched-scoring plumbing
+    pattern: the "model" (here a linear weight vector; a real pipeline
+    would ship quantized classifier weights the same way) is ``ray.put``
+    once and fetched once per actor in ``__init__``; ``__call__`` scores
+    a whole Arrow batch vectorized. Integer features and weights keep
+    the score SQL-exact."""
+
+    def __init__(self, weights_ref, threshold: int):
+        import ray
+
+        self.w = ray.get(weights_ref)
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ").combine_chunks()
+        n_tokens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = words.flatten().to_pandas()
+        rid = np.repeat(np.arange(len(t)), n_tokens)
+        n_distinct = (flat.groupby(rid).nunique()
+                      .reindex(np.arange(len(t)), fill_value=0)
+                      .to_numpy().astype(np.int64))
+        n_chars = (pc.utf8_length(t["text"]).to_numpy().astype(np.int64)
+                   - pc.count_substring(t["text"], " ").to_numpy())
+        w = self.w
+        score = (w[0] * n_distinct + w[1] * (n_tokens - n_distinct)
+                 + w[2] * n_chars)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "score": pa.array(score, pa.int64()),
+            "kept": pa.array((score >= self.threshold).astype(np.int64),
+                             pa.int64()),
+        })
+
+
+def quality_model_documents(sf_dir: str, threshold: int = 1100) -> pd.DataFrame:
+    """Model-based quality scoring over the corpus: a linear scorer on
+    (distinct words, repeated words, non-space chars) with weights
+    broadcast into an actor pool — the shape of every batched-inference
+    stage (tokenize -> featurize -> score) with a bit-exact SQL twin."""
+    import ray
+
+    weights_ref = ray.put(np.array([50, -10, 1], dtype=np.int64))
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = (ds.map_batches(
+        _LinearQualityModel,
+        fn_constructor_kwargs={"weights_ref": weights_ref,
+                               "threshold": threshold},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def featurize_documents(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
+    """Feature hashing (count-vectorizer) over the corpus: each word
+    lands in ``(first_codepoint * 31 + len(word)) % n_buckets`` and the
+    doc's feature vector is the bucket-count histogram — the hashing
+    trick that turns unbounded vocabularies into fixed-width vectors
+    with zero global state (no vocabulary shuffle, no driver dict).
+    Pure vectorized map: codepoints via a numpy view, counts via one
+    ``bincount`` per batch."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    cols = [f"f{i}" for i in range(n_buckets)]
+
+    def featurize(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ").combine_chunks()
+        n_tokens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = words.flatten()
+        lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        u = flat.to_numpy(zero_copy_only=False).astype("U")
+        # first codepoint of each word without a row loop: the U-dtype
+        # buffer is fixed-width UTF-32, so column 0 of the uint32 view
+        # IS the first character (0 for empty strings)
+        width = u.dtype.itemsize // 4
+        firsts = (u.view(np.uint32).reshape(len(u), width)[:, 0]
+                  .astype(np.int64) if len(u) else np.array([], np.int64))
+        bkt = (firsts * 31 + lens) % n_buckets
+        rid = np.repeat(np.arange(len(t), dtype=np.int64), n_tokens)
+        counts = np.bincount(rid * n_buckets + bkt,
+                             minlength=len(t) * n_buckets)
+        counts = counts.reshape(len(t), n_buckets)
+        data = {"doc_id": t["doc_id"]}
+        for i, c in enumerate(cols):
+            data[c] = pa.array(counts[:, i], pa.int64())
+        return pa.table(data)
+
+    out = docs.map_batches(featurize, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # --- streaming engine showcase (rows-only; pages aren't a DuckDB view) --
 
 

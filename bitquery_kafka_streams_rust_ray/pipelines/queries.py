@@ -1841,13 +1841,11 @@ def lang_balanced_documents(sf_dir: str, cap: int = 30) -> pd.DataFrame:
         return (df.sort_values(["_h", "doc_id"]).groupby("lang", sort=False)
                 .head(cap))
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(["_h", "doc_id"]).head(cap)
-                [["doc_id", "lang"]])
-
-    out = (docs.map_batches(partial, batch_format="pandas")
-           .groupby("lang").map_groups(final, batch_format="pandas")
-           .to_pandas())
+    # final reduce is output-sized (<= blocks x langs x cap rows), so a
+    # driver merge beats a groupby shuffle — same diet as priority_revenue
+    cand = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (cand.sort_values(["_h", "doc_id"]).groupby("lang", sort=False)
+           .head(cap)[["doc_id", "lang"]])
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1860,14 +1858,20 @@ def novel_documents(sf_dir: str) -> pd.DataFrame:
     non-members pass with zero join work; only the ~fp_rate+hit sliver
     goes through the exact hash anti-join, preserving exactness."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    cut = int(docs.max("doc_id")) // 2
 
     def with_prefix(t: pa.Table) -> pa.Table:
         words = pc.split_pattern(t["text"], " ")
         pre = pc.binary_join(pc.list_slice(words, 0, 8), " ")
         return pa.table({"doc_id": t["doc_id"], "prefix": pre})
 
-    keyed = docs.map_batches(with_prefix, batch_format="pyarrow")
+    # materialize the REDUCED projection (doc_id + 8-word prefix, ~50
+    # bytes/row vs the corpus's KBs): four downstream consumers (max,
+    # bloom build, two probes) would otherwise each re-read and re-split
+    # the full text column. This is the justified materialization —
+    # output-proportional, never the corpus itself.
+    keyed = docs.map_batches(with_prefix,
+                             batch_format="pyarrow").materialize()
+    cut = int(keyed.max("doc_id")) // 2
     ref = keyed.filter(expr=f"doc_id < {cut}")
     new = keyed.filter(expr=f"doc_id >= {cut}")
 
@@ -1876,26 +1880,30 @@ def novel_documents(sf_dir: str) -> pd.DataFrame:
     definite = bloom_semi_join(new, bloom, "prefix", anti=True)
     maybe = bloom_semi_join(new, bloom, "prefix")  # hits + false positives
 
-    # exact verify of the sliver: tagged union + ONE prefix co-partition
-    # (the same physical shape partitioned_asof_join uses) — a group's
-    # new rows survive iff no reference row shares its prefix
+    # exact verify of the sliver: tagged union + ONE hash co-partition on
+    # prefix SHARDS (16 vectorized group passes instead of one pandas
+    # call per distinct prefix) — a new row survives iff no reference
+    # row in its shard shares its prefix
+    from ..stages.hashing import add_shard_column
+
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
-            return pa.table({
+            t = pa.table({
                 "prefix": t["prefix"], "doc_id": t["doc_id"],
                 "_side": pa.array([side] * len(t), pa.int8()),
             })
+            return add_shard_column(t, "prefix", 16)
         return f
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if (g["_side"] == 0).any():
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
-        return g[["doc_id"]]
+        ref_pre = g.loc[g["_side"] == 0, "prefix"]
+        keep = g[(g["_side"] == 1) & ~g["prefix"].isin(ref_pre)]
+        return keep[["doc_id"]]
 
     survivors = (
         ref.map_batches(tag(0), batch_format="pyarrow")
         .union(maybe.map_batches(tag(1), batch_format="pyarrow"))
-        .groupby("prefix").map_groups(verify, batch_format="pandas")
+        .groupby("_shard").map_groups(verify, batch_format="pandas")
     )
     out = definite.select_columns(["doc_id"]).union(survivors).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -754,12 +754,38 @@ class StreamingPagesPipeline:
 
         plan = self.epoch_plan()
         self._plan_len = len(plan)
+        self._plan_files = [[os.path.basename(f) for f in files]
+                            for files in plan]
         start_epoch = 0
         if resume:
             committed = self.sink.committed_epochs()
             if committed:
                 last = committed[-1]
                 manifest = self.sink.read_manifest(last)
+                # epoch-plan guard: a resumed run must group files into
+                # epochs exactly as the original did — a changed
+                # files_per_epoch (or a mutated input layout) would make
+                # "epoch last+1" cover different files, silently
+                # skipping or double-processing data. Manifests record
+                # each epoch's input files; verify every committed data
+                # epoch against the new plan.
+                for e in committed:
+                    m = manifest if e == last else self.sink.read_manifest(e)
+                    recorded = m.get("input_files")
+                    if m.get("drain") or recorded is None:
+                        continue
+                    planned = (self._plan_files[e]
+                               if e < len(self._plan_files) else [])
+                    if recorded != planned:
+                        self.log.error("resume_refused_plan_mismatch",
+                                       epoch=e, recorded=len(recorded),
+                                       planned=len(planned))
+                        raise RuntimeError(
+                            f"refusing to resume: committed epoch {e} "
+                            f"covered {recorded} but the current plan "
+                            f"groups {planned} into that epoch — "
+                            "files_per_epoch and the input layout must "
+                            "match the original run")
                 if manifest.get("drain"):
                     # The drain commit is final: it occupies epoch id
                     # len(old_plan) and advanced the watermark past
@@ -1154,7 +1180,10 @@ class StreamingPagesPipeline:
                     watermark_us=wm_us,
                     counters=counters,
                     blobs={"state.pkl": blob},
-                    extra={"drain": drain},
+                    extra={"drain": drain,
+                           "input_files": (
+                               self._plan_files[epoch]
+                               if epoch < len(self._plan_files) else [])},
                 ),
             )
         )

@@ -134,3 +134,29 @@ def test_drained_output_counters_match_partial_then_resume(pages_dir,
     for e in ref_sink.committed_epochs():
         ref_m, got_m = ref_sink.read_manifest(e), got_sink.read_manifest(e)
         assert got_m["counters"] == ref_m["counters"], f"epoch {e}"
+
+
+def test_resume_refuses_changed_epoch_grouping(pages_dir, tmp_path):
+    """Manifests record each epoch's input files; resuming with a
+    files_per_epoch that regroups those files must refuse instead of
+    silently skipping/double-processing data."""
+    import dataclasses
+
+    d, _, _ = pages_dir
+    out = str(tmp_path / "regroup_out")
+    StreamingPagesPipeline(
+        d, out, CFG, PageFilter(min_text_len=1), _meta(d)
+    ).run(resume=False, drain=False)
+    assert EpochSink(out).committed_epochs()  # data epochs on disk
+
+    regrouped = dataclasses.replace(CFG, files_per_epoch=1)
+    with pytest.raises(RuntimeError, match="files_per_epoch"):
+        StreamingPagesPipeline(
+            d, out, regrouped, PageFilter(min_text_len=1), _meta(d)
+        ).run(resume=True)
+
+    # same grouping resumes fine (finishes with the drain commit)
+    summary = StreamingPagesPipeline(
+        d, out, CFG, PageFilter(min_text_len=1), _meta(d)
+    ).run(resume=True)
+    assert summary["metrics"] is not None

@@ -114,6 +114,8 @@ QUERY_NAMES = [
     "minhash_dedup_documents",
     "substring_dedup_documents",
     "curate_documents",
+    "chunk_documents",
+    "quality_model_documents",
     "ann_topk",
     "text_analysis_documents",
 ]

@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders": q.rollup_orders,
         "pivot_lineitem": q.pivot_lineitem,
         "running_events": q.running_events,
+        "sessionize_events": q.sessionize_events,
         # date/math/array scalar functions (§2.8)
         "monthly_orders": q.monthly_orders,
         "math_funcs_lineitem": q.math_funcs_lineitem,
@@ -374,6 +375,21 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn
             FROM events ORDER BY event_id
+        """,
+        "sessionize_events": """
+            SELECT event_id, user_id,
+                   CAST(sum(CASE WHEN prev IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev)
+                                    > 7200000000
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_idx
+            FROM (SELECT event_id, user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                  FROM events)
+            ORDER BY event_id
         """,
         "monthly_orders": """
             SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,

@@ -1145,6 +1145,32 @@ def running_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def sessionize_events(sf_dir: str, gap_s: int = 7200) -> pd.DataFrame:
+    """Gap-based sessionization with per-EVENT session assignment (the
+    labeling sibling of the session-window aggregates): each user's
+    events sort by (ts, event_id) and a new session starts when the gap
+    to the previous event exceeds ``gap_s``. One hash co-partition on
+    the user key, vectorized cumsum inside each group — the standard
+    clickstream sessionizer."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap_us = gap_s * US
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = series_ts_us(g["ts"]).to_numpy()
+        new = np.ones(len(g), dtype=np.int64)
+        new[1:] = (np.diff(ts_us) > gap_us).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "session_idx": np.cumsum(new),
+        })
+
+    out = (ds.groupby("user_id").map_groups(assign, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # --- mergeable sketches: the 100 TB path for distinct/quantiles ----------
 
 
@@ -1946,21 +1972,22 @@ def cosine_pairs_embeddings(sf_dir: str, tau: float = 0.42) -> pd.DataFrame:
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 
 
-class _LinearQualityModel:
-    """Broadcast-weights model inference — the batched-scoring plumbing
-    pattern: the "model" (here a linear weight vector; a real pipeline
-    would ship quantized classifier weights the same way) is ``ray.put``
-    once and fetched once per actor in ``__init__``; ``__call__`` scores
-    a whole Arrow batch vectorized. Integer features and weights keep
-    the score SQL-exact."""
+def quality_model_documents(sf_dir: str, threshold: int = 1100) -> pd.DataFrame:
+    """Model-based quality scoring over the corpus: a linear scorer on
+    (distinct words, repeated words, non-space chars) with weights
+    broadcast via ``ray.put`` and read zero-copy inside each task — the
+    shape of every batched-inference stage (tokenize -> featurize ->
+    score) with a bit-exact SQL twin. Plain tasks, not an actor pool:
+    the "model" here is three ints, so per-actor setup buys nothing
+    (the repo's actor-pool inference pattern — load once in
+    ``__init__`` — lives where the state is real: ``_Curator``'s gram
+    set, the multimodal decoders)."""
+    import ray
 
-    def __init__(self, weights_ref, threshold: int):
-        import ray
+    weights_ref = ray.put(np.array([50, -10, 1], dtype=np.int64))
 
-        self.w = ray.get(weights_ref)
-        self.threshold = threshold
-
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def score_batch(t: pa.Table) -> pa.Table:
+        w = ray.get(weights_ref)  # object-store read, shared per node
         words = pc.split_pattern(t["text"], " ").combine_chunks()
         n_tokens = pc.list_value_length(words).to_numpy().astype(np.int64)
         flat = words.flatten().to_pandas()
@@ -1970,31 +1997,17 @@ class _LinearQualityModel:
                       .to_numpy().astype(np.int64))
         n_chars = (pc.utf8_length(t["text"]).to_numpy().astype(np.int64)
                    - pc.count_substring(t["text"], " ").to_numpy())
-        w = self.w
         score = (w[0] * n_distinct + w[1] * (n_tokens - n_distinct)
                  + w[2] * n_chars)
         return pa.table({
             "doc_id": t["doc_id"],
             "score": pa.array(score, pa.int64()),
-            "kept": pa.array((score >= self.threshold).astype(np.int64),
+            "kept": pa.array((score >= threshold).astype(np.int64),
                              pa.int64()),
         })
 
-
-def quality_model_documents(sf_dir: str, threshold: int = 1100) -> pd.DataFrame:
-    """Model-based quality scoring over the corpus: a linear scorer on
-    (distinct words, repeated words, non-space chars) with weights
-    broadcast into an actor pool — the shape of every batched-inference
-    stage (tokenize -> featurize -> score) with a bit-exact SQL twin."""
-    import ray
-
-    weights_ref = ray.put(np.array([50, -10, 1], dtype=np.int64))
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = (ds.map_batches(
-        _LinearQualityModel,
-        fn_constructor_kwargs={"weights_ref": weights_ref,
-                               "threshold": threshold},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas())
+    out = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

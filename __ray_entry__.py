@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_lineitem": q.pivot_lineitem,
         "running_events": q.running_events,
         "sessionize_events": q.sessionize_events,
+        "long_docs_p90": q.long_docs_p90,
         # date/math/array scalar functions (§2.8)
         "monthly_orders": q.monthly_orders,
         "math_funcs_lineitem": q.math_funcs_lineitem,
@@ -390,6 +391,14 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts, event_id) AS prev
                   FROM events)
             ORDER BY event_id
+        """,
+        "long_docs_p90": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       count(*) OVER (ORDER BY n_chars) AS cle,
+                       count(*) OVER () AS n
+                FROM documents)
+            WHERE 10 * cle >= 9 * n ORDER BY doc_id
         """,
         "monthly_orders": """
             SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,

@@ -1171,6 +1171,29 @@ def sessionize_events(sf_dir: str, gap_s: int = 7200) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def long_docs_p90(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantile filter: keep docs whose length is at
+    or above the corpus p90. No sort anywhere — the cutoff comes from a
+    bounded-domain value histogram (per-batch (n_chars, count) partials,
+    one tiny groupby, integer cumulative rule ``10*count_le >= 9*n`` on
+    the output-sized frame), then broadcasts into a pure filter map.
+    Two streaming passes total; when the value domain is unbounded the
+    sibling is ``stages/sketches.py::histogram_quantiles``."""
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("n_chars").aggregate([([], "count_all")])
+
+    hist = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_chars").aggregate(Sum("count_all", alias_name="cnt"))
+            .to_pandas().sort_values("n_chars"))
+    n = int(hist["cnt"].sum())
+    count_le = hist["cnt"].cumsum().to_numpy()
+    cutoff = int(hist["n_chars"].to_numpy()[10 * count_le >= 9 * n][0])
+    out = docs.filter(expr=f"n_chars >= {cutoff}").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # --- mergeable sketches: the 100 TB path for distinct/quantiles ----------
 
 

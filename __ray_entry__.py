@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_events": q.running_events,
         "sessionize_events": q.sessionize_events,
         "long_docs_p90": q.long_docs_p90,
+        "zscore_events": q.zscore_events,
         # date/math/array scalar functions (§2.8)
         "monthly_orders": q.monthly_orders,
         "math_funcs_lineitem": q.math_funcs_lineitem,
@@ -391,6 +392,13 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts, event_id) AS prev
                   FROM events)
             ORDER BY event_id
+        """,
+        "zscore_events": """
+            SELECT event_id, event_type,
+                   round((value - avg(value) OVER (PARTITION BY event_type))
+                         / stddev_pop(value) OVER (PARTITION BY event_type),
+                         2) AS z
+            FROM events ORDER BY event_id
         """,
         "long_docs_p90": """
             SELECT doc_id, n_chars FROM (

@@ -1171,6 +1171,40 @@ def sessionize_events(sf_dir: str, gap_s: int = 7200) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def zscore_events(sf_dir: str) -> pd.DataFrame:
+    """Per-group normalization (z-score of value within event_type) —
+    the standard two-pass featurizer: per-batch (count, sum, sumsq)
+    partials reduce to a groups-sized frame on the driver, the stats
+    broadcast back into a pure map. The corpus never shuffles; only
+    3 numbers per (block, group) move. Population std, both sides
+    rounded to 2 decimals."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sq = pc.multiply(t["value"], t["value"])
+        t = t.append_column("value_sq", sq)
+        return t.group_by("event_type").aggregate(
+            [("value", "sum"), ("value_sq", "sum"), ([], "count_all")])
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby("event_type").sum())
+    mean = stats["value_sum"] / stats["count_all"]
+    std = np.sqrt(stats["value_sq_sum"] / stats["count_all"] - mean ** 2)
+    mean_d, std_d = mean.to_dict(), std.to_dict()
+
+    def z(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pandas()
+        m = et.map(mean_d).to_numpy()
+        s = et.map(std_d).to_numpy()
+        zv = np.round((t["value"].to_numpy() - m) / s, 2)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "z": pa.array(zv, pa.float64())})
+
+    out = ds.map_batches(z, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def long_docs_p90(sf_dir: str) -> pd.DataFrame:
     """Exact distributed quantile filter: keep docs whose length is at
     or above the corpus p90. No sort anywhere — the cutoff comes from a

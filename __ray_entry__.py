@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q.sessionize_events,
         "long_docs_p90": q.long_docs_p90,
         "zscore_events": q.zscore_events,
+        # iterative graph algorithm (oracle-checked; k-means is rows-only)
+        "pagerank_trade_graph": q.pagerank_trade_graph,
         # date/math/array scalar functions (§2.8)
         "monthly_orders": q.monthly_orders,
         "math_funcs_lineitem": q.math_funcs_lineitem,
@@ -392,6 +394,50 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts, event_id) AS prev
                   FROM events)
             ORDER BY event_id
+        """,
+        "pagerank_trade_graph": """
+            WITH pair AS (
+                SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                                's' || CAST(l_suppkey AS VARCHAR) AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            e AS (SELECT c AS src, s AS dst FROM pair
+                  UNION ALL SELECT s, c FROM pair),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            nn AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT src AS node, 1.0/(SELECT n FROM nn) AS rank
+                   FROM deg),
+            r1 AS (
+                SELECT d.src AS node,
+                       0.5/(SELECT n FROM nn) + 0.5*coalesce(c.contrib, 0)
+                           AS rank
+                FROM deg d LEFT JOIN (
+                    SELECT e.dst AS node, sum(r0.rank / deg.deg) AS contrib
+                    FROM e JOIN r0 ON e.src = r0.node
+                           JOIN deg ON deg.src = e.src
+                    GROUP BY e.dst) c ON c.node = d.src
+            ),
+            r2 AS (
+                SELECT d.src AS node,
+                       0.5/(SELECT n FROM nn) + 0.5*coalesce(c.contrib, 0)
+                           AS rank
+                FROM deg d LEFT JOIN (
+                    SELECT e.dst AS node, sum(r1.rank / deg.deg) AS contrib
+                    FROM e JOIN r1 ON e.src = r1.node
+                           JOIN deg ON deg.src = e.src
+                    GROUP BY e.dst) c ON c.node = d.src
+            ),
+            r3 AS (
+                SELECT d.src AS node,
+                       0.5/(SELECT n FROM nn) + 0.5*coalesce(c.contrib, 0)
+                           AS rank
+                FROM deg d LEFT JOIN (
+                    SELECT e.dst AS node, sum(r2.rank / deg.deg) AS contrib
+                    FROM e JOIN r2 ON e.src = r2.node
+                           JOIN deg ON deg.src = e.src
+                    GROUP BY e.dst) c ON c.node = d.src
+            )
+            SELECT node, round(rank, 6) AS rank6 FROM r3 ORDER BY node
         """,
         "zscore_events": """
             SELECT event_id, event_type,

@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_events": q.zscore_events,
         # iterative graph algorithm (oracle-checked; k-means is rows-only)
         "pagerank_trade_graph": q.pagerank_trade_graph,
+        "pmi_bigrams_documents": q.pmi_bigrams_documents,
         # date/math/array scalar functions (§2.8)
         "monthly_orders": q.monthly_orders,
         "math_funcs_lineitem": q.math_funcs_lineitem,
@@ -394,6 +395,34 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts, event_id) AS prev
                   FROM events)
             ORDER BY event_id
+        """,
+        "pmi_bigrams_documents": r"""
+            WITH docw AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            big AS (
+                SELECT w[i] AS w1, w[i+1] AS w2
+                FROM docw, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+            ),
+            bc AS (SELECT w1 || ' ' || w2 AS bigram, w1, w2,
+                          count(*) AS n
+                   FROM big GROUP BY w1, w2),
+            uni AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS u
+                FROM documents WHERE trim(text) <> ''
+            ),
+            uc AS (SELECT u, count(*) AS c FROM uni GROUP BY u),
+            nb AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM bc),
+            nu AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc)
+            SELECT bc.bigram, CAST(bc.n AS BIGINT) AS n_bigram,
+                   round(ln((CAST(bc.n AS DOUBLE) / (SELECT n FROM nb))
+                            / ((CAST(u1.c AS DOUBLE) / (SELECT n FROM nu))
+                               * (CAST(u2.c AS DOUBLE)
+                                  / (SELECT n FROM nu)))), 6) AS pmi6
+            FROM bc JOIN uc u1 ON u1.u = bc.w1
+                    JOIN uc u2 ON u2.u = bc.w2
+            ORDER BY bigram
         """,
         "pagerank_trade_graph": """
             WITH pair AS (

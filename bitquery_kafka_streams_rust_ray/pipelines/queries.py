@@ -1464,6 +1464,54 @@ def _word_pairs(t: pa.Table) -> pa.Table:
     })
 
 
+def pmi_bigrams_documents(sf_dir: str) -> pd.DataFrame:
+    """Collocation strength (pointwise mutual information) for every
+    adjacent word pair in the corpus — the statistic behind phrase
+    detection (word2vec-style "new_york" merging). Bigram counts use
+    the two-level Counter-partial shape; unigram counts reduce to a
+    vocabulary-sized frame; both land on the driver OUTPUT-sized (the
+    distinct-bigram table), where the PMI arithmetic is one vectorized
+    pass. Emits every bigram (no top-k cut), so no float-ordering
+    hazard; pmi rounded to 6 decimals on both sides."""
+    from collections import Counter
+
+    def bigram_partials(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in t["text"].to_pylist():
+            toks = (text or "").split()
+            counts.update(zip(toks, toks[1:]))
+        return pa.table({
+            "bigram": pa.array([f"{a} {b}" for a, b in counts],
+                               type=pa.string()),
+            "n": pa.array(list(counts.values()), type=pa.int64()),
+        })
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    bc = (docs.map_batches(bigram_partials, batch_format="pyarrow")
+          .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+          .to_pandas())  # output-sized: the distinct-bigram table
+
+    def unigram_partials(t: pa.Table) -> pa.Table:
+        return _word_pairs(t).group_by("word").aggregate([([], "count_all")])
+
+    uc = (docs.map_batches(unigram_partials, batch_format="pyarrow")
+          .groupby("word").aggregate(Sum("count_all", alias_name="c"))
+          .to_pandas())  # vocabulary-sized
+    n_b = int(bc["n"].sum())
+    n_u = int(uc["c"].sum())
+    u_d = dict(zip(uc["word"], uc["c"].astype(np.int64)))
+
+    halves = bc["bigram"].str.split(" ", n=1, expand=True)
+    c1 = halves[0].map(u_d).to_numpy(dtype=np.float64)
+    c2 = halves[1].map(u_d).to_numpy(dtype=np.float64)
+    cxy = bc["n"].to_numpy(dtype=np.float64)
+    pmi = np.log((cxy / n_b) / ((c1 / n_u) * (c2 / n_u)))
+    out = pd.DataFrame({"bigram": bc["bigram"],
+                        "n_bigram": bc["n"].astype("int64"),
+                        "pmi6": np.round(pmi, 6)})
+    return out.sort_values("bigram").reset_index(drop=True)
+
+
 def rare_terms_documents(sf_dir: str) -> pd.DataFrame:
     """TF-IDF-style rarest distinguishing term per document, with the
     ranking kept in integers so the oracle hash-matches exactly: per

@@ -120,6 +120,11 @@ class EngineConfig:
     # /version on 127.0.0.1:<port> for the duration of run() (0 =
     # ephemeral port; http_server.rs:41-87 analog). None = no listener.
 
+    quarantine_late: bool = False    # also surface LATE rows in the
+    # committed quarantine table (reason="late") for offline
+    # reprocessing; off by default — late rows stay a counter
+    # (late_dropped) and the quarantine carries parse errors only
+
     # --- filter defaults (F4 analog: weight x text_len >= threshold) ---
     min_text_len: int = 0
     min_weighted_len: float = 0.0

@@ -456,11 +456,12 @@ class ExchangeToShards:
     """
 
     def __init__(self, actors: list, epoch: int, state_shards: int,
-                 attempt: int = 0):
+                 attempt: int = 0, quarantine_late: bool = False):
         self.actors = actors
         self.epoch = epoch
         self.state_shards = state_shards
         self.attempt = attempt
+        self.quarantine_late = quarantine_late
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         status = batch.column("_status").to_numpy(zero_copy_only=False)
@@ -471,7 +472,14 @@ class ExchangeToShards:
             "late_dropped": int((status == LATE).sum()),
             "max_ts_us": NEG_INF_TS,
         }
-        err_idx = np.nonzero(status == PARSE_ERROR)[0]
+        dead = [("parse_error", np.nonzero(status == PARSE_ERROR)[0])]
+        if self.quarantine_late:
+            # late-data DLQ: late rows are dropped from every window
+            # either way (they're behind the frozen watermark), but with
+            # this flag they surface as committed quarantine rows for
+            # offline reprocessing instead of existing only as a counter
+            dead.append(("late", np.nonzero(status == LATE)[0]))
+        err_idx = np.concatenate([ix for _, ix in dead])
         if err_idx.size:
             # dead-letter routing (F7/F8): poison rows ride to their
             # url-owner shard as three narrow columns and surface as a
@@ -481,8 +489,10 @@ class ExchangeToShards:
             qt = pa.table({
                 "url": bad.column("url"),
                 "warc_ts": bad.column("warc_ts"),
-                "reason": pa.array(["parse_error"] * len(err_idx),
-                                   type=pa.string()),
+                "reason": pa.array(
+                    np.repeat([r for r, _ in dead],
+                              [len(ix) for _, ix in dead]),
+                    type=pa.string()),
             })
             qshards = shard_of(qt.column("url").to_numpy(zero_copy_only=False),
                                self.state_shards)
@@ -548,12 +558,12 @@ class EpochMapper:
     def __init__(self, page_filter, watermark_us: int,
                  meta_ref, defaults: dict | None,
                  actors: list, epoch: int, state_shards: int,
-                 attempt: int = 0):
+                 attempt: int = 0, quarantine_late: bool = False):
         self.extract = ExtractEnrich(page_filter, watermark_us)
         self.meta_ref = meta_ref
         self.defaults = defaults or {}
         self.exchange = ExchangeToShards(actors, epoch, state_shards,
-                                         attempt)
+                                         attempt, quarantine_late)
 
     def _small(self) -> pd.DataFrame:
         key = self.meta_ref.hex()
@@ -937,6 +947,7 @@ class StreamingPagesPipeline:
                 self.page_filter, wm_before, meta_ref,
                 {"category": "unknown", "weight": 0.0},
                 actors, epoch, cfg.state_shards, attempt,
+                cfg.quarantine_late,
             ),
             batch_format="pyarrow",
             batch_size=cfg.read_batch_size,

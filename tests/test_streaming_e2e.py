@@ -444,3 +444,32 @@ def test_dedup_spill_backend_byte_identical(pages_dir, tmp_path, flagship_run):
                 if "/state-" not in k and not k.startswith("state-")}
 
     assert data_hashes(out) == data_hashes(ref_out)
+
+
+def test_late_rows_surface_in_quarantine_when_enabled(pages_dir, tmp_path,
+                                                      flagship_run):
+    """quarantine_late=True surfaces every late-dropped row as a
+    committed quarantine row (reason='late'); data outputs stay
+    byte-identical to the default run (late rows were never in any
+    window either way)."""
+    import dataclasses
+
+    d, ref_out, ref_summary = flagship_run
+    out = str(tmp_path / "late_dlq_out")
+    cfg = dataclasses.replace(CFG, quarantine_late=True)
+    summary = run_flagship(d, out, config=cfg, resume=False)
+
+    q = flagship_outputs(out)["quarantine"].to_pandas()
+    late = q[q["reason"] == "late"]
+    assert len(late) == summary["metrics"]["counters"]["late_dropped"]
+    # parse-error rows unchanged vs the reference run
+    ref_q = flagship_outputs(ref_out)["quarantine"].to_pandas()
+    assert (len(q[q["reason"] == "parse_error"])
+            == len(ref_q[ref_q["reason"] == "parse_error"]))
+    # every data output identical; only the quarantine table differs
+    ref = flagship_outputs(ref_out)
+    got = flagship_outputs(out)
+    for name in ref:
+        if name == "quarantine":
+            continue
+        assert got[name].to_pandas().equals(ref[name].to_pandas()), name

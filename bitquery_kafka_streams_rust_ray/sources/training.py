@@ -58,6 +58,29 @@ def training_batches(
                                batch_format=batch_format, **kwargs)
 
 
+def training_splits(
+    ds: rd.Dataset,
+    world_size: int,
+    seed: int = 0,
+    epoch: int = 0,
+    equal: bool = True,
+):
+    """Multi-worker trainer ingest: one streaming iterator per rank.
+
+    ``streaming_split`` coordinates a single pass over the dataset and
+    deals blocks to ``world_size`` consumers — each rank's
+    ``DataIterator`` pulls its share with backpressure, nothing
+    materializes, and ``equal=True`` truncates to equal sizes so
+    data-parallel ranks step in lockstep (the standard multi-GPU ingest
+    contract). Block order is pre-shuffled by (seed, epoch) like
+    ``training_batches``. The returned iterators must be consumed
+    concurrently (one per rank), not sequentially — that is Ray's
+    streaming-split contract."""
+    mixed_seed = (seed * 1_000_003 + epoch) & 0x7FFFFFFF
+    ds = ds.randomize_block_order(seed=mixed_seed)
+    return ds.streaming_split(world_size, equal=equal)
+
+
 def training_epochs(
     make_ds,
     batch_size: int,

@@ -58,3 +58,23 @@ def test_block_order_only_mode_is_blockwise_permutation():
     blocks = [tuple(ids[i:i + 100]) for i in range(0, 1000, 100)]
     expected = {tuple(range(s, s + 100)) for s in range(0, 1000, 100)}
     assert set(blocks) == expected
+
+
+def test_streaming_split_covers_all_rows_across_ranks():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bitquery_kafka_streams_rust_ray.sources.training import training_splits
+
+    its = training_splits(make_ds(1000, 8), world_size=2, seed=3, equal=False)
+
+    def drain(it):
+        ids = []
+        for b in it.iter_batches(batch_size=128, batch_format="pyarrow"):
+            ids.extend(b["doc_id"].to_pylist())
+        return ids
+
+    # streaming_split iterators must be consumed concurrently
+    with ThreadPoolExecutor(2) as ex:
+        a, b = ex.map(drain, its)
+    assert sorted(a + b) == list(range(1000))
+    assert a and b  # both ranks got work

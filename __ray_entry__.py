@@ -398,8 +398,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pmi_bigrams_documents": r"""
             WITH docw AS (
-                SELECT regexp_split_to_array(trim(text), '\s+') AS w
-                FROM documents WHERE trim(text) <> ''
+                SELECT regexp_split_to_array(trim(text, e' \t\n\r'), '\s+') AS w
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''
             ),
             big AS (
                 SELECT w[i] AS w1, w[i+1] AS w2
@@ -409,8 +409,8 @@ def oracle_sql() -> dict[str, str]:
                           count(*) AS n
                    FROM big GROUP BY w1, w2),
             uni AS (
-                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS u
-                FROM documents WHERE trim(text) <> ''
+                SELECT unnest(regexp_split_to_array(trim(text, e' \t\n\r'), '\s+')) AS u
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''
             ),
             uc AS (SELECT u, count(*) AS c FROM uni GROUP BY u),
             nb AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM bc),
@@ -540,8 +540,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_stats": """
             SELECT doc_id, length(text) AS n_chars,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE array_length(regexp_split_to_array(trim(text),
+                   CASE WHEN trim(text, e' \t\n\r') = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text, e' \t\n\r'),
                                                                 '\\s+'))
                    END AS token_count
             FROM documents
@@ -623,8 +623,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_bigrams_documents": r"""
             WITH toks AS (
-                SELECT regexp_split_to_array(trim(text), '\s+') AS w
-                FROM documents WHERE trim(text) <> ''
+                SELECT regexp_split_to_array(trim(text, e' \t\n\r'), '\s+') AS w
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''
             ),
             pairs AS (
                 SELECT w[i] || ' ' || w[i+1] AS bigram
@@ -635,7 +635,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate_documents": r"""
             WITH docw AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                SELECT doc_id, regexp_split_to_array(trim(text, e' \t\n\r'), '\s+') AS w
                 FROM documents
             ),
             grams AS (
@@ -655,8 +655,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_filter_documents": r"""
             WITH docw AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-                FROM documents WHERE trim(text) <> ''
+                SELECT doc_id, regexp_split_to_array(trim(text, e' \t\n\r'), '\s+') AS w
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''
             ),
             big AS (
                 SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
@@ -688,8 +688,8 @@ def oracle_sql() -> dict[str, str]:
         "curate_documents": r"""
             WITH docw AS (
                 SELECT doc_id, text,
-                       regexp_split_to_array(trim(text), '\s+') AS w
-                FROM documents WHERE trim(text) <> ''
+                       regexp_split_to_array(trim(text, e' \t\n\r'), '\s+') AS w
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''
             ),
             grams AS (
                 SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
@@ -835,9 +835,9 @@ def oracle_sql() -> dict[str, str]:
         "rare_terms_documents": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                       unnest(regexp_split_to_array(trim(text, e' \t\n\r'), '\s+'))
                            AS word
-                FROM documents WHERE trim(text) <> ''
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''
             ),
             tf AS (
                 SELECT doc_id, word, count(*) AS tf
@@ -857,9 +857,9 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_documents": r"""
             WITH toks AS (
                 SELECT DISTINCT doc_id,
-                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                       unnest(regexp_split_to_array(trim(text, e' \t\n\r'), '\s+'))
                            AS word
-                FROM documents WHERE trim(text) <> ''
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''
             )
             SELECT word,
                    array_to_string(list_sort(array_agg(doc_id)), ',')
@@ -894,8 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": r"""
             WITH RECURSIVE toks AS (
                 SELECT doc_id, doc_id // 50 AS part,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text),
+                       CASE WHEN trim(text, e' \t\n\r') = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text, e' \t\n\r'),
                                                            '\s+'))
                        END AS tok
                 FROM documents
@@ -922,8 +922,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup_documents": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\s+') AS a
-                FROM documents WHERE trim(text) <> ''
+                       regexp_split_to_array(trim(text, e' \t\n\r'), '\s+') AS a
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''
             ),
             idx AS (
                 SELECT doc_id, a, unnest(range(1, len(a) - 6)) AS i

@@ -2027,16 +2027,14 @@ def chunk_documents(sf_dir: str, chunk: int = 32,
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
-# Knuth multiplicative hash: deterministic, order-free, and exactly
-# computable in both int64 numpy and ANSI SQL (no library hash needed).
-# doc_id * 2654435761 stays inside int64 for doc_id < ~3.47e9; the
-# 100 TB variant is the same trick on a splitmix64 of a content hash.
-_SPLIT_MULT = 2654435761
-_SPLIT_MOD = 4294967296
-
-
+# Knuth multiplicative hash (stages/hashing.py::multiplicative_hash_u32
+# — one copy of the load-bearing constant, shared with
+# deterministic_sample and the SQL oracles' arithmetic form
+# ``(id * 2654435761) % 4294967296``). The 100 TB variant is the same
+# trick on a splitmix64 of a content hash.
 def _doc_hash(ids: np.ndarray) -> np.ndarray:
-    return (ids.astype(np.int64) * _SPLIT_MULT) % _SPLIT_MOD
+    from ..stages.hashing import multiplicative_hash_u32
+    return multiplicative_hash_u32(ids).astype(np.int64)
 
 
 def split_documents(sf_dir: str) -> pd.DataFrame:
@@ -2159,8 +2157,9 @@ def cosine_pairs_embeddings(sf_dir: str, tau: float = 0.42) -> pd.DataFrame:
     def pairs(t: pa.Table) -> pa.Table:
         all_ids, mat = ray.get(mat_ref)
         rid = t["vec_id"].to_numpy()
-        q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        # this batch's normalized rows already live in the broadcast
+        # matrix — slice them out instead of re-reading/re-normalizing
+        q = mat[np.searchsorted(all_ids, rid)]
         sims = q @ mat.T
         # unordered pairs once: this row is the smaller id of the pair
         keep = (sims >= tau) & (rid[:, None] < all_ids[None, :])
@@ -2171,7 +2170,7 @@ def cosine_pairs_embeddings(sf_dir: str, tau: float = 0.42) -> pd.DataFrame:
             "cos4": pa.array(np.round(sims[r, c], 4), pa.float64()),
         })
 
-    out = (_t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (_t(sf_dir, "embeddings", ["vec_id"])
            .map_batches(pairs, batch_format="pyarrow").to_pandas())
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 

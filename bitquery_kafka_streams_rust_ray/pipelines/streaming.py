@@ -302,9 +302,8 @@ class StateShard:
         evicted = self.dedup.evict(watermark_us)
         return closed_windows, closed_sessions, closed_funnels, topk, evicted
 
-    def snapshot(self) -> dict:
+    def _snapshot_rest(self) -> dict:
         return {
-            "dedup": self.dedup.snapshot(),
             "windows": self.windows.snapshot(),
             "sessions": self.sessions.snapshot(),
             "funnel": (self.funnel.snapshot()
@@ -313,8 +312,16 @@ class StateShard:
                      if self.topk is not None else None),
         }
 
-    def restore(self, snap: dict) -> bool:
-        self.dedup = restore_dedup(snap["dedup"], self._dedup_db)
+    def snapshot(self) -> dict:
+        return {"dedup": self.dedup.snapshot(), **self._snapshot_rest()}
+
+    def restore(self, snap: dict, sidecar_dir: str | None = None) -> bool:
+        if hasattr(self.dedup, "close"):
+            # release the outgoing sqlite connection BEFORE the restore
+            # truncates its backing file (fd hygiene; mandatory-locking
+            # filesystems would otherwise refuse the rewrite)
+            self.dedup.close()
+        self.dedup = restore_dedup(snap["dedup"], self._dedup_db, sidecar_dir)
         self.windows = WindowState.restore(snap["windows"])
         self.sessions = SessionState.restore(snap["sessions"])
         fun = snap.get("funnel")
@@ -325,8 +332,23 @@ class StateShard:
 
     def write_snapshot(self, path: str) -> int:
         """Checkpoint this shard's state to ``path`` (K parallel writes
-        instead of the driver serializing every shard's state itself)."""
-        blob = pickle.dumps(self.snapshot(), protocol=4)
+        instead of the driver serializing every shard's state itself).
+
+        A file-backed spill dedup store checkpoints via sqlite's
+        page-streamed backup into a ``.dedup.sqlite`` sidecar beside the
+        pickle (committed in the same 2PC epoch dir) — actor RAM stays
+        bounded by the batch, never the key domain, through snapshot as
+        well as process()."""
+        if isinstance(self.dedup, SpillDedupState) and self.dedup.db_path:
+            sidecar = path + ".dedup.sqlite"
+            dedup_snap = self.dedup.snapshot_to_file(sidecar)
+            if self.cfg.fsync_output:
+                with open(sidecar, "rb+") as f:
+                    os.fsync(f.fileno())
+            snap = {"dedup": dedup_snap, **self._snapshot_rest()}
+        else:
+            snap = self.snapshot()
+        blob = pickle.dumps(snap, protocol=4)
         with open(path, "wb") as f:
             f.write(blob)
             if self.cfg.fsync_output:
@@ -336,7 +358,8 @@ class StateShard:
 
     def restore_from_file(self, path: str) -> bool:
         with open(path, "rb") as f:
-            return self.restore(pickle.load(f))
+            return self.restore(pickle.load(f),
+                                sidecar_dir=os.path.dirname(path))
 
 
 def _window_partials(keys, ts, totals, size_us, slide_us, nshards) -> dict:

@@ -34,6 +34,16 @@ def add_shard_column(
     return batch.append_column(out_col, pa.array(shard_of(keys, shards)))
 
 
+def multiplicative_hash_u32(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash of integer ids into [0, 2^32) —
+    deterministic, order-free, and exactly reproducible in ANSI SQL as
+    ``(id * 2654435761) % 4294967296``. THE one copy of this
+    load-bearing constant: deterministic_sample, split/balance queries
+    and their DuckDB oracles all key off it."""
+    return ((ids.astype(np.uint64) * np.uint64(2654435761))
+            & np.uint64(0xFFFFFFFF))
+
+
 def deterministic_sample(
     ds, id_col: str, n: int, columns: list[str] | None = None
 ):
@@ -54,8 +64,7 @@ def deterministic_sample(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy()
         if np.issubdtype(ids.dtype, np.integer):
-            h = (ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(
-                0xFFFFFFFF)
+            h = multiplicative_hash_u32(ids)
         else:
             h = hash_strings(ids)
         df = df.assign(_h=h.astype(np.uint64))

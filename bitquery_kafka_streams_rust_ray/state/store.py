@@ -76,6 +76,9 @@ class DedupState:
         return st
 
 
+_KEEP_FILE = object()  # sentinel: db_path already holds the state file
+
+
 class SpillDedupState:
     """Disk-backed ``DedupState``: identical semantics and snapshot
     contract, but the key -> last_seen map lives in a sqlite B-tree
@@ -102,13 +105,15 @@ class SpillDedupState:
         self.db_path = db_path
         if db_path:
             os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
-            if _image is not None:
+            if _image is _KEEP_FILE:
+                pass  # restore_from_sidecar already copied the file in
+            elif _image is not None:
                 with open(db_path, "wb") as f:
                     f.write(_image)
             elif os.path.exists(db_path):
                 os.remove(db_path)  # a fresh run starts with empty state
         self.con = sqlite3.connect(db_path or ":memory:")
-        if _image is not None and not db_path:
+        if _image is not None and _image is not _KEEP_FILE and not db_path:
             self.con.deserialize(_image)
         self.con.execute("PRAGMA journal_mode=OFF")
         self.con.execute("PRAGMA synchronous=OFF")
@@ -148,20 +153,68 @@ class SpillDedupState:
         self.con.commit()
         return cur.rowcount
 
+    def close(self) -> None:
+        self.con.close()
+
     def snapshot(self) -> dict:
+        """In-blob snapshot (full DB image in memory). Used for the
+        ``:memory:`` configuration and unit-scale states — a key domain
+        that fits this blob fits RAM anyway. File-backed shards inside
+        the engine use ``snapshot_to_file`` (page-streamed) instead."""
         return {"window_us": self.window_us,
                 "db": bytes(self.con.serialize())}
+
+    def snapshot_to_file(self, path: str) -> dict:
+        """Page-streamed checkpoint: sqlite's backup API copies the
+        B-tree directly to ``path`` without ever holding the full image
+        in actor memory — the snapshot analog of the class's bounded-RAM
+        process(). Returns the (tiny) dict that rides the pickle blob."""
+        import os
+        import sqlite3
+
+        if os.path.exists(path):
+            os.remove(path)
+        dst = sqlite3.connect(path)
+        with dst:
+            self.con.backup(dst)
+        dst.close()
+        return {"window_us": self.window_us,
+                "db_sidecar": os.path.basename(path)}
 
     @classmethod
     def restore(cls, snap: dict,
                 db_path: str | None = None) -> "SpillDedupState":
         return cls(snap["window_us"], db_path, _image=snap["db"])
 
+    @classmethod
+    def restore_from_sidecar(cls, snap: dict, sidecar_path: str,
+                             db_path: str | None = None) -> "SpillDedupState":
+        """Restore from a ``snapshot_to_file`` checkpoint: chunked file
+        copy into the working path (RAM-bounded), then connect."""
+        import shutil
 
-def restore_dedup(snap: dict, db_path: str | None = None):
+        if db_path:
+            import os
+            os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
+            shutil.copyfile(sidecar_path, db_path)
+            return cls(snap["window_us"], db_path, _image=_KEEP_FILE)
+        with open(sidecar_path, "rb") as f:  # :memory: config — small
+            return cls(snap["window_us"], None, _image=f.read())
+
+
+def restore_dedup(snap: dict, db_path: str | None = None,
+                  sidecar_dir: str | None = None):
     """Restore whichever dedup backend wrote the snapshot — snapshots
     are self-describing, so resume stays correct even if the config's
-    ``dedup_spill_dir`` changed between the runs."""
+    ``dedup_spill_dir`` changed between the runs. ``sidecar_dir`` is
+    where ``db_sidecar`` checkpoint files live (the committed epoch
+    dir)."""
+    if "db_sidecar" in snap:
+        if sidecar_dir is None:
+            raise ValueError("sidecar snapshot needs its checkpoint dir")
+        import os
+        return SpillDedupState.restore_from_sidecar(
+            snap, os.path.join(sidecar_dir, snap["db_sidecar"]), db_path)
     if "db" in snap:
         return SpillDedupState.restore(snap, db_path)
     return DedupState.restore(snap)

@@ -38,17 +38,32 @@ curated = q.curate_documents(SF)
 print(f"curated corpus: {len(curated)} docs survive")
 
 # 2) chunk the surviving docs into overlapping training windows
+#    (chunking is per-doc, so filtering the chunk manifest by curated
+#    doc_ids IS the chunk set of the curated corpus)
 chunks = q.chunk_documents(SF)
 chunks = chunks[chunks["doc_id"].isin(set(curated["doc_id"]))]
 print(f"chunks: {len(chunks)} windows (chunk=32 words, stride=24)")
 
-# 3) pack into token-budget sequences (bin manifest)
-packed = q.pack_documents(SF)
-n_bins = packed.groupby(["part", "bin"]).ngroups
-print(f"packed: {n_bins} training sequences")
+# 3) pack the CURATED CHUNKS into token-budget sequences — the same
+#    deterministic next-fit rule as queries.pack_documents, applied to
+#    this pipeline's actual upstream output (partition key is a pure
+#    data function, so bins are layout-independent)
+BUDGET = 96
+manifest = chunks.sort_values(["doc_id", "chunk_idx"])
+bins, fill, bin_id = [], 0, 0
+for n in manifest["n_words"]:
+    if fill and fill + n > BUDGET:
+        bin_id += 1
+        fill = 0
+    bins.append(bin_id)
+    fill += n
+manifest = manifest.assign(bin=bins)
+print(f"packed: {manifest['bin'].nunique()} training sequences "
+      f"(budget {BUDGET} words)")
 
 # 4) stream deterministic shuffled batches to the "trainer"
-ds = rd.from_pandas(chunks[["doc_id", "chunk_idx", "n_words"]]).repartition(8)
+ds = rd.from_pandas(manifest[["doc_id", "chunk_idx", "bin", "n_words"]]
+                    ).repartition(8)
 digest = hashlib.sha256()
 n_rows = 0
 for batch in training_batches(ds, batch_size=256, seed=42, epoch=0,

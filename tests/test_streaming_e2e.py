@@ -437,11 +437,26 @@ def test_dedup_spill_backend_byte_identical(pages_dir, tmp_path, flagship_run):
     assert summary["metrics"]["counters"]["rows_read"] > 0
 
     # state snapshots are backend representations (sqlite image vs dict
-    # pickle) — equivalent state, different bytes, proven equivalent by
-    # the property tests; every DATA byte and manifest must be identical
+    # pickle; the spill backend adds .dedup.sqlite sidecars that the
+    # manifests inventory) — equivalent state, different bytes, proven
+    # equivalent by the property tests; every DATA byte must be
+    # identical and manifests must agree on everything but state files
+    import json
+
     def data_hashes(d_):
-        return {k: v for k, v in _output_hashes(d_).items()
-                if "/state-" not in k and not k.startswith("state-")}
+        out_h = {}
+        for k, v in _output_hashes(d_).items():
+            base = os.path.basename(k)
+            if base.startswith("state"):
+                continue
+            if k.startswith("_manifests/"):
+                with open(os.path.join(d_, k)) as f:
+                    m = json.load(f)
+                m["outputs"] = {n: e for n, e in m["outputs"].items()
+                                if not n.startswith("state")}
+                v = json.dumps(m, sort_keys=True)
+            out_h[k] = v
+        return out_h
 
     assert data_hashes(out) == data_hashes(ref_out)
 

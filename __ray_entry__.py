@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_events": q.running_events,
         "sessionize_events": q.sessionize_events,
         "long_docs_p90": q.long_docs_p90,
+        "median_value_by_type": q.median_value_by_type,
         "zscore_events": q.zscore_events,
         # iterative graph algorithm (oracle-checked; k-means is rows-only)
         "pagerank_trade_graph": q.pagerank_trade_graph,
@@ -467,6 +468,15 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY e.dst) c ON c.node = d.src
             )
             SELECT node, round(rank, 6) AS rank6 FROM r3 ORDER BY node
+        """,
+        "median_value_by_type": """
+            SELECT event_type, min(value) AS median_value FROM (
+                SELECT event_type, value,
+                       count(*) OVER (PARTITION BY event_type
+                                      ORDER BY value) AS cle,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events)
+            WHERE 2 * cle >= n GROUP BY event_type ORDER BY event_type
         """,
         "zscore_events": """
             SELECT event_id, event_type,

@@ -1327,6 +1327,32 @@ def pagerank_trade_graph(sf_dir: str, iters: int = 3,
     return out.sort_values("node").reset_index(drop=True)
 
 
+def median_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact GROUPED median — the classically shuffle-hostile statistic
+    — via per-(group, value) count partials: one tiny groupby reduces
+    the corpus to its value histogram per group, the lower-median rule
+    ``2*count_le >= n`` runs on that output-sized frame. No sort of the
+    data anywhere; works whenever the per-group value domain is bounded
+    (here ~1.8k distinct cents per type), with
+    ``histogram_quantiles`` as the unbounded-domain sibling."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "value"]).aggregate(
+            [([], "count_all")])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "value"])
+            .aggregate(Sum("count_all", alias_name="cnt"))
+            .to_pandas().sort_values(["event_type", "value"]))
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        cle = g["cnt"].cumsum().to_numpy()
+        n = int(cle[-1])
+        rows.append((et, float(g["value"].to_numpy()[2 * cle >= n][0])))
+    return pd.DataFrame(rows, columns=["event_type", "median_value"])
+
+
 # --- mergeable sketches: the 100 TB path for distinct/quantiles ----------
 
 

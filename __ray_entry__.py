@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_events": q.tumbling_events,
         "sliding_events": q.sliding_events,
         "session_events": q.session_events,
+        "window_distinct_users": q.window_distinct_users,
         # joins (§2.5)
         "segment_orders": q.segment_orders,
         "priority_revenue": q.priority_revenue,
@@ -223,6 +224,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY event_type, window_start
+        """,
+        "window_distinct_users": """
+            SELECT event_type,
+                   make_timestamp((epoch_us(ts)//3600000000)*3600000000)
+                       AS window_start,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
         """,
         "sliding_events": """
             SELECT event_type,

@@ -203,6 +203,45 @@ def sliding_events(sf_dir: str) -> pd.DataFrame:
     return _round2(out, ["total_value"])
 
 
+def window_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Windowed COUNT(DISTINCT): distinct users per (event_type, 1h
+    tumbling window) — the window family's distinct dimension. Two-level
+    exact shape: per-batch distinct (key, window, user) triples collapse
+    duplicates before the shuffle, one groupby finishes the distinct AND
+    the count (Ray's Count over the deduped triples); the approximate
+    sibling at unbounded user domains is ``hll_distinct``."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def triples(t: pa.Table) -> pa.Table:
+        ws = pc.multiply(pc.divide(column_ts_us(t["ts"]), HOUR_US), HOUR_US)
+        t = pa.table({"event_type": t["event_type"],
+                      "window_start": ws,
+                      "user_id": t["user_id"]})
+        t = t.group_by(["event_type", "window_start",
+                        "user_id"]).aggregate([])
+        # co-partition key: windows spread across 16 shards, each shard
+        # finishes its windows' distinct+count in ONE vectorized pass
+        shard = pc.cast(pc.bit_wise_and(
+            pc.divide(t["window_start"], pa.scalar(HOUR_US, pa.int64())),
+            pa.scalar(15, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["event_type", "window_start"])["user_id"]
+               .nunique().reset_index(name="n_users"))
+        return agg
+
+    out = (ds.map_batches(triples, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    out["window_start"] = us_to_timestamp_array(
+        out["window_start"].to_numpy()).to_pandas()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values(["event_type", "window_start"])
+            .reset_index(drop=True))
+
+
 def session_events(sf_dir: str) -> pd.DataFrame:
     """Session windows per user (2h gap): start, last-event time, count."""
     ds = _t(sf_dir, "events", ["user_id", "ts"])

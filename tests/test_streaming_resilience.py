@@ -160,3 +160,47 @@ def test_resume_refuses_changed_epoch_grouping(pages_dir, tmp_path):
         d, out, CFG, PageFilter(min_text_len=1), _meta(d)
     ).run(resume=True)
     assert summary["metrics"] is not None
+
+
+def test_incremental_resume_appended_slices_byte_identical(pages_dir,
+                                                           tmp_path):
+    """Continuous ingest: run over the first half of the arrival slices
+    WITHOUT draining, append the rest, resume — every committed byte
+    must equal a single uninterrupted run over the full log. (The epoch
+    plan of the partial input is a prefix of the full plan, so resume
+    picks up at exactly the next data epoch with the restored
+    watermark/state.)"""
+    import glob
+
+    d, spec, _ = pages_dir
+    half = spec.num_slices // 2
+
+    part = str(tmp_path / "part_input")
+    os.makedirs(part)
+    for p in glob.glob(os.path.join(d, "*.parquet")):
+        base = os.path.basename(p)
+        if base.startswith("pages-"):
+            if int(base.split("-")[1]) >= half:
+                continue
+        shutil.copy(p, os.path.join(part, base))
+
+    out = str(tmp_path / "inc_out")
+    StreamingPagesPipeline(
+        part, out, CFG, PageFilter(min_text_len=1), _meta(d)
+    ).run(resume=False, drain=False)
+    n_first = len(EpochSink(out).committed_epochs())
+    assert 0 < n_first  # the partial run committed its data epochs
+
+    # data "arrives": resume over the FULL input dir, drain to finish
+    summary = StreamingPagesPipeline(
+        d, out, CFG, PageFilter(min_text_len=1), _meta(d)
+    ).run(resume=True, drain=True)
+    assert summary["metrics"]["counters"]["rows_read"] > 0
+
+    ref_out = str(tmp_path / "ref_out")
+    StreamingPagesPipeline(
+        d, ref_out, CFG, PageFilter(min_text_len=1), _meta(d)
+    ).run(resume=False, drain=True)
+
+    from tests.test_streaming_e2e import _output_hashes
+    assert _output_hashes(out) == _output_hashes(ref_out)

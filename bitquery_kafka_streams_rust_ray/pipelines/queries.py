@@ -36,9 +36,18 @@ from ..stages.windows import session_window_agg, windowed_agg
 HOUR_US = 3600 * US
 
 
-def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+def _t(sf_dir: str, name: str, columns: list[str] | None = None,
+       flt=None) -> rd.Dataset:
+    """Pruned read: ``columns`` cuts at the column level, ``flt`` (a
+    ``pyarrow.dataset`` expression, e.g. ``pc.field("v") >= 1``) pushes
+    the predicate into the parquet scan — row groups whose statistics
+    exclude it never leave storage. Only pure column comparisons go
+    here; derived-column predicates stay in ``map_batches``."""
+    kwargs = {"columns": columns}
+    if flt is not None:
+        kwargs["filter"] = flt
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
-                           columns=columns)
+                           **kwargs)
 
 
 def _tbytes(sf_dir: str, *names: str) -> int:
@@ -70,7 +79,8 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
     cutoff = pa.scalar(pd.Timestamp("1997-06-01"), type=pa.timestamp("us"))
     ds = _t(sf_dir, "lineitem",
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-             "l_discount", "l_shipdate"])
+             "l_discount", "l_shipdate"],
+            flt=(pc.field("l_shipdate") <= pd.Timestamp("1997-06-01")))
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
@@ -113,8 +123,16 @@ def filter_events(sf_dir: str) -> pd.DataFrame:
         m = pc.and_(m, pc.greater_equal(t["value"], 100.0))
         return t.filter(pc.fill_null(m, False))
 
+    # the whole predicate also pushes into the parquet scan (row-group
+    # statistics pruning); the batch mask re-applies it exactly, so the
+    # pushdown is a pure I/O win with no correctness dependence
+    flt = (pc.field("event_type").isin(["click", "purchase"])
+           & (pc.field("ts") >= pd.Timestamp("2024-01-08"))
+           & (pc.field("ts") <= pd.Timestamp("2024-01-22"))
+           & (pc.field("value") >= 100.0))
     return (
-        _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+        _t(sf_dir, "events",
+           ["event_id", "user_id", "event_type", "ts", "value"], flt=flt)
         .map_batches(mask, batch_format="pyarrow")
         .to_pandas()
     )
@@ -377,7 +395,8 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
     cutoff = pa.scalar(pd.Timestamp("1998-01-01"), type=pa.timestamp("us"))
 
     cust = (
-        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+           flt=(pc.field("c_mktsegment") == "BUILDING"))
         .map_batches(
             lambda t: t.filter(pc.equal(t["c_mktsegment"],
                                         pa.scalar("BUILDING"))),
@@ -389,7 +408,8 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
 
     orders = semi_join(
         _t(sf_dir, "orders",
-           ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]),
+           ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+           flt=(pc.field("o_orderdate") < pd.Timestamp("1998-01-01"))),
         keys, "o_custkey",
     ).map_batches(
         lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)).select(
@@ -410,7 +430,8 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
         })
 
     li = _t(sf_dir, "lineitem",
-            ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+            ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+            flt=(pc.field("l_shipdate") > pd.Timestamp("1998-01-01"))
             ).map_batches(li_rev, batch_format="pyarrow")
 
     joined = hash_join(li, orders, on="l_orderkey",
@@ -528,7 +549,8 @@ def vip_events(sf_dir: str) -> pd.DataFrame:
     # prune right after the read — only the filtered candidate rows
     # reach the driver
     cust = (
-        _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        _t(sf_dir, "customer", ["c_custkey", "c_acctbal"],
+           flt=(pc.field("c_custkey") < 100))
         .map_batches(
             lambda t: t.filter(pc.less(t["c_custkey"], pa.scalar(100))),
             batch_format="pyarrow",

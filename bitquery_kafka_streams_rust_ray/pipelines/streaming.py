@@ -772,6 +772,14 @@ class StreamingPagesPipeline:
         return self._run_inner(resume=resume, drain=drain)
 
     def _run_inner(self, resume: bool, drain: bool) -> dict:
+        self.sink.acquire_lock()  # one driver per output dir (the
+        # Kafka one-consumer-per-partition analog); released on return
+        try:
+            return self._run_locked(resume=resume, drain=drain)
+        finally:
+            self.sink.release_lock()
+
+    def _run_locked(self, resume: bool, drain: bool) -> dict:
         cfg = self.cfg
         # SPREAD: on a multi-node cluster the K num_cpus=0 state actors
         # must land on distinct nodes (default packing would co-locate

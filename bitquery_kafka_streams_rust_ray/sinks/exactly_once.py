@@ -40,6 +40,57 @@ class EpochSink:
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.tmp_root, exist_ok=True)
 
+    # --- run lock (consumer-group analog) -------------------------------
+    # Kafka guarantees one consumer per partition per group; without an
+    # equivalent, two drivers pointed at the same output dir would stage
+    # into the same _tmp/epoch=N/ concurrently and the first commit
+    # would rename a dir containing the other driver's torn files. The
+    # lock is an O_EXCL-created pidfile: second drivers refuse loudly; a
+    # lock whose pid is dead (crashed driver) is stale and taken over.
+
+    def lock_path(self) -> str:
+        return os.path.join(self.out_dir, "_lock")
+
+    def acquire_lock(self) -> None:
+        import errno
+
+        for _ in range(2):  # at most one stale takeover
+            try:
+                fd = os.open(self.lock_path(),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    with open(self.lock_path()) as f:
+                        holder = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    holder = 0
+                alive = False
+                if holder > 0:
+                    try:
+                        os.kill(holder, 0)
+                        alive = True
+                    except OSError as e:
+                        alive = e.errno == errno.EPERM
+                # a live holder refuses — including our own pid: run()
+                # releases in `finally`, so a live same-pid lock means
+                # two pipelines in one process racing the same out dir
+                if alive:
+                    raise RuntimeError(
+                        f"output dir {self.out_dir} is locked by a live "
+                        f"run (pid {holder}) — one driver per output "
+                        "dir, like one Kafka consumer per partition")
+                os.unlink(self.lock_path())  # stale (or our own) — retake
+        raise RuntimeError(f"could not acquire run lock in {self.out_dir}")
+
+    def release_lock(self) -> None:
+        try:
+            os.unlink(self.lock_path())
+        except FileNotFoundError:
+            pass
+
     # --- commit protocol ----------------------------------------------
     def manifest_path(self, epoch: int) -> str:
         return os.path.join(self.manifest_dir, f"epoch-{epoch:06d}.json")

@@ -67,3 +67,26 @@ def test_manifest_is_valid_json_and_atomic(tmp_path):
         m = json.load(f)
     assert m["epoch"] == 7 and m["counters"] == {"c": 1}
     assert not os.path.exists(sink.manifest_path(7) + ".tmp")
+
+
+def test_run_lock_excludes_second_driver(tmp_path):
+    """Consumer-group analog: one driver per output dir. A live lock
+    refuses a second acquire; a stale lock (dead pid) is taken over."""
+    import pytest
+
+    from bitquery_kafka_streams_rust_ray.sinks.exactly_once import EpochSink
+
+    out = str(tmp_path / "locked_out")
+    a, b = EpochSink(out), EpochSink(out)
+    a.acquire_lock()
+    with pytest.raises(RuntimeError, match="locked by a live run"):
+        b.acquire_lock()
+    a.release_lock()
+    b.acquire_lock()  # free again
+    b.release_lock()
+
+    # stale lock: a pid that no longer exists is taken over silently
+    with open(a.lock_path(), "w") as f:
+        f.write("999999999")
+    b.acquire_lock()
+    b.release_lock()

@@ -23,7 +23,6 @@ _SCRIPT_STYLE_RE = re.compile(
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]*>")
-_WS_RE = re.compile(r"\s+")
 
 
 def html_to_text(payload: bytes | None) -> str:

@@ -225,8 +225,9 @@ def window_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Windowed COUNT(DISTINCT): distinct users per (event_type, 1h
     tumbling window) — the window family's distinct dimension. Two-level
     exact shape: per-batch distinct (key, window, user) triples collapse
-    duplicates before the shuffle, one groupby finishes the distinct AND
-    the count (Ray's Count over the deduped triples); the approximate
+    duplicates before the shuffle; one sharded groupby finishes the
+    distinct AND the count (per-shard pandas ``nunique`` over the
+    deduped triples); the approximate
     sibling at unbounded user domains is ``hll_distinct``."""
     ds = _t(sf_dir, "events", ["event_type", "ts", "user_id"])
 

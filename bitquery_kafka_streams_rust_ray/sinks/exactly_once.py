@@ -44,48 +44,126 @@ class EpochSink:
     # Kafka guarantees one consumer per partition per group; without an
     # equivalent, two drivers pointed at the same output dir would stage
     # into the same _tmp/epoch=N/ concurrently and the first commit
-    # would rename a dir containing the other driver's torn files. The
-    # lock is an O_EXCL-created pidfile: second drivers refuse loudly; a
-    # lock whose pid is dead (crashed driver) is stale and taken over.
+    # would rename a dir containing the other driver's torn files.
+    #
+    # The lock is an O_EXCL-created file carrying a unique token plus
+    # (host, pid). Staleness has two independent signals:
+    #   * same host + dead pid  -> stale immediately (crashed driver);
+    #   * lock mtime older than the lease -> stale regardless of host
+    #     (covers remote holders, whose pids we cannot probe, and
+    #     same-host pid reuse). Live runs heartbeat the mtime on every
+    #     epoch commit (touch_lock), so the lease — default 1 h, knob
+    #     ``lease_s`` — only needs to exceed the longest epoch.
+    # Takeover is race-free: a contender claims the stale file by
+    # os.rename() to a unique name (exactly one racer's rename
+    # succeeds; losers see FileNotFoundError and re-evaluate), then
+    # retries the O_EXCL create. release_lock unlinks only a lock that
+    # still carries our token, so a holder that lost its lock can never
+    # delete a successor's.
 
     def lock_path(self) -> str:
         return os.path.join(self.out_dir, "_lock")
 
-    def acquire_lock(self) -> None:
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
         import errno
 
-        for _ in range(2):  # at most one stale takeover
+        try:
+            os.kill(pid, 0)
+            return True
+        except OSError as e:
+            return e.errno == errno.EPERM
+
+    def _read_lock(self) -> dict | None:
+        """Parse the lock file: JSON, or a legacy bare-pid string
+        (treated as a same-host holder). None if unreadable/garbled."""
+        import socket
+
+        try:
+            with open(self.lock_path()) as f:
+                raw = f.read().strip()
+        except OSError:
+            return None
+        try:
+            info = json.loads(raw)
+            if isinstance(info, dict) and "token" in info:
+                return info
+        except ValueError:
+            pass
+        try:
+            return {"token": raw, "host": socket.gethostname(),
+                    "pid": int(raw or "0")}
+        except ValueError:
+            return None
+
+    def acquire_lock(self, lease_s: float = 3600.0) -> None:
+        import socket
+        import time
+
+        host = socket.gethostname()
+        token = f"{host}:{os.getpid()}:{os.urandom(8).hex()}"
+        payload = json.dumps(
+            {"token": token, "host": host, "pid": os.getpid()}).encode()
+
+        for _ in range(4):  # create / takeover attempts
             try:
                 fd = os.open(self.lock_path(),
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, payload)
                 os.close(fd)
+                self._lock_token = token
                 return
             except FileExistsError:
-                try:
-                    with open(self.lock_path()) as f:
-                        holder = int(f.read().strip() or "0")
-                except (OSError, ValueError):
-                    holder = 0
-                alive = False
-                if holder > 0:
-                    try:
-                        os.kill(holder, 0)
-                        alive = True
-                    except OSError as e:
-                        alive = e.errno == errno.EPERM
+                pass
+            info = self._read_lock()
+            try:
+                age = time.time() - os.stat(self.lock_path()).st_mtime
+            except OSError:
+                continue  # vanished between open and stat — retry create
+            if info is None:
+                stale = True  # torn/garbled write: no live writer does this
+            elif info.get("host") == host and info.get("pid", 0) > 0 \
+                    and not self._pid_alive(info["pid"]):
+                stale = True  # crashed driver on this host
+            else:
+                stale = age > lease_s  # remote holder / pid reuse: lease
+            if not stale:
                 # a live holder refuses — including our own pid: run()
                 # releases in `finally`, so a live same-pid lock means
                 # two pipelines in one process racing the same out dir
-                if alive:
-                    raise RuntimeError(
-                        f"output dir {self.out_dir} is locked by a live "
-                        f"run (pid {holder}) — one driver per output "
-                        "dir, like one Kafka consumer per partition")
-                os.unlink(self.lock_path())  # stale (or our own) — retake
+                raise RuntimeError(
+                    f"output dir {self.out_dir} is locked by a live "
+                    f"run ({info.get('host')}:{info.get('pid')}) — one "
+                    "driver per output dir, like one Kafka consumer "
+                    "per partition")
+            # claim the stale file: exactly one racer wins this rename
+            claimed = self.lock_path() + ".stale." + os.urandom(4).hex()
+            try:
+                os.rename(self.lock_path(), claimed)
+            except FileNotFoundError:
+                continue  # another contender claimed it first — retry
+            try:
+                os.unlink(claimed)
+            except FileNotFoundError:
+                pass
         raise RuntimeError(f"could not acquire run lock in {self.out_dir}")
 
+    def touch_lock(self) -> None:
+        """Heartbeat: refresh the lease mtime of a lock we hold."""
+        if getattr(self, "_lock_token", None) is None:
+            return
+        try:
+            os.utime(self.lock_path())
+        except OSError:
+            pass
+
     def release_lock(self) -> None:
+        token = getattr(self, "_lock_token", None)
+        self._lock_token = None
+        info = self._read_lock()
+        if info is not None and token is not None \
+                and info.get("token") != token:
+            return  # lock was taken over; it is not ours to delete
         try:
             os.unlink(self.lock_path())
         except FileNotFoundError:
@@ -146,6 +224,7 @@ class EpochSink:
         inventoried too. Idempotent: a committed epoch returns its
         existing manifest untouched.
         """
+        self.touch_lock()  # lease heartbeat: one per epoch commit
         if self.is_committed(epoch):
             return self.read_manifest(epoch)
 

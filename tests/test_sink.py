@@ -90,3 +90,66 @@ def test_run_lock_excludes_second_driver(tmp_path):
         f.write("999999999")
     b.acquire_lock()
     b.release_lock()
+
+
+def test_run_lock_release_only_unlinks_own_token(tmp_path):
+    """A holder that lost its lock (stale takeover by another driver)
+    must not delete the successor's live lock on release."""
+    out = str(tmp_path / "tok_out")
+    a, b = EpochSink(out), EpochSink(out)
+    a.acquire_lock()
+    # simulate a's death + takeover: b claims after a's pid "dies"
+    with open(a.lock_path(), "w") as f:
+        f.write("999999999")  # legacy stale pid overwrites a's token
+    b.acquire_lock()
+    a.release_lock()  # a's token no longer in the file -> no-op
+    assert os.path.exists(b.lock_path())
+    info = json.loads(open(b.lock_path()).read())
+    assert info["token"] == b._lock_token
+    b.release_lock()
+    assert not os.path.exists(b.lock_path())
+
+
+def test_run_lock_lease_expiry_takes_over_remote_holder(tmp_path):
+    """A lock from an unknown host can't be pid-probed; it is stale
+    only once its mtime exceeds the lease (heartbeat refreshes it)."""
+    import pytest
+
+    out = str(tmp_path / "lease_out")
+    sink = EpochSink(out)
+    with open(sink.lock_path(), "w") as f:
+        json.dump({"token": "x", "host": "other-host", "pid": 1}, f)
+    # fresh mtime: treated as live regardless of pid
+    with pytest.raises(RuntimeError, match="locked by a live run"):
+        sink.acquire_lock(lease_s=3600.0)
+    # age the lock past the lease -> taken over
+    os.utime(sink.lock_path(), (0, 0))
+    sink.acquire_lock(lease_s=3600.0)
+    assert json.loads(open(sink.lock_path()).read())["host"] != "other-host"
+    sink.release_lock()
+
+
+def test_run_lock_heartbeat_refreshes_lease(tmp_path):
+    out = str(tmp_path / "hb_out")
+    sink = EpochSink(out)
+    sink.acquire_lock()
+    os.utime(sink.lock_path(), (0, 0))
+    sink.commit_epoch(0, tables={"t": table()})  # commit heartbeats
+    assert os.stat(sink.lock_path()).st_mtime > 1.0
+    sink.release_lock()
+
+
+def test_run_lock_takeover_race_single_winner(tmp_path):
+    """Two contenders deciding 'stale' concurrently: the rename claim
+    admits exactly one; the loser re-evaluates the fresh lock and
+    refuses."""
+    import pytest
+
+    out = str(tmp_path / "race_out")
+    a, b = EpochSink(out), EpochSink(out)
+    with open(a.lock_path(), "w") as f:
+        f.write("999999999")  # stale
+    a.acquire_lock()  # a wins the claim
+    with pytest.raises(RuntimeError, match="locked by a live run"):
+        b.acquire_lock()  # b now sees a's live lock, not the stale one
+    a.release_lock()

@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_documents": q.redact_documents,
         "top_bigrams_documents": q.top_bigrams_documents,
         "rare_terms_documents": q.rare_terms_documents,
+        "bm25_documents": q.bm25_documents,
         "inverted_index_documents": q.inverted_index_documents,
         "doc_components": q.doc_components,
         "substring_dedup_documents": q.substring_dedup_documents,
@@ -872,6 +873,43 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY d.df, t.tf DESC, t.word) AS rn
                 FROM tf t JOIN df d USING (word)
             ) WHERE rn = 1 ORDER BY doc_id
+        """,
+        "bm25_documents": r"""
+            WITH docw AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text, e' \t\n\r') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                     trim(text, e' \t\n\r'), '\s+')
+                       END AS w
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(w) AS word FROM docw),
+            dl AS (SELECT doc_id, len(w) AS dl FROM docw),
+            stats AS (
+                SELECT count(*) AS n,
+                       (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+                           / count(*) AS avgdl
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, word, count(*) AS tf FROM tok
+                WHERE word IN ('hash', 'join', 'vector')
+                GROUP BY doc_id, word
+            ),
+            dfq AS (
+                SELECT word, count(DISTINCT doc_id) AS df
+                FROM tf GROUP BY word
+            )
+            SELECT tf.doc_id,
+                   round(sum(ln(1 + (stats.n - dfq.df + 0.5)
+                                    / (dfq.df + 0.5))
+                             * (CAST(tf.tf AS DOUBLE) * 2.2)
+                             / (tf.tf + 1.2 * (0.25
+                                + 0.75 * dl.dl / stats.avgdl))), 6)
+                       AS bm25_6
+            FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), stats
+            GROUP BY tf.doc_id ORDER BY tf.doc_id
         """,
         "inverted_index_documents": r"""
             WITH toks AS (

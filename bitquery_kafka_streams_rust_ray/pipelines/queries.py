@@ -1657,6 +1657,80 @@ def rare_terms_documents(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "rare_word", "df", "tf"]]
 
 
+# BM25 retrieval: the query-term set is a tiny driver-side constant,
+# broadcast into tasks by closure capture (bytes, never a shuffle).
+BM25_TERMS = ("hash", "join", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_documents(sf_dir: str) -> pd.DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck-Jones Okapi BM25, the
+    Lucene ``ln(1 + (N-df+0.5)/(df+0.5))`` idf form): score every
+    document matching any query term against a fixed term set — the
+    search-engine sibling of ``rare_terms_documents`` (per-doc TF-IDF)
+    and ``inverted_index_documents`` (the index those lookups hit).
+
+    Scale shape: pass 1 streams the corpus once emitting per-batch
+    partials of (|Q|+2) rows each — per-term document frequency plus
+    doc/token counts — so the driver reduce is blocks×(|Q|+2) rows and
+    there is NO shuffle for the statistics; pass 2 scores each doc
+    entirely batch-locally (a doc is one input row, so its tf and dl
+    are complete within the batch) with idf/avgdl as broadcast scalar
+    constants — the corpus is never shuffled and output is
+    matched-docs-sized. Emits every match (no float-ordered top-k
+    cut); the total is rounded to 6 decimals on both sides."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    terms_arr = pa.array(list(BM25_TERMS), type=pa.string())
+
+    def stat_partials(t: pa.Table) -> pa.Table:
+        wp = _word_pairs(t)
+        hit = wp.filter(pc.is_in(wp["word"], value_set=terms_arr))
+        per = (hit.group_by(["word", "doc_id"]).aggregate([])
+               .group_by("word").aggregate([([], "count_all")])
+               .rename_columns(["word", "n"]))
+        # sentinel rows carry the corpus scalars; a space cannot occur
+        # inside a whitespace-split token, so these never collide
+        extra = pa.table({
+            "word": pa.array(["# docs", "# tokens"], type=pa.string()),
+            "n": pa.array([t.num_rows, wp.num_rows], type=pa.int64()),
+        })
+        return pa.concat_tables([per, extra])
+
+    st = (docs.map_batches(stat_partials, batch_format="pyarrow")
+          .to_pandas().groupby("word", as_index=False)["n"].sum())
+    sd = dict(zip(st["word"], st["n"].astype(np.int64)))
+    n_docs = int(sd.pop("# docs"))
+    avgdl = float(sd.pop("# tokens")) / n_docs
+    idf = {w: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+           for w, df in sd.items()}
+    k1, b = BM25_K1, BM25_B
+
+    def score(t: pa.Table) -> pa.Table:
+        wp = _word_pairs(t)
+        dl = (wp.group_by("doc_id").aggregate([([], "count_all")])
+              .rename_columns(["doc_id", "dl"]).to_pandas())
+        hit = wp.filter(pc.is_in(wp["word"], value_set=terms_arr))
+        tf = (hit.group_by(["doc_id", "word"]).aggregate([([], "count_all")])
+              .rename_columns(["doc_id", "word", "tf"]).to_pandas())
+        m = tf.merge(dl, on="doc_id")  # batch-local, match-sized
+        tfv = m["tf"].to_numpy(dtype=np.float64)
+        dlv = m["dl"].to_numpy(dtype=np.float64)
+        m["s"] = (m["word"].map(idf).to_numpy()
+                  * (tfv * (k1 + 1.0))
+                  / (tfv + k1 * (1.0 - b + b * dlv / avgdl)))
+        out = m.groupby("doc_id", as_index=False)["s"].sum()
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "bm25_6": pa.array(np.round(out["s"].to_numpy(), 6)),
+        })
+
+    out = (docs.map_batches(score, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "bm25_6"]]
+
+
 def inverted_index_documents(sf_dir: str) -> pd.DataFrame:
     """Inverted-index construction: word -> sorted posting list of
     doc_ids + document frequency. Postings are comma-joined strings

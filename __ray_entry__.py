@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q.chunk_documents,
         "split_documents": q.split_documents,
         "lang_balanced_documents": q.lang_balanced_documents,
+        "mix_documents": q.mix_documents,
         "novel_documents": q.novel_documents,
         "cosine_pairs_embeddings": q.cosine_pairs_embeddings,
         # model scoring (broadcast weights, actor pool) / feature hashing
@@ -775,6 +776,25 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rn
                 FROM documents
             ) WHERE rn <= 30 ORDER BY doc_id
+        """,
+        "mix_documents": """
+            WITH w AS (
+                SELECT source, count(*) AS c,
+                       (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS wt
+                FROM documents GROUP BY source
+            ),
+            tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+            t AS (SELECT min((c * tot.tw) // wt) AS t FROM w, tot),
+            cap AS (SELECT source, (wt * t.t) // tot.tw AS cap
+                    FROM w, t, tot)
+            SELECT doc_id, source FROM (
+                SELECT d.doc_id, d.source, cap.cap,
+                       row_number() OVER (
+                           PARTITION BY d.source
+                           ORDER BY (d.doc_id * 2654435761) % 4294967296,
+                                    d.doc_id) AS rn
+                FROM documents d JOIN cap USING (source)
+            ) WHERE rn <= cap ORDER BY doc_id
         """,
         "novel_documents": """
             WITH p AS (

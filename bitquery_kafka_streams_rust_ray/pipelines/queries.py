@@ -2239,6 +2239,51 @@ def lang_balanced_documents(sf_dir: str, cap: int = 30) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def mix_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus mixture resampling (Pile/Dolma-style source mixing): pick
+    the largest subcorpus whose per-source composition matches a target
+    weight vector exactly, never upsampling — the step that turns raw
+    crawl sources into a training mixture. Weights derive from the
+    source name (``(int suffix % 4) + 1``) so the target is data-defined
+    and expressible in the SQL oracle; all mixture arithmetic is integer
+    (floor) so caps match the oracle bit-for-bit.
+
+    Scale shape: per-source counts come from per-batch partial groupbys
+    reduced on a sources-sized driver frame (a corpus has thousands of
+    sources, not billions); selection is the hash-priority partial
+    top-k of ``lang_balanced_documents`` with per-source caps — each
+    batch keeps at most cap_s rows per source, the driver reduce sees
+    blocks x Σcap candidate rows, and the corpus itself never sorts or
+    shuffles whole."""
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    counts = (docs.map_batches(
+        lambda df: df.groupby("source", as_index=False)
+                     .agg(c=("doc_id", "count")),
+        batch_format="pandas")
+        .to_pandas().groupby("source", as_index=False)["c"].sum())
+    wt = counts["source"].str[3:].astype(np.int64) % 4 + 1
+    total_w = int(wt.sum())
+    # largest total T with floor(w_s/W * T) <= c_s for every source
+    feasible = (counts["c"].astype(np.int64) * total_w) // wt
+    t_max = int(feasible.min())
+    cap = dict(zip(counts["source"],
+                   ((wt * t_max) // total_w).astype(np.int64)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_h=_doc_hash(df["doc_id"].to_numpy()),
+                       _cap=df["source"].map(cap))
+        df = df.sort_values(["_h", "doc_id"])
+        keep = df.groupby("source", sort=False).cumcount() < df["_cap"]
+        return df[keep.to_numpy()]
+
+    cand = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["_h", "doc_id"])
+    keep = cand.groupby("source", sort=False).cumcount() < cand["_cap"]
+    out = cand[keep.to_numpy()][["doc_id", "source"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def novel_documents(sf_dir: str) -> pd.DataFrame:
     """Cross-corpus novelty: keep new-crawl docs (upper doc_id half)
     whose 8-word prefix signature never appeared in the previous crawl

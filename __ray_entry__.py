@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_documents": q.split_documents,
         "lang_balanced_documents": q.lang_balanced_documents,
         "mix_documents": q.mix_documents,
+        "weighted_sample_documents": q.weighted_sample_documents,
         "novel_documents": q.novel_documents,
         "cosine_pairs_embeddings": q.cosine_pairs_embeddings,
         # model scoring (broadcast weights, actor pool) / feature hashing
@@ -776,6 +777,14 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rn
                 FROM documents
             ) WHERE rn <= 30 ORDER BY doc_id
+        """,
+        "weighted_sample_documents": """
+            SELECT doc_id, n_chars,
+                   ((n_chars // 100) % 4) + 1 AS weight
+            FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296
+                  < (((n_chars // 100) % 4) + 1) * 536870912
+            ORDER BY doc_id
         """,
         "mix_documents": """
             WITH w AS (

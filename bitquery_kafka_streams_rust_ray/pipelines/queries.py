@@ -2199,6 +2199,34 @@ def _doc_hash(ids: np.ndarray) -> np.ndarray:
     return multiplicative_hash_u32(ids).astype(np.int64)
 
 
+def weighted_sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Quality-weighted deterministic sampling (DCLM-style: sample
+    higher-quality documents at a higher rate instead of hard
+    filtering). Weight w in 1..4 derives from doc length
+    (``(n_chars // 100) % 4 + 1`` — data-defined so the oracle computes
+    it too); a doc survives iff ``hash(doc_id) < w * (2^32 // 8)``, so
+    inclusion probability is w/8 — proportional to weight, all integer
+    arithmetic, reproducible across engines and cluster layouts.
+    Embarrassingly parallel: one vectorized mask per batch, no shuffle;
+    downstream estimators reweight by 8/w (Horvitz-Thompson)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    base = np.uint64(2 ** 32) // np.uint64(8)
+
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        w = (df["n_chars"].to_numpy(np.int64) // 100) % 4 + 1
+        from ..stages.hashing import multiplicative_hash_u32
+        keep = multiplicative_hash_u32(ids) < w.astype(np.uint64) * base
+        out = df[keep].copy()
+        out["weight"] = w[keep]
+        return out
+
+    out = (docs.map_batches(mask, batch_format="pandas").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    out["weight"] = out["weight"].astype("int64")
+    return out[["doc_id", "n_chars", "weight"]]
+
+
 def split_documents(sf_dir: str) -> pd.DataFrame:
     """Deterministic train/val/test assignment — hash-bucket split
     (5% test, 10% val, 85% train) as a pure vectorized map: stable

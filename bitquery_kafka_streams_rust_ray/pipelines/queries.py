@@ -2221,8 +2221,12 @@ def weighted_sample_documents(sf_dir: str) -> pd.DataFrame:
         out["weight"] = w[keep]
         return out
 
-    out = (docs.map_batches(mask, batch_format="pandas").to_pandas()
-           .sort_values("doc_id").reset_index(drop=True))
+    out = docs.map_batches(mask, batch_format="pandas").to_pandas()
+    if out.empty:  # all-empty blocks arrive schema-less
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_chars": pd.Series(dtype="int64"),
+                             "weight": pd.Series(dtype="int64")})
+    out = out.sort_values("doc_id").reset_index(drop=True)
     out["weight"] = out["weight"].astype("int64")
     return out[["doc_id", "n_chars", "weight"]]
 
@@ -2306,6 +2310,10 @@ def mix_documents(sf_dir: str) -> pd.DataFrame:
         return df[keep.to_numpy()]
 
     cand = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    if cand.empty:  # infeasible mixture (a cap of 0 everywhere):
+        # all-empty blocks arrive schema-less, so rebuild the columns
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "source": pd.Series(dtype=object)})
     cand = cand.sort_values(["_h", "doc_id"])
     keep = cand.groupby("source", sort=False).cumcount() < cand["_cap"]
     out = cand[keep.to_numpy()][["doc_id", "source"]]

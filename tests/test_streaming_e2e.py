@@ -488,3 +488,33 @@ def test_late_rows_surface_in_quarantine_when_enabled(pages_dir, tmp_path,
         if name == "quarantine":
             continue
         assert got[name].to_pandas().equals(ref[name].to_pandas()), name
+
+
+def test_empty_pages_log_commits_clean_empty_epoch(pages_dir, tmp_path):
+    """Filter-to-zero input is routine at scale: an entirely empty
+    pages log (real schema, zero rows) must run end to end, commit an
+    empty epoch under the 2PC contract, and release the run lock —
+    not crash on a schema-less empty block. (The analytical queries()
+    surface assumes a non-empty corpus; the streaming engine is the
+    path that must absorb empty input.)"""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    d, _, _ = pages_dir
+    empty = str(tmp_path / "pages_empty")
+    os.makedirs(empty)
+    src = sorted(glob.glob(os.path.join(d, "*.parquet")))[0]
+    pq.write_table(pq.read_table(src).schema.empty_table(),
+                   os.path.join(empty, os.path.basename(src)))
+    meta = glob.glob(os.path.join(d, "host_metadata*"))
+    for m in meta:
+        shutil.copy(m, empty)
+    out = str(tmp_path / "empty_out")
+    summary = run_flagship(empty, out, config=CFG)
+    assert summary["epochs"] == [0]
+    sink = EpochSink(out)
+    assert sink.committed_epochs()
+    assert not os.path.exists(os.path.join(out, "_lock"))

@@ -118,6 +118,8 @@ QUERY_NAMES = [
     "quality_model_documents",
     "ann_topk",
     "text_analysis_documents",
+    "bm25_documents",
+    "mix_documents",
 ]
 
 

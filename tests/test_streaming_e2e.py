@@ -518,3 +518,51 @@ def test_empty_pages_log_commits_clean_empty_epoch(pages_dir, tmp_path):
     sink = EpochSink(out)
     assert sink.committed_epochs()
     assert not os.path.exists(os.path.join(out, "_lock"))
+
+
+@pytest.mark.parametrize("crash_epoch", [0, 3])
+def test_kill_and_resume_byte_identical_any_epoch(pages_dir, tmp_path,
+                                                  flagship_run,
+                                                  crash_epoch):
+    """The crash point must not matter: generalize the epoch-2 pin to a
+    sweep — crash before the first commit (epoch 0: resume replays the
+    whole run) and near the tail (epoch 3) — byte-identity holds at
+    every cut."""
+    d, _, _ = flagship_run
+    _, ref_out, _ = flagship_run
+    out = str(tmp_path / f"resumed_out_{crash_epoch}")
+
+    class Boom(RuntimeError):
+        pass
+
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+
+    def make_pipe():
+        return StreamingPagesPipeline(
+            d, out, CFG, PageFilter(min_text_len=1), meta
+        )
+
+    real_exchange = StreamingPagesPipeline._exchange_epoch
+
+    def crashing(self, epoch, files, actors, watermark, attempt=0):
+        if epoch == crash_epoch:
+            raise Boom()
+        return real_exchange(self, epoch, files, actors, watermark, attempt)
+
+    StreamingPagesPipeline._exchange_epoch = crashing
+    try:
+        with pytest.raises(RetryExhausted):
+            make_pipe().run(resume=True)
+    finally:
+        StreamingPagesPipeline._exchange_epoch = real_exchange
+
+    assert EpochSink(out).committed_epochs() == list(range(crash_epoch))
+
+    make_pipe().run(resume=True)
+    ref_hashes = _output_hashes(ref_out)
+    got_hashes = _output_hashes(out)
+    assert set(got_hashes) == set(ref_hashes)
+    diff = {k for k in ref_hashes if ref_hashes[k] != got_hashes[k]}
+    assert not diff, f"differing files after resume: {sorted(diff)[:10]}"

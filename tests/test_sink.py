@@ -153,3 +153,47 @@ def test_run_lock_takeover_race_single_winner(tmp_path):
     with pytest.raises(RuntimeError, match="locked by a live run"):
         b.acquire_lock()  # b now sees a's live lock, not the stale one
     a.release_lock()
+
+
+def _contend_for_lock(out_dir, q):
+    """Module-level so the spawn context can pickle it."""
+    from bitquery_kafka_streams_rust_ray.sinks.exactly_once import EpochSink
+
+    s = EpochSink(out_dir)
+    try:
+        s.acquire_lock()
+        q.put(("won", s._lock_token))
+    except RuntimeError as e:
+        q.put(("refused", str(e)[:40]))
+    except Exception as e:  # pragma: no cover - the failure signal
+        q.put(("crashed", repr(e)))
+
+
+def test_run_lock_multiprocess_takeover_race(tmp_path):
+    """Real contention: 8 processes race to take over the same stale
+    lock simultaneously; exactly one must acquire, the rest must see a
+    live-run refusal (never a crash, never two winners)."""
+    import multiprocessing as mp
+
+    out = str(tmp_path / "mp_out")
+    sink = EpochSink(out)
+    with open(sink.lock_path(), "w") as f:
+        f.write("999999999")  # stale legacy lock
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_contend_for_lock, args=(out, q))
+             for _ in range(8)]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=60) for _ in procs]
+    for p in procs:
+        p.join(timeout=60)
+
+    outcomes = [r[0] for r in results]
+    assert outcomes.count("won") == 1, results
+    assert outcomes.count("crashed") == 0, results
+    # the winner's token is what the lock file holds
+    winner_token = next(r[1] for r in results if r[0] == "won")
+    info = json.loads(open(sink.lock_path()).read())
+    assert info["token"] == winner_token

@@ -444,6 +444,7 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
         .to_pandas()  # one row per qualifying order — reduced frame
     )
     grouped["revenue_e4"] = grouped["revenue_e4"].astype("int64")
+    grouped["o_orderdate"] = grouped["o_orderdate"].astype("datetime64[us]")
     out = grouped.sort_values(
         ["revenue_e4", "o_orderdate", "l_orderkey"],
         ascending=[False, True, True], kind="mergesort",

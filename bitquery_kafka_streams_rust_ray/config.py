@@ -109,6 +109,11 @@ class EngineConfig:
     # backs off exponentially with deterministic jitter
     sink_breaker_threshold: int = 3  # consecutive failed sink commits that
     sink_breaker_reset_s: float = 30.0  # open the sink circuit / its reset
+    lock_lease_s: float = 3600.0     # run-lock lease: a lock whose mtime is
+    # older than this is stealable by a contender. Heartbeats fire on
+    # every epoch commit, so size it above the longest expected epoch —
+    # deployments with >1h epochs raise it here instead of silently
+    # becoming steal-able mid-run
 
     # --- observability ---
     collect_dataset_stats: bool = False  # persist Ray Dataset.stats()

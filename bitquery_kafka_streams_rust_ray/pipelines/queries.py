@@ -1259,7 +1259,12 @@ def zscore_events(sf_dir: str) -> pd.DataFrame:
         et = t["event_type"].to_pandas()
         m = et.map(mean_d).to_numpy()
         s = et.map(std_d).to_numpy()
-        zv = np.round((t["value"].to_numpy() - m) / s, 2)
+        # zero-variance group: every value equals the mean, so the SQL
+        # oracle's 0/0 is NaN — emit NaN explicitly instead of the
+        # inf/NaN mix a raw division would produce
+        safe = np.where(s == 0.0, 1.0, s)
+        zv = np.round((t["value"].to_numpy() - m) / safe, 2)
+        zv = np.where(s == 0.0, np.nan, zv)
         return pa.table({"event_id": t["event_id"],
                          "event_type": t["event_type"],
                          "z": pa.array(zv, pa.float64())})

@@ -657,6 +657,23 @@ class StreamingPagesPipeline:
         config.validate()
         self.input_dir = input_dir
         self.output_dir = output_dir
+        if config.dedup_spill_dir not in (None, ":memory:"):
+            # Namespace spill state by output dir: the run lock only
+            # guards out_dir, so two pipelines sharing a literal spill
+            # dir would otherwise clobber each other's live sqlite
+            # files (and a fresh run os.remove()s them). A pure
+            # function of out_dir keeps resume deterministic while the
+            # lock transitively covers the spill files too.
+            import dataclasses
+            import hashlib
+
+            ns = hashlib.md5(
+                os.path.abspath(output_dir).encode()).hexdigest()[:12]
+            config = dataclasses.replace(
+                config,
+                dedup_spill_dir=os.path.join(
+                    config.dedup_spill_dir, f"run_{ns}"),
+            )
         self.cfg = config
         self.page_filter = page_filter
         self.host_metadata = host_metadata
@@ -772,8 +789,11 @@ class StreamingPagesPipeline:
         return self._run_inner(resume=resume, drain=drain)
 
     def _run_inner(self, resume: bool, drain: bool) -> dict:
-        self.sink.acquire_lock()  # one driver per output dir (the
-        # Kafka one-consumer-per-partition analog); released on return
+        # one driver per output dir (the Kafka one-consumer-per-
+        # partition analog); released on return. The lease is a config
+        # knob so epochs longer than the default 1h can keep the lock
+        # un-stealable.
+        self.sink.acquire_lock(lease_s=self.cfg.lock_lease_s)
         try:
             return self._run_locked(resume=resume, drain=drain)
         finally:

@@ -32,6 +32,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+class LockLostError(RuntimeError):
+    """The run lock was stolen after our lease expired; this driver is
+    fenced and must stop committing to the output directory."""
+
+
 class EpochSink:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -112,6 +117,7 @@ class EpochSink:
                 os.write(fd, payload)
                 os.close(fd)
                 self._lock_token = token
+                self._fenced = False  # fresh lease: fence lifts
                 return
             except FileExistsError:
                 pass
@@ -149,20 +155,44 @@ class EpochSink:
         raise RuntimeError(f"could not acquire run lock in {self.out_dir}")
 
     def touch_lock(self) -> None:
-        """Heartbeat: refresh the lease mtime of a lock we hold."""
-        if getattr(self, "_lock_token", None) is None:
+        """Heartbeat + fence: refresh the lease mtime of a lock we
+        still own.
+
+        Re-reads the lock first and raises ``LockLostError`` if it no
+        longer carries our token — the fencing that stops a
+        live-but-slow original driver (an epoch longer than the lease,
+        so no heartbeat fired) from committing after a contender's
+        stale takeover. ``commit_epoch`` calls this before any write,
+        so a fenced driver fails its commit instead of interleaving
+        output with the new owner.
+        """
+        if getattr(self, "_fenced", False):
+            raise LockLostError(
+                f"run lock for {self.out_dir} was lost earlier; this "
+                "driver stays fenced")
+        token = getattr(self, "_lock_token", None)
+        if token is None:
             return
+        info = self._read_lock()
+        if info is None or info.get("token") != token:
+            self._lock_token = None  # not ours anymore — never unlink it
+            self._fenced = True      # sticky: later commits stay refused
+            raise LockLostError(
+                f"run lock for {self.out_dir} was taken over by "
+                f"{(info or {}).get('host')}:{(info or {}).get('pid')} — "
+                "this driver exceeded its lease and is fenced")
         try:
             os.utime(self.lock_path())
         except OSError:
-            pass
+            pass  # benign: next heartbeat re-verifies ownership anyway
 
     def release_lock(self) -> None:
         token = getattr(self, "_lock_token", None)
         self._lock_token = None
+        if token is None:
+            return  # never acquired / double release: nothing is ours
         info = self._read_lock()
-        if info is not None and token is not None \
-                and info.get("token") != token:
+        if info is not None and info.get("token") != token:
             return  # lock was taken over; it is not ours to delete
         try:
             os.unlink(self.lock_path())

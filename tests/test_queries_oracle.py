@@ -83,3 +83,30 @@ def test_entry_smoke():
     df = to_df(entrymod.entry())
     assert len(df) >= 0
     assert "doc_count" in df.columns
+
+
+def test_zscore_zero_variance_group_matches_oracle(tmp_path, con):
+    """ADVICE fix: a group whose values are all equal (stddev_pop = 0)
+    must yield NaN like the oracle's 0/0, not inf from a raw division."""
+    from bitquery_kafka_streams_rust_ray.pipelines import queries as q
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [1, 1, 2, 2, 3],
+        "event_type": ["flat", "flat", "vary", "vary", "flat"],
+        "ts": pd.to_datetime(["2024-01-01"] * 5).astype("datetime64[us]"),
+        "value": [5.0, 5.0, 1.0, 3.0, 5.0],
+        "props": ['{"k":1}'] * 5,
+    })
+    d = tmp_path / "degen"
+    d.mkdir()
+    pa.parquet.write_table(pa.Table.from_pandas(df), str(d / "events.parquet"))
+
+    got = normalize(to_df(q.zscore_events(str(d))))
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = normalize(c.execute(entrymod.oracle_sql()["zscore_events"]).df())
+    assert got["z"].isna().sum() == 3  # the zero-variance group
+    assert not np.isinf(got["z"].fillna(0)).any()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  obj="zscore_zero_variance")

@@ -197,3 +197,51 @@ def test_run_lock_multiprocess_takeover_race(tmp_path):
     winner_token = next(r[1] for r in results if r[0] == "won")
     info = json.loads(open(sink.lock_path()).read())
     assert info["token"] == winner_token
+
+
+def test_touch_lock_fences_stolen_lease(tmp_path):
+    """ADVICE fix: a live-but-slow driver whose lease expired must be
+    FENCED once a contender steals the lock — touch_lock (and through
+    it commit_epoch) re-verifies token ownership and raises instead of
+    utiming the successor's lock and interleaving commits."""
+    import pytest
+
+    from bitquery_kafka_streams_rust_ray.sinks.exactly_once import (
+        EpochSink, LockLostError)
+
+    out = str(tmp_path / "fence_out")
+    a, b = EpochSink(out), EpochSink(out)
+    a.acquire_lock(lease_s=3600.0)
+    a.touch_lock()  # still ours: heartbeat succeeds
+
+    # a stalls past its lease; b steals the stale lock
+    os.utime(a.lock_path(), (0, 0))
+    b.acquire_lock(lease_s=3600.0)
+
+    # a wakes up and tries to commit: fenced at the heartbeat
+    with pytest.raises(LockLostError, match="fenced"):
+        a.touch_lock()
+    with pytest.raises(LockLostError):
+        a.commit_epoch(0, tables={"t": table()})
+    # fencing must not have refreshed or deleted b's lock
+    info = json.loads(open(b.lock_path()).read())
+    assert info["token"] == b._lock_token
+    # and a's release after fencing is a no-op on b's lock
+    a.release_lock()
+    assert os.path.exists(b.lock_path())
+    b.commit_epoch(0, tables={"t": table()})  # the new owner commits fine
+    b.release_lock()
+
+
+def test_release_lock_without_token_never_unlinks(tmp_path):
+    """ADVICE fix: release with no token (double release / never
+    acquired) must return early, not fall through and unlink another
+    driver's live lock."""
+    out = str(tmp_path / "norel_out")
+    a, b = EpochSink(out), EpochSink(out)
+    b.acquire_lock()
+    a.release_lock()  # a never acquired: must not touch b's lock
+    assert os.path.exists(b.lock_path())
+    b.release_lock()
+    assert not os.path.exists(b.lock_path())
+    b.release_lock()  # double release: early return, no crash

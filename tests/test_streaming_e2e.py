@@ -566,3 +566,26 @@ def test_kill_and_resume_byte_identical_any_epoch(pages_dir, tmp_path,
     assert set(got_hashes) == set(ref_hashes)
     diff = {k for k in ref_hashes if ref_hashes[k] != got_hashes[k]}
     assert not diff, f"differing files after resume: {sorted(diff)[:10]}"
+
+
+def test_spill_dir_namespaced_by_output_dir(pages_dir, tmp_path):
+    """ADVICE fix: the run lock guards out_dir but not the spill dir,
+    so two pipelines sharing a literal dedup_spill_dir must not clobber
+    each other's sqlite files — the effective spill path is namespaced
+    by a pure function of out_dir (same out_dir -> same path, so resume
+    still finds its state)."""
+    import dataclasses
+
+    spill = str(tmp_path / "shared_spill")
+    cfg = dataclasses.replace(CFG, dedup_spill_dir=spill)
+    p1 = StreamingPagesPipeline(pages_dir, str(tmp_path / "out_a"), cfg)
+    p2 = StreamingPagesPipeline(pages_dir, str(tmp_path / "out_b"), cfg)
+    p1b = StreamingPagesPipeline(pages_dir, str(tmp_path / "out_a"), cfg)
+    assert p1.cfg.dedup_spill_dir != p2.cfg.dedup_spill_dir
+    assert p1.cfg.dedup_spill_dir == p1b.cfg.dedup_spill_dir
+    assert p1.cfg.dedup_spill_dir.startswith(spill)
+    # the sentinel backends pass through untouched
+    assert StreamingPagesPipeline(
+        pages_dir, str(tmp_path / "out_c"),
+        dataclasses.replace(CFG, dedup_spill_dir=":memory:"),
+    ).cfg.dedup_spill_dir == ":memory:"

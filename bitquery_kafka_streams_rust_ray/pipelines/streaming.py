@@ -69,7 +69,8 @@ from ..observability.health import (
 )
 from ..observability.logging import StructuredLogger
 from ..observability.metrics import MetricsRegistry
-from ..reliability import CircuitBreaker, RetryConfig, RetryStrategy
+from ..reliability import (HalfOpenCircuitBreaker, RetryConfig,
+                           RetryStrategy)
 from ..sinks.exactly_once import EpochSink
 from ..sources.pages import pages_files
 from ..state.store import (DedupState, FunnelState, SessionState,
@@ -689,8 +690,12 @@ class StreamingPagesPipeline:
         # sink FS ops are the one external dependency: retried with
         # backoff (commit is idempotent), fenced by a breaker so a
         # persistently failing filesystem fails fast instead of
-        # hammering (SURVEY §2.10 mapping of circuit_breaker.rs)
-        self.sink_breaker = CircuitBreaker(
+        # hammering (SURVEY §2.10 mapping). Half-open variant
+        # (circuit_breaker_sdk.rs:34-440): after the reset timeout ONE
+        # trial commit is admitted — success closes the circuit,
+        # failure re-opens it with a fresh backoff window, so a still-
+        # broken filesystem is probed once per window, never hammered.
+        self.sink_breaker = HalfOpenCircuitBreaker(
             threshold=config.sink_breaker_threshold,
             reset_timeout_s=config.sink_breaker_reset_s,
         )

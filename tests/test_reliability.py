@@ -221,3 +221,108 @@ def test_breaker_guard_wraps_calls():
         cb.guard(lambda: "never runs")
     clock.advance(20)
     assert cb.guard(lambda: "recovered") == "recovered"
+
+
+# --- half-open breaker (circuit_breaker_sdk.rs transitions) --------------
+
+
+def _ho(**kw):
+    clock = FakeClock()
+    from bitquery_kafka_streams_rust_ray.reliability import HalfOpenCircuitBreaker
+    kw.setdefault("threshold", 3)
+    kw.setdefault("reset_timeout_s", 10.0)
+    return HalfOpenCircuitBreaker(clock=clock, **kw), clock
+
+
+def test_half_open_full_recovery_cycle():
+    """closed -> open -> half-open -> closed (sdk.rs:216-261)."""
+    cb, clock = _ho()
+    for _ in range(3):
+        cb.record_failure()
+    assert cb.state == "open" and cb.is_open()
+    assert not cb.allow_request()  # still inside the backoff window
+
+    clock.advance(10)
+    assert not cb.is_open()        # timeout elapsed: probe is admissible
+    assert cb.allow_request()      # flips to half-open, admits ONE probe
+    assert cb.state == "half_open"
+    assert not cb.allow_request()  # probe budget (1) exhausted
+
+    cb.record_success()            # success_threshold=1 closes
+    assert cb.state == "closed"
+    assert cb.allow_request() and cb.failure_count == 0
+
+
+def test_half_open_probe_failure_reopens_with_fresh_backoff():
+    """Any failure while half-open re-opens immediately and restarts
+    the backoff window (sdk.rs:292-295)."""
+    cb, clock = _ho()
+    for _ in range(3):
+        cb.record_failure()
+    clock.advance(10)
+    assert cb.allow_request()      # half-open probe admitted
+    cb.record_failure()            # probe failed
+    assert cb.state == "open"
+    clock.advance(9.5)             # fresh window: not yet probe-able
+    assert not cb.allow_request()
+    clock.advance(0.5)
+    assert cb.allow_request()      # next window: probe again
+    cb.record_success()
+    assert cb.state == "closed"
+
+
+def test_half_open_success_threshold_needs_n_probes():
+    """Closing from half-open takes success_threshold successes
+    (sdk.rs:51-52, 247-261)."""
+    cb, clock = _ho(success_threshold=2, half_open_max_requests=2)
+    for _ in range(3):
+        cb.record_failure()
+    clock.advance(10)
+    assert cb.allow_request() and cb.allow_request()
+    assert not cb.allow_request()  # budget of 2 exhausted
+    cb.record_success()
+    assert cb.state == "half_open"  # one success is not enough
+    cb.record_success()
+    assert cb.state == "closed"
+
+
+def test_half_open_guard_drives_the_machine():
+    """guard() refuses while open, probes after the window, closes on
+    probe success (sdk.rs execute, :307-327)."""
+    cb, clock = _ho(threshold=2, reset_timeout_s=30.0)
+    for _ in range(2):
+        with pytest.raises(ValueError):
+            cb.guard(lambda: (_ for _ in ()).throw(ValueError("io")))
+    with pytest.raises(CircuitOpenError):
+        cb.guard(lambda: "refused")
+    clock.advance(30)
+    assert cb.guard(lambda: "probe ok") == "probe ok"
+    assert cb.state == "closed"
+
+
+def test_half_open_closed_success_resets_failures():
+    """A success in closed state zeroes the failure streak
+    (sdk.rs:255-257) — failures must be consecutive to open."""
+    cb, _ = _ho()
+    cb.record_failure()
+    cb.record_failure()
+    cb.record_success()
+    assert cb.failure_count == 0
+    cb.record_failure()
+    cb.record_failure()
+    assert cb.state == "closed"
+    cb.record_failure()
+    assert cb.state == "open"
+
+
+def test_half_open_config_validation():
+    """sdk.rs:117-139 config validation."""
+    from bitquery_kafka_streams_rust_ray.reliability import HalfOpenCircuitBreaker
+    with pytest.raises(ValueError):
+        HalfOpenCircuitBreaker(threshold=0, reset_timeout_s=1)
+    with pytest.raises(ValueError):
+        HalfOpenCircuitBreaker(threshold=1, reset_timeout_s=1,
+                               success_threshold=0)
+    with pytest.raises(ValueError):
+        HalfOpenCircuitBreaker(threshold=1, reset_timeout_s=1,
+                               half_open_max_requests=0)

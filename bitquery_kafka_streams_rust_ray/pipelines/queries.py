@@ -779,9 +779,13 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
         .sort_values("vec_id")
     )
     queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
-    # nprobe=10/16 lists: measured recall@10 = 0.92 vs brute force on
-    # the sf0.01 embeddings (pinned by test_ivf_recall_on_sf001_embeddings)
-    out = ann_ivf(ds, queries, k=10, nlist=16, nprobe=10)
+    # nprobe=12/16 lists: measured recall@10 = 0.96 vs brute force on
+    # BOTH the sf0.01 and sf0.1 embeddings (pinned >=0.9 by
+    # test_ivf_recall_on_sf001_embeddings / _on_sf01). The table is
+    # near-isotropic gaussian — worst case for IVF — so the probed
+    # fraction is the recall dial; see BASELINE.md for the
+    # recall-vs-nprobe curve and the low-nprobe speed point.
+    out = ann_ivf(ds, queries, k=10, nlist=16, nprobe=12)
     qids = qdf["vec_id"].tolist()
     out["query_id"] = out["query_id"].map(lambda i: qids[i]).astype("int64")
     out["vec_id"] = out["vec_id"].astype("int64")

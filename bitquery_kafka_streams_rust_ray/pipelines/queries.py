@@ -2558,18 +2558,23 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
 
 
 def multimodal_audio(sf_dir: str) -> pd.DataFrame:
-    """Audio feature-extract plumbing (rows-only): deterministic fake
-    PCM containers -> (sample_rate, n_samples, duration_s, rms)."""
-    from ..stages.multimodal import AudioFeatureStage, fake_audio
+    """Audio feature-extract plumbing (rows-only): alternating REAL
+    PCM WAV (stdlib wave wire format) and deterministic fake
+    containers -> (sample_rate, n_samples, duration_s, rms)."""
+    from ..stages.multimodal import AudioFeatureStage, encode_wav, fake_audio
 
     keys = _t(sf_dir, "region", ["r_regionkey"]).to_pandas()[
         "r_regionkey"].tolist()
-    rows = [
-        {"aud_id": int(k),
-         "audio": fake_audio(8000 + 100 * (k % 5), 4000 + 321 * k,
-                             seed=int(k))}
-        for k in keys
-    ]
+
+    def payload(k: int) -> bytes:
+        sr, n = 8000 + 100 * (k % 5), 4000 + 321 * k
+        if k % 2 == 0:  # real WAV wire format
+            rng = np.random.default_rng(k)
+            return encode_wav(
+                sr, (rng.standard_normal(n) * 1000).astype(np.int16))
+        return fake_audio(sr, n, seed=k)
+
+    rows = [{"aud_id": int(k), "audio": payload(int(k))} for k in keys]
     out = rd.from_items(rows).map_batches(
         AudioFeatureStage, fn_constructor_kwargs={"audio_col": "audio"},
         batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
@@ -2578,15 +2583,24 @@ def multimodal_audio(sf_dir: str) -> pd.DataFrame:
 
 
 def multimodal_decode(sf_dir: str) -> pd.DataFrame:
-    """Image-decode plumbing over deterministic fake containers derived
-    from part keys (rows-only; no real codecs in this container)."""
-    from ..stages.multimodal import DecodeImageStage, fake_image
+    """Image-decode plumbing over a mixed corpus: every third payload
+    is a REAL uncompressed BMP (stdlib-encoded wire format), the rest
+    deterministic fake containers — both decode through the same stage
+    (rows-only; compressed codecs like JPEG need PIL, not in this
+    container)."""
+    from ..stages.multimodal import DecodeImageStage, encode_bmp, fake_image
 
     keys = _t(sf_dir, "part", ["p_partkey"]).to_pandas()["p_partkey"].tolist()
-    rows = [
-        {"img_id": int(k), "image": fake_image(8 + k % 8, 8 + k % 5, seed=int(k))}
-        for k in keys
-    ]
+
+    def payload(k: int) -> bytes:
+        w, h = 8 + k % 8, 8 + k % 5
+        if k % 3 == 0:  # real BMP wire format
+            rng = np.random.default_rng(k)
+            return encode_bmp(rng.integers(0, 256, size=(h, w),
+                                           dtype=np.uint8))
+        return fake_image(w, h, seed=k)
+
+    rows = [{"img_id": int(k), "image": payload(int(k))} for k in keys]
     ds = rd.from_items(rows)
     out = ds.map_batches(
         DecodeImageStage, fn_constructor_kwargs={"image_col": "image"},

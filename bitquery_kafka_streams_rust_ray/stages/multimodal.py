@@ -5,18 +5,31 @@ metadata struct (``{kind, width, height, sample_rate, n_frames, ...}``).
 Decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages with small batches (payloads are wide rows).
 
-The real codecs (PIL / torchaudio / ffmpeg) are NOT in this container,
-so the decode core is stubbed: ``require_real_codecs=True`` raises
-``NotImplementedError`` at actor construction, and the default path
-decodes a deterministic fake container format (``FAKEIMG``/``FAKEAUD``
-headers, produced by :func:`fake_image` / :func:`fake_audio`) so the
-Ray-side plumbing — schema, batch sizing, actor signatures, output
-layout — is real and tested end-to-end.
+Two decode tiers per modality:
+
+* **real wire formats, stdlib-decodable** — uncompressed 24-bit BMP
+  (``BM`` magic, BITMAPINFOHEADER, bottom-up BGR rows with 4-byte row
+  padding; :func:`encode_bmp` / :func:`decode_bmp` via ``struct``) and
+  PCM WAV (``RIFF`` magic; :func:`encode_wav` / :func:`decode_wav` via
+  the stdlib ``wave`` module). Every stage sniffs these first, so at
+  least one REAL format per modality exercises the full decode path.
+* **deterministic fake containers** (``FAKEIMG``/``FAKEAUD``/
+  ``FAKEVID`` headers, :func:`fake_image` / :func:`fake_audio` /
+  :func:`fake_video`) standing in for the codecs that are NOT in this
+  container (PIL JPEG/PNG, ffmpeg video): ``require_real_codecs=True``
+  raises ``NotImplementedError`` for those (clearly-marked stub), and
+  the fake path keeps the Ray-side plumbing — schema, batch sizing,
+  actor signatures, output layout — real and tested end-to-end.
+
+Anything that sniffs as neither is quarantined (null feature row —
+the reference's poison-message skip, src/consumer.rs F8 semantics).
 """
 
 from __future__ import annotations
 
+import io
 import struct
+import wave
 import zlib
 
 import numpy as np
@@ -25,6 +38,83 @@ import pyarrow as pa
 _IMG_MAGIC = b"FAKEIMG1"
 _AUD_MAGIC = b"FAKEAUD1"
 _VID_MAGIC = b"FAKEVID1"
+
+
+# --- real wire formats (stdlib-only codecs) ----------------------------
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 grayscale array as a REAL uncompressed
+    24-bit BMP (gray replicated into BGR), byte-compatible with any
+    image viewer: BITMAPFILEHEADER + BITMAPINFOHEADER(40), BI_RGB,
+    bottom-up rows padded to 4 bytes."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = np.repeat(gray[::-1], 3, axis=1)  # bottom-up, B=G=R=gray
+    rows[:, : w * 3] = bgr
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Decode an uncompressed 24-bit BI_RGB BMP to a (h, w) uint8 gray
+    array (blue channel; encode_bmp writes B=G=R). Returns None for
+    BMPs this minimal decoder doesn't cover (compressed, non-24-bit,
+    truncated) — callers quarantine those rows."""
+    try:
+        if payload[:2] != b"BM" or len(payload) < 54:
+            return None
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        (hdr_sz, w, h, _planes, bpp, compression) = struct.unpack_from(
+            "<IiiHHI", payload, 14)
+        if hdr_sz < 40 or bpp != 24 or compression != 0 or w <= 0:
+            return None
+        bottom_up = h > 0
+        h = abs(h)
+        row_bytes = (w * 3 + 3) & ~3
+        if len(payload) < data_off + row_bytes * h:
+            return None
+        rows = np.frombuffer(payload, dtype=np.uint8, offset=data_off,
+                             count=row_bytes * h).reshape(h, row_bytes)
+        gray = rows[:, : w * 3 : 3]  # blue channel of each BGR triple
+        return gray[::-1] if bottom_up else gray.copy()
+    except (struct.error, ValueError):
+        return None
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Encode int16 mono samples as a REAL PCM WAV via stdlib wave."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Decode a PCM-16 WAV to (sample_rate, mono int16 samples); multi-
+    channel input is averaged down to mono. None when stdlib wave
+    refuses the payload (truncated/float/compressed) — quarantined."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            if f.getsampwidth() != 2:
+                return None
+            sr = f.getframerate()
+            n_ch = f.getnchannels()
+            raw = f.readframes(f.getnframes())
+        samples = np.frombuffer(raw, dtype=np.int16)
+        if n_ch > 1:
+            samples = (samples.reshape(-1, n_ch).mean(axis=1)
+                       .round().astype(np.int16))
+        return sr, samples
+    except (wave.Error, EOFError, struct.error):
+        return None
 
 
 def fake_image(width: int, height: int, seed: int = 0) -> bytes:
@@ -92,12 +182,45 @@ class FrameSampleStage:
         )
 
 
+def _image_gray(payload: bytes | None) -> np.ndarray | None:
+    """Sniff-and-decode an image payload to a (h, w) uint8 gray array:
+    real BMP first, then the fake container. None -> quarantine."""
+    if not payload:
+        return None
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _IMG_MAGIC:
+        w, h = struct.unpack_from("<II", payload, 8)
+        pixels = np.frombuffer(payload, dtype=np.uint8, offset=16)
+        if len(pixels) != w * h:
+            return None
+        return pixels.reshape(h, w)
+    return None
+
+
+def _audio_mono(payload: bytes | None) -> tuple[int, np.ndarray] | None:
+    """Sniff-and-decode an audio payload to (sample_rate, int16 mono):
+    real WAV first, then the fake container. None -> quarantine."""
+    if not payload:
+        return None
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:8] == _AUD_MAGIC:
+        sr, n = struct.unpack_from("<II", payload, 8)
+        samples = np.frombuffer(payload, dtype=np.int16, offset=16)
+        return (sr, samples) if len(samples) == n else None
+    return None
+
+
 class DecodeImageStage:
     """binary image -> (width, height, checksum, mean_pixel).
 
-    With ``require_real_codecs=True`` this is where PIL would load; in
-    this container that path raises ``NotImplementedError`` (clearly
-    marked stub), and the fake container is decoded instead.
+    Decodes REAL uncompressed BMP (stdlib struct) and the fake
+    container. ``require_real_codecs=True`` is where PIL would extend
+    coverage to JPEG/PNG; in this container that raises
+    ``NotImplementedError`` (clearly marked stub). The checksum is the
+    crc32 of the decoded top-down gray pixel buffer, so a BMP and a
+    fake container carrying the same pixels hash identically.
     """
 
     def __init__(self, image_col: str = "image", require_real_codecs: bool = False):
@@ -106,21 +229,22 @@ class DecodeImageStage:
                 import PIL.Image  # noqa: F401
             except ImportError as exc:
                 raise NotImplementedError(
-                    "real image codecs (PIL) are not available in this "
-                    "container; use the deterministic fake-container path"
+                    "real compressed-image codecs (PIL) are not available "
+                    "in this container; BMP and the deterministic fake "
+                    "container decode without it"
                 ) from exc
         self.image_col = image_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, checksums, means = [], [], [], []
         for payload in batch[self.image_col].to_pylist():
-            if payload and payload[:8] == _IMG_MAGIC:
-                w, h = struct.unpack_from("<II", payload, 8)
-                pixels = np.frombuffer(payload, dtype=np.uint8, offset=16)
+            gray = _image_gray(payload)
+            if gray is not None:
+                h, w = gray.shape
                 widths.append(w)
                 heights.append(h)
-                checksums.append(zlib.crc32(payload[16:]))
-                means.append(float(pixels.mean()) if len(pixels) else 0.0)
+                checksums.append(zlib.crc32(np.ascontiguousarray(gray).tobytes()))
+                means.append(float(gray.mean()) if gray.size else 0.0)
             else:  # undecodable -> quarantine row (F8 semantics)
                 widths.append(None)
                 heights.append(None)
@@ -135,8 +259,9 @@ class DecodeImageStage:
 
 
 class ResizeImageStage:
-    """binary image -> binary image at (out_w, out_h), nearest-neighbor
-    on the fake container (real path would be PIL thumbnail)."""
+    """binary image -> binary image at (out_w, out_h), nearest-neighbor.
+    Output stays in the INPUT's wire format (BMP in -> BMP out, fake in
+    -> fake out) so downstream decode stages compose either way."""
 
     def __init__(self, out_w: int, out_h: int, image_col: str = "image"):
         self.out_w, self.out_h, self.image_col = out_w, out_h, image_col
@@ -144,20 +269,22 @@ class ResizeImageStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         resized = []
         for payload in batch[self.image_col].to_pylist():
-            if payload and payload[:8] == _IMG_MAGIC:
-                w, h = struct.unpack_from("<II", payload, 8)
-                pixels = np.frombuffer(payload, dtype=np.uint8, offset=16)
-                pixels = pixels.reshape(h, w)
-                ys = (np.arange(self.out_h) * h // self.out_h)
-                xs = (np.arange(self.out_w) * w // self.out_w)
-                small = pixels[np.ix_(ys, xs)]
+            gray = _image_gray(payload)
+            if gray is None:
+                resized.append(None)
+                continue
+            h, w = gray.shape
+            ys = (np.arange(self.out_h) * h // self.out_h)
+            xs = (np.arange(self.out_w) * w // self.out_w)
+            small = gray[np.ix_(ys, xs)]
+            if payload[:2] == b"BM":
+                resized.append(encode_bmp(small))
+            else:
                 resized.append(
                     _IMG_MAGIC
                     + struct.pack("<II", self.out_w, self.out_h)
                     + small.tobytes()
                 )
-            else:
-                resized.append(None)
         idx = batch.column_names.index(self.image_col)
         return batch.set_column(
             idx, self.image_col, pa.array(resized, type=pa.large_binary())
@@ -165,7 +292,8 @@ class ResizeImageStage:
 
 
 class AudioFeatureStage:
-    """binary audio -> (sample_rate, n_samples, duration_s, rms)."""
+    """binary audio -> (sample_rate, n_samples, duration_s, rms).
+    Decodes REAL PCM WAV (stdlib wave) and the fake container."""
 
     def __init__(self, audio_col: str = "audio"):
         self.audio_col = audio_col
@@ -173,15 +301,16 @@ class AudioFeatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rates, counts, durations, rms = [], [], [], []
         for payload in batch[self.audio_col].to_pylist():
-            if payload and payload[:8] == _AUD_MAGIC:
-                sr, n = struct.unpack_from("<II", payload, 8)
-                samples = np.frombuffer(payload, dtype=np.int16, offset=16)
+            decoded = _audio_mono(payload)
+            if decoded is not None:
+                sr, samples = decoded
+                n = len(samples)
                 rates.append(sr)
                 counts.append(n)
                 durations.append(round(n / sr, 6) if sr else 0.0)
                 rms.append(
                     round(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))), 6)
-                    if len(samples) else 0.0
+                    if n else 0.0
                 )
             else:
                 rates.append(None)

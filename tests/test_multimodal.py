@@ -93,3 +93,109 @@ def test_frame_sample_through_ray_flat_map():
     )
     # 12 frames every 5 -> 3 rows per video
     assert len(out) == 18
+
+
+# --- real wire formats (BMP via struct, WAV via stdlib wave) -------------
+
+
+def test_bmp_roundtrip_through_decode_stage():
+    """A REAL uncompressed 24-bit BMP decodes through DecodeImageStage
+    with the same features as a fake container carrying the same
+    pixels (format-independent checksum)."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import encode_bmp
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(6, 10), dtype=np.uint8)  # w=10, h=6
+    bmp = encode_bmp(gray)
+    assert bmp[:2] == b"BM"  # genuine BMP magic, viewable wire format
+    fake = (b"FAKEIMG1"
+            + __import__("struct").pack("<II", 10, 6) + gray.tobytes())
+    t = pa.table({"image": [bmp, fake]})
+    out = DecodeImageStage()(t)
+    assert out["width"].to_pylist() == [10, 10]
+    assert out["height"].to_pylist() == [6, 6]
+    assert out["checksum"].to_pylist()[0] == out["checksum"].to_pylist()[1]
+    assert out["mean_pixel"].to_pylist()[0] == pytest.approx(float(gray.mean()))
+
+
+def test_bmp_resize_stays_bmp_and_composes():
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_bmp, encode_bmp)
+
+    gray = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    out = ResizeImageStage(4, 4)(pa.table({"image": [encode_bmp(gray)]}))
+    payload = out["image"].to_pylist()[0]
+    assert payload[:2] == b"BM"  # format preserved
+    small = decode_bmp(payload)
+    assert small.shape == (4, 4)
+    # nearest-neighbor on this gradient: top-left pixel survives
+    assert small[0, 0] == gray[0, 0]
+    decoded = DecodeImageStage()(out)
+    assert decoded["width"].to_pylist() == [4]
+
+
+def test_wav_roundtrip_through_audio_stage():
+    """A REAL PCM WAV (stdlib wave) yields the same features as the
+    fake container carrying the same samples."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import encode_wav
+
+    rng = np.random.default_rng(12)
+    samples = (rng.standard_normal(8000) * 1000).astype(np.int16)
+    wav = encode_wav(16000, samples)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    fake = (b"FAKEAUD1"
+            + __import__("struct").pack("<II", 16000, 8000)
+            + samples.tobytes())
+    out = AudioFeatureStage()(pa.table({"audio": [wav, fake]}))
+    assert out["sample_rate"].to_pylist() == [16000, 16000]
+    assert out["n_samples"].to_pylist() == [8000, 8000]
+    assert out["rms"].to_pylist()[0] == out["rms"].to_pylist()[1]
+    assert out["duration_s"].to_pylist()[0] == 0.5
+
+
+def test_stereo_wav_downmixes_to_mono():
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_wav, encode_wav)
+
+    left = np.full(100, 1000, dtype=np.int16)
+    # interleave L/R manually: stereo frames via raw wave write
+    import io
+    import wave as wv
+
+    buf = io.BytesIO()
+    with wv.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        inter = np.empty(200, dtype=np.int16)
+        inter[0::2] = left
+        inter[1::2] = -left
+        f.writeframes(inter.tobytes())
+    sr, mono = decode_wav(buf.getvalue())
+    assert sr == 8000 and len(mono) == 100
+    assert abs(int(mono.mean())) <= 1  # L/R cancel
+
+
+def test_truncated_real_payloads_quarantine():
+    """Torn BMP/WAV bytes must land in the quarantine (null) rows, not
+    crash the stage — F8 poison semantics on real formats too."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        encode_bmp, encode_wav)
+
+    gray = np.zeros((8, 8), dtype=np.uint8)
+    bmp = encode_bmp(gray)
+    wav = encode_wav(8000, np.zeros(100, dtype=np.int16))
+    out_i = DecodeImageStage()(pa.table({"image": [bmp[:30], bmp[:60]]}))
+    assert out_i["width"].to_pylist() == [None, None]
+    out_a = AudioFeatureStage()(pa.table({"audio": [wav[:10]]}))
+    assert out_a["sample_rate"].to_pylist() == [None]

@@ -54,6 +54,7 @@ import pickle
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..config import EngineConfig
@@ -156,8 +157,6 @@ class StateShard:
         """Dedup + write this shard's epoch output; return stats and
         per-owner window/session partials computed from the survivors."""
         import pyarrow.parquet as pq
-
-        import pyarrow.compute as pc
 
         chunks = self.buffers.pop(epoch, [])
         qchunks = self.qbuffers.pop(epoch, [])
@@ -435,32 +434,43 @@ class ExtractEnrich:
         self.watermark_us = watermark_us
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
+        # The ONLY per-row Python here is decompress+extract (regex
+        # over bytes — inherently scalar). Host parsing, text length
+        # and the status lattice are Arrow/numpy kernels: at 10^12
+        # rows every interpreter op in this stage is paid per document.
         htmls = batch["html"].to_pylist()
-        n = len(urls)
-        texts: list[str] = [""] * n
-        hosts: list[str] = [""] * n
-        status = np.zeros(n, dtype=np.int8)
-        for i in range(n):
-            raw = htmls[i]
-            text = html_to_text(decompress_safe(raw) if raw else raw)
-            if not text:
-                status[i] = PARSE_ERROR
-            texts[i] = text
-            _, sep, rest = urls[i].partition("://")
-            hosts[i] = rest.split("/", 1)[0] if sep else ""
+        texts = [html_to_text(decompress_safe(raw) if raw else raw)
+                 for raw in htmls]
+        text_arr = pa.array(texts, type=pa.string())
+        status = np.where(
+            np.asarray(pc.equal(text_arr, pa.scalar(""))),
+            PARSE_ERROR, OK).astype(np.int8)
+
+        # host = part between '://' and the next '/': two vectorized
+        # split passes; malformed urls (no '://') become '' via the
+        # sentinel rewrite, matching netloc_of's scalar semantics
+        urls = batch["url"]
+        sp = pc.split_pattern(urls, "://", max_splits=1)
+        has_proto = pc.equal(pc.list_value_length(sp), 2)
+        rest = pc.list_element(
+            pc.split_pattern(
+                pc.if_else(has_proto, urls, pa.scalar("://")),
+                "://", max_splits=1),
+            1)
+        hosts = pc.list_element(
+            pc.split_pattern(rest, "/", max_splits=1), 0)
 
         ts_us = series_ts_us(pd.Series(batch["warc_ts"].to_pandas())).to_numpy()
         late = ts_us < self.watermark_us
         status = np.where((status == OK) & late, LATE, status)
 
         out = batch.drop_columns(["html"])
-        out = out.append_column("host", pa.array(hosts, type=pa.string()))
-        out = out.append_column("text", pa.array(texts, type=pa.string()))
         out = out.append_column(
-            "text_len",
-            pa.array([len(t) for t in texts], type=pa.int64()),
-        )
+            "host", hosts.combine_chunks() if isinstance(
+                hosts, pa.ChunkedArray) else hosts)
+        out = out.append_column("text", text_arr)
+        out = out.append_column(
+            "text_len", pc.cast(pc.utf8_length(text_arr), pa.int64()))
         if self.filter is not None:
             keep = self.filter.mask(out)
             keep_np = np.asarray(keep.to_pandas(), dtype=bool)

@@ -104,6 +104,10 @@ class EngineConfig:
     # the cost of serialized disk flushes
 
     # --- resilience (reference src/config.rs:356-366 retry defaults) ---
+    exchange_ack_timeout_s: float = 120.0  # exchange barrier deadline:
+    # async shard pushes must all be buffered (received == pushed per
+    # shard) within this window after the exchange dataset completes,
+    # else the epoch fails into the replay path
     epoch_replay_budget: int = 2     # replays of one epoch's exchange phase
     # before the run fails (reference max_retries analog); each replay
     # backs off exponentially with deterministic jitter

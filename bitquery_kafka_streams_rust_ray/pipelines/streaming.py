@@ -121,6 +121,8 @@ class StateShard:
         self.buffers: dict[int, list[pa.Table]] = {}
         self.qbuffers: dict[int, list[pa.Table]] = {}  # dead-letter rows
         self.epoch_attempt: dict[int, int] = {}  # replay fence per epoch
+        self.push_rows: dict[int, int] = {}  # rows buffered per epoch
+        # (current attempt only) — read back by the exchange barrier
         # K shards finalize concurrently on one node; Arrow kernels on
         # ~100k-row shard tables gain nothing from intra-actor threads,
         # and K actors x N threads convoy badly (measured 0.7s -> 6s
@@ -137,7 +139,15 @@ class StateShard:
         if attempt < self.epoch_attempt.get(epoch, 0):
             return 0
         self.buffers.setdefault(epoch, []).append(table)
+        self.push_rows[epoch] = self.push_rows.get(epoch, 0) + table.num_rows
         return table.num_rows
+
+    def received_rows(self, epoch: int) -> int:
+        """Rows buffered for this epoch's CURRENT attempt — the driver's
+        exchange barrier compares this against the per-shard pushed
+        counts carried home in the stats rows (async pushes are only
+        settled when every pushed row is provably buffered)."""
+        return self.push_rows.get(epoch, 0)
 
     def accept_quarantine(self, epoch: int, table: pa.Table,
                           attempt: int = 0) -> int:
@@ -151,6 +161,7 @@ class StateShard:
     def drop_epoch(self, epoch: int, next_attempt: int = 1) -> bool:
         self.epoch_attempt[epoch] = next_attempt
         self.qbuffers.pop(epoch, None)
+        self.push_rows.pop(epoch, None)
         return self.buffers.pop(epoch, None) is not None
 
     def finalize_epoch(self, epoch: int, stage_dir: str) -> dict:
@@ -161,6 +172,7 @@ class StateShard:
         chunks = self.buffers.pop(epoch, [])
         qchunks = self.qbuffers.pop(epoch, [])
         self.epoch_attempt.pop(epoch, None)
+        self.push_rows.pop(epoch, None)
         stats = {"rows_deduped": 0, "rows_written": 0}
         if qchunks:
             # dead-letter output (F7/F8 poison pills): sorted for
@@ -496,6 +508,14 @@ class ExchangeToShards:
         self.state_shards = state_shards
         self.attempt = attempt
         self.quarantine_late = quarantine_late
+        # async pushes, depth-1 pipelined: batch i's pushes are awaited
+        # only when batch i+1 arrives, so the push round-trip overlaps
+        # the next batch's extract/join compute instead of serializing
+        # after it. The LAST batch's pushes are settled by the driver's
+        # counter barrier (pushed_per_shard in the stats rows vs
+        # StateShard.received_rows), which keeps the attempt fence: a
+        # replay bumps the attempt, making stale in-flight pushes no-ops.
+        self._pending: list = []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         status = batch.column("_status").to_numpy(zero_copy_only=False)
@@ -538,6 +558,7 @@ class ExchangeToShards:
                 for k in np.unique(qshards)
             ])
         ok_idx = np.nonzero(status == OK)[0]
+        pushed = np.zeros(self.state_shards, dtype=np.int64)
         if ok_idx.size:
             ok = batch.take(ok_idx).drop_columns(["_status"])
             # column_ts_us casts to timestamp("us") first: a bare
@@ -548,15 +569,21 @@ class ExchangeToShards:
             ok = ok.append_column("_ts_us", pa.array(ts_us))
             shards = shard_of(ok.column("url").to_numpy(zero_copy_only=False),
                               self.state_shards)
-            refs = [
+            pushed = np.bincount(shards, minlength=self.state_shards
+                                 ).astype(np.int64)
+            if self._pending:  # settle the PREVIOUS batch's pushes
+                ray.get(self._pending)
+            self._pending = [
                 self.actors[int(k)].accept_rows.remote(
                     self.epoch, ok.take(np.nonzero(shards == k)[0]),
                     self.attempt,
                 )
                 for k in np.unique(shards)
             ]
-            ray.get(refs)
-        return pa.table({k: [v] for k, v in stats.items()})
+        out = {k: [v] for k, v in stats.items()}
+        out["pushed_per_shard"] = pa.array([pushed.tolist()],
+                                           type=pa.list_(pa.int64()))
+        return pa.table(out)
 
 
 # per-worker-process cache of the deserialized + pre-sorted broadcast
@@ -1034,6 +1061,31 @@ class StreamingPagesPipeline:
             for c in ("rows_read", "parse_errors", "rows_filtered_out",
                       "late_dropped")
         }
+        # exchange barrier: pushes are async inside the map tasks (the
+        # last batch of each task is never awaited there), so finalize
+        # may only proceed once every pushed row is provably buffered.
+        # Counts are per-attempt (drop_epoch resets them), preserving
+        # the replay fence; a mismatch past the deadline fails the
+        # epoch into the normal replay path.
+        if len(stats):
+            expected = np.sum(np.vstack(stats["pushed_per_shard"]), axis=0)
+            deadline = _time.monotonic() + cfg.exchange_ack_timeout_s
+            while True:
+                got = np.asarray(ray.get(
+                    [a.received_rows.remote(epoch) for a in actors]))
+                if (got == expected).all():
+                    break
+                if (got > expected).any():
+                    raise RuntimeError(
+                        f"epoch {epoch}: shard received more rows than "
+                        f"pushed ({got.tolist()} > {expected.tolist()}) — "
+                        "double-push; replaying")
+                if _time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"epoch {epoch}: exchange pushes not settled "
+                        f"after {cfg.exchange_ack_timeout_s}s "
+                        f"({got.tolist()} != {expected.tolist()})")
+                _time.sleep(0.01)
         max_ts = int(stats["max_ts_us"].max()) if len(stats) else NEG_INF_TS
         self.metrics.observe("epoch_exchange_seconds", _t1 - _t0)
         self.log.debug("epoch_exchange", epoch=epoch, attempt=attempt,

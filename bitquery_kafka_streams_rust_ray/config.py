@@ -86,6 +86,14 @@ class EngineConfig:
     topk_max_keys: int = 0           # 0 = exact counts (memory O(distinct
     # keys per shard)); >0 = Misra-Gries shrink to this many counters
     # per shard (counts become lower bounds with error <= total/(cap+1))
+    sketch_distinct: bool = False    # per-(lang, tumbling-window) distinct
+    # hosts via mergeable HLL registers — the documented 100-TB stand-in
+    # for exact per-window distinct. When on, tumbling_lang gains BOTH
+    # columns (exact `distinct_hosts` companion + `approx_hosts`) and a
+    # sketch_distinct_rel_err lineage metric; default off keeps output
+    # byte-identical
+    sketch_distinct_p: int = 12      # HLL precision: 2**p registers per
+    # (key, window) partial = 4 KiB at 12 (std err ~1.6%)
 
     # --- physical execution ---
     batch_size: int = 1024           # rows per Arrow batch in stateful stages

@@ -74,9 +74,9 @@ from ..reliability import (HalfOpenCircuitBreaker, RetryConfig,
                            RetryStrategy)
 from ..sinks.exactly_once import EpochSink
 from ..sources.pages import pages_files
-from ..state.store import (DedupState, FunnelState, SessionState,
-                           SpillDedupState, TopKState, restore_dedup,
-                           WindowState)
+from ..state.store import (DedupState, DistinctWindowState, FunnelState,
+                           SessionState, SpillDedupState, TopKState,
+                           restore_dedup, WindowState)
 from ..state.watermark import WatermarkTracker
 from ..stages.hashing import shard_of
 from ..stages.timeops import NEG_INF_TS, US, column_ts_us, series_ts_us
@@ -118,6 +118,8 @@ class StateShard:
         )
         self.topk = (TopKState(config.topk_hosts, config.topk_max_keys)
                      if config.topk_hosts > 0 else None)
+        self.distinct = (DistinctWindowState(config.sketch_distinct_p)
+                         if config.sketch_distinct else None)
         self.buffers: dict[int, list[pa.Table]] = {}
         self.qbuffers: dict[int, list[pa.Table]] = {}  # dead-letter rows
         self.epoch_attempt: dict[int, int] = {}  # replay fence per epoch
@@ -188,7 +190,7 @@ class StateShard:
             )
         if not chunks:
             return {"stats": stats, "windows": {}, "sessions": {},
-                    "funnels": {}, "hostcounts": {}}
+                    "funnels": {}, "hostcounts": {}, "distincts": {}}
 
         # pure Arrow end to end: the buffered chunks are zero-copy views
         # into the object store, and a pandas round-trip of the full
@@ -208,9 +210,10 @@ class StateShard:
         stats["rows_deduped"] = int((~keep).sum())
         tbl = tbl.filter(pa.array(keep))
         _t2 = _time.time()
-        windows, sessions, funnels, hostcounts = {}, {}, {}, {}
+        windows, sessions, funnels, hostcounts, distincts = {}, {}, {}, {}, {}
         if tbl.num_rows:
-            windows, sessions, funnels, hostcounts = self._partials(tbl)
+            (windows, sessions, funnels, hostcounts,
+             distincts) = self._partials(tbl)
             _t3 = _time.time()
             path = os.path.join(stage_dir, f"pages-{self.shard_id:04d}.parquet")
             pq.write_table(tbl.drop_columns(["_ts_us"]), path)
@@ -224,9 +227,10 @@ class StateShard:
                     os.fsync(f.fileno())
             stats["rows_written"] = tbl.num_rows
         return {"stats": stats, "windows": windows, "sessions": sessions,
-                "funnels": funnels, "hostcounts": hostcounts}
+                "funnels": funnels, "hostcounts": hostcounts,
+                "distincts": distincts}
 
-    def _partials(self, tbl: pa.Table) -> tuple[dict, dict, dict, dict]:
+    def _partials(self, tbl: pa.Table) -> tuple[dict, dict, dict, dict, dict]:
         """Pre-aggregate survivors into per-owner window partials and
         session runs — the two-level aggregation that keeps the exchange
         narrow (counts per (key, window), not rows). Only the four
@@ -279,7 +283,42 @@ class StateShard:
             for o in np.unique(owner):
                 m = owner == o
                 hostcounts[int(o)] = (hs[m].tolist(), cnts[m])
-        return windows, sessions, funnels, hostcounts
+        distincts: dict[int, tuple] = {}
+        if self.distinct is not None:
+            # per-(lang, tumbling-window) distinct-host partial: one
+            # 2**p-byte HLL register array per group (constant-size,
+            # mergeable by elementwise max — THE 100-TB shape for
+            # per-window distinct) plus the shard-local unique host
+            # list as the exact validation companion
+            from ..stages.hashing import hash_strings
+            from ..stages.sketches import _hll_registers, _splitmix64
+
+            grp = pd.DataFrame({
+                "k": ok["lang"].fillna("").to_numpy(),
+                "w": (ts // tum) * tum,
+                "h": ok["host"].fillna("").to_numpy(),
+            })
+            keys, starts, blobs, hostlists = [], [], [], []
+            for (k, w), sub in grp.groupby(["k", "w"], sort=True):
+                hosts = sub["h"].unique()
+                keys.append(k)
+                starts.append(int(w))
+                blobs.append(_hll_registers(
+                    _splitmix64(hash_strings(hosts)),
+                    self.cfg.sketch_distinct_p).tobytes())
+                hostlists.append(hosts.tolist())
+            if keys:
+                starts_np = np.asarray(starts, dtype=np.int64)
+                owner = shard_of(np.asarray(keys, dtype=object), n)
+                for o in np.unique(owner):
+                    m = owner == o
+                    distincts[int(o)] = (
+                        [keys[i] for i in np.nonzero(m)[0]],
+                        starts_np[m], starts_np[m] + tum,
+                        [blobs[i] for i in np.nonzero(m)[0]],
+                        [hostlists[i] for i in np.nonzero(m)[0]],
+                    )
+        return windows, sessions, funnels, hostcounts, distincts
 
     def add_window_partials(self, batches: list[tuple]) -> None:
         for kind, keys, starts, ends, counts, totals in batches:
@@ -297,6 +336,10 @@ class StateShard:
         for keys, counts in batches:
             self.topk.add(keys, counts)
 
+    def add_distinct_partials(self, batches: list[tuple]) -> None:
+        for keys, starts, ends, blobs, hostlists in batches:
+            self.distinct.add_partials(keys, starts, ends, blobs, hostlists)
+
     def ping(self) -> int:
         """Liveness probe for the health monitor."""
         return self.shard_id
@@ -305,14 +348,18 @@ class StateShard:
         """Placement introspection (multi-node spread assertions)."""
         return ray.get_runtime_context().get_node_id()
 
-    def close(self, watermark_us: int) -> tuple[list, list, list, list, int]:
+    def close(self, watermark_us: int
+              ) -> tuple[list, list, list, list, list, int]:
         closed_windows = self.windows.close(watermark_us)
         closed_sessions = self.sessions.close(watermark_us)
         closed_funnels = (self.funnel.close(watermark_us)
                           if self.funnel is not None else [])
         topk = self.topk.top() if self.topk is not None else []
+        closed_distinct = (self.distinct.close(watermark_us)
+                           if self.distinct is not None else [])
         evicted = self.dedup.evict(watermark_us)
-        return closed_windows, closed_sessions, closed_funnels, topk, evicted
+        return (closed_windows, closed_sessions, closed_funnels, topk,
+                closed_distinct, evicted)
 
     def _snapshot_rest(self) -> dict:
         return {
@@ -322,6 +369,8 @@ class StateShard:
                        if self.funnel is not None else None),
             "topk": (self.topk.snapshot()
                      if self.topk is not None else None),
+            "distinct": (self.distinct.snapshot()
+                         if self.distinct is not None else None),
         }
 
     def snapshot(self) -> dict:
@@ -340,6 +389,9 @@ class StateShard:
         self.funnel = FunnelState.restore(fun) if fun is not None else None
         tk = snap.get("topk")
         self.topk = TopKState.restore(tk) if tk is not None else None
+        di = snap.get("distinct")
+        self.distinct = (DistinctWindowState.restore(di)
+                         if di is not None else None)
         return True
 
     def write_snapshot(self, path: str) -> int:
@@ -1110,6 +1162,7 @@ class StreamingPagesPipeline:
         sess_calls: dict[int, list] = {}
         fun_calls: dict[int, list] = {}
         host_calls: dict[int, list] = {}
+        dist_calls: dict[int, list] = {}
         for r in results:
             for c in ("rows_deduped", "rows_written"):
                 counters[c] = counters.get(c, 0) + r["stats"][c]
@@ -1121,6 +1174,8 @@ class StreamingPagesPipeline:
                 fun_calls.setdefault(owner, []).append(payload)
             for owner, payload in r.get("hostcounts", {}).items():
                 host_calls.setdefault(owner, []).append(payload)
+            for owner, payload in r.get("distincts", {}).items():
+                dist_calls.setdefault(owner, []).append(payload)
         ray.get(
             [actors[o].add_window_partials.remote(b)
              for o, b in win_calls.items()]
@@ -1130,6 +1185,8 @@ class StreamingPagesPipeline:
                for o, b in fun_calls.items()]
             + [actors[o].add_host_counts.remote(b)
                for o, b in host_calls.items()]
+            + [actors[o].add_distinct_partials.remote(b)
+               for o, b in dist_calls.items()]
         )
 
         _t2 = _time.time()
@@ -1175,11 +1232,13 @@ class StreamingPagesPipeline:
         session_rows: list = []
         funnel_rows: list = []
         topk_cands: list = []
-        for cw, cs, cf, tk, _ in closed:
+        distinct_rows: list = []
+        for cw, cs, cf, tk, cd, _ in closed:
             window_rows.extend(cw)
             session_rows.extend(cs)
             funnel_rows.extend(cf)
             topk_cands.extend(tk)
+            distinct_rows.extend(cd)
         window_rows.sort()
         session_rows.sort()
         funnel_rows.sort()
@@ -1201,6 +1260,33 @@ class StreamingPagesPipeline:
                     "total_chars": pa.array([r[5] for r in rows], type=pa.float64()),
                 }
             )
+        if self.cfg.sketch_distinct:
+            # per-(lang, window) distinct hosts: exact companion next to
+            # the HLL estimate (the 100-TB path), plus the accuracy
+            # delta as a lineage metric. Both families closed at the
+            # same watermark from the same survivors, so keys align.
+            dmap = {(k, s): (ex, ap)
+                    for k, s, _end, ex, ap in distinct_rows}
+            tl = tables["tumbling_lang"]
+            pairs = [
+                dmap.get((k, s), (None, None))
+                for k, s in zip(
+                    tl.column("key").to_pylist(),
+                    tl.column("window_start").cast(pa.int64()).to_pylist())
+            ]
+            tables["tumbling_lang"] = tl.append_column(
+                "distinct_hosts",
+                pa.array([p[0] for p in pairs], type=pa.int64()),
+            ).append_column(
+                "approx_hosts",
+                pa.array([p[1] for p in pairs], type=pa.int64()),
+            )
+            errs = [abs(ap - ex) / ex
+                    for ex, ap in pairs if ex]
+            if errs:
+                self.metrics.observe("sketch_distinct_rel_err",
+                                     float(np.mean(errs)))
+
         tables["session_host"] = pa.table(
             {
                 "host": pa.array([r[0] for r in session_rows], type=pa.string()),

@@ -554,3 +554,76 @@ class SessionState:
             k: [_Session(*row) for row in v] for k, v in snap["sessions"].items()
         }
         return st
+
+
+class DistinctWindowState:
+    """Per-(key, window) distinct-value accumulators for the flagship's
+    sketch path (SURVEY §2 A6 at 100-TB scale).
+
+    Holds TWO representations side by side:
+
+    * HLL registers (``2**p`` bytes, elementwise-max mergeable) — the
+      scale path: exchange volume is constant per (key, window, shard)
+      regardless of cardinality;
+    * the exact value set — the validation companion that lets the
+      engine report the sketch's accuracy delta as a lineage metric.
+      A production 10^12-row deployment would disable the companion;
+      at test/bench scale it is cheap and keeps the sketch honest.
+
+    Windows close at the same watermark as ``WindowState``, emitting
+    ``(key, window_start_us, window_end_us, exact, approx)``.
+    """
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.regs: dict[tuple[str, int], np.ndarray] = {}
+        self.exact: dict[tuple[str, int], set] = {}
+        self.window_end: dict[tuple[str, int], int] = {}
+
+    def add_partials(self, keys: list[str], starts, ends,
+                     reg_blobs: list[bytes], value_lists: list[list]) -> None:
+        for i, key in enumerate(keys):
+            k = (key, int(starts[i]))
+            r = np.frombuffer(reg_blobs[i], dtype=np.uint8)
+            cur = self.regs.get(k)
+            if cur is None:
+                self.regs[k] = r.copy()
+                self.exact[k] = set(value_lists[i])
+                self.window_end[k] = int(ends[i])
+            else:
+                np.maximum(cur, r, out=cur)
+                self.exact[k].update(value_lists[i])
+
+    def close(self, watermark_us: int) -> list[tuple]:
+        from ..stages.sketches import _hll_estimate
+
+        out = []
+        for k, end in list(self.window_end.items()):
+            if end <= watermark_us:
+                regs = self.regs.pop(k)
+                exact = self.exact.pop(k)
+                del self.window_end[k]
+                out.append((k[0], k[1], end, len(exact),
+                            int(round(_hll_estimate(regs)))))
+        out.sort()
+        return out
+
+    def snapshot(self) -> dict:
+        return {
+            "p": self.p,
+            "rows": [
+                [k[0], k[1], self.window_end[k], self.regs[k].tobytes(),
+                 sorted(self.exact[k])]
+                for k in sorted(self.window_end)
+            ],
+        }
+
+    @classmethod
+    def restore(cls, snap: dict) -> "DistinctWindowState":
+        st = cls(snap["p"])
+        for key, start, end, blob, vals in snap["rows"]:
+            k = (key, int(start))
+            st.regs[k] = np.frombuffer(blob, dtype=np.uint8).copy()
+            st.exact[k] = set(vals)
+            st.window_end[k] = int(end)
+        return st

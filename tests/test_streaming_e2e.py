@@ -635,3 +635,53 @@ def test_sketch_distinct_commits_both_columns(pages_dir, tmp_path):
     tl2 = flagship_outputs(out2)["tumbling_lang"].to_pandas()
     assert "approx_hosts" not in tl2.columns
     assert "distinct_hosts" not in tl2.columns
+
+
+def test_sketch_state_survives_kill_and_resume(pages_dir, tmp_path):
+    """The new distinct-sketch state family must ride the checkpoint
+    contract: crash after epoch 1 with sketch_distinct=True, resume,
+    and every committed byte (including the sketch columns built from
+    restored HLL registers + exact sets) matches the uninterrupted
+    reference run."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    d, spec, _ = pages_dir
+    cfg = dataclasses.replace(CFG, sketch_distinct=True)
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+
+    ref_out = str(tmp_path / "sketch_ref")
+    StreamingPagesPipeline(
+        d, ref_out, cfg, PageFilter(min_text_len=1), meta).run(resume=True)
+
+    out = str(tmp_path / "sketch_resumed")
+
+    class Boom(RuntimeError):
+        pass
+
+    real_exchange = StreamingPagesPipeline._exchange_epoch
+
+    def crashing(self, epoch, files, actors, watermark, attempt=0):
+        if epoch == 2:
+            raise Boom()
+        return real_exchange(self, epoch, files, actors, watermark, attempt)
+
+    StreamingPagesPipeline._exchange_epoch = crashing
+    try:
+        with pytest.raises(RetryExhausted):
+            StreamingPagesPipeline(
+                d, out, cfg, PageFilter(min_text_len=1), meta
+            ).run(resume=True)
+    finally:
+        StreamingPagesPipeline._exchange_epoch = real_exchange
+    assert EpochSink(out).committed_epochs() == [0, 1]
+
+    StreamingPagesPipeline(
+        d, out, cfg, PageFilter(min_text_len=1), meta).run(resume=True)
+
+    ref_hashes = _output_hashes(ref_out)
+    got_hashes = _output_hashes(out)
+    assert set(got_hashes) == set(ref_hashes)
+    diff = {k for k in ref_hashes if ref_hashes[k] != got_hashes[k]}
+    assert not diff, f"differing files after sketch resume: {sorted(diff)[:10]}"

@@ -204,3 +204,30 @@ def test_incremental_resume_appended_slices_byte_identical(pages_dir,
 
     from tests.test_streaming_e2e import _output_hashes
     assert _output_hashes(out) == _output_hashes(ref_out)
+
+
+def test_received_rows_counter_tracks_current_attempt_only(tmp_path):
+    """The exchange barrier's shard-side counter: rows buffered for the
+    CURRENT attempt only. Pushes before a drop_epoch (replay fence
+    bump) are discarded AND vanish from the count; stale-attempt pushes
+    landing after the bump contribute nothing. This is what lets the
+    driver equate received==pushed with 'every row of THIS attempt is
+    buffered'."""
+    import ray
+
+    shard = StateShard.remote(0, EngineConfig(min_text_len=1))
+    t = pa.table({"url": ["a", "b"], "_ts_us": [1, 2]})
+
+    assert ray.get(shard.received_rows.remote(5)) == 0
+    ray.get(shard.accept_rows.remote(5, t, 0))
+    ray.get(shard.accept_rows.remote(5, t, 0))
+    assert ray.get(shard.received_rows.remote(5)) == 4
+
+    # replay fence: attempt bumps, count resets with the buffers
+    ray.get(shard.drop_epoch.remote(5, 1))
+    assert ray.get(shard.received_rows.remote(5)) == 0
+    ray.get(shard.accept_rows.remote(5, t, 0))  # stale attempt: no-op
+    assert ray.get(shard.received_rows.remote(5)) == 0
+    ray.get(shard.accept_rows.remote(5, t, 1))  # current attempt counts
+    assert ray.get(shard.received_rows.remote(5)) == 2
+    ray.kill(shard)

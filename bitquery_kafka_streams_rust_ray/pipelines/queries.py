@@ -1985,24 +1985,43 @@ def stratified_sample_events(sf_dir: str, per_user: int = 2) -> pd.DataFrame:
 _DECON_N = 8  # benchmark-overlap shingle width (words)
 _DECON_BENCH_MAX_ID = 10
 
+# per-worker-process cache of broadcast benchmark gram sets, keyed by
+# object ref: ray.get once per worker, not once per task or batch —
+# the same load-once semantics as an actor pool without paying actor
+# spin-up (the stage itself is stateless, so plain tasks keep the
+# upstream read fully pipelined)
+_GRAMS_CACHE: dict[str, set] = {}
+
+
+def _cached_grams(ref) -> set:
+    import ray
+
+    key = ref.hex()
+    grams = _GRAMS_CACHE.get(key)
+    if grams is None:
+        while len(_GRAMS_CACHE) >= 2:  # old benchmark versions
+            _GRAMS_CACHE.pop(next(iter(_GRAMS_CACHE)))
+        grams = _GRAMS_CACHE[key] = ray.get(ref)
+    return grams
+
 
 class _Decontaminator:
-    """Actor-pool stage: fetch the broadcast benchmark n-gram set once
-    per actor, then count per-document distinct overlapping shingles."""
+    """Plain-task stage: fetch the broadcast benchmark n-gram set once
+    per worker process, then count per-document distinct overlapping
+    shingles."""
 
     def __init__(self, grams_ref):
-        import ray
-
-        self.grams: set[str] = ray.get(grams_ref)
+        self.grams_ref = grams_ref
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        grams = _cached_grams(self.grams_ref)
         n = _DECON_N
         hits = np.empty(len(t), dtype=np.int64)
         for j, text in enumerate(t["text"].to_pylist()):
             toks = (text or "").split()
             seen = {" ".join(toks[i:i + n])
                     for i in range(len(toks) - n + 1)}
-            hits[j] = len(seen & self.grams)
+            hits[j] = len(seen & grams)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_hits": pa.array(hits, type=pa.int64()),
@@ -2034,11 +2053,8 @@ def decontaminate_documents(sf_dir: str) -> pd.DataFrame:
     grams_ref = ray.put(bench_grams)
 
     out = (_t(sf_dir, "documents", ["doc_id", "text"])
-           .map_batches(_Decontaminator,
-                        fn_constructor_kwargs={"grams_ref": grams_ref},
-                        # autoscaling (min,max) — a fixed-size pool equal
-                        # to cluster CPUs starves the upstream read
-                        batch_format="pyarrow", concurrency=(1, 8))
+           .map_batches(_Decontaminator(grams_ref),
+                        batch_format="pyarrow")
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -2091,11 +2107,10 @@ class _Curator:
     surviving rows)."""
 
     def __init__(self, grams_ref):
-        import ray
-
-        self.grams: set[str] = ray.get(grams_ref)
+        self.grams_ref = grams_ref
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        grams = _cached_grams(self.grams_ref)
         n = _DECON_N
         ids, texts, ntoks = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(),
@@ -2109,7 +2124,7 @@ class _Curator:
                 continue
             doc_grams = {" ".join(toks[i:i + n])
                          for i in range(len(toks) - n + 1)}
-            if doc_grams & self.grams:  # shares an 8-gram with the bench
+            if doc_grams & grams:  # shares an 8-gram with the bench
                 continue
             ids.append(doc_id)
             texts.append(text)
@@ -2140,9 +2155,7 @@ def curate_documents(sf_dir: str) -> pd.DataFrame:
     grams_ref = ray.put(bench_grams)
 
     kept = (_t(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(_Curator,
-                         fn_constructor_kwargs={"grams_ref": grams_ref},
-                         batch_format="pyarrow", concurrency=(1, 8)))
+            .map_batches(_Curator(grams_ref), batch_format="pyarrow"))
     out = (exact_dedup(kept, key_cols=["text"], order_cols=["doc_id"])
            .select_columns(["doc_id", "n_tokens"]).to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -479,9 +479,12 @@ def asof_latest_order(sf_dir: str) -> pd.DataFrame:
                          "o_totalprice": "latest_total"})
     )
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    # concurrency=None -> plain tasks; the pre-sorted small side is
+    # ray.put once and cached per worker process, so there is no actor
+    # pool to spin up and the read stays fully pipelined
     out = broadcast_asof_join(
         ds, latest, on="user_id", ts_col="ts", version_ts_col="o_orderdate",
-        defaults={"latest_total": 0.0}, concurrency=2,
+        defaults={"latest_total": 0.0}, concurrency=None,
     ).to_pandas()
     return out[["event_id", "latest_total"]]
 

@@ -36,6 +36,10 @@ import ray.data
 from .hashing import add_shard_column, shard_of
 from .timeops import series_ts_us
 
+# per-worker-process cache of deserialized broadcast small sides, keyed
+# by object ref: plain-task joins fetch once per worker, not per batch
+_SMALL_SIDE_CACHE: dict[str, pd.DataFrame] = {}
+
 
 class _BroadcastJoiner:
     """Actor-pool stage: fetch the broadcast side once per actor."""
@@ -150,7 +154,11 @@ def broadcast_asof_join(
         defaults = defaults or {}
 
         def asof(batch: pd.DataFrame) -> pd.DataFrame:
-            right = ray.get(ref)
+            right = _SMALL_SIDE_CACHE.get(ref.hex())
+            if right is None:  # once per worker process, not per batch
+                while len(_SMALL_SIDE_CACHE) >= 4:
+                    _SMALL_SIDE_CACHE.pop(next(iter(_SMALL_SIDE_CACHE)))
+                right = _SMALL_SIDE_CACHE[ref.hex()] = ray.get(ref)
             order = np.arange(len(batch))
             left = batch.assign(_order=order, _ts=series_ts_us(batch[ts_col]))
             left = left.sort_values("_ts", kind="mergesort")

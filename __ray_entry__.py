@@ -60,10 +60,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_documents": q.minhash_dedup_documents,
         "simhash_dedup_documents": q.simhash_dedup_documents,
         "embedding_dedup_vectors": q.embedding_dedup_vectors,
-        # similarity search
+        # similarity search + per-label vector reduction
         "ann_topk": q.ann_topk,
         "ann_ivf_topk": q.ann_ivf_topk,
         "nearest_ref_vector": q.nearest_ref_vector,
+        "label_centroids_embeddings": q.label_centroids_embeddings,
         # host/source-level quality gate (two-stage aggregate + semi join)
         "source_quality_filter": q.source_quality_filter,
         # distributed iterative clustering (rows-only: not ANSI SQL)
@@ -608,6 +609,25 @@ def oracle_sql() -> dict[str, str]:
                       JOIN sizes sb ON sb.doc_id = ib
             WHERE CAST(ints AS DOUBLE) / (sa.sz + sb.sz - ints) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "label_centroids_embeddings": """
+            WITH u AS (
+                SELECT label, i AS dim,
+                       CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                  * 1000000.0 + 0.5) AS BIGINT) AS v6
+                FROM embeddings,
+                     LATERAL (SELECT unnest(range(1, len(embedding) + 1))
+                              AS i) t
+            ),
+            s AS (SELECT label, dim, CAST(sum(v6) AS BIGINT) AS sv
+                  FROM u GROUP BY label, dim),
+            n AS (SELECT label, count(*) AS n_vectors FROM embeddings
+                  GROUP BY label)
+            SELECT s.label AS label, n.n_vectors AS n_vectors,
+                   string_agg(CAST(sv AS VARCHAR), ',' ORDER BY dim)
+                       AS centroid_e6
+            FROM s JOIN n USING (label)
+            GROUP BY s.label, n.n_vectors ORDER BY label
         """,
         "nearest_ref_vector": """
             SELECT vec_id, ref_id FROM (

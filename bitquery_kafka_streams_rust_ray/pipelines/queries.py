@@ -827,6 +827,45 @@ def nearest_ref_vector(sf_dir: str) -> pd.DataFrame:
             .sort_values("vec_id").reset_index(drop=True))
 
 
+def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid reduction over the embedding column — the
+    vector analog of grouped sum (class prototypes for nearest-centroid
+    classification / dataset cartography). Each batch reduces to one
+    k x dim integer partial (components scaled to 1e-6 units BEFORE
+    summing, so the distributed sum is order-independent and bit-exact
+    against the SQL oracle — same trick as the k-means fit,
+    stages/cluster.py); the driver merges labels x dim integers, never
+    raw vectors. At 100 TB this is a pure streaming map whose exchange
+    volume is labels x dim x blocks ints."""
+    ds = _t(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        labs = t["label"].to_numpy(zero_copy_only=False)
+        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        e6 = np.floor(embs * 1e6 + 0.5).astype(np.int64)
+        out_l, out_n, out_s = [], [], []
+        for lab in np.unique(labs):
+            m = labs == lab
+            out_l.append(int(lab))
+            out_n.append(int(m.sum()))
+            out_s.append(e6[m].sum(axis=0).tolist())
+        return pa.table({
+            "label": pa.array(out_l, type=pa.int64()),
+            "n": pa.array(out_n, type=pa.int64()),
+            "sums": pa.array(out_s, type=pa.list_(pa.int64())),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc: dict[int, tuple[int, np.ndarray]] = {}
+    for lab, n, s in zip(partials["label"], partials["n"], partials["sums"]):
+        n0, s0 = acc.get(int(lab), (0, None))
+        v = np.asarray(s, dtype=np.int64)
+        acc[int(lab)] = (n0 + int(n), v if s0 is None else s0 + v)
+    rows = [(lab, n, ",".join(str(int(x)) for x in s))
+            for lab, (n, s) in sorted(acc.items())]
+    return pd.DataFrame(rows, columns=["label", "n_vectors", "centroid_e6"])
+
+
 def source_quality_filter(sf_dir: str) -> pd.DataFrame:
     """C4/Gopher-style host-level quality gate: keep only documents
     from sources whose MEAN document length clears a floor. Two-stage:

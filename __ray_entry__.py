@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q.ann_ivf_topk,
         "nearest_ref_vector": q.nearest_ref_vector,
         "label_centroids_embeddings": q.label_centroids_embeddings,
+        "knn_classify_embeddings": q.knn_classify_embeddings,
         # host/source-level quality gate (two-stage aggregate + semi join)
         "source_quality_filter": q.source_quality_filter,
         # distributed iterative clustering (rows-only: not ANSI SQL)
@@ -628,6 +629,25 @@ def oracle_sql() -> dict[str, str]:
                        AS centroid_e6
             FROM s JOIN n USING (label)
             GROUP BY s.label, n.n_vectors ORDER BY label
+        """,
+        "knn_classify_embeddings": """
+            WITH r AS (
+                SELECT e.vec_id AS q, rf.label AS lab,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding,
+                                                           rf.embedding)
+                                    DESC, rf.vec_id) AS rn
+                FROM embeddings e JOIN embeddings rf ON rf.vec_id < 50
+                WHERE e.vec_id >= 50
+            ),
+            v AS (SELECT q, lab, count(*) AS c FROM r
+                  WHERE rn <= 5 GROUP BY q, lab)
+            SELECT q AS vec_id, CAST(lab AS BIGINT) AS pred_label FROM (
+                SELECT q, lab, row_number() OVER (
+                    PARTITION BY q ORDER BY c DESC, lab) AS rnk
+                FROM v
+            ) WHERE rnk = 1 ORDER BY vec_id
         """,
         "nearest_ref_vector": """
             SELECT vec_id, ref_id FROM (

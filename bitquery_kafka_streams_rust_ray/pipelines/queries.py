@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -864,6 +865,57 @@ def label_centroids_embeddings(sf_dir: str) -> pd.DataFrame:
     rows = [(lab, n, ",".join(str(int(x)) for x in s))
             for lab, (n, s) in sorted(acc.items())]
     return pd.DataFrame(rows, columns=["label", "n_vectors", "centroid_e6"])
+
+
+def knn_classify_embeddings(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """k-NN label classification: every vector outside the labeled
+    reference set (vec_id >= 50) gets the majority label of its k=5
+    nearest reference vectors by cosine (ties by smaller label). The
+    reference side broadcasts once; the corpus side is a pure
+    streaming map — per batch one Q @ R^T matmul, a stable argsort for
+    the (score desc, ref_id asc) neighbor order, and a one-hot vote
+    matrix, no Python rows. At 10^12 corpus vectors the reference side
+    would route through the IVF index (stages/ann.py) instead of a
+    dense matmul; the vote composition is unchanged."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    refdf = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(50))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # 50 rows by construction
+        .sort_values("vec_id")
+    )
+    ref_mat = np.asarray(refdf["embedding"].tolist(), dtype=np.float64)
+    ref_mat /= np.linalg.norm(ref_mat, axis=1, keepdims=True)
+    labels = np.unique(refdf["label"].to_numpy())
+    lab_idx = refdf["label"].map(
+        {lab: i for i, lab in enumerate(labels)}).to_numpy()
+    ref = ray.put((ref_mat, lab_idx))
+
+    def classify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["vec_id"], pa.scalar(50)))
+        if not t.num_rows:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "pred_label": pa.array([], pa.int64())})
+        mat, lidx = ray.get(ref)
+        x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        scores = x @ mat.T
+        # stable sort on -score: ties fall back to column order, which
+        # IS ref_id ascending (the reference frame is id-sorted)
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        votes = np.zeros((len(x), len(labels)), dtype=np.int32)
+        rows = np.repeat(np.arange(len(x)), k)
+        np.add.at(votes, (rows, lidx[top.ravel()]), 1)
+        pred = labels[votes.argmax(axis=1)]  # first max = smaller label
+        return pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "pred_label": pa.array(pred.astype(np.int64)),
+        })
+
+    out = ds.map_batches(classify, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def source_quality_filter(sf_dir: str) -> pd.DataFrame:

@@ -120,6 +120,8 @@ QUERY_NAMES = [
     "text_analysis_documents",
     "bm25_documents",
     "mix_documents",
+    "label_centroids_embeddings",
+    "knn_classify_embeddings",
 ]
 
 

@@ -174,6 +174,13 @@ class EngineConfig:
             raise ValueError("topk_hosts / topk_max_keys must be >= 0")
         if self.compact_target_bytes <= 0:
             raise ValueError("compact_target_bytes must be positive")
+        if not 4 <= self.sketch_distinct_p <= 18:
+            raise ValueError("sketch_distinct_p must be in [4, 18] "
+                             "(16 B to 256 KiB registers per window)")
+        if self.lock_lease_s <= 0:
+            raise ValueError("lock_lease_s must be positive")
+        if self.exchange_ack_timeout_s <= 0:
+            raise ValueError("exchange_ack_timeout_s must be positive")
 
     @classmethod
     def from_env(cls, env: dict | None = None,

@@ -109,3 +109,21 @@ def test_from_env_bad_value_names_the_variable():
 def test_from_env_result_is_validated():
     with pytest.raises(ValueError, match="state_shards"):
         EngineConfig.from_env(env={"GRAFT_CFG_STATE_SHARDS": "0"})
+
+
+def test_validate_round3_knobs():
+    import dataclasses
+
+    import pytest
+
+    from bitquery_kafka_streams_rust_ray.config import EngineConfig
+
+    for field, bad in (("sketch_distinct_p", 3), ("sketch_distinct_p", 19),
+                       ("lock_lease_s", 0.0),
+                       ("exchange_ack_timeout_s", -1.0)):
+        with pytest.raises(ValueError):
+            dataclasses.replace(EngineConfig(), **{field: bad}).validate()
+    # env overrides reach the new fields through the generic field walk
+    c = EngineConfig.from_env({"GRAFT_CFG_SKETCH_DISTINCT": "true",
+                               "GRAFT_CFG_LOCK_LEASE_S": "7200"})
+    assert c.sketch_distinct is True and c.lock_lease_s == 7200.0

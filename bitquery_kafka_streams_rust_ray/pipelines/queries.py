@@ -25,6 +25,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.text import TextAnalyzer
 from ..stages.ann import ann_brute_force
+from ..stages.broadcast import broadcast_get
 from ..stages.dedup import exact_dedup, windowed_dedup
 from ..stages.hashing import shard_of
 from ..stages.join import (broadcast_asof_join, broadcast_join, hash_join,
@@ -2079,26 +2080,6 @@ def stratified_sample_events(sf_dir: str, per_user: int = 2) -> pd.DataFrame:
 _DECON_N = 8  # benchmark-overlap shingle width (words)
 _DECON_BENCH_MAX_ID = 10
 
-# per-worker-process cache of broadcast benchmark gram sets, keyed by
-# object ref: ray.get once per worker, not once per task or batch —
-# the same load-once semantics as an actor pool without paying actor
-# spin-up (the stage itself is stateless, so plain tasks keep the
-# upstream read fully pipelined)
-_GRAMS_CACHE: dict[str, set] = {}
-
-
-def _cached_grams(ref) -> set:
-    import ray
-
-    key = ref.hex()
-    grams = _GRAMS_CACHE.get(key)
-    if grams is None:
-        while len(_GRAMS_CACHE) >= 2:  # old benchmark versions
-            _GRAMS_CACHE.pop(next(iter(_GRAMS_CACHE)))
-        grams = _GRAMS_CACHE[key] = ray.get(ref)
-    return grams
-
-
 class _Decontaminator:
     """Plain-task stage: fetch the broadcast benchmark n-gram set once
     per worker process, then count per-document distinct overlapping
@@ -2108,7 +2089,7 @@ class _Decontaminator:
         self.grams_ref = grams_ref
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        grams = _cached_grams(self.grams_ref)
+        grams = broadcast_get(self.grams_ref)
         n = _DECON_N
         hits = np.empty(len(t), dtype=np.int64)
         for j, text in enumerate(t["text"].to_pylist()):
@@ -2204,7 +2185,7 @@ class _Curator:
         self.grams_ref = grams_ref
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        grams = _cached_grams(self.grams_ref)
+        grams = broadcast_get(self.grams_ref)
         n = _DECON_N
         ids, texts, ntoks = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(),

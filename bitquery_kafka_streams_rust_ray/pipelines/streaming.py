@@ -78,6 +78,8 @@ from ..state.store import (DedupState, DistinctWindowState, FunnelState,
                            SessionState, SpillDedupState, TopKState,
                            restore_dedup, WindowState)
 from ..state.watermark import WatermarkTracker
+from ..stages.broadcast import (asof_merge_batch, broadcast_get,
+                                sort_versioned)
 from ..stages.hashing import shard_of
 from ..stages.timeops import NEG_INF_TS, US, column_ts_us, series_ts_us
 
@@ -510,17 +512,19 @@ class ExtractEnrich:
             np.asarray(pc.equal(text_arr, pa.scalar(""))),
             PARSE_ERROR, OK).astype(np.int8)
 
-        # host = part between '://' and the next '/': two vectorized
-        # split passes; malformed urls (no '://') become '' via the
-        # sentinel rewrite, matching netloc_of's scalar semantics
-        urls = batch["url"]
-        sp = pc.split_pattern(urls, "://", max_splits=1)
-        has_proto = pc.equal(pc.list_value_length(sp), 2)
-        rest = pc.list_element(
-            pc.split_pattern(
-                pc.if_else(has_proto, urls, pa.scalar("://")),
-                "://", max_splits=1),
-            1)
+        # host = part between '://' and the next '/'. ONE split pass
+        # over the urls: each row's last list element is taken by flat
+        # offset (zero-copy gather), and rows without '://' (length-1
+        # lists, whose last element is the whole url) are masked to ''
+        # — matching netloc_of's scalar semantics.
+        sp = pc.split_pattern(batch["url"], "://", max_splits=1)
+        la = (sp.combine_chunks() if isinstance(sp, pa.ChunkedArray)
+              else sp)
+        offs = la.offsets.to_numpy()
+        has_proto = pa.array(np.diff(offs) == 2)
+        rest = pc.if_else(
+            has_proto, la.values.take(pa.array(offs[1:] - 1)),
+            pa.scalar(""))
         hosts = pc.list_element(
             pc.split_pattern(rest, "/", max_splits=1), 0)
 
@@ -638,10 +642,6 @@ class ExchangeToShards:
         return pa.table(out)
 
 
-# per-worker-process cache of the deserialized + pre-sorted broadcast
-# side, keyed by object ref: ray.get once per worker, not once per batch
-_BROADCAST_CACHE: dict[str, pd.DataFrame] = {}
-
 # one-time per-worker-process Arrow thread pinning: N map workers x M
 # Arrow threads convoy on this box (measured: 21-22s -> 15s wall at 32
 # CPUs on the 2M-row bench just from this); each task is already the
@@ -678,15 +678,6 @@ class EpochMapper:
         self.exchange = ExchangeToShards(actors, epoch, state_shards,
                                          attempt, quarantine_late)
 
-    def _small(self) -> pd.DataFrame:
-        key = self.meta_ref.hex()
-        small = _BROADCAST_CACHE.get(key)
-        if small is None:
-            while len(_BROADCAST_CACHE) >= 4:  # old metadata versions
-                _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
-            small = _BROADCAST_CACHE[key] = ray.get(self.meta_ref)
-        return small
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time as _time
         _pin_arrow_single_thread()
@@ -694,23 +685,13 @@ class EpochMapper:
         t = self.extract(batch)
         _t1 = _time.time()
         if self.meta_ref is not None:
-            df = t.to_pandas()
-            right = self._small()
-            order = np.arange(len(df))
-            left = df.assign(_order=order, _ts=series_ts_us(df["warc_ts"]))
-            left = left.sort_values("_ts", kind="mergesort")
-            out = pd.merge_asof(
-                left, right, left_on="_ts", right_on="_version_ts",
-                by="host", direction="backward",
-            )
-            out = out.sort_values("_order", kind="mergesort").drop(
-                columns=["_order", "_ts", "_version_ts"]
-            )
-            for col, val in self.defaults.items():
-                if col in out.columns:
-                    out[col] = out[col].fillna(val)
-            t = pa.Table.from_pandas(out.reset_index(drop=True),
-                                     preserve_index=False)
+            # broadcast metadata deserializes once per worker process
+            # (stages/broadcast.py); the shared as-of kernel joins the
+            # latest metadata version at each row's event time
+            out = asof_merge_batch(
+                t.to_pandas(), broadcast_get(self.meta_ref),
+                "host", "warc_ts", self.defaults)
+            t = pa.Table.from_pandas(out, preserve_index=False)
         _t2 = _time.time()
         res = self.exchange(t)
         if os.environ.get("GRAFT_DEBUG_TIMING") == "3":
@@ -841,12 +822,8 @@ class StreamingPagesPipeline:
             )
             changed = True
         if changed:
-            small = self._meta_acc.copy()
-            small["_version_ts"] = series_ts_us(small["updated_ts"])
-            small = small.drop(columns=["updated_ts"]).sort_values(
-                ["_version_ts", "host"], kind="mergesort"
-            )
-            self._meta_ref = ray.put(small)
+            self._meta_ref = ray.put(
+                sort_versioned(self._meta_acc, "host", "updated_ts"))
 
     # --- epoch plan ------------------------------------------------------
     def epoch_plan(self) -> list[list[str]]:
@@ -1338,7 +1315,7 @@ class StreamingPagesPipeline:
         if "funnel_host" in tables:
             counters["funnels_matched"] = tables["funnel_host"].num_rows
 
-        stage = os.path.join(self.sink.tmp_root, f"epoch={epoch:06d}")
+        stage = self.sink.stage_path(epoch)
         _tc2 = _time.time()
         # submit the K snapshot writes but do NOT wait: the 1-2 s of
         # parallel state pickling overlaps the next epoch's exchange.

@@ -135,6 +135,15 @@ class HalfOpenCircuitBreaker:
             raise ValueError("success_threshold must be positive")
         if half_open_max_requests <= 0:
             raise ValueError("half_open_max_requests must be positive")
+        if success_threshold > half_open_max_requests:
+            # a probe slot is only recycled when the episode resolves
+            # (close or re-open), so more required successes than
+            # admitted probes could never close the circuit — the
+            # breaker would wedge half-open refusing everything while
+            # is_open() reports False
+            raise ValueError(
+                "success_threshold must be <= half_open_max_requests "
+                "(the circuit could never close otherwise)")
         self.threshold = threshold
         self.reset_timeout_s = reset_timeout_s
         self.success_threshold = success_threshold

@@ -42,6 +42,8 @@ class EpochSink:
         self.out_dir = out_dir
         self.manifest_dir = os.path.join(out_dir, "_manifests")
         self.tmp_root = os.path.join(out_dir, "_tmp")
+        # staging namespace: unique per sink instance (see stage_path)
+        self._stage_nonce = f"{os.getpid():x}-{os.urandom(4).hex()}"
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.tmp_root, exist_ok=True)
 
@@ -118,6 +120,7 @@ class EpochSink:
                 os.close(fd)
                 self._lock_token = token
                 self._fenced = False  # fresh lease: fence lifts
+                self._sweep_stale_staging()
                 return
             except FileExistsError:
                 pass
@@ -153,6 +156,21 @@ class EpochSink:
             except FileNotFoundError:
                 pass
         raise RuntimeError(f"could not acquire run lock in {self.out_dir}")
+
+    def _sweep_stale_staging(self) -> None:
+        """Remove staging dirs left by other (dead or fenced) sink
+        instances. Safe exactly because we hold the run lock: any
+        process still writing to a foreign-nonce dir has, by
+        definition, lost the lock, and its commit would be fenced."""
+        suffix = "." + self._stage_nonce
+        try:
+            entries = os.listdir(self.tmp_root)
+        except OSError:
+            return
+        for name in entries:
+            if not name.endswith(suffix):
+                shutil.rmtree(os.path.join(self.tmp_root, name),
+                              ignore_errors=True)
 
     def touch_lock(self) -> None:
         """Heartbeat + fence: refresh the lease mtime of a lock we
@@ -221,17 +239,29 @@ class EpochSink:
             return json.load(f)
 
     def stage_path(self, epoch: int) -> str:
-        """Path of an epoch's staging dir (no clearing — see stage_dir)."""
-        return os.path.join(self.tmp_root, f"epoch={epoch:06d}")
+        """Path of an epoch's staging dir (no clearing — see stage_dir).
+
+        Staging is namespaced by a per-sink-instance nonce so two
+        driver processes pointed at the same output dir can NEVER
+        share a staging dir: a fenced-but-live old driver's late shard
+        writes land in its own orphaned dir instead of polluting the
+        new lock owner's in-progress staging (whose commit inventories
+        ``os.listdir`` of this dir). The manifest commit — fenced by
+        ``touch_lock`` — stays the single arbitration point.
+        """
+        return os.path.join(self.tmp_root,
+                            f"epoch={epoch:06d}.{self._stage_nonce}")
 
     def stage_dir(self, epoch: int) -> str:
         """Fresh staging dir for one epoch attempt.
 
         Distributed stages write their per-shard output files directly
         into this directory *before* commit; a retried epoch starts by
-        clearing any half-written previous attempt.
+        clearing any half-written previous attempt. Fenced: a driver
+        that lost its lease raises here, before any staging I/O.
         """
-        tmp_dir = os.path.join(self.tmp_root, f"epoch={epoch:06d}")
+        self.touch_lock()
+        tmp_dir = self.stage_path(epoch)
         shutil.rmtree(tmp_dir, ignore_errors=True)
         os.makedirs(tmp_dir)
         return tmp_dir
@@ -254,11 +284,11 @@ class EpochSink:
         inventoried too. Idempotent: a committed epoch returns its
         existing manifest untouched.
         """
-        self.touch_lock()  # lease heartbeat: one per epoch commit
+        self.touch_lock()  # lease heartbeat + fence: one per epoch commit
         if self.is_committed(epoch):
             return self.read_manifest(epoch)
 
-        tmp_dir = os.path.join(self.tmp_root, f"epoch={epoch:06d}")
+        tmp_dir = self.stage_path(epoch)
         os.makedirs(tmp_dir, exist_ok=True)
 
         for name, table in (tables or {}).items():

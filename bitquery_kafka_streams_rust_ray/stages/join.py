@@ -33,12 +33,9 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .broadcast import asof_merge_batch, broadcast_get, sort_versioned
 from .hashing import add_shard_column, shard_of
 from .timeops import series_ts_us
-
-# per-worker-process cache of deserialized broadcast small sides, keyed
-# by object ref: plain-task joins fetch once per worker, not per batch
-_SMALL_SIDE_CACHE: dict[str, pd.DataFrame] = {}
 
 
 class _BroadcastJoiner:
@@ -100,30 +97,14 @@ class _BroadcastAsofJoiner:
 
     def __init__(self, small_ref: ray.ObjectRef, on: str, ts_col: str,
                  version_ts_col: str, defaults: dict | None):
-        small = ray.get(small_ref).copy()
-        small["_version_ts"] = series_ts_us(small[version_ts_col])
-        self.small = small.drop(columns=[version_ts_col]).sort_values(
-            ["_version_ts", on], kind="mergesort"
-        )
+        self.small = sort_versioned(ray.get(small_ref), on, version_ts_col)
         self.on = on
         self.ts_col = ts_col
         self.defaults = defaults or {}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        order = np.arange(len(batch))
-        left = batch.assign(_order=order, _ts=series_ts_us(batch[self.ts_col]))
-        left = left.sort_values("_ts", kind="mergesort")
-        out = pd.merge_asof(
-            left, self.small, left_on="_ts", right_on="_version_ts",
-            by=self.on, direction="backward",
-        )
-        out = out.sort_values("_order", kind="mergesort").drop(
-            columns=["_order", "_ts", "_version_ts"]
-        )
-        for col, val in self.defaults.items():
-            if col in out.columns:
-                out[col] = out[col].fillna(val)
-        return out.reset_index(drop=True)
+        return asof_merge_batch(batch, self.small, self.on, self.ts_col,
+                                self.defaults)
 
 
 def broadcast_asof_join(
@@ -145,34 +126,14 @@ def broadcast_asof_join(
     Dataset per epoch.
     """
     if concurrency is None:
-        small = versioned_small.copy()
-        small["_version_ts"] = series_ts_us(small[version_ts_col])
-        small = small.drop(columns=[version_ts_col]).sort_values(
-            ["_version_ts", on], kind="mergesort"
-        )
-        ref = ray.put(small)
+        ref = ray.put(sort_versioned(versioned_small, on, version_ts_col))
         defaults = defaults or {}
 
         def asof(batch: pd.DataFrame) -> pd.DataFrame:
-            right = _SMALL_SIDE_CACHE.get(ref.hex())
-            if right is None:  # once per worker process, not per batch
-                while len(_SMALL_SIDE_CACHE) >= 4:
-                    _SMALL_SIDE_CACHE.pop(next(iter(_SMALL_SIDE_CACHE)))
-                right = _SMALL_SIDE_CACHE[ref.hex()] = ray.get(ref)
-            order = np.arange(len(batch))
-            left = batch.assign(_order=order, _ts=series_ts_us(batch[ts_col]))
-            left = left.sort_values("_ts", kind="mergesort")
-            out = pd.merge_asof(
-                left, right, left_on="_ts", right_on="_version_ts",
-                by=on, direction="backward",
-            )
-            out = out.sort_values("_order", kind="mergesort").drop(
-                columns=["_order", "_ts", "_version_ts"]
-            )
-            for col, val in defaults.items():
-                if col in out.columns:
-                    out[col] = out[col].fillna(val)
-            return out.reset_index(drop=True)
+            # broadcast_get: the sorted small side deserializes once per
+            # worker process, not per batch
+            return asof_merge_batch(batch, broadcast_get(ref), on,
+                                    ts_col, defaults)
 
         return ds.map_batches(asof, batch_format="pandas",
                               batch_size=batch_size)

@@ -108,12 +108,15 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
             sr = f.getframerate()
             n_ch = f.getnchannels()
             raw = f.readframes(f.getnframes())
+        # ValueError covers a data chunk truncated mid-sample (frombuffer
+        # needs a multiple of 2 bytes) or mid-frame (reshape) — poison
+        # bytes quarantine, they never crash the stage (F8)
         samples = np.frombuffer(raw, dtype=np.int16)
         if n_ch > 1:
             samples = (samples.reshape(-1, n_ch).mean(axis=1)
                        .round().astype(np.int16))
         return sr, samples
-    except (wave.Error, EOFError, struct.error):
+    except (wave.Error, EOFError, struct.error, ValueError):
         return None
 
 

@@ -199,3 +199,15 @@ def test_truncated_real_payloads_quarantine():
     assert out_i["width"].to_pylist() == [None, None]
     out_a = AudioFeatureStage()(pa.table({"audio": [wav[:10]]}))
     assert out_a["sample_rate"].to_pylist() == [None]
+
+
+def test_wav_truncated_mid_sample_quarantines():
+    """An odd-byte truncation inside the data chunk makes frombuffer
+    raise ValueError — it must quarantine, not crash the stage."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import encode_wav
+
+    wav = encode_wav(8000, np.zeros(100, dtype=np.int16))
+    out = AudioFeatureStage()(pa.table({"audio": [wav[:-1]]}))
+    assert out["sample_rate"].to_pylist() == [None]

@@ -326,3 +326,14 @@ def test_half_open_config_validation():
     with pytest.raises(ValueError):
         HalfOpenCircuitBreaker(threshold=1, reset_timeout_s=1,
                                half_open_max_requests=0)
+
+
+def test_half_open_rejects_unclosable_config():
+    """success_threshold > half_open_max_requests could never close the
+    circuit (probe slots only recycle when the episode resolves) — the
+    config is refused up front instead of wedging at runtime."""
+    from bitquery_kafka_streams_rust_ray.reliability import HalfOpenCircuitBreaker
+    with pytest.raises(ValueError, match="never close"):
+        HalfOpenCircuitBreaker(threshold=1, reset_timeout_s=1,
+                               success_threshold=2,
+                               half_open_max_requests=1)

@@ -245,3 +245,41 @@ def test_release_lock_without_token_never_unlinks(tmp_path):
     b.release_lock()
     assert not os.path.exists(b.lock_path())
     b.release_lock()  # double release: early return, no crash
+
+
+def test_stale_takeover_staging_is_isolated(tmp_path):
+    """The reviewer scenario for lease takeover: a fenced-but-live old
+    driver must not be able to rmtree or pollute the new owner's
+    in-progress staging. Staging dirs are nonce-namespaced per sink
+    instance, stage_dir() itself is fenced, and the new owner's
+    acquire sweeps the loser's leftovers."""
+    import pytest
+
+    from bitquery_kafka_streams_rust_ray.sinks.exactly_once import (
+        EpochSink, LockLostError)
+
+    out = str(tmp_path / "stage_iso")
+    a, b = EpochSink(out), EpochSink(out)
+    a.acquire_lock(lease_s=3600.0)
+    stage_a = a.stage_dir(0)
+    with open(os.path.join(stage_a, "pages-0000.parquet"), "wb") as f:
+        f.write(b"a-bytes")
+
+    # a stalls past its lease; b steals and stages the same epoch
+    os.utime(a.lock_path(), (0, 0))
+    b.acquire_lock(lease_s=3600.0)
+    assert not os.path.exists(stage_a)  # owner sweep removed a's orphan
+    stage_b = b.stage_dir(0)
+    assert stage_b != stage_a  # disjoint namespaces by construction
+    pq.write_table(table(), os.path.join(stage_b, "pages-0000.parquet"))
+
+    # a wakes mid-epoch: staging is fenced before any rmtree happens
+    with pytest.raises(LockLostError):
+        a.stage_dir(0)
+    assert os.path.exists(os.path.join(stage_b, "pages-0000.parquet"))
+
+    # and even a's shard tasks writing to a's OWN pre-fence path can't
+    # reach b's staging (different dir), so b commits exactly its files
+    m = b.commit_epoch(0)
+    assert list(m["outputs"]) == ["pages-0000.parquet"]
+    b.release_lock()

@@ -899,7 +899,7 @@ def knn_classify_embeddings(sf_dir: str, k: int = 5) -> pd.DataFrame:
         if not t.num_rows:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "pred_label": pa.array([], pa.int64())})
-        mat, lidx = ray.get(ref)
+        mat, lidx = broadcast_get(ref)  # once per worker process
         x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         scores = x @ mat.T

@@ -87,6 +87,10 @@ from ..stages.timeops import NEG_INF_TS, US, column_ts_us, series_ts_us
 # at one collection point (F7/F8 lineage: quarantined, never crashing)
 OK, PARSE_ERROR, FILTERED, LATE = 0, 1, 2, 3
 
+# attempt-fence value for finalized epochs: any late push carries a
+# real attempt number far below this and is discarded
+_EPOCH_DONE = 1 << 30
+
 
 @ray.remote(num_cpus=0)
 class StateShard:
@@ -175,7 +179,11 @@ class StateShard:
 
         chunks = self.buffers.pop(epoch, [])
         qchunks = self.qbuffers.pop(epoch, [])
-        self.epoch_attempt.pop(epoch, None)
+        # permanent fence, NOT a pop: with async pushes a straggler from
+        # a pre-replay attempt can land after finalize; popping the
+        # fence would re-accept it into a dead epoch's buffer forever
+        # (one int per epoch is the price of never leaking a table)
+        self.epoch_attempt[epoch] = _EPOCH_DONE
         self.push_rows.pop(epoch, None)
         stats = {"rows_deduped": 0, "rows_written": 0}
         if qchunks:
@@ -1099,6 +1107,15 @@ class StreamingPagesPipeline:
         if len(stats):
             expected = np.sum(np.vstack(stats["pushed_per_shard"]), axis=0)
             deadline = _time.monotonic() + cfg.exchange_ack_timeout_s
+            # stall grace: an unobserved lost push (e.g. the owning map
+            # worker exited before the shard fetched the args of a
+            # fire-and-forget final push) never converges — detect it
+            # by NO PROGRESS for a short grace window and fail into the
+            # replay path immediately instead of burning the full
+            # timeout
+            grace = min(10.0, cfg.exchange_ack_timeout_s)
+            last = None
+            last_progress = _time.monotonic()
             while True:
                 got = np.asarray(ray.get(
                     [a.received_rows.remote(epoch) for a in actors]))
@@ -1109,7 +1126,16 @@ class StreamingPagesPipeline:
                         f"epoch {epoch}: shard received more rows than "
                         f"pushed ({got.tolist()} > {expected.tolist()}) — "
                         "double-push; replaying")
-                if _time.monotonic() > deadline:
+                now = _time.monotonic()
+                if last is None or (got != last).any():
+                    last, last_progress = got, now
+                elif now - last_progress > grace:
+                    raise RuntimeError(
+                        f"epoch {epoch}: exchange pushes stalled for "
+                        f"{grace}s short of the pushed counts "
+                        f"({got.tolist()} != {expected.tolist()}) — "
+                        "lost push; replaying")
+                if now > deadline:
                     raise RuntimeError(
                         f"epoch {epoch}: exchange pushes not settled "
                         f"after {cfg.exchange_ack_timeout_s}s "

@@ -190,7 +190,16 @@ class HalfOpenCircuitBreaker:
                     self._half_open_requests = 1
                     return True
                 return False
-            # half-open: bounded concurrent probes
+            # half-open: bounded probes per window. If every admitted
+            # probe's outcome was never recorded (caller crashed between
+            # allow and record, probe raised BaseException), the episode
+            # would otherwise wedge with no escape — so an exhausted
+            # budget RE-ARMS after another reset window, keeping the
+            # probe rate bounded at max_requests per window forever.
+            if self._half_open_requests >= self.half_open_max_requests \
+                    and self._clock() - self._last_change \
+                    >= self.reset_timeout_s:
+                self._transition("half_open")
             if self._half_open_requests < self.half_open_max_requests:
                 self._half_open_requests += 1
                 return True

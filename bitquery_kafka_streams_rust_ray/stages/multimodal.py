@@ -71,7 +71,8 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
         data_off = struct.unpack_from("<I", payload, 10)[0]
         (hdr_sz, w, h, _planes, bpp, compression) = struct.unpack_from(
             "<IiiHHI", payload, 14)
-        if hdr_sz < 40 or bpp != 24 or compression != 0 or w <= 0:
+        if hdr_sz < 40 or bpp != 24 or compression != 0 or w <= 0 \
+                or h == 0:  # zero-height = poison, not a (0, w) array
             return None
         bottom_up = h > 0
         h = abs(h)
@@ -195,8 +196,8 @@ def _image_gray(payload: bytes | None) -> np.ndarray | None:
     if payload[:8] == _IMG_MAGIC:
         w, h = struct.unpack_from("<II", payload, 8)
         pixels = np.frombuffer(payload, dtype=np.uint8, offset=16)
-        if len(pixels) != w * h:
-            return None
+        if w * h == 0 or len(pixels) != w * h:
+            return None  # zero-dim or truncated container -> quarantine
         return pixels.reshape(h, w)
     return None
 

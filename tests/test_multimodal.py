@@ -211,3 +211,23 @@ def test_wav_truncated_mid_sample_quarantines():
     wav = encode_wav(8000, np.zeros(100, dtype=np.int16))
     out = AudioFeatureStage()(pa.table({"audio": [wav[:-1]]}))
     assert out["sample_rate"].to_pylist() == [None]
+
+
+def test_zero_dim_images_quarantine_through_resize():
+    """A zero-height BMP or zero-dim fake container is poison: both
+    decode AND resize must emit null rows, not crash (reviewer
+    finding: a (0, w) array survived decode and crashed np.ix_)."""
+    import struct as st
+
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import encode_bmp
+
+    bmp = bytearray(encode_bmp(np.zeros((4, 4), dtype=np.uint8)))
+    st.pack_into("<i", bmp, 22, 0)  # height := 0
+    fake0 = b"FAKEIMG1" + st.pack("<II", 0, 0)
+    t = pa.table({"image": [bytes(bmp), fake0]})
+    out = DecodeImageStage()(t)
+    assert out["width"].to_pylist() == [None, None]
+    rt = ResizeImageStage(2, 2)(t)
+    assert rt["image"].to_pylist() == [None, None]

@@ -337,3 +337,21 @@ def test_half_open_rejects_unclosable_config():
         HalfOpenCircuitBreaker(threshold=1, reset_timeout_s=1,
                                success_threshold=2,
                                half_open_max_requests=1)
+
+
+def test_half_open_rearm_after_unrecorded_probe():
+    """A probe whose outcome is never recorded (caller died between
+    allow and record) must not wedge the breaker: after another reset
+    window the probe budget re-arms, keeping the rate bounded at
+    max_requests per window."""
+    cb, clock = _ho(threshold=1, reset_timeout_s=10.0)
+    cb.record_failure()
+    clock.advance(10)
+    assert cb.allow_request()     # probe admitted... outcome never recorded
+    assert not cb.allow_request()  # budget exhausted within the window
+    clock.advance(9.5)
+    assert not cb.allow_request()  # still inside the window: bounded rate
+    clock.advance(0.5)
+    assert cb.allow_request()      # re-armed: escape exists
+    cb.record_success()
+    assert cb.state == "closed"

@@ -231,3 +231,28 @@ def test_received_rows_counter_tracks_current_attempt_only(tmp_path):
     ray.get(shard.accept_rows.remote(5, t, 1))  # current attempt counts
     assert ray.get(shard.received_rows.remote(5)) == 2
     ray.kill(shard)
+
+
+def test_finalized_epoch_rejects_straggler_pushes(tmp_path):
+    """Reviewer finding: with async pushes a straggler from a
+    pre-replay attempt can land AFTER finalize. The fence must stay up
+    permanently — re-accepting would leak the dead epoch's buffer
+    forever."""
+    import ray
+
+    shard = StateShard.remote(0, EngineConfig(min_text_len=1))
+    t = pa.table({"url": ["a"], "_ts_us": [1],
+                  "warc_ts": pd.to_datetime(["2024-01-01"]).astype(
+                      "datetime64[us]"),
+                  "lang": ["en"], "host": ["h"], "text": ["x"],
+                  "text_len": [1]})
+    ray.get(shard.accept_rows.remote(0, t, 1))
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    ray.get(shard.finalize_epoch.remote(0, str(stage)))
+    # the straggler from failed attempt 0 lands after finalize
+    assert ray.get(shard.accept_rows.remote(0, t, 0)) == 0
+    assert ray.get(shard.received_rows.remote(0)) == 0
+    # and even a same-attempt duplicate is dead: the epoch is done
+    assert ray.get(shard.accept_rows.remote(0, t, 1)) == 0
+    ray.kill(shard)

@@ -116,6 +116,12 @@ class EngineConfig:
     # async shard pushes must all be buffered (received == pushed per
     # shard) within this window after the exchange dataset completes,
     # else the epoch fails into the replay path
+    exchange_stall_grace_s: float = 30.0  # earlier cutoff: if the
+    # received counts make NO progress for this long the pushes are
+    # presumed lost (owning worker died before the shard fetched the
+    # args) and the epoch replays without burning the full timeout.
+    # Note the poll itself queues behind in-flight shard work, so a
+    # busy actor doesn't tick this clock — only genuine silence does
     epoch_replay_budget: int = 2     # replays of one epoch's exchange phase
     # before the run fails (reference max_retries analog); each replay
     # backs off exponentially with deterministic jitter
@@ -181,6 +187,8 @@ class EngineConfig:
             raise ValueError("lock_lease_s must be positive")
         if self.exchange_ack_timeout_s <= 0:
             raise ValueError("exchange_ack_timeout_s must be positive")
+        if self.exchange_stall_grace_s <= 0:
+            raise ValueError("exchange_stall_grace_s must be positive")
 
     @classmethod
     def from_env(cls, env: dict | None = None,

@@ -1113,7 +1113,8 @@ class StreamingPagesPipeline:
             # by NO PROGRESS for a short grace window and fail into the
             # replay path immediately instead of burning the full
             # timeout
-            grace = min(10.0, cfg.exchange_ack_timeout_s)
+            grace = min(cfg.exchange_stall_grace_s,
+                        cfg.exchange_ack_timeout_s)
             last = None
             last_progress = _time.monotonic()
             while True:

@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_ref_vector": q.nearest_ref_vector,
         "label_centroids_embeddings": q.label_centroids_embeddings,
         "knn_classify_embeddings": q.knn_classify_embeddings,
+        "quantize_embeddings": q.quantize_embeddings,
         # host/source-level quality gate (two-stage aggregate + semi join)
         "source_quality_filter": q.source_quality_filter,
         # distributed iterative clustering (rows-only: not ANSI SQL)
@@ -629,6 +630,23 @@ def oracle_sql() -> dict[str, str]:
                        AS centroid_e6
             FROM s JOIN n USING (label)
             GROUP BY s.label, n.n_vectors ORDER BY label
+        """,
+        "quantize_embeddings": """
+            WITH s AS (
+                SELECT vec_id,
+                       list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+                FROM embeddings
+            )
+            SELECT e.vec_id AS vec_id,
+                   CAST(floor(s.maxabs / 127.0 * 1000000.0 + 0.5)
+                        AS BIGINT) AS scale_e6,
+                   array_to_string(list_transform(e.embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                                       / s.maxabs + 0.5) AS BIGINT)),
+                       ',') AS q_int8
+            FROM embeddings e JOIN s USING (vec_id)
+            WHERE s.maxabs > 0 ORDER BY vec_id
         """,
         "knn_classify_embeddings": """
             WITH r AS (

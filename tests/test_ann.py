@@ -139,3 +139,33 @@ def test_similarity_join_matches_numpy(vectors):
     row = got.iloc[13]
     cos = float(en[int(row["vec_id"])] @ rn[int(row["ref_id"])])
     assert abs(cos - row["score"]) < 1e-6
+
+
+def test_quantization_preserves_neighbors():
+    """int8 quantization quality: per-component reconstruction error is
+    bounded by scale/2, and brute-force top-10 neighbors over the
+    DEQUANTIZED corpus overlap >= 0.9 with the float top-10 — the
+    compressed corpus is still retrieval-grade."""
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import quantize_embeddings
+
+    sf = "/root/testdata/sf0.01"
+    q = quantize_embeddings(sf)
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    emb = emb.set_index("vec_id").loc[q["vec_id"]]
+    orig = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    scales = q["scale_e6"].to_numpy() / 1e6
+    qv = np.asarray([[int(x) for x in s.split(",")] for s in q["q_int8"]],
+                    dtype=np.float64)
+    deq = qv * scales[:, None]
+    # reconstruction: |orig - deq| <= scale/2 + quantized-scale slack
+    bound = (scales * 0.5 + 1e-6 * 127)[:, None]
+    assert np.all(np.abs(orig - deq) <= bound)
+
+    # neighbor preservation: float vs dequant top-10 per query
+    queries = orig[:5]
+    exact = numpy_topk(orig, queries, 10)
+    approx = numpy_topk(deq, queries, 10)
+    overlaps = [len(set(exact[i]) & set(approx[i])) / 10 for i in range(5)]
+    assert np.mean(overlaps) >= 0.9, overlaps

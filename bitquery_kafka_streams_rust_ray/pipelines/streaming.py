@@ -72,7 +72,7 @@ from ..observability.logging import StructuredLogger
 from ..observability.metrics import MetricsRegistry
 from ..reliability import (HalfOpenCircuitBreaker, RetryConfig,
                            RetryStrategy)
-from ..sinks.exactly_once import EpochSink
+from ..sinks.exactly_once import EpochSink, LockLostError
 from ..sources.pages import pages_files
 from ..state.store import (DedupState, DistinctWindowState, FunnelState,
                            SessionState, SpillDedupState, TopKState,
@@ -777,9 +777,11 @@ class StreamingPagesPipeline:
             threshold=config.sink_breaker_threshold,
             reset_timeout_s=config.sink_breaker_reset_s,
         )
+        # a fenced run lock is fatal: retrying cannot re-own the lock,
+        # and every wasted attempt risks racing the new owner
         self._sink_retry = RetryStrategy(
             RetryConfig(max_retries=2, initial_delay_s=0.1, max_delay_s=5.0),
-            seed=1,
+            seed=1, fatal=(LockLostError,),
         )
         # health surface (health.rs analog): stateful checkers observe
         # per-epoch facts; the folded report lands in _observability/
@@ -995,6 +997,7 @@ class StreamingPagesPipeline:
 
             counters, max_ts = RetryStrategy(
                 replay_cfg, seed=epoch, on_retry=_on_replay,
+                fatal=(LockLostError,),  # fenced driver: die, don't replay
             ).call(
                 f"exchange_epoch_{epoch}",
                 lambda epoch=epoch, attempt=attempt: self._exchange_epoch(

@@ -73,15 +73,19 @@ class RetryStrategy:
         seed: int = 0,
         sleep: Callable[[float], None] = time.sleep,
         on_retry: Callable[[str, int, BaseException, float], None] | None = None,
+        fatal: tuple[type[BaseException], ...] = (),
     ):
         config.validate()
         self.cfg = config
         self._rng = random.Random(seed)
         self._sleep = sleep
         self._on_retry = on_retry
+        self._fatal = fatal
 
     def call(self, operation_name: str, fn: Callable[[], T]) -> T:
-        """Run ``fn`` until it succeeds or the budget is exhausted."""
+        """Run ``fn`` until it succeeds or the budget is exhausted.
+        ``fatal`` exception types re-raise immediately — retrying them
+        cannot succeed (e.g. a fenced run lock)."""
         cfg = self.cfg
         current_delay = cfg.initial_delay_s
         attempts = 0
@@ -90,6 +94,8 @@ class RetryStrategy:
             try:
                 return fn()
             except Exception as e:  # noqa: BLE001 — retry any failure
+                if isinstance(e, self._fatal):
+                    raise
                 if attempts > cfg.max_retries:
                     raise RetryExhausted(operation_name, e, attempts) from e
                 if self._on_retry is not None:

@@ -256,3 +256,70 @@ def test_finalized_epoch_rejects_straggler_pushes(tmp_path):
     # and even a same-attempt duplicate is dead: the epoch is done
     assert ray.get(shard.accept_rows.remote(0, t, 1)) == 0
     ray.kill(shard)
+
+
+def test_lease_takeover_fences_live_pipeline(pages_dir, tmp_path):
+    """End-to-end ADVICE scenario: driver A stalls past its lease
+    mid-run; driver B steals the lock and completes the run; A wakes
+    and must die with LockLostError WITHOUT retrying (a fenced driver
+    replaying would race the new owner) and without disturbing B's
+    committed output — which must equal a clean single-driver run."""
+    import dataclasses
+    import hashlib
+    import time
+
+    import pyarrow.parquet as pq
+
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import run_flagship
+    from bitquery_kafka_streams_rust_ray.sinks.exactly_once import LockLostError
+
+    d, spec, _ = pages_dir
+    cfg = dataclasses.replace(CFG, lock_lease_s=0.5)
+
+    ref_out = str(tmp_path / "clean_ref")
+    run_flagship(d, ref_out, config=cfg)
+
+    out = str(tmp_path / "raced_out")
+    real = StreamingPagesPipeline._exchange_epoch
+    state = {"stalled": False, "b_error": None}
+
+    def stalling(self, epoch, files, actors, watermark, attempt=0):
+        if epoch == 1 and not state["stalled"]:
+            state["stalled"] = True
+            time.sleep(0.8)  # outlive the 0.5s lease, no heartbeat fires
+            # B takes over the stale lock and runs to completion
+            StreamingPagesPipeline._exchange_epoch = real
+            try:
+                run_flagship(d, out, config=cfg, resume=True)
+            except Exception as exc:  # pragma: no cover - diagnostic
+                state["b_error"] = exc
+        return real(self, epoch, files, actors, watermark, attempt)
+
+    StreamingPagesPipeline._exchange_epoch = stalling
+    try:
+        with pytest.raises(LockLostError):
+            run_flagship(d, out, config=cfg)
+    finally:
+        StreamingPagesPipeline._exchange_epoch = real
+    assert state["b_error"] is None, state["b_error"]
+
+    # B's committed bytes are untouched by A's death throes and equal
+    # the clean reference run
+    def hashes(root_dir):
+        out_h = {}
+        for root, _dirs, files in os.walk(root_dir):
+            if "_tmp" in root or "_observability" in root:
+                continue
+            for f in files:
+                if f == "_lock":
+                    continue
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out_h[os.path.relpath(p, root_dir)] = hashlib.sha256(
+                        fh.read()).hexdigest()
+        return out_h
+
+    ref_h, got_h = hashes(ref_out), hashes(out)
+    assert set(got_h) == set(ref_h)
+    assert all(got_h[k] == ref_h[k] for k in ref_h), [
+        k for k in ref_h if got_h[k] != ref_h[k]][:5]

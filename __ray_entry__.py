@@ -646,7 +646,7 @@ def oracle_sql() -> dict[str, str]:
                                        / s.maxabs + 0.5) AS BIGINT)),
                        ',') AS q_int8
             FROM embeddings e JOIN s USING (vec_id)
-            WHERE s.maxabs > 0 ORDER BY vec_id
+            WHERE s.maxabs > 0 AND isfinite(s.maxabs) ORDER BY vec_id
         """,
         "knn_classify_embeddings": """
             WITH r AS (

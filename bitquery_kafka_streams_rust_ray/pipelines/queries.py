@@ -931,10 +931,19 @@ def quantize_embeddings(sf_dir: str) -> pd.DataFrame:
     the oracle's maxabs > 0 gate."""
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
 
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "scale_e6": pa.array([], pa.int64()),
+                      "q_int8": pa.array([], pa.string())})
+
     def quant(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
         embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         maxabs = np.abs(embs).max(axis=1)
-        keep = maxabs > 0
+        # non-finite vectors quarantine like zero vectors (the oracle's
+        # isfinite gate): NaN would otherwise silently diverge between
+        # numpy (NaN > 0 is False) and SQL (NaN sorts above everything)
+        keep = (maxabs > 0) & np.isfinite(maxabs)
         embs, maxabs = embs[keep], maxabs[keep]
         q = np.floor(embs * 127.0 / maxabs[:, None] + 0.5).astype(np.int64)
         scale_e6 = np.floor(maxabs / 127.0 * 1e6 + 0.5).astype(np.int64)

@@ -146,9 +146,13 @@ def test_quantization_preserves_neighbors():
     bounded by scale/2, and brute-force top-10 neighbors over the
     DEQUANTIZED corpus overlap >= 0.9 with the float top-10 — the
     compressed corpus is still retrieval-grade."""
+    import os
+
     from bitquery_kafka_streams_rust_ray.pipelines.queries import quantize_embeddings
 
     sf = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf, "embeddings.parquet")):
+        pytest.skip(f"testdata {sf} not present")
     q = quantize_embeddings(sf)
     import pyarrow.parquet as pq
 

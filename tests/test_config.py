@@ -120,7 +120,8 @@ def test_validate_round3_knobs():
 
     for field, bad in (("sketch_distinct_p", 3), ("sketch_distinct_p", 19),
                        ("lock_lease_s", 0.0),
-                       ("exchange_ack_timeout_s", -1.0)):
+                       ("exchange_ack_timeout_s", -1.0),
+                       ("exchange_stall_grace_s", 0.0)):
         with pytest.raises(ValueError):
             dataclasses.replace(EngineConfig(), **{field: bad}).validate()
     # env overrides reach the new fields through the generic field walk

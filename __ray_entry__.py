@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids_embeddings": q.label_centroids_embeddings,
         "knn_classify_embeddings": q.knn_classify_embeddings,
         "quantize_embeddings": q.quantize_embeddings,
+        # INTERSECT / EXCEPT key-set operators (§2.7)
+        "user_set_ops": q.user_set_ops,
         # host/source-level quality gate (two-stage aggregate + semi join)
         "source_quality_filter": q.source_quality_filter,
         # distributed iterative clustering (rows-only: not ANSI SQL)
@@ -630,6 +632,16 @@ def oracle_sql() -> dict[str, str]:
                        AS centroid_e6
             FROM s JOIN n USING (label)
             GROUP BY s.label, n.n_vectors ORDER BY label
+        """,
+        "user_set_ops": """
+            SELECT user_id, 'both' AS op FROM (
+                SELECT DISTINCT user_id FROM events
+                INTERSECT SELECT c_custkey FROM customer)
+            UNION ALL
+            SELECT user_id, 'events_only' AS op FROM (
+                SELECT DISTINCT user_id FROM events
+                EXCEPT SELECT c_custkey FROM customer)
+            ORDER BY user_id, op
         """,
         "quantize_embeddings": """
             WITH s AS (

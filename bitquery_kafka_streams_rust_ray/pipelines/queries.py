@@ -958,6 +958,36 @@ def quantize_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def user_set_ops(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT / EXCEPT over key sets (§2.7 set ops): event-emitting
+    users split into those who are known customers (intersect) and
+    those who are not (except). The events side reduces to its
+    distinct-key set with ONE narrow groupby (user_id only — the
+    events rows never move); the customer key set broadcasts
+    (``ray.put`` once) into a vectorized membership map. At 10^12
+    events the exchange is bounded by the distinct-user count, and the
+    broadcast side is the smaller table by construction."""
+    users = (_t(sf_dir, "events", ["user_id"])
+             .groupby("user_id").count())
+    cust = _t(sf_dir, "customer", ["c_custkey"]).to_pandas()
+    cust_ref = ray.put(np.sort(cust["c_custkey"].to_numpy()))
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = np.sort(broadcast_get(cust_ref))
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, u)
+        idx[idx >= len(keys)] = 0 if len(keys) else 0
+        known = (keys[idx] == u) if len(keys) else np.zeros(len(u), bool)
+        return pa.table({
+            "user_id": pa.array(u.astype(np.int64)),
+            "op": pa.array(np.where(known, "both", "events_only")),
+        })
+
+    out = users.map_batches(tag, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["user_id", "op"])
+            .reset_index(drop=True))
+
+
 def source_quality_filter(sf_dir: str) -> pd.DataFrame:
     """C4/Gopher-style host-level quality gate: keep only documents
     from sources whose MEAN document length clears a floor. Two-stage:

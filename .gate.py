@@ -16,6 +16,8 @@ def norm(df):
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
         elif np.issubdtype(df[c].dtype, np.floating):
             df[c] = df[c].round(6)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)

@@ -67,6 +67,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids_embeddings": q.label_centroids_embeddings,
         "knn_classify_embeddings": q.knn_classify_embeddings,
         "quantize_embeddings": q.quantize_embeddings,
+        # product quantization (rows-only; quality pinned by test_pq.py)
+        "pq_encode_embeddings": q.pq_encode_embeddings,
+        # bigram-LM perplexity scoring (CCNet-style quality filter)
+        "bigram_lm_documents": q.bigram_lm_documents,
+        # LAG/LEAD window functions per key (§2.6)
+        "lead_lag_events": q.lead_lag_events,
+        # LEFT OUTER join with zero-fill (§2.5)
+        "customer_order_stats": q.customer_order_stats,
         # INTERSECT / EXCEPT key-set operators (§2.7)
         "user_set_ops": q.user_set_ops,
         # host/source-level quality gate (two-stage aggregate + semi join)
@@ -632,6 +640,59 @@ def oracle_sql() -> dict[str, str]:
                        AS centroid_e6
             FROM s JOIN n USING (label)
             GROUP BY s.label, n.n_vectors ORDER BY label
+        """,
+        "bigram_lm_documents": r"""
+            WITH docw AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text, e' \t\n\r'),
+                                             '\s+') AS w
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''
+            ),
+            big AS (
+                SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                FROM docw, LATERAL (SELECT unnest(range(1, len(w)))
+                                    AS i) t
+            ),
+            dtf AS (SELECT doc_id, w1, w2, count(*) AS tf
+                    FROM big GROUP BY doc_id, w1, w2),
+            cb AS (SELECT w1, w2, sum(tf) AS cb FROM dtf GROUP BY w1, w2),
+            cp AS (SELECT w1, sum(tf) AS cp FROM dtf GROUP BY w1),
+            vv AS (
+                SELECT count(DISTINCT u) AS v FROM (
+                    SELECT unnest(regexp_split_to_array(
+                        trim(text, e' \t\n\r'), '\s+')) AS u
+                    FROM documents
+                    WHERE trim(text, e' \t\n\r') <> '') s
+            )
+            SELECT d.doc_id AS doc_id,
+                   CAST(sum(d.tf) AS BIGINT) AS n_bigrams,
+                   round(sum(d.tf * ln((cb.cb + 1.0)
+                                       / (cp.cp + (SELECT v FROM vv))))
+                         / sum(d.tf), 6) AS avg_lp6
+            FROM dtf d JOIN cb ON cb.w1 = d.w1 AND cb.w2 = d.w2
+                       JOIN cp ON cp.w1 = d.w1
+            GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        "lead_lag_events": """
+            SELECT event_id, user_id,
+                   coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1)
+                       AS prev_gap_us,
+                   coalesce(lead(event_type) OVER w, '') AS next_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        "customer_order_stats": """
+            SELECT c.c_custkey AS c_custkey,
+                   c.c_mktsegment AS c_mktsegment,
+                   CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+                   round(coalesce(o.t, 0), 2) AS total_spent
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, count(*) AS n,
+                       sum(o_totalprice) AS t
+                FROM orders GROUP BY o_custkey) o
+                ON o.o_custkey = c.c_custkey
+            ORDER BY c.c_custkey
         """,
         "user_set_ops": """
             SELECT user_id, 'both' AS op FROM (

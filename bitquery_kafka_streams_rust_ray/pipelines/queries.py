@@ -2764,3 +2764,163 @@ def multimodal_decode(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
     ).to_pandas()
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+# --- round-3 additions: LM scoring, window funcs, outer join, PQ --------
+
+
+def bigram_lm_documents(sf_dir: str) -> pd.DataFrame:
+    """CCNet/DSIR-style language-model quality scoring: every document
+    scored by the mean log-probability of its word bigrams under an
+    add-one-smoothed bigram LM trained on the corpus itself (the
+    perplexity-filter family — Wenzek et al., CCNet; public method).
+
+    Scale shape: one tokenize pass emits complete per-doc bigram
+    term-frequency rows (a doc is one input row, so its tf is
+    batch-local); corpus bigram counts and prefix counts are
+    distributed ``groupby`` reductions that stay Datasets; both ride
+    BACK onto the per-doc rows via hash joins (never a driver-side LM
+    table — a web-scale bigram vocabulary fits no single process); the
+    vocabulary size V is the one driver scalar. The per-doc reduce
+    sums INTEGER picolog units (each row's tf*ln scaled 1e12 and
+    rounded), so the distributed sum is order-free bit-exact; the 1e-10
+    worst-case quantization is far inside the 6-decimal round. Docs
+    with <2 tokens have no bigrams and drop, like the oracle."""
+    from collections import Counter
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigram_tf(t: pa.Table) -> pa.Table:
+        ids, w1s, w2s, tfs = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            toks = (text or "").split()
+            c: Counter = Counter(zip(toks, toks[1:]))
+            ids.extend([doc_id] * len(c))
+            w1s.extend(a for a, _ in c)
+            w2s.extend(b for _, b in c)
+            tfs.extend(c.values())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "w1": pa.array(w1s, pa.string()),
+                         "w2": pa.array(w2s, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    tf = docs.map_batches(bigram_tf, batch_format="pyarrow")
+    # corpus LM counts: both reductions stay distributed Datasets
+    cb = (tf.map_batches(
+            lambda t: pa.table({
+                "bigram": pc.binary_join_element_wise(
+                    t["w1"].combine_chunks(), t["w2"].combine_chunks(),
+                    "\x1f"),
+                "tf": t["tf"]}),
+            batch_format="pyarrow")
+          .groupby("bigram").aggregate(Sum("tf", alias_name="cb")))
+    cp = tf.groupby("w1").aggregate(Sum("tf", alias_name="cp"))
+    # V = distinct unigrams (the one scalar that reaches the driver)
+    vocab = (docs.map_batches(
+        lambda t: _word_pairs(t).group_by("word").aggregate([]),
+        batch_format="pyarrow").groupby("word").count().count())
+
+    keyed = tf.map_batches(
+        lambda t: t.append_column(
+            "bigram", pc.binary_join_element_wise(
+                t["w1"].combine_chunks(), t["w2"].combine_chunks(),
+                "\x1f")),
+        batch_format="pyarrow")
+    buckets = join_buckets(_tbytes(sf_dir, "documents"))
+    j = hash_join(keyed, cb, on="bigram", buckets=buckets)
+    j = hash_join(j, cp, on="w1", buckets=buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cbv = t["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cpv = t["cp"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = tfv * np.log((cbv + 1.0) / (cpv + float(vocab)))
+        # integer picolog units -> the cross-block Sum is order-free
+        tt = pa.table({"doc_id": t["doc_id"],
+                       "lp_e12": pa.array(
+                           np.floor(lp * 1e12 + 0.5).astype(np.int64)),
+                       "tf": t["tf"]})
+        return (tt.group_by("doc_id")
+                .aggregate([("lp_e12", "sum"), ("tf", "sum")])
+                .rename_columns(["doc_id", "lp_e12", "tf"]))
+
+    out = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("lp_e12", alias_name="lp_e12"),
+                      Sum("tf", alias_name="n_bigrams"))
+           .to_pandas())
+    out["avg_lp6"] = np.round(
+        out["lp_e12"].to_numpy(np.float64) / 1e12
+        / out["n_bigrams"].to_numpy(np.float64), 6)
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    out = out.drop(columns=["lp_e12"]).sort_values("doc_id")
+    return out.reset_index(drop=True)[["doc_id", "n_bigrams", "avg_lp6"]]
+
+
+def lead_lag_events(sf_dir: str) -> pd.DataFrame:
+    """LAG/LEAD window functions per key: for every event, the gap (us)
+    since the same user's previous event and the type of their next
+    one. Same physical plan as ``running_events``: the user key is the
+    parallelism unit, one hash co-partition, vectorized diff/shift per
+    group — no global sort. Sentinels (-1 / '') stand in for the
+    NULLs so both sides hash integer/string-exact."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = series_ts_us(g["ts"]).to_numpy()
+        gap = np.full(len(g), -1, dtype=np.int64)
+        gap[1:] = np.diff(ts_us)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "prev_gap_us": gap,
+            "next_type": g["event_type"].shift(-1).fillna("").to_numpy(),
+        })
+
+    out = (ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def customer_order_stats(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join with zero-fill: per-customer order count and
+    total spend INCLUDING never-ordered customers (the anti-join rows,
+    surfaced with their aggregate instead of filtered). Orders first
+    reduce to one row per custkey (distributed groupby — the fact
+    table never reaches the join at row grain), then a partitioned
+    left-outer hash join against customer; null aggregate columns
+    zero-fill. Both sides stream; nothing driver-side."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = (orders.groupby("o_custkey")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_spent"))
+           .map_batches(lambda t: t.rename_columns(
+               ["c_custkey", "n_orders", "total_spent"]),
+               batch_format="pyarrow"))
+    j = hash_join(cust, agg, on="c_custkey", how="left",
+                  buckets=join_buckets(_tbytes(sf_dir, "customer",
+                                               "orders")))
+    out = j.to_pandas()
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    out["total_spent"] = out["total_spent"].astype("float64").fillna(0.0)
+    out = _round2(out, ["total_spent"])
+    out = out.sort_values("c_custkey").reset_index(drop=True)
+    return out[["c_custkey", "c_mktsegment", "n_orders", "total_spent"]]
+
+
+def pq_encode_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization encode of the embedding corpus (rows-only:
+    codebook training is k-means, not ANSI SQL; quality is pinned by
+    ``tests/test_pq.py`` — reconstruction error below the int-grid
+    bound and ADC top-k recall vs exact search). Codes surface as a
+    compact hex string per vector (m=8 uint8 ids)."""
+    from ..stages.pq import pq_encode
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    codes, _books = pq_encode(ds)
+    out = codes.to_pandas()
+    out["codes"] = out["codes"].map(lambda c: bytes(list(c)).hex())
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -75,6 +75,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_lag_events": q.lead_lag_events,
         # LEFT OUTER join with zero-fill (§2.5)
         "customer_order_stats": q.customer_order_stats,
+        # exact global NTILE without a global sort (§2.6)
+        "ntile_documents": q.ntile_documents,
+        # exact-N deterministic global sample (§2.7)
+        "exact_sample_events": q.exact_sample_events,
         # INTERSECT / EXCEPT key-set operators (§2.7)
         "user_set_ops": q.user_set_ops,
         # host/source-level quality gate (two-stage aggregate + semi join)
@@ -672,6 +676,17 @@ def oracle_sql() -> dict[str, str]:
             FROM dtf d JOIN cb ON cb.w1 = d.w1 AND cb.w2 = d.w2
                        JOIN cp ON cp.w1 = d.w1
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        "ntile_documents": """
+            SELECT doc_id, n_chars,
+                   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS q4
+            FROM documents ORDER BY doc_id
+        """,
+        "exact_sample_events": """
+            SELECT event_id, user_id, event_type FROM events
+            ORDER BY (event_id * 2654435761) % 4294967296, event_id
+            LIMIT 200
         """,
         "lead_lag_events": """
             SELECT event_id, user_id,

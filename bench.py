@@ -122,6 +122,10 @@ QUERY_NAMES = [
     "mix_documents",
     "label_centroids_embeddings",
     "knn_classify_embeddings",
+    "bigram_lm_documents",
+    "pq_encode_embeddings",
+    "lead_lag_events",
+    "customer_order_stats",
 ]
 
 

@@ -2791,44 +2791,43 @@ def bigram_lm_documents(sf_dir: str) -> pd.DataFrame:
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def bigram_tf(t: pa.Table) -> pa.Table:
-        ids, w1s, w2s, tfs = [], [], [], []
+        """(doc_id, bigram, w1, tf) rows — tf is complete per doc.
+        \\x1f joins the pair (Python str.split treats \\x1c-\\x1f as
+        whitespace, so no token can contain it)."""
+        ids, bgs, w1s, tfs = [], [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(),
                                 t["text"].to_pylist()):
             toks = (text or "").split()
             c: Counter = Counter(zip(toks, toks[1:]))
             ids.extend([doc_id] * len(c))
+            bgs.extend(f"{a}\x1f{b}" for a, b in c)
             w1s.extend(a for a, _ in c)
-            w2s.extend(b for _, b in c)
             tfs.extend(c.values())
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bigram": pa.array(bgs, pa.string()),
                          "w1": pa.array(w1s, pa.string()),
-                         "w2": pa.array(w2s, pa.string()),
                          "tf": pa.array(tfs, pa.int64())})
 
     tf = docs.map_batches(bigram_tf, batch_format="pyarrow")
-    # corpus LM counts: both reductions stay distributed Datasets
-    cb = (tf.map_batches(
+    # corpus bigram counts: one distributed reduce over the tf rows;
+    # PREFIX counts then derive from this already-reduced frame (split
+    # the bigram key back apart) instead of re-tokenizing the corpus —
+    # the cp reduce runs over distinct-bigram rows, not corpus rows
+    cb = tf.groupby("bigram").aggregate(Sum("tf", alias_name="cb"))
+    cp = (cb.map_batches(
             lambda t: pa.table({
-                "bigram": pc.binary_join_element_wise(
-                    t["w1"].combine_chunks(), t["w2"].combine_chunks(),
-                    "\x1f"),
-                "tf": t["tf"]}),
+                "w1": pc.list_element(pc.split_pattern(
+                    t["bigram"].combine_chunks(), "\x1f"), 0),
+                "cb": t["cb"]}),
             batch_format="pyarrow")
-          .groupby("bigram").aggregate(Sum("tf", alias_name="cb")))
-    cp = tf.groupby("w1").aggregate(Sum("tf", alias_name="cp"))
+          .groupby("w1").aggregate(Sum("cb", alias_name="cp")))
     # V = distinct unigrams (the one scalar that reaches the driver)
     vocab = (docs.map_batches(
         lambda t: _word_pairs(t).group_by("word").aggregate([]),
         batch_format="pyarrow").groupby("word").count().count())
 
-    keyed = tf.map_batches(
-        lambda t: t.append_column(
-            "bigram", pc.binary_join_element_wise(
-                t["w1"].combine_chunks(), t["w2"].combine_chunks(),
-                "\x1f")),
-        batch_format="pyarrow")
     buckets = join_buckets(_tbytes(sf_dir, "documents"))
-    j = hash_join(keyed, cb, on="bigram", buckets=buckets)
+    j = hash_join(tf, cb, on="bigram", buckets=buckets)
     j = hash_join(j, cp, on="w1", buckets=buckets)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2924,3 +2923,71 @@ def pq_encode_embeddings(sf_dir: str) -> pd.DataFrame:
     out = codes.to_pandas()
     out["codes"] = out["codes"].map(lambda c: bytes(list(c)).hex())
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def ntile_documents(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Exact global NTILE(k) over (n_chars, doc_id) with NO global
+    sort: the global rank decomposes into a bounded-domain histogram
+    (per-value counts -> driver -> exclusive cumsum = each value's
+    base rank, the ``long_docs_p90`` trick) plus a within-value rank
+    (one hash co-partition on n_chars, vectorized argsort per group).
+    The only exchange is the co-partition; the histogram is
+    value-domain-sized. Bucket boundaries follow SQL NTILE semantics
+    (first N%k buckets one row bigger). This is the quartile/decile
+    bucketing a length-stratified curriculum sampler needs."""
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    hist = (docs.map_batches(
+        lambda t: t.group_by("n_chars").aggregate([([], "count_all")]),
+        batch_format="pyarrow")
+        .groupby("n_chars").aggregate(Sum("count_all", alias_name="cnt"))
+        .to_pandas().sort_values("n_chars"))  # value-domain-sized
+    n_total = int(hist["cnt"].sum())
+    base = dict(zip(hist["n_chars"].astype(np.int64),
+                    np.concatenate([[0], hist["cnt"].cumsum()
+                                    .to_numpy()[:-1]]).astype(np.int64)))
+    base_ref = ray.put(base)
+    size_small, r = divmod(n_total, k)
+    big_span = r * (size_small + 1)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        b = broadcast_get(base_ref)[int(g["n_chars"].iloc[0])]
+        rank0 = b + np.arange(len(g), dtype=np.int64)
+        if size_small == 0:  # fewer rows than buckets
+            q = rank0 + 1
+        else:
+            q = np.where(
+                rank0 < big_span,
+                rank0 // (size_small + 1),
+                r + (rank0 - big_span) // size_small) + 1
+        return pd.DataFrame({"doc_id": g["doc_id"],
+                             "n_chars": g["n_chars"],
+                             "q4": q.astype(np.int64)})
+
+    out = (docs.groupby("n_chars")
+           .map_groups(rank_group, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def exact_sample_events(sf_dir: str, n: int = 200) -> pd.DataFrame:
+    """Exact-N deterministic global sample: the N events with the
+    smallest Knuth multiplicative hash of their id (tie-break id) —
+    the exact-cardinality sibling of ``sample_events`` (hash-threshold,
+    approximate N). Partial bottom-N per batch means the driver merge
+    sees blocks x N rows, never the corpus; the hash is a pure function
+    of ids so the sample is layout/cluster-size invariant AND exactly
+    reproducible in ANSI SQL (`(id * 2654435761) % 4294967296`)."""
+    from ..stages.hashing import multiplicative_hash_u32
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = multiplicative_hash_u32(df["event_id"].to_numpy())
+        return (df.assign(_h=h.astype(np.uint64))
+                .nsmallest(min(n, len(df)), ["_h", "event_id"]))
+
+    reduced = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = reduced.nsmallest(min(n, len(reduced)), ["_h", "event_id"])
+    return (out.drop(columns=["_h"]).sort_values("event_id")
+            .reset_index(drop=True))

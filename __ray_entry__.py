@@ -79,6 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_documents": q.ntile_documents,
         # exact-N deterministic global sample (§2.7)
         "exact_sample_events": q.exact_sample_events,
+        # grouped MODE via order-encoding argmax (§2.6)
+        "mode_event_type_per_user": q.mode_event_type_per_user,
+        # grouped Pearson correlation from integer-exact moments (§2.6)
+        "corr_value_hour_by_type": q.corr_value_hour_by_type,
         # INTERSECT / EXCEPT key-set operators (§2.7)
         "user_set_ops": q.user_set_ops,
         # host/source-level quality gate (two-stage aggregate + semi join)
@@ -676,6 +680,34 @@ def oracle_sql() -> dict[str, str]:
             FROM dtf d JOIN cb ON cb.w1 = d.w1 AND cb.w2 = d.w2
                        JOIN cp ON cp.w1 = d.w1
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        "mode_event_type_per_user": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY user_id, event_type),
+            r AS (SELECT user_id, event_type, n,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY n DESC, event_type) AS rk
+                  FROM c)
+            SELECT user_id, event_type AS mode_type,
+                   CAST(n AS BIGINT) AS n
+            FROM r WHERE rk = 1 ORDER BY user_id
+        """,
+        "corr_value_hour_by_type": """
+            WITH m AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS x,
+                       (epoch_us(ts) // 3600000000) % 24 AS y
+                FROM events
+            ),
+            s AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x*y) AS sxy,
+                         sum(x*x) AS sxx, sum(y*y) AS syy
+                  FROM m GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round((n*sxy - sx*sy)
+                         / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)),
+                         6) AS corr6
+            FROM s ORDER BY event_type
         """,
         "ntile_documents": """
             SELECT doc_id, n_chars,

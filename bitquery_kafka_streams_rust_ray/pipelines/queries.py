@@ -2991,3 +2991,80 @@ def exact_sample_events(sf_dir: str, n: int = 200) -> pd.DataFrame:
     out = reduced.nsmallest(min(n, len(reduced)), ["_h", "event_id"])
     return (out.drop(columns=["_h"]).sort_values("event_id")
             .reset_index(drop=True))
+
+
+def mode_event_type_per_user(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE (most frequent value per key, tie-break smallest
+    value) — the categorical argmax every label-cleaning pass needs.
+    Same order-encoding-key trick as ``rare_terms_documents``: counts
+    reduce per (user, type), then ONE hash-combining Min over
+    'inverted-count || type' picks the winner per user — partials
+    combine per block, so no per-group sort and no second wide
+    shuffle."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    counts = (ds.groupby(["user_id", "event_type"])
+              .aggregate(Count(alias_name="n")))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(pc.subtract(pa.scalar(10 ** 8), t["n"]),
+                                 pa.string()), 8, "0"),
+            t["event_type"].combine_chunks(), "")
+        return pa.table({"user_id": t["user_id"], "key": key})
+
+    out = (counts.map_batches(keyed, batch_format="pyarrow")
+           .groupby("user_id").aggregate(Min("key", alias_name="key"))
+           .to_pandas())
+    out["n"] = (10 ** 8 - out["key"].str[:8].astype("int64"))
+    out["mode_type"] = out["key"].str[8:]
+    out = out.drop(columns=["key"]).sort_values("user_id")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.reset_index(drop=True)[["user_id", "mode_type", "n"]]
+
+
+def corr_value_hour_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation (value vs hour-of-day per
+    event_type) from five INTEGER-EXACT moment sums: value is
+    cent-quantized (x100 -> int64) and hour is a small int, so the
+    per-batch (n, Sx, Sy, Sxy, Sxx, Syy) partials and their
+    cross-block sums are exact integers — bit-identical on any
+    layout/cluster size — and the float arithmetic happens once, on
+    the groups-sized frame. The oracle is the same closed form over
+    SQL integer sums (NOT corr(): single-pass streaming corr
+    accumulates float error this formulation never incurs)."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.round(t["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        ts_us = np.asarray(column_ts_us(t["ts"]))
+        y = (ts_us // HOUR_US) % 24
+        tt = pa.table({"event_type": t["event_type"],
+                       "x": pa.array(x), "y": pa.array(y),
+                       "xy": pa.array(x * y), "xx": pa.array(x * x),
+                       "yy": pa.array(y * y)})
+        return (tt.group_by("event_type")
+                .aggregate([([], "count_all"), ("x", "sum"), ("y", "sum"),
+                            ("xy", "sum"), ("xx", "sum"), ("yy", "sum")])
+                .rename_columns(["event_type", "n", "sx", "sy",
+                                 "sxy", "sxx", "syy"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy"))
+           .to_pandas())  # groups-sized
+    n = agg["n"].to_numpy(np.float64)
+    sx, sy = agg["sx"].to_numpy(np.float64), agg["sy"].to_numpy(np.float64)
+    sxy = agg["sxy"].to_numpy(np.float64)
+    sxx, syy = agg["sxx"].to_numpy(np.float64), agg["syy"].to_numpy(np.float64)
+    cov = n * sxy - sx * sy
+    den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    corr = np.where(den == 0, np.nan, cov / np.where(den == 0, 1.0, den))
+    out = pd.DataFrame({"event_type": agg["event_type"],
+                        "n": agg["n"].astype("int64"),
+                        "corr6": np.round(corr, 6)})
+    return out.sort_values("event_type").reset_index(drop=True)

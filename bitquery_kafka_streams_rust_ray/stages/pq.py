@@ -92,9 +92,11 @@ class _PqEncoder:
         if not len(batch):
             return pa.table({self.id_col: batch[self.id_col],
                              "codes": pa.array([], pa.list_(pa.uint8()))})
-        x = _normalize(np.asarray(batch[self.emb_col].to_pylist(),
-                                  dtype=np.float64))
         m, ksub, dsub = self.books.shape
+        # fixed-dim list column: flatten + reshape, no per-row Python
+        flat = pc.list_flatten(batch[self.emb_col].combine_chunks())
+        x = _normalize(flat.to_numpy(zero_copy_only=False)
+                       .astype(np.float64).reshape(len(batch), m * dsub))
         codes = np.empty((len(x), m), dtype=np.uint8)
         for s in range(m):
             sub = x[:, s * dsub:(s + 1) * dsub]
@@ -148,14 +150,16 @@ class _AdcScorer:
         self.id_col, self.k = id_col, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        nq = self.tables.shape[0]
+        nq, m = self.tables.shape[0], self.tables.shape[1]
         if not len(batch):
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
-        codes = np.asarray(batch["codes"].to_pylist(), dtype=np.int64)
+        flat = pc.list_flatten(batch["codes"].combine_chunks())
+        codes = (flat.to_numpy(zero_copy_only=False).astype(np.int64)
+                 .reshape(len(batch), m))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        n, m = codes.shape
+        n = len(ids)
         out_q, out_v, out_s = [], [], []
         cols = np.arange(m)
         for qi in range(nq):

@@ -36,6 +36,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # and the remainder follows.  Coverage is identical either way — every
     # entry below is a first-class catalog member.
     return {
+        # -- round-3b additions (not yet driver-checked, so they lead) ---
+        # bounded ROWS window (moving sum per key)
+        "moving_sum_events": q.moving_sum_events,
+        # ordered string aggregation (per-user event path)
+        "event_path_per_user": q.event_path_per_user,
+        # DENSE_RANK / CUME_DIST without a global sort
+        "dense_rank_orders": q.dense_rank_orders,
+        "cume_dist_orders": q.cume_dist_orders,
+        # fixed-width binned histogram (count + exact cent sums)
+        "value_histogram_events": q.value_histogram_events,
+        # per-doc unigram Shannon entropy (diversity quality signal)
+        "token_entropy_documents": q.token_entropy_documents,
+        # batched-DP Levenshtein scoring (fuzzy string match)
+        "edit_distance_parts": q.edit_distance_parts,
+        # grouped ARG_MAX via order-encoded Min (MAX_BY)
+        "argmax_event_per_type": q.argmax_event_per_type,
         # -- training-data ops: indexing / dedup / packing / curation ----
         "inverted_index_documents": q.inverted_index_documents,
         "doc_components": q.doc_components,
@@ -170,6 +186,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "moving_sum_events": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS mov_sum_cents,
+                   count(*) OVER w AS n_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "event_path_per_user": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "dense_rank_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bucket,
+                   CAST(dense_rank() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY floor(o_totalprice / 1000.0)) AS BIGINT)
+                       AS drank
+            FROM orders ORDER BY o_orderkey
+        """,
+        "cume_dist_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(cume_dist() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)),
+                       6) AS cd6
+            FROM orders ORDER BY o_orderkey
+        """,
+        "value_histogram_events": """
+            SELECT least(greatest(CAST(round(value * 100) AS BIGINT)
+                                  // 2500, 0), 19) AS bucket,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY bucket ORDER BY bucket
+        """,
+        "token_entropy_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text, e' \t\n\r'),
+                                                    '\s+')) AS w
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''
+            ),
+            c AS (SELECT doc_id, w, count(*) AS c FROM toks
+                  GROUP BY doc_id, w)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6)
+                       AS entropy6
+            FROM c GROUP BY doc_id ORDER BY doc_id
+        """,
+        "edit_distance_parts": """
+            SELECT p_partkey,
+                   CAST(levenshtein(p_name, 'small widget') AS BIGINT)
+                       AS dist
+            FROM part ORDER BY p_partkey
+        """,
+        "argmax_event_per_type": """
+            SELECT event_type, event_id AS best_event_id,
+                   CAST(c AS DOUBLE) / 100 AS max_value
+            FROM (SELECT event_type, event_id,
+                         CAST(round(value * 100) AS BIGINT) AS c,
+                         row_number() OVER (
+                             PARTITION BY event_type
+                             ORDER BY CAST(round(value * 100) AS BIGINT)
+                                      DESC, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY event_type
+        """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -3068,3 +3068,308 @@ def corr_value_hour_by_type(sf_dir: str) -> pd.DataFrame:
                         "n": agg["n"].astype("int64"),
                         "corr6": np.round(corr, 6)})
     return out.sort_values("event_type").reset_index(drop=True)
+
+def moving_sum_events(sf_dir: str, w: int = 3) -> pd.DataFrame:
+    """Bounded ROWS window (moving sum over the last ``w`` events per
+    user) — the rate-limiter / rolling-spend primitive. Cent-quantized
+    int64 cumsum-difference per group, so the moving sums are exact
+    integers on any layout. One hash co-partition on the user key; the
+    window never crosses users, so no block-boundary carry exists."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = np.round(g["value"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        idx = np.arange(len(g), dtype=np.int64)
+        lo = np.maximum(idx - (w - 1), 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "mov_sum_cents": cs[idx + 1] - cs[lo],
+            "n_window": np.minimum(idx + 1, w),
+        })
+
+    out = (ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def event_path_per_user(sf_dir: str) -> pd.DataFrame:
+    """Ordered string aggregation (the per-user event-type journey,
+    ``string_agg(... ORDER BY ts)``) — the sequence feature a funnel /
+    markov model trains on. The user key is the parallelism unit; each
+    group sorts locally and joins once — paths never pass through the
+    driver unconcatenated."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "path": [">".join(g["event_type"])],
+            "n_events": [np.int64(len(g))],
+        })
+
+    out = (ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def dense_rank_orders(sf_dir: str) -> pd.DataFrame:
+    """DENSE_RANK per group with NO global sort: price buckets
+    (floor(total/1000)) have a bounded value domain, so the distinct
+    (priority, bucket) set reduces to a tiny frame (the ``ntile``
+    histogram trick), ranks assign driver-side, and a broadcast
+    searchsorted maps every row — one small shuffle of the distinct
+    keys, everything else is a pure map."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                               "o_totalprice"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        bkt = pc.cast(pc.floor(pc.divide(t["o_totalprice"], 1000.0)),
+                      pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "bucket": bkt})
+
+    withb = ds.map_batches(bucketed, batch_format="pyarrow")
+    distinct = (withb.map_batches(
+        lambda t: t.group_by(["o_orderpriority", "bucket"]).aggregate([]),
+        batch_format="pyarrow")
+        .groupby(["o_orderpriority", "bucket"])
+        .aggregate(Count(alias_name="_n")).to_pandas())  # value-domain-sized
+    ranks = {
+        prio: np.sort(sub["bucket"].to_numpy(np.int64))
+        for prio, sub in distinct.groupby("o_orderpriority")
+    }
+    ranks_ref = ray.put(ranks)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        table = broadcast_get(ranks_ref)
+        drank = np.empty(len(df), dtype=np.int64)
+        bkt = df["bucket"].to_numpy(np.int64)
+        for prio, m in ((p, df["o_orderpriority"].to_numpy() == p)
+                        for p in np.unique(df["o_orderpriority"])):
+            drank[m] = np.searchsorted(table[prio], bkt[m]) + 1
+        return df.assign(drank=drank)
+
+    out = withb.map_batches(assign, batch_format="pandas").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def cume_dist_orders(sf_dir: str) -> pd.DataFrame:
+    """CUME_DIST per group without a global sort: per-(priority, cents)
+    counts reduce to a distinct-value-sized frame, cumulative counts
+    assign driver-side, and a broadcast searchsorted(side='right') maps
+    each row to its count-less-or-equal — exact integers until the one
+    final division. Value-domain-sized exchange only (prices are
+    bounded-domain cents; the frame never scales with row count)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                               "o_totalprice"])
+
+    _cdf_schema = pa.schema([("o_orderpriority", pa.string()),
+                             ("cents", pa.int64()), ("n", pa.int64())])
+
+    def centify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # keep the schema on empty blocks
+            return _cdf_schema.empty_table()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        tt = pa.table({"o_orderpriority": t["o_orderpriority"],
+                       "cents": cents})
+        return (tt.group_by(["o_orderpriority", "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["o_orderpriority", "cents", "n"])
+                .cast(_cdf_schema))
+
+    hist = (ds.map_batches(centify, batch_format="pyarrow")
+            .groupby(["o_orderpriority", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())  # distinct-value-sized
+    cdf = {}
+    for prio, sub in hist.groupby("o_orderpriority"):
+        sub = sub.sort_values("cents")
+        cum = sub["n"].to_numpy(np.int64).cumsum()
+        cdf[prio] = (sub["cents"].to_numpy(np.int64), cum, int(cum[-1]))
+    cdf_ref = ray.put(cdf)
+
+    def assign(t: pa.Table) -> pa.Table:
+        table = broadcast_get(cdf_ref)
+        prios = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        cd = np.empty(len(t), dtype=np.float64)
+        for p in np.unique(prios):
+            vals, cum, n = table[p]
+            m = prios == p
+            cd[m] = cum[np.searchsorted(vals, cents[m], side="right") - 1] / n
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": pa.array(prios),
+                         "cd6": pa.array(np.round(cd, 6))})
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def value_histogram_events(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width binned histogram (count + exact cent sum per bucket)
+    — the distribution profile a quality dashboard plots. Per-batch
+    bucketing + Arrow partial aggregate means the shuffle carries at
+    most n_buckets rows per block, never events."""
+    ds = _t(sf_dir, "events", ["value"])
+
+    _hist_schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64()),
+                              ("sum_cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # keep the schema on empty blocks
+            return _hist_schema.empty_table()
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        bkt = np.minimum(np.maximum(cents // 2500, 0), 19)
+        tt = pa.table({"bucket": pa.array(bkt), "cents": pa.array(cents)})
+        return (tt.group_by("bucket")
+                .aggregate([([], "count_all"), ("cents", "sum")])
+                .rename_columns(["bucket", "n", "sum_cents"])
+                .cast(_hist_schema))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_cents", alias_name="sum_cents"))
+           .to_pandas())
+    for c in ("n", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def token_entropy_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-document unigram Shannon entropy (repetition / diversity
+    quality signal, the information-theoretic sibling of
+    ``repetition_filter_documents``). Fully vectorized per batch with
+    NO per-row loop: one regex split, dictionary-encode the flattened
+    tokens, count (doc, token) pairs with one np.unique over composite
+    int64 keys, then bincount the c*ln(c) contributions back to docs.
+    Pure map — no shuffle at all."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        keep = pc.not_equal(trimmed, "")
+        doc_id = t["doc_id"].filter(keep).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(trimmed.filter(keep),
+                                      r"\s+").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        codes = pc.dictionary_encode(flat).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = int(codes.max()) + 1 if len(codes) else 1
+        doc_idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), lens)
+        pair_keys, counts = np.unique(doc_idx * vocab + codes,
+                                      return_counts=True)
+        contrib = counts.astype(np.float64) * np.log(counts)
+        sums = np.bincount(pair_keys // vocab, weights=contrib,
+                           minlength=len(doc_id))
+        n_tok = lens.astype(np.float64)
+        entropy = np.log(n_tok) - sums / n_tok
+        return pa.table({"doc_id": pa.array(doc_id),
+                         "n_tokens": pa.array(lens.astype(np.int64)),
+                         "entropy6": pa.array(np.round(entropy, 6))})
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_LEV_PROBE = "small widget"
+
+
+def _levenshtein_batch(arr: pa.Array, probe: str) -> np.ndarray:
+    """Batch Levenshtein against a fixed probe, vectorized ACROSS rows:
+    the padded byte matrix comes straight from the Arrow string buffers
+    (no per-row Python), and the DP runs len(s_max) x len(probe)
+    iterations of whole-batch numpy ops — the per-element work is
+    C-speed regardless of batch size."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    n, m_max = len(arr), int(lens.max()) if len(arr) else 0
+    span = np.arange(m_max, dtype=np.int64)
+    active_all = span[None, :] < lens[:, None]
+    idx = np.minimum(offs[:-1, None] + span[None, :], len(data) - 1)
+    mat = np.where(active_all, data[idx], 0)
+
+    q = np.frombuffer(probe.encode(), dtype=np.uint8)
+    mq = len(q)
+    dp = np.broadcast_to(np.arange(mq + 1, dtype=np.int64),
+                         (n, mq + 1)).copy()
+    for i in range(m_max):
+        act = active_all[:, i]
+        c = mat[:, i]
+        new = np.empty_like(dp)
+        new[:, 0] = dp[:, 0] + 1
+        for j in range(1, mq + 1):
+            cost = (c != q[j - 1]).astype(np.int64)
+            new[:, j] = np.minimum(np.minimum(dp[:, j] + 1,
+                                              new[:, j - 1] + 1),
+                                   dp[:, j - 1] + cost)
+        dp = np.where(act[:, None], new, dp)
+    return dp[:, mq]
+
+
+def edit_distance_parts(sf_dir: str) -> pd.DataFrame:
+    """Levenshtein edit distance of every part name to a probe string
+    (fuzzy-match scoring, the approximate-string sibling of the n-gram
+    Jaccard ops). Pure map; the DP kernel is row-vectorized numpy over
+    the raw Arrow buffers, not a Python loop per string."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "dist": pa.array(_levenshtein_batch(
+                t["p_name"].combine_chunks(), _LEV_PROBE)),
+        })
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def argmax_event_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped ARG_MAX (MAX_BY: the event id holding each type's
+    maximum value, tie-break smallest id) via the same order-encoding
+    trick as ``mode_event_type_per_user``: one hash-combining Min over
+    'inverted-cents || id' — partials fold inside every block, so the
+    shuffle carries one row per (block, group) and there is no per-group
+    sort anywhere."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    _key_schema = pa.schema([("event_type", pa.string()),
+                             ("key", pa.string())])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # keep the schema on empty blocks
+            return _key_schema.empty_table()
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(pc.subtract(pa.scalar(10 ** 8), cents),
+                                 pa.string()), 8, "0"),
+            pc.utf8_lpad(pc.cast(t["event_id"], pa.string()), 12, "0"), "")
+        return pa.table({"event_type": t["event_type"], "key": key})
+
+    out = (ds.map_batches(keyed, batch_format="pyarrow")
+           .groupby("event_type").aggregate(Min("key", alias_name="key"))
+           .to_pandas())
+    cents = 10 ** 8 - out["key"].str[:8].astype("int64")
+    out["best_event_id"] = out["key"].str[8:].astype("int64")
+    # cents/100.0 is the SAME double both sides (int -> nearest double,
+    # one division) so no rounding step is needed for the value hash
+    out["max_value"] = cents.to_numpy(np.float64) / 100.0
+    out = out.drop(columns=["key"]).sort_values("event_type")
+    return out.reset_index(drop=True)[
+        ["event_type", "best_event_id", "max_value"]]

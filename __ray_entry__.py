@@ -52,6 +52,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_parts": q.edit_distance_parts,
         # grouped ARG_MAX via order-encoded Min (MAX_BY)
         "argmax_event_per_type": q.argmax_event_per_type,
+        # grouped least-squares regression from integer moments
+        "linreg_value_hour_by_type": q.linreg_value_hour_by_type,
+        # calendar-dimension rollup (locale-free day-of-week)
+        "dow_orders": q.dow_orders,
+        # sequential pattern mining (top-k 3-step paths)
+        "event_trigrams": q.event_trigrams,
+        # per-group Tukey IQR fences + outlier counts from one histogram
+        "iqr_outliers_events": q.iqr_outliers_events,
+        # vector scalar profile (integer-exact L2 / L-inf norms)
+        "embedding_norms": q.embedding_norms,
+        # chi-square independence over the type x hour contingency
+        "chi2_type_hour": q.chi2_type_hour,
+        # quantity-weighted average price per return flag
+        "weighted_avg_lineitem": q.weighted_avg_lineitem,
         # -- training-data ops: indexing / dedup / packing / curation ----
         "inverted_index_documents": q.inverted_index_documents,
         "doc_components": q.doc_components,
@@ -259,6 +273,111 @@ def oracle_sql() -> dict[str, str]:
                                       DESC, event_id) AS rn
                   FROM events)
             WHERE rn = 1 ORDER BY event_type
+        """,
+        "linreg_value_hour_by_type": """
+            WITH m AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) % 24 AS x,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events
+            ),
+            s AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+                  FROM m GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                         / (CAST(n AS DOUBLE)*sxx
+                            - CAST(sx AS DOUBLE)*sx), 6) AS slope6,
+                   round((CAST(sy AS DOUBLE)
+                          - ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                             / (CAST(n AS DOUBLE)*sxx
+                                - CAST(sx AS DOUBLE)*sx)) * sx)
+                         / n, 6) AS intercept6
+            FROM s ORDER BY event_type
+        """,
+        "dow_orders": """
+            SELECT (epoch_us(o_orderdate) // 86400000000 + 4) % 7 AS dow,
+                   count(*) AS n_orders,
+                   CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS DOUBLE) / 100.0 AS total
+            FROM orders GROUP BY dow ORDER BY dow
+        """,
+        "event_trigrams": """
+            WITH s AS (
+                SELECT event_type,
+                       lead(event_type, 1) OVER w AS t2,
+                       lead(event_type, 2) OVER w AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+                   count(*) AS n
+            FROM s WHERE t3 IS NOT NULL
+            GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20
+        """,
+        "iqr_outliers_events": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(c, 0.25) AS q1_cents,
+                         quantile_disc(c, 0.75) AS q3_cents
+                  FROM c GROUP BY event_type)
+            SELECT q.event_type, q1_cents, q3_cents,
+                   CAST(count(*) FILTER (2 * c.c > 5 * q3_cents
+                                         - 3 * q1_cents) AS BIGINT)
+                       AS n_outliers
+            FROM c JOIN q USING (event_type)
+            GROUP BY q.event_type, q1_cents, q3_cents
+            ORDER BY q.event_type
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   CAST(floor(sqrt(CAST(list_sum(list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+                                        + 0.5) AS BIGINT)
+                             * CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+                                          + 0.5) AS BIGINT)))
+                        AS DOUBLE)) + 0.5) AS BIGINT) AS l2_q,
+                   CAST(list_max(list_transform(embedding,
+                        x -> abs(CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+                                            + 0.5) AS BIGINT))))
+                        AS BIGINT) AS linf_q
+            FROM embeddings ORDER BY vec_id
+        """,
+        "chi2_type_hour": """
+            WITH c AS (
+                SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h,
+                       count(*) AS o
+                FROM events GROUP BY event_type, h
+            ),
+            r AS (SELECT event_type, CAST(sum(o) AS DOUBLE) AS rt
+                  FROM c GROUP BY event_type),
+            col AS (SELECT h, CAST(sum(o) AS DOUBLE) AS ct
+                    FROM c GROUP BY h),
+            n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c),
+            grid AS (SELECT r.event_type, r.rt, col.h, col.ct
+                     FROM r, col)
+            SELECT g.event_type,
+                   round(sum(pow(coalesce(c.o, 0) - g.rt * g.ct / n.n, 2)
+                             / (g.rt * g.ct / n.n)), 4) AS chi2_4
+            FROM grid g LEFT JOIN c
+                ON c.event_type = g.event_type AND c.h = g.h, n
+            GROUP BY g.event_type ORDER BY g.event_type
+        """,
+        "weighted_avg_lineitem": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * CAST(round(l_quantity) AS BIGINT) AS num,
+                       CAST(round(l_quantity) AS BIGINT) AS den
+                FROM lineitem
+            )
+            SELECT l_returnflag,
+                   CAST(sum(den) AS BIGINT) AS n_units,
+                   round(CAST(sum(num) AS DOUBLE) / CAST(sum(den) AS DOUBLE)
+                         / 100.0, 6) AS wavg6
+            FROM m GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -3356,20 +3356,276 @@ def argmax_event_per_type(sf_dir: str) -> pd.DataFrame:
         if len(t) == 0:  # keep the schema on empty blocks
             return _key_schema.empty_table()
         cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        # bias by 10^9-1 (NOT 10^9): cents==0 must still encode in 9
+        # digits or the lexicographic order breaks at the boundary
         key = pc.binary_join_element_wise(
-            pc.utf8_lpad(pc.cast(pc.subtract(pa.scalar(10 ** 8), cents),
-                                 pa.string()), 8, "0"),
+            pc.utf8_lpad(pc.cast(pc.subtract(pa.scalar(10 ** 9 - 1), cents),
+                                 pa.string()), 9, "0"),
             pc.utf8_lpad(pc.cast(t["event_id"], pa.string()), 12, "0"), "")
         return pa.table({"event_type": t["event_type"], "key": key})
 
     out = (ds.map_batches(keyed, batch_format="pyarrow")
            .groupby("event_type").aggregate(Min("key", alias_name="key"))
            .to_pandas())
-    cents = 10 ** 8 - out["key"].str[:8].astype("int64")
-    out["best_event_id"] = out["key"].str[8:].astype("int64")
+    cents = 10 ** 9 - 1 - out["key"].str[:9].astype("int64")
+    out["best_event_id"] = out["key"].str[9:].astype("int64")
     # cents/100.0 is the SAME double both sides (int -> nearest double,
     # one division) so no rounding step is needed for the value hash
     out["max_value"] = cents.to_numpy(np.float64) / 100.0
     out = out.drop(columns=["key"]).sort_values("event_type")
     return out.reset_index(drop=True)[
         ["event_type", "best_event_id", "max_value"]]
+
+def linreg_value_hour_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped least-squares regression (value vs hour-of-day per event
+    type): slope + intercept from the same five integer-exact moment
+    sums as ``corr_value_hour_by_type`` — partials fold per block, the
+    float arithmetic runs once on the groups-sized frame with the SAME
+    expression shape as the oracle, so the doubles match bit-for-bit
+    before the final round."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = np.round(t["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        ts_us = np.asarray(column_ts_us(t["ts"]))
+        x = (ts_us // HOUR_US) % 24
+        tt = pa.table({"event_type": t["event_type"],
+                       "x": pa.array(x), "y": pa.array(y),
+                       "xy": pa.array(x * y), "xx": pa.array(x * x)})
+        return (tt.group_by("event_type")
+                .aggregate([([], "count_all"), ("x", "sum"), ("y", "sum"),
+                            ("xy", "sum"), ("xx", "sum")])
+                .rename_columns(["event_type", "n", "sx", "sy",
+                                 "sxy", "sxx"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"))
+           .to_pandas())  # groups-sized
+    n = agg["n"].to_numpy(np.float64)
+    sx, sy = agg["sx"].to_numpy(np.float64), agg["sy"].to_numpy(np.float64)
+    sxy, sxx = agg["sxy"].to_numpy(np.float64), agg["sxx"].to_numpy(np.float64)
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    out = pd.DataFrame({"event_type": agg["event_type"],
+                        "n": agg["n"].astype("int64"),
+                        "slope6": np.round(slope, 6),
+                        "intercept6": np.round(intercept, 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def dow_orders(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week rollup (calendar-dimension aggregation): the dow
+    derives arithmetically from the epoch (1970-01-01 + 4 = Thursday
+    anchor), so both engines share one locale-free formula. Per-batch
+    Arrow partials mean the shuffle carries at most 7 rows per block."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    _schema = pa.schema([("dow", pa.int64()), ("n_orders", pa.int64()),
+                         ("sum_cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        days = np.asarray(column_ts_us(t["o_orderdate"])) // (86400 * US)
+        dow = (days + 4) % 7
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        tt = pa.table({"dow": pa.array(dow), "cents": pa.array(cents)})
+        return (tt.group_by("dow")
+                .aggregate([([], "count_all"), ("cents", "sum")])
+                .rename_columns(["dow", "n_orders", "sum_cents"])
+                .cast(_schema))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("dow")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("sum_cents", alias_name="sum_cents"))
+           .to_pandas())
+    out["total"] = out["sum_cents"].to_numpy(np.float64) / 100.0
+    out = out.drop(columns=["sum_cents"])
+    for c in ("dow", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("dow").reset_index(drop=True)
+
+
+def event_trigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Sequential pattern mining: the top-k 3-step event-type paths
+    across all user journeys. Each user's trigrams build vectorized
+    inside their group (one hash co-partition) and pre-count locally,
+    the global count is a trigram-vocabulary-sized groupby (the type
+    alphabet is tiny, so this frame never scales with rows), and the
+    driver takes the final top-k."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def tri(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["event_type"].to_numpy()
+        if len(t) < 3:
+            return pd.DataFrame({"trigram": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        s = pd.Series(t[:-2]) + ">" + pd.Series(t[1:-1]) + ">" + pd.Series(t[2:])
+        vc = s.value_counts()
+        return pd.DataFrame({"trigram": vc.index,
+                             "n": vc.to_numpy(np.int64)})
+
+    counts = (ds.groupby("user_id").map_groups(tri, batch_format="pandas")
+              .groupby("trigram").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())  # trigram-vocabulary-sized
+    counts["n"] = counts["n"].astype("int64")
+    out = counts.sort_values(["n", "trigram"],
+                             ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def iqr_outliers_events(sf_dir: str) -> pd.DataFrame:
+    """Per-group IQR fence outlier profile (Tukey's rule) computed
+    ENTIRELY from one distinct-value-sized histogram: cents counts per
+    (type, value) reduce once, then quantiles (inverted-CDF ==
+    DuckDB's quantile_disc), the fence comparison (kept in integers:
+    2c > 5*q3 - 3*q1 <=> c > q3 + 1.5*IQR) and the outlier count all
+    read the same tiny frame — no second pass over the data."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    _schema = pa.schema([("event_type", pa.string()),
+                         ("cents", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        tt = pa.table({"event_type": t["event_type"],
+                       "cents": pa.array(cents)})
+        return (tt.group_by(["event_type", "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "cents", "n"])
+                .cast(_schema))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())  # distinct-value-sized
+    rows = []
+    for etype, sub in hist.groupby("event_type"):
+        sub = sub.sort_values("cents")
+        vals = sub["cents"].to_numpy(np.int64)
+        cnt = sub["n"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        # inverted CDF: smallest value whose cumulative count reaches
+        # ceil(q*n) — exact integer ranks, no float quantile math
+        q1c = int(vals[np.searchsorted(cum, (n + 3) // 4)])
+        q3c = int(vals[np.searchsorted(cum, (3 * n + 3) // 4)])
+        n_out = int(cnt[2 * vals > 5 * q3c - 3 * q1c].sum())
+        rows.append((etype, q1c, q3c, n_out))
+    out = pd.DataFrame(rows, columns=["event_type", "q1_cents",
+                                      "q3_cents", "n_outliers"])
+    for c in ("q1_cents", "q3_cents", "n_outliers"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def embedding_norms(sf_dir: str) -> pd.DataFrame:
+    """Vector scalar profile (L2 and L-inf norms per embedding),
+    integer-exact: elements quantize to e6 ints FIRST (floor(x*1e6 +
+    0.5), round-half-up both sides), the squared sum is exact int64,
+    and the one sqrt runs on identical integers in both engines. Pure
+    vectorized map over the flattened fixed-dim list column."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("l2_q", pa.int64()),
+                              ("linf_q", pa.int64())]).empty_table()
+        flat = pc.list_flatten(t["embedding"].combine_chunks())
+        dim = len(flat) // len(t)
+        x = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        xq = np.floor(x * 1e6 + 0.5).astype(np.int64).reshape(len(t), dim)
+        l2 = np.floor(np.sqrt((xq * xq).sum(axis=1).astype(np.float64))
+                      + 0.5).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "l2_q": pa.array(l2),
+                         "linf_q": pa.array(np.abs(xq).max(axis=1))})
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def chi2_type_hour(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence statistic (event_type x hour-of-day
+    contingency): observed counts reduce to a groups-x-24 frame (never
+    scales with rows), the expected-frequency grid and the statistic
+    compute driver-side from exact integer marginals. The categorical
+    drift detector a data-quality monitor runs per batch."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    _schema = pa.schema([("event_type", pa.string()), ("h", pa.int64()),
+                         ("o", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        h = (np.asarray(column_ts_us(t["ts"])) // HOUR_US) % 24
+        tt = pa.table({"event_type": t["event_type"], "h": pa.array(h)})
+        return (tt.group_by(["event_type", "h"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "h", "o"]).cast(_schema))
+
+    c = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby(["event_type", "h"]).aggregate(Sum("o", alias_name="o"))
+         .to_pandas())  # groups x 24
+    pivot = c.pivot_table(index="event_type", columns="h", values="o",
+                          aggfunc="sum", fill_value=0)
+    obs = pivot.to_numpy(np.float64)
+    rt = obs.sum(axis=1, keepdims=True)
+    ct = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    e = rt * ct / n
+    chi2 = ((obs - e) ** 2 / e).sum(axis=1)
+    out = pd.DataFrame({"event_type": pivot.index,
+                        "chi2_4": np.round(chi2, 4)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def weighted_avg_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Weighted mean (quantity-weighted average unit price per return
+    flag) from two exact integer sums — the canonical 'weighted
+    aggregate' a mixture sampler or a cost model needs. Partials fold
+    per block; one division at the end."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice",
+                                 "l_quantity"])
+
+    _schema = pa.schema([("l_returnflag", pa.string()),
+                         ("num", pa.int64()), ("den", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        qty = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)
+                       ).astype(np.int64)
+        tt = pa.table({"l_returnflag": t["l_returnflag"],
+                       "num": pa.array(cents * qty), "den": pa.array(qty)})
+        return (tt.group_by("l_returnflag")
+                .aggregate([("num", "sum"), ("den", "sum")])
+                .rename_columns(["l_returnflag", "num", "den"])
+                .cast(_schema))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("num", alias_name="num"),
+                      Sum("den", alias_name="den"))
+           .to_pandas())
+    wavg = agg["num"].to_numpy(np.float64) / agg["den"].to_numpy(np.float64)
+    out = pd.DataFrame({"l_returnflag": agg["l_returnflag"],
+                        "n_units": agg["den"].astype("int64"),
+                        "wavg6": np.round(wavg / 100.0, 6)})
+    return out.sort_values("l_returnflag").reset_index(drop=True)

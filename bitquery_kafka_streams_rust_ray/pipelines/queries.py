@@ -3456,25 +3456,36 @@ def dow_orders(sf_dir: str) -> pd.DataFrame:
 
 def event_trigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Sequential pattern mining: the top-k 3-step event-type paths
-    across all user journeys. Each user's trigrams build vectorized
-    inside their group (one hash co-partition) and pre-count locally,
-    the global count is a trigram-vocabulary-sized groupby (the type
-    alphabet is tiny, so this frame never scales with rows), and the
-    driver takes the final top-k."""
+    across all user journeys. Users co-partition into a FIXED shard
+    count (not one group per user — per-user map_groups pays a Python
+    call per key); each shard sorts once and builds every user's
+    trigrams in one vectorized pass with boundary masking, pre-counting
+    locally so the global reduce is alphabet^3-sized."""
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def tri(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())),
+                        pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
         t = g["event_type"].to_numpy()
         if len(t) < 3:
             return pd.DataFrame({"trigram": pd.Series([], dtype=str),
                                  "n": pd.Series([], dtype=np.int64)})
-        s = pd.Series(t[:-2]) + ">" + pd.Series(t[1:-1]) + ">" + pd.Series(t[2:])
+        # a trigram is valid only where all three rows share the user
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        s = (pd.Series(t[:-2]) + ">" + pd.Series(t[1:-1]) + ">"
+             + pd.Series(t[2:]))[same]
         vc = s.value_counts()
-        return pd.DataFrame({"trigram": vc.index,
+        return pd.DataFrame({"trigram": vc.index.to_numpy(),
                              "n": vc.to_numpy(np.int64)})
 
-    counts = (ds.groupby("user_id").map_groups(tri, batch_format="pandas")
+    counts = (ds.map_batches(sharded, batch_format="pyarrow")
+              .groupby("_shard").map_groups(per_shard, batch_format="pandas")
               .groupby("trigram").aggregate(Sum("n", alias_name="n"))
               .to_pandas())  # trigram-vocabulary-sized
     counts["n"] = counts["n"].astype("int64")

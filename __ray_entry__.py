@@ -66,6 +66,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_type_hour": q.chi2_type_hour,
         # quantity-weighted average price per return flag
         "weighted_avg_lineitem": q.weighted_avg_lineitem,
+        # FORWARD as-of join (next-occurrence lookup)
+        "next_purchase_after_view": q.next_purchase_after_view,
+        # cohort retention matrix (first-activity week x offset)
+        "cohort_retention": q.cohort_retention,
+        # Gopher-style rule-based quality gate (oracle-exact subset)
+        "gopher_rules_documents": q.gopher_rules_documents,
+        # inter-arrival-time histogram (consecutive-order gaps)
+        "orders_interarrival": q.orders_interarrival,
+        # windowed grouped top-k (busiest types per tumbling hour)
+        "trending_types_hourly": q.trending_types_hourly,
         # -- training-data ops: indexing / dedup / packing / curation ----
         "inverted_index_documents": q.inverted_index_documents,
         "doc_components": q.doc_components,
@@ -378,6 +388,81 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(num) AS DOUBLE) / CAST(sum(den) AS DOUBLE)
                          / 100.0, 6) AS wavg6
             FROM m GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "next_purchase_after_view": """
+            SELECT v.event_id,
+                   coalesce(p.value, 0.0) AS next_purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view') v
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, max(value) AS value FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+            ON v.user_id = p.user_id AND v.ts <= p.ts
+            ORDER BY v.event_id
+        """,
+        "cohort_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS wk
+                FROM events
+            ),
+            c AS (SELECT user_id, min(wk) AS cohort_week FROM uw
+                  GROUP BY user_id)
+            SELECT c.cohort_week, uw.wk - c.cohort_week AS week_offset,
+                   count(*) AS n_users
+            FROM uw JOIN c USING (user_id)
+            GROUP BY c.cohort_week, week_offset
+            ORDER BY c.cohort_week, week_offset
+        """,
+        "gopher_rules_documents": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+'))
+                            AS BIGINT) AS n_words,
+                       CAST(length(replace(text, ' ', ''))
+                            AS BIGINT) AS chars_ns,
+                       CAST(len(regexp_extract_all(text,
+                            '\b(the|a|of|to|and)\b')) AS BIGINT)
+                           AS stop_hits
+                FROM documents
+            )
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words = 0 THEN 0
+                        ELSE 100 * chars_ns // n_words END AS mwl_c,
+                   stop_hits,
+                   CAST(n_words >= 5 AND n_words <= 100000
+                        AND (CASE WHEN n_words = 0 THEN 0
+                             ELSE 100 * chars_ns // n_words END) >= 150
+                        AND (CASE WHEN n_words = 0 THEN 0
+                             ELSE 100 * chars_ns // n_words END) <= 1000
+                        AND stop_hits >= 1 AS BIGINT) AS keep_flag
+            FROM f ORDER BY doc_id
+        """,
+        "orders_interarrival": """
+            WITH g AS (
+                SELECT (epoch_us(o_orderdate)
+                        - epoch_us(lag(o_orderdate) OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)))
+                       // 86400000000 AS gap_days
+                FROM orders)
+            SELECT gap_days, count(*) AS n FROM g
+            WHERE gap_days IS NOT NULL
+            GROUP BY gap_days ORDER BY gap_days
+        """,
+        "trending_types_hourly": """
+            WITH c AS (
+                SELECT event_type,
+                       make_timestamp((epoch_us(ts) // 3600000000)
+                                      * 3600000000) AS window_start,
+                       count(*) AS n
+                FROM events GROUP BY event_type, window_start
+            )
+            SELECT window_start, event_type, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n DESC, event_type) AS BIGINT) AS rank
+            FROM c QUALIFY rank <= 3 ORDER BY window_start, rank
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

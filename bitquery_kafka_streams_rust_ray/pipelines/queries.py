@@ -3640,3 +3640,194 @@ def weighted_avg_lineitem(sf_dir: str) -> pd.DataFrame:
                         "n_units": agg["den"].astype("int64"),
                         "wavg6": np.round(wavg / 100.0, 6)})
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+def next_purchase_after_view(sf_dir: str) -> pd.DataFrame:
+    """FORWARD as-of join (next-occurrence lookup): each view event
+    enriched with the same user's next purchase value at-or-after the
+    view — the time-to-conversion primitive. Purchases collapse to one
+    row per (user, ts) via per-batch partial max (associative, so the
+    driver only receives the reduced frame it must broadcast anyway),
+    then ``broadcast_asof_join(direction='forward')`` runs as plain
+    tasks with the sorted side cached once per worker."""
+    def partial_max(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby(["user_id", "ts"], sort=False)
+              ["value"].max().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    purchases = (
+        _t(sf_dir, "events", ["user_id", "ts", "value", "event_type"],
+           flt=(pc.field("event_type") == "purchase"))
+        .map_batches(lambda t: t.drop_columns(["event_type"]),
+                     batch_format="pyarrow")
+        .map_batches(partial_max, batch_format="pyarrow")
+        .to_pandas()
+    )
+    purchases = (purchases.groupby(["user_id", "ts"], sort=True)["value"]
+                 .max().reset_index()
+                 .rename(columns={"ts": "p_ts",
+                                  "value": "next_purchase_value"}))
+    views = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"],
+               flt=(pc.field("event_type") == "view"))
+    out = broadcast_asof_join(
+        views, purchases, on="user_id", ts_col="ts",
+        version_ts_col="p_ts",
+        defaults={"next_purchase_value": 0.0}, concurrency=None,
+        direction="forward",
+    ).to_pandas()
+    out = out[["event_id", "next_purchase_value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+WEEK_US = 7 * 86400 * US
+
+
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix (users grouped by first-activity week,
+    counted in each later week): the growth-analytics operator. Users
+    co-partition into fixed shards, so each user's distinct weeks,
+    cohort (min week) and offsets all compute in ONE vectorized pass
+    per shard; the global reduce is (cohorts x offsets)-sized."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        wk = pc.divide(column_ts_us(t["ts"]), WEEK_US)
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())),
+                        pa.int64())
+        tt = pa.table({"user_id": t["user_id"], "wk": wk,
+                       "_shard": shard})
+        return tt.group_by(["user_id", "wk", "_shard"]).aggregate([])
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "wk"])
+        cohort = g.groupby("user_id")["wk"].transform("min")
+        out = pd.DataFrame({"cohort_week": cohort.to_numpy(np.int64),
+                            "week_offset": (g["wk"] - cohort)
+                            .to_numpy(np.int64)})
+        return (out.groupby(["cohort_week", "week_offset"], sort=False)
+                .size().reset_index(name="n_users"))
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .groupby(["cohort_week", "week_offset"])
+           .aggregate(Sum("n_users", alias_name="n_users"))
+           .to_pandas())  # cohorts x offsets
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def gopher_rules_documents(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style rule-based quality gate, ORACLE-EXACT subset: word
+    count bounds, mean word length band (kept in integer centichars:
+    100*chars_no_space // n_words), and a minimum stop-word hit count —
+    all via Arrow re2 kernels, one pure-map pass, keep flag in integer
+    arithmetic. The heuristic lang-ID/quality siblings live in
+    ``functions/text.py``; this is the SQL-checkable rule core."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    stop_pat = r"\b(" + "|".join(GOPHER_STOPWORDS) + r")\b"
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+        chars_ns = pc.cast(pc.utf8_length(
+            pc.replace_substring(text, " ", "")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        stop_hits = pc.cast(pc.count_substring_regex(text, stop_pat),
+                            pa.int64()).to_numpy(zero_copy_only=False)
+        mwl_c = np.where(n_words > 0, 100 * chars_ns
+                         // np.maximum(n_words, 1), 0)
+        keep = ((n_words >= 5) & (n_words <= 100000)
+                & (mwl_c >= 150) & (mwl_c <= 1000)
+                & (stop_hits >= 1)).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_words": pa.array(n_words),
+                         "mwl_c": pa.array(mwl_c),
+                         "stop_hits": pa.array(stop_hits),
+                         "keep_flag": pa.array(keep)})
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def orders_interarrival(sf_dir: str) -> pd.DataFrame:
+    """Inter-arrival-time distribution (gap in days between a
+    customer's consecutive orders, histogrammed): the repeat-behavior
+    profile. Customers co-partition into fixed shards; one sort +
+    boundary-masked diff per shard; per-shard gap counts pre-reduce so
+    the global groupby is gap-domain-sized."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["o_custkey"],
+                                        pa.scalar(31, pa.int64())),
+                        pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "d_us": pa.array(
+                             np.asarray(column_ts_us(t["o_orderdate"]))),
+                         "_shard": shard})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "d_us", "o_orderkey"])
+        cust = g["o_custkey"].to_numpy()
+        d = g["d_us"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"gap_days": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        same = cust[1:] == cust[:-1]
+        gaps = ((d[1:] - d[:-1]) // (86400 * US))[same]
+        vals, cnts = np.unique(gaps, return_counts=True)
+        return pd.DataFrame({"gap_days": vals.astype(np.int64),
+                             "n": cnts.astype(np.int64)})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .groupby("gap_days").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())  # gap-domain-sized
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("gap_days").reset_index(drop=True)
+
+
+def trending_types_hourly(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Windowed grouped top-k (the k busiest event types per tumbling
+    hour): trend detection over event-time windows. Counts reduce to a
+    (windows x alphabet)-sized frame with per-batch Arrow partials;
+    the rank is a vectorized sort + cumcount on that reduced frame —
+    the corpus itself never sorts."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    _schema = pa.schema([("event_type", pa.string()),
+                         ("window_start", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        ws = pc.multiply(pc.divide(column_ts_us(t["ts"]), HOUR_US),
+                         pa.scalar(HOUR_US, pa.int64()))
+        tt = pa.table({"event_type": t["event_type"], "window_start": ws})
+        return (tt.group_by(["event_type", "window_start"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "window_start", "n"])
+                .cast(_schema))
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "window_start"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())  # windows x alphabet
+    counts = counts.sort_values(["window_start", "n", "event_type"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+    rank = counts.groupby("window_start").cumcount() + 1
+    out = counts[rank <= k].copy()
+    out["rank"] = rank[rank <= k].astype(np.int64)
+    out["n"] = out["n"].astype("int64")
+    out["window_start"] = us_to_timestamp_array(
+        out["window_start"].to_numpy(np.int64))
+    return (out.sort_values(["window_start", "rank"])
+            .reset_index(drop=True)[["window_start", "event_type",
+                                     "n", "rank"]])

@@ -53,16 +53,20 @@ def sort_versioned(small: pd.DataFrame, on: str,
 
 
 def asof_merge_batch(batch: pd.DataFrame, right: pd.DataFrame, on: str,
-                     ts_col: str, defaults: dict | None) -> pd.DataFrame:
-    """Backward as-of merge of one batch against a pre-sorted versioned
-    side (``right`` as produced by :func:`sort_versioned`), preserving
-    the batch's row order and filling absent matches with defaults."""
+                     ts_col: str, defaults: dict | None,
+                     direction: str = "backward") -> pd.DataFrame:
+    """As-of merge of one batch against a pre-sorted versioned side
+    (``right`` as produced by :func:`sort_versioned`), preserving the
+    batch's row order and filling absent matches with defaults.
+    ``direction="backward"`` takes the latest version at-or-before each
+    row's ts (metadata enrichment); ``"forward"`` takes the earliest
+    at-or-after (next-occurrence lookup)."""
     order = np.arange(len(batch))
     left = batch.assign(_order=order, _ts=series_ts_us(batch[ts_col]))
     left = left.sort_values("_ts", kind="mergesort")
     out = pd.merge_asof(
         left, right, left_on="_ts", right_on="_version_ts",
-        by=on, direction="backward",
+        by=on, direction=direction,
     )
     out = out.sort_values("_order", kind="mergesort").drop(
         columns=["_order", "_ts", "_version_ts"]

@@ -96,15 +96,17 @@ class _BroadcastAsofJoiner:
     """
 
     def __init__(self, small_ref: ray.ObjectRef, on: str, ts_col: str,
-                 version_ts_col: str, defaults: dict | None):
+                 version_ts_col: str, defaults: dict | None,
+                 direction: str = "backward"):
         self.small = sort_versioned(ray.get(small_ref), on, version_ts_col)
         self.on = on
         self.ts_col = ts_col
         self.defaults = defaults or {}
+        self.direction = direction
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return asof_merge_batch(batch, self.small, self.on, self.ts_col,
-                                self.defaults)
+                                self.defaults, self.direction)
 
 
 def broadcast_asof_join(
@@ -116,8 +118,11 @@ def broadcast_asof_join(
     defaults: dict | None = None,
     concurrency: int | tuple[int, int] | None = 4,
     batch_size: int = 4096,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """Enrich each row with the latest small-side version at its ts.
+    """Enrich each row with the latest small-side version at its ts
+    (``direction="forward"`` flips to the earliest version at-or-after
+    — the next-occurrence join).
 
     ``concurrency=None`` runs the join as plain tasks instead of an
     actor pool: the pre-sorted small side is ``ray.put`` once and each
@@ -133,7 +138,7 @@ def broadcast_asof_join(
             # broadcast_get: the sorted small side deserializes once per
             # worker process, not per batch
             return asof_merge_batch(batch, broadcast_get(ref), on,
-                                    ts_col, defaults)
+                                    ts_col, defaults, direction)
 
         return ds.map_batches(asof, batch_format="pandas",
                               batch_size=batch_size)
@@ -148,6 +153,7 @@ def broadcast_asof_join(
         fn_constructor_kwargs={
             "small_ref": ref, "on": on, "ts_col": ts_col,
             "version_ts_col": version_ts_col, "defaults": defaults,
+            "direction": direction,
         },
         batch_format="pandas",
         batch_size=batch_size,

@@ -36,6 +36,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # and the remainder follows.  Coverage is identical either way — every
     # entry below is a first-class catalog member.
     return {
+        # -- round-3d additions (newest, never driver-checked) -----------
+        # ratio-to-report window (share within region)
+        "revenue_share_nation": q.revenue_share_nation,
+        # LAG-based month-over-month growth on a reduced series
+        "mom_revenue_growth": q.mom_revenue_growth,
+        # cumulative distinct-over-time via first-seen reduction
+        "cumulative_new_users": q.cumulative_new_users,
+        # Pareto frontier / skyline with mergeable per-block frontiers
+        "pareto_parts": q.pareto_parts,
+        # gaps-and-islands longest consecutive-day streak per user
+        "user_activity_streaks": q.user_activity_streaks,
+        # first-significant-digit (Benford) audit profile
+        "benford_totalprice": q.benford_totalprice,
+        # grouped geometric mean via log-sum partials
+        "geomean_value_by_type": q.geomean_value_by_type,
+        # dataset profiler: per-column nulls / exact NDV / min / max
+        "profile_lineitem": q.profile_lineitem,
+        # Spearman rank correlation per group (average ranks)
+        "spearman_value_hour_by_type": q.spearman_value_hour_by_type,
+        # one-vs-rest Welch t-test from integer moment partials
+        "welch_ttest_events": q.welch_ttest_events,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -210,6 +231,145 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "revenue_share_nation": """
+            WITH rev AS (
+                SELECT r_name, n_name,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                GROUP BY r_name, n_name)
+            SELECT r_name, n_name,
+                   CAST(cents AS DOUBLE) / 100 AS revenue,
+                   round(CAST(cents AS DOUBLE)
+                         / CAST(sum(cents) OVER (PARTITION BY r_name)
+                                AS DOUBLE), 6) AS share6
+            FROM rev ORDER BY r_name, n_name
+        """,
+        "mom_revenue_growth": """
+            WITH m AS (
+                SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders GROUP BY 1)
+            SELECT month, CAST(cents AS DOUBLE) / 100 AS revenue,
+                   round((cents - lag(cents) OVER (ORDER BY month))
+                         / CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE),
+                         6) AS growth6
+            FROM m ORDER BY month
+        """,
+        "cumulative_new_users": """
+            WITH f AS (SELECT user_id,
+                              date_trunc('day', min(ts))::TIMESTAMP AS day
+                       FROM events GROUP BY user_id),
+            d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM d ORDER BY day
+        """,
+        "pareto_parts": """
+            SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+            FROM part a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice <= a.p_retailprice
+                  AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size > a.p_size))
+            ORDER BY p_partkey
+        """,
+        "user_activity_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                       FROM events),
+            i AS (SELECT user_id, day,
+                         day - row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY day) AS grp
+                  FROM d),
+            s AS (SELECT user_id, count(*) AS len FROM i
+                  GROUP BY user_id, grp)
+            SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "benford_totalprice": """
+            WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                                    AS BIGINT) AS VARCHAR),
+                                          1, 1) AS BIGINT) AS digit
+                       FROM orders)
+            SELECT digit, count(*) AS n,
+                   round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS frac6
+            FROM d GROUP BY digit ORDER BY digit
+        """,
+        "geomean_value_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(exp(avg(ln(value))), 6) AS geomean6
+            FROM events WHERE value > 0
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "profile_lineitem": """
+            SELECT col, nulls, ndv, min_v, max_v FROM (
+                SELECT 'l_discount' AS col,
+                       count(*) - count(l_discount) AS nulls,
+                       count(DISTINCT l_discount) AS ndv,
+                       min(l_discount) AS min_v, max(l_discount) AS max_v
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
+                       count(DISTINCT l_extendedprice),
+                       min(l_extendedprice), max(l_extendedprice)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', count(*) - count(l_quantity),
+                       count(DISTINCT l_quantity),
+                       min(l_quantity), max(l_quantity) FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', count(*) - count(l_tax),
+                       count(DISTINCT l_tax), min(l_tax), max(l_tax)
+                FROM lineitem
+            ) ORDER BY col
+        """,
+        "spearman_value_hour_by_type": """
+            WITH b AS (
+                SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                       (CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24) AS hr
+                FROM events),
+            r AS (
+                SELECT event_type,
+                       rank() OVER (PARTITION BY event_type ORDER BY cents)
+                         + (count(*) OVER (PARTITION BY event_type, cents)
+                            - 1) / 2.0 AS rv,
+                       rank() OVER (PARTITION BY event_type ORDER BY hr)
+                         + (count(*) OVER (PARTITION BY event_type, hr)
+                            - 1) / 2.0 AS rh
+                FROM b)
+            SELECT event_type, count(*) AS n,
+                   round(corr(rv, rh), 6) AS spearman6
+            FROM r GROUP BY event_type ORDER BY event_type
+        """,
+        "welch_ttest_events": """
+            WITH s AS (
+                SELECT event_type, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS sx,
+                       sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT)) AS sxx
+                FROM events GROUP BY event_type),
+            t AS (SELECT sum(n) AS nn, sum(sx) AS ssx, sum(sxx) AS ssxx
+                  FROM s)
+            SELECT event_type, n,
+                   round((CAST(sx AS DOUBLE) / n
+                          - CAST(ssx - sx AS DOUBLE) / (nn - n)) / 100.0,
+                         6) AS mean_diff6,
+                   round((CAST(sx AS DOUBLE) / n
+                          - CAST(ssx - sx AS DOUBLE) / (nn - n))
+                         / sqrt(((sxx - CAST(sx AS DOUBLE) * sx / n)
+                                 / (n - 1.0)) / n
+                                + (((ssxx - sxx)
+                                    - CAST(ssx - sx AS DOUBLE) * (ssx - sx)
+                                      / (nn - n)) / ((nn - n) - 1.0))
+                                  / (nn - n)), 6) AS t6
+            FROM s, t ORDER BY event_type
+        """,
         "moving_sum_events": """
             SELECT event_id, user_id,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w

@@ -3831,3 +3831,408 @@ def trending_types_hourly(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return (out.sort_values(["window_start", "rank"])
             .reset_index(drop=True)[["window_start", "event_type",
                                      "n", "rank"]])
+
+
+def revenue_share_nation(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-report (percent-of-total window): each nation's order
+    revenue and its share within the nation's region. The orders side
+    streams through a broadcast custkey->nation/region enrichment (the
+    dimension chain customer x nation x region collapses to one small
+    frame shipped once per actor); integer-cent partials fold per block
+    so the shuffle carries 25 rows per block, and the window itself runs
+    on the 25-row reduced frame."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation").to_pandas()
+    reg = _t(sf_dir, "region").to_pandas()
+    dim = (cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+           .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+    dim = dim[["c_custkey", "n_name", "r_name"]].rename(
+        columns={"c_custkey": "o_custkey"})
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(ds, dim, on="o_custkey", how="inner",
+                            concurrency=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        g = (pd.DataFrame({"r_name": df["r_name"], "n_name": df["n_name"],
+                           "cents": cents})
+             .groupby(["r_name", "n_name"], sort=False)["cents"]
+             .sum().reset_index())
+        return g
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.groupby(["r_name", "n_name"], sort=True)["cents"]
+           .sum().reset_index())
+    out["revenue"] = out["cents"].to_numpy(np.float64) / 100.0
+    region_tot = out.groupby("r_name")["cents"].transform("sum")
+    out["share6"] = np.round(out["cents"].to_numpy(np.float64)
+                             / region_tot.to_numpy(np.float64), 6)
+    return (out.drop(columns=["cents"])
+            .sort_values(["r_name", "n_name"]).reset_index(drop=True))
+
+
+def mom_revenue_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month growth (LAG over an aggregated series): exact
+    integer-cent monthly revenue via per-block Arrow partials, then the
+    percent-change window runs on the months-sized frame — the corpus
+    never sorts. First month's growth is NULL/NaN on both engines."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    _schema = pa.schema([("month", pa.timestamp("us")),
+                         ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        month = pc.cast(pc.floor_temporal(t["o_orderdate"], unit="month"),
+                        pa.timestamp("us"))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"month": month, "cents": cents})
+                .group_by("month").aggregate([("cents", "sum")])
+                .rename_columns(["month", "cents"]).cast(_schema))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("month").aggregate(Sum("cents", alias_name="cents"))
+           .to_pandas()).sort_values("month").reset_index(drop=True)
+    cents = out["cents"].to_numpy(np.int64)
+    prev = np.roll(cents, 1).astype(np.float64)
+    growth = np.round((cents - np.roll(cents, 1)) / prev, 6)
+    growth[0] = np.nan
+    out["revenue"] = cents.astype(np.float64) / 100.0
+    out["growth6"] = growth
+    out["month"] = out["month"].astype("datetime64[us]")
+    return out.drop(columns=["cents"])[["month", "revenue", "growth6"]]
+
+
+def cumulative_new_users(sf_dir: str) -> pd.DataFrame:
+    """Cumulative-distinct-over-time without a distinct window: each
+    user's first-seen day via per-block Min partials + one user-keyed
+    groupby, then new-user counts per day reduce to a days-sized frame
+    whose running sum is a driver-side cumsum. This is the scalable
+    rewrite of COUNT(DISTINCT) OVER (ORDER BY day)."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pa.array(np.asarray(column_ts_us(t["ts"])))
+        return (pa.table({"user_id": t["user_id"], "us": us})
+                .group_by("user_id").aggregate([("us", "min")])
+                .rename_columns(["user_id", "us"]))
+
+    first = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("us", alias_name="us")))
+
+    day_us = 86400 * US
+
+    def per_day(t: pa.Table) -> pa.Table:
+        day = pc.multiply(pc.divide(t["us"], day_us),
+                          pa.scalar(day_us, pa.int64()))
+        return (pa.table({"day": day}).group_by("day")
+                .aggregate([([], "count_all")])
+                .rename_columns(["day", "new_users"]))
+
+    out = (first.map_batches(per_day, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("new_users", alias_name="new_users"))
+           .to_pandas()).sort_values("day").reset_index(drop=True)
+    out["new_users"] = out["new_users"].astype("int64")
+    out["cum_users"] = out["new_users"].cumsum().astype("int64")
+    out["day"] = us_to_timestamp_array(out["day"].to_numpy(np.int64))
+    return out[["day", "new_users", "cum_users"]]
+
+
+def _skyline_points(cents: np.ndarray, size: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Non-dominated (min price, max size) points of a 2-D set.
+
+    Distinct points sorted by (cents asc, size desc); a point survives
+    iff it is its price's max size AND that size strictly exceeds every
+    strictly-cheaper price's max size (prefix running max). Fully
+    vectorized; equal (price, size) pairs never dominate each other so
+    callers re-attach all rows matching a surviving point."""
+    pts = np.unique(np.stack([cents, -size], axis=1), axis=0)
+    c, s = pts[:, 0], -pts[:, 1]
+    first_of_price = np.ones(len(c), dtype=bool)
+    first_of_price[1:] = c[1:] != c[:-1]
+    c, s = c[first_of_price], s[first_of_price]  # per-price max size
+    keep = np.ones(len(c), dtype=bool)
+    if len(c) > 1:
+        keep[1:] = s[1:] > np.maximum.accumulate(s)[:-1]
+    return c[keep], s[keep]
+
+
+def pareto_parts(sf_dir: str) -> pd.DataFrame:
+    """Skyline / Pareto frontier (dominance anti-join): the parts not
+    dominated on (cheaper-or-equal price, larger-or-equal size with one
+    strict). Skylines are mergeable — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so each block reduces to its
+    local frontier rows and only those tiny survivor sets reach the
+    driver for the final pass; the quadratic NOT EXISTS never runs."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    _schema = pa.schema([("p_partkey", pa.int64()),
+                         ("p_retailprice", pa.float64()),
+                         ("p_size", pa.int64())])
+
+    def local_frontier(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = np.round(t["p_retailprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc, ss = _skyline_points(cents, size)
+        code = cents * (1 << 20) + size  # p_size < 2^20 by schema
+        mask = np.isin(code, sc * (1 << 20) + ss)
+        return pa.table({"p_partkey": t["p_partkey"].filter(pa.array(mask)),
+                         "p_retailprice": pa.array(cents[mask] / 100.0),
+                         "p_size": pa.array(size[mask])}).cast(_schema)
+
+    cand = (ds.map_batches(local_frontier, batch_format="pyarrow")
+            .to_pandas())  # union of per-block frontiers: tiny
+    cents = np.round(cand["p_retailprice"].to_numpy(np.float64)
+                     * 100.0).astype(np.int64)
+    size = cand["p_size"].to_numpy(np.int64)
+    sc, ss = _skyline_points(cents, size)
+    mask = np.isin(cents * (1 << 20) + size, sc * (1 << 20) + ss)
+    out = cand[mask].sort_values("p_partkey").reset_index(drop=True)
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out[["p_partkey", "p_retailprice", "p_size"]]
+
+
+def user_activity_streaks(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands (longest run of consecutive active days per
+    user): users co-partition into 32 fixed shards; each shard dedupes
+    (user, day), sorts once, and finds island breaks with one vectorized
+    diff — run lengths come from np.diff over break indices, never a
+    per-user Python loop. The classic row_number() island trick without
+    a global sort."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    day_us = 86400 * US
+
+    def sharded(t: pa.Table) -> pa.Table:
+        day = pc.divide(pa.array(np.asarray(column_ts_us(t["ts"]))),
+                        pa.scalar(day_us, pa.int64()))
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        # block-local dedupe shrinks the shuffle before it happens
+        return (pa.table({"user_id": t["user_id"], "day": day,
+                          "_shard": shard})
+                .group_by(["user_id", "day", "_shard"]).aggregate([]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"])
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        if len(u) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "max_streak": pd.Series([], dtype=np.int64)})
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+        starts = np.flatnonzero(brk)
+        lengths = np.diff(np.append(starts, len(u)))
+        isl = pd.DataFrame({"user_id": u[starts], "len": lengths})
+        out = isl.groupby("user_id", sort=False)["len"].max().reset_index()
+        return out.rename(columns={"len": "max_streak"})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    out["max_streak"] = out["max_streak"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def benford_totalprice(sf_dir: str) -> pd.DataFrame:
+    """First-significant-digit profile (Benford's-law audit): the digit
+    extracts with a vectorized repeated integer divide over cents (≤10
+    passes, no string round-trip), per-block counts fold to 9 rows per
+    block, and the fraction divides two exact ints on the 9-row frame."""
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+
+    _schema = pa.schema([("digit", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        c = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        while True:
+            big = c >= 10
+            if not big.any():
+                break
+            c[big] //= 10
+        return (pa.table({"digit": pa.array(c)}).group_by("digit")
+                .aggregate([([], "count_all")])
+                .rename_columns(["digit", "n"]).cast(_schema))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("digit").aggregate(Sum("n", alias_name="n"))
+           .to_pandas()).sort_values("digit").reset_index(drop=True)
+    n = out["n"].to_numpy(np.int64)
+    out["n"] = n
+    out["frac6"] = np.round(n * 1.0 / n.sum(), 6)
+    out["digit"] = out["digit"].astype("int64")
+    return out[["digit", "n", "frac6"]]
+
+
+def geomean_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped geometric mean via the log-sum identity exp(avg(ln x)):
+    per-block Arrow partials carry (sum of ln, count) per type so the
+    shuffle is alphabet-sized; positivity is pushed into the parquet
+    scan as a row filter."""
+    ds = _t(sf_dir, "events", ["event_type", "value"],
+            flt=(pc.field("value") > 0))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["value"], 0.0))
+        ln = pc.ln(t["value"])
+        return (pa.table({"event_type": t["event_type"], "ln": ln})
+                .group_by("event_type")
+                .aggregate([("ln", "sum"), ([], "count_all")])
+                .rename_columns(["event_type", "sl", "n"]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("sl", alias_name="sl"), Sum("n", alias_name="n"))
+           .to_pandas())
+    out["geomean6"] = np.round(
+        np.exp(out["sl"].to_numpy(np.float64) / out["n"].to_numpy(np.float64)),
+        6)
+    out["n"] = out["n"].astype("int64")
+    return (out.drop(columns=["sl"]).sort_values("event_type")
+            .reset_index(drop=True)[["event_type", "n", "geomean6"]])
+
+
+_PROFILE_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Dataset profiler (per-column nulls / exact NDV / min / max): one
+    pruned read feeds two reductions — a (col, value)-distinct two-level
+    groupby whose first level dedupes block-locally so the shuffle
+    carries distincts not rows, and a constant-size min/max/null partial
+    per block merged on the driver. The profile frame is 4 rows."""
+    ds = _t(sf_dir, "lineitem", _PROFILE_COLS)
+
+    def distincts(t: pa.Table) -> pa.Table:
+        frames = []
+        for c in _PROFILE_COLS:
+            # drop_null first: SQL's COUNT(DISTINCT) ignores NULLs, and a
+            # null->NaN numpy round-trip would count them as one value
+            v = np.unique(t[c].drop_null().to_numpy(zero_copy_only=False))
+            frames.append(pa.table({"col": pa.array([c] * len(v)),
+                                    "v": pa.array(v)}))
+        return pa.concat_tables(frames)
+
+    ndv = (ds.map_batches(distincts, batch_format="pyarrow")
+           .groupby(["col", "v"]).aggregate(Count(alias_name="_c"))
+           .map_batches(lambda t: t.group_by("col").aggregate(
+               [([], "count_all")]).rename_columns(["col", "ndv"]),
+               batch_format="pyarrow")
+           .groupby("col").aggregate(Sum("ndv", alias_name="ndv"))
+           .to_pandas())
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        rows = {"col": [], "nulls": [], "min_v": [], "max_v": []}
+        for c in _PROFILE_COLS:
+            col = t[c]
+            rows["col"].append(c)
+            rows["nulls"].append(col.null_count)
+            v = col.drop_null().to_numpy(zero_copy_only=False)
+            rows["min_v"].append(float(v.min()) if len(v) else np.nan)
+            rows["max_v"].append(float(v.max()) if len(v) else np.nan)
+        return pa.table(rows)
+
+    stats = (ds.map_batches(stat_partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby("col", sort=True)
+             .agg(nulls=("nulls", "sum"), min_v=("min_v", "min"),
+                  max_v=("max_v", "max")).reset_index())
+    out = stats.merge(ndv, on="col")
+    out["nulls"] = out["nulls"].astype("int64")
+    out["ndv"] = out["ndv"].astype("int64")
+    return (out.sort_values("col").reset_index(drop=True)
+            [["col", "nulls", "ndv", "min_v", "max_v"]])
+
+
+def spearman_value_hour_by_type(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation (value vs hour-of-day per event type):
+    average ranks from pandas' C ranker inside one map_groups per type,
+    Pearson on the ranks from numpy moment sums. Assumes a type's rows
+    fit one worker (same contract as every rank/percentile stage); the
+    100-TB rewrite derives average ranks from the (type, cents) and
+    (type, hour) count histograms instead of row-level ranks."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        hr = (np.asarray(column_ts_us(t["ts"])) // HOUR_US) % 24
+        return pa.table({"event_type": t["event_type"], "cents": cents,
+                         "hr": pa.array(hr)})
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        rv = g["cents"].rank(method="average").to_numpy(np.float64)
+        rh = g["hr"].rank(method="average").to_numpy(np.float64)
+        n = len(g)
+        mv, mh = rv.mean(), rh.mean()
+        cov = ((rv - mv) * (rh - mh)).sum()
+        den = np.sqrt(((rv - mv) ** 2).sum() * ((rh - mh) ** 2).sum())
+        rho = cov / den if den > 0 else np.nan
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n": np.array([n], dtype=np.int64),
+                             "spearman6": [np.round(rho, 6)]})
+
+    out = (ds.map_batches(keyed, batch_format="pyarrow")
+           .groupby("event_type").map_groups(per_type, batch_format="pandas")
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def welch_ttest_events(sf_dir: str) -> pd.DataFrame:
+    """One-vs-rest Welch t-test per event type (A/B-style lift check):
+    integer-cent moment partials fold per block, the complement's
+    moments subtract from the grand totals on the alphabet-sized frame,
+    and the float formula runs once per group with the same expression
+    shape as the oracle — deterministic to the last bit before round."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return (pa.table({"event_type": t["event_type"], "sx": pa.array(c),
+                          "sxx": pa.array(c * c)})
+                .group_by("event_type")
+                .aggregate([("sx", "sum"), ("sxx", "sum"), ([], "count_all")])
+                .rename_columns(["event_type", "sx", "sxx", "n"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("sx", alias_name="sx"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("n", alias_name="n"))
+           .to_pandas()).sort_values("event_type").reset_index(drop=True)
+    # complements subtract in EXACT int64 first (the oracle's BIGINT
+    # arithmetic), then cast: a float-first subtraction would diverge
+    # once sum-of-squares passes 2^53
+    n1i = agg["n"].to_numpy(np.int64)
+    sx1i = agg["sx"].to_numpy(np.int64)
+    sxx1i = agg["sxx"].to_numpy(np.int64)
+    n1 = n1i.astype(np.float64)
+    sx1 = sx1i.astype(np.float64)
+    sxx1 = sxx1i.astype(np.float64)
+    n2 = (n1i.sum() - n1i).astype(np.float64)
+    sx2 = (sx1i.sum() - sx1i).astype(np.float64)
+    sxx2 = (sxx1i.sum() - sxx1i).astype(np.float64)
+    m1, m2 = sx1 / n1, sx2 / n2
+    v1 = (sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)
+    v2 = (sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)
+    t_stat = (m1 - m2) / np.sqrt(v1 / n1 + v2 / n2)
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype("int64"),
+        "mean_diff6": np.round((m1 - m2) / 100.0, 6),
+        "t6": np.round(t_stat, 6),
+    })

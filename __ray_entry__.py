@@ -57,6 +57,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_value_hour_by_type": q.spearman_value_hour_by_type,
         # one-vs-rest Welch t-test from integer moment partials
         "welch_ttest_events": q.welch_ttest_events,
+        # first-order Markov transition matrix over user sequences
+        "markov_transitions_events": q.markov_transitions_events,
+        # market-basket co-occurrence pairs per (user, day)
+        "cooccurrence_pairs_events": q.cooccurrence_pairs_events,
+        # lexical diversity (type-token ratio) per source
+        "ttr_by_source": q.ttr_by_source,
+        # Gini concentration via the distinct-value rank rewrite
+        "gini_totalprice": q.gini_totalprice,
+        # both-sides-large referential-integrity anti-join
+        "orders_without_lineitem": q.orders_without_lineitem,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -369,6 +379,57 @@ def oracle_sql() -> dict[str, str]:
                                       / (nn - n)) / ((nn - n) - 1.0))
                                   / (nn - n)), 6) AS t6
             FROM s, t ORDER BY event_type
+        """,
+        "markov_transitions_events": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM events)
+            SELECT event_type AS from_type, nxt AS to_type, count(*) AS n,
+                   round(count(*) * 1.0
+                         / sum(count(*)) OVER (PARTITION BY event_type), 6)
+                       AS prob6
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY event_type, nxt ORDER BY from_type, to_type
+        """,
+        "cooccurrence_pairs_events": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                              event_type
+                       FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n
+            FROM d a
+            JOIN d b ON a.user_id = b.user_id AND a.day = b.day
+                    AND a.event_type < b.event_type
+            GROUP BY type_a, type_b ORDER BY type_a, type_b
+        """,
+        "ttr_by_source": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_split_to_array(
+                           trim(text, e' \t\n\r'), '\s+')) AS w
+                FROM documents WHERE trim(text, e' \t\n\r') <> '')
+            SELECT source, count(*) AS n_tokens,
+                   count(DISTINCT w) AS n_types,
+                   round(count(DISTINCT w) * 1.0 / count(*), 6) AS ttr6
+            FROM toks GROUP BY source ORDER BY source
+        """,
+        "gini_totalprice": """
+            WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents FROM orders),
+            r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+                  FROM c)
+            SELECT count(*) AS n,
+                   round(2.0 * sum(rn * cents) / (count(*) * sum(cents))
+                         - (count(*) + 1.0) / count(*), 6) AS gini6
+            FROM r
+        """,
+        "orders_without_lineitem": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+            ORDER BY o_orderkey
         """,
         "moving_sum_events": """
             SELECT event_id, user_id,

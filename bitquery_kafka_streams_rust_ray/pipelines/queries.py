@@ -4236,3 +4236,189 @@ def welch_ttest_events(sf_dir: str) -> pd.DataFrame:
         "mean_diff6": np.round((m1 - m2) / 100.0, 6),
         "t6": np.round(t_stat, 6),
     })
+
+
+def markov_transitions_events(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: consecutive (from, to) type pairs count locally inside 32
+    user shards (one sort per shard, boundary-masked vectorized shift —
+    never a per-user loop), and the probability row-normalizes on the
+    alphabet²-sized reduced frame."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=str),
+                                 "to_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        same = u[:-1] == u[1:]
+        pairs = pd.DataFrame({"from_type": t[:-1][same],
+                              "to_type": t[1:][same]})
+        out = (pairs.groupby(["from_type", "to_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby(["from_type", "to_type"], sort=True)["n"]
+           .sum().reset_index())
+    row_tot = out.groupby("from_type")["n"].transform("sum")
+    out["prob6"] = np.round(out["n"].to_numpy(np.float64) * 1.0
+                            / row_tot.to_numpy(np.float64), 6)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def cooccurrence_pairs_events(sf_dir: str) -> pd.DataFrame:
+    """Market-basket co-occurrence mining: distinct event-type pairs
+    seen together in one (user, day) basket. Triples dedupe block-
+    locally BEFORE the user-shard shuffle; each shard self-merges its
+    tiny per-basket type sets in C (alphabet-bounded fan-out) and
+    pre-counts, so the global reduce is alphabet²-sized."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    day_us = 86400 * US
+
+    def sharded(t: pa.Table) -> pa.Table:
+        day = pc.divide(pa.array(np.asarray(column_ts_us(t["ts"]))),
+                        pa.scalar(day_us, pa.int64()))
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return (pa.table({"user_id": t["user_id"], "day": day,
+                          "event_type": t["event_type"], "_shard": shard})
+                .group_by(["user_id", "day", "event_type", "_shard"])
+                .aggregate([]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "day", "event_type"])
+        m = d.merge(d, on=["user_id", "day"], suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        out = (m.groupby(["event_type_a", "event_type_b"], sort=False)
+               .size().reset_index(name="n"))
+        return out.rename(columns={"event_type_a": "type_a",
+                                   "event_type_b": "type_b"})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby(["type_a", "type_b"], sort=True)["n"]
+           .sum().reset_index())
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def ttr_by_source(sf_dir: str) -> pd.DataFrame:
+    """Lexical diversity per source (type-token ratio): token totals
+    ride constant-size per-block partials; the vocabulary size reuses
+    the profiler's shape — block-local unique (source, word) pairs, one
+    distinct-pair groupby, then a per-source count. The division runs
+    once on the sources-sized frame."""
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def words_of(t: pa.Table) -> tuple[pa.Array, pa.Array]:
+        toks = pc.utf8_split_whitespace(t.column("text").combine_chunks())
+        w = pc.list_flatten(toks)
+        src = pc.take(t.column("source"), pc.list_parent_indices(toks))
+        mask = pc.not_equal(w, "")
+        return pc.filter(src, mask), pc.filter(w, mask)
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        src, _w = words_of(t)
+        return (pa.table({"source": src}).group_by("source")
+                .aggregate([([], "count_all")])
+                .rename_columns(["source", "n_tokens"]))
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        src, w = words_of(t)
+        return (pa.table({"source": src, "w": w})
+                .group_by(["source", "w"]).aggregate([]))
+
+    totals = (ds.map_batches(tok_counts, batch_format="pyarrow")
+              .groupby("source").aggregate(Sum("n_tokens",
+                                               alias_name="n_tokens"))
+              .to_pandas())
+    types = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+             .groupby(["source", "w"]).aggregate(Count(alias_name="_c"))
+             .map_batches(lambda t: t.group_by("source").aggregate(
+                 [([], "count_all")]).rename_columns(["source", "n_types"]),
+                 batch_format="pyarrow")
+             .groupby("source").aggregate(Sum("n_types",
+                                              alias_name="n_types"))
+             .to_pandas())
+    out = totals.merge(types, on="source")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_types"] = out["n_types"].astype("int64")
+    out["ttr6"] = np.round(out["n_types"].to_numpy(np.float64) * 1.0
+                           / out["n_tokens"].to_numpy(np.float64), 6)
+    return (out.sort_values("source").reset_index(drop=True)
+            [["source", "n_tokens", "n_types", "ttr6"]])
+
+
+def gini_totalprice(sf_dir: str) -> pd.DataFrame:
+    """Gini concentration coefficient of order value — the classic
+    rank-weighted formula G = 2·Σ rank·x / (n·Σx) − (n+1)/n needs a
+    global value sort, which rewrites exactly over the (cents, count)
+    distinct-value frame: a tied run occupying ranks r+1..r+c
+    contributes v·(c·r + c(c+1)/2) regardless of intra-tie order. The
+    frame is value-domain-bounded, rank sums stay exact int64 (exact
+    to ~10^18, far past any realistic cents·n²), and only the final
+    three-term float expression leaves integers."""
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"cents": cents}).group_by("cents")
+                .aggregate([([], "count_all")])
+                .rename_columns(["cents", "cnt"]))
+
+    freq = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cents").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()).sort_values("cents").reset_index(drop=True)
+    v = freq["cents"].to_numpy(np.int64)
+    c = freq["cnt"].to_numpy(np.int64)
+    r = np.concatenate(([0], np.cumsum(c)[:-1]))  # ranks before each run
+    s_rank = int((v * (c * r + c * (c + 1) // 2)).sum())
+    n = int(c.sum())
+    total = int((v * c).sum())
+    gini6 = np.round(2.0 * float(s_rank) / float(n * total)
+                     - (n + 1.0) / n, 6)
+    return pd.DataFrame({"n": np.array([n], dtype=np.int64),
+                         "gini6": [gini6]})
+
+
+def orders_without_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit with BOTH sides large (the
+    broadcast-anti-join's big sibling, cf. ``non_customer_events``):
+    lineitem's keys dedupe block-locally, one distinct-key groupby
+    bounds the right side, then a partitioned hash left-outer join +
+    null filter yields the orphans — no key set ever collects on the
+    driver."""
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey"])
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return (pa.table({"o_orderkey": t["l_orderkey"]})
+                .group_by("o_orderkey").aggregate([([], "count_all")])
+                .rename_columns(["o_orderkey", "_m"]))
+
+    keys = (li.map_batches(distinct_keys, batch_format="pyarrow")
+            .groupby("o_orderkey").aggregate(Sum("_m", alias_name="_m")))
+    buckets = join_buckets(_tbytes(sf_dir, "orders", "lineitem"))
+    joined = hash_join(orders, keys, on="o_orderkey", how="left",
+                       buckets=buckets)
+    out = (joined.map_batches(lambda t: t.filter(pc.is_null(t["_m"])),
+                              batch_format="pyarrow")
+           .to_pandas())
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return (out.drop(columns=["_m"]).sort_values("o_orderkey")
+            .reset_index(drop=True)[["o_orderkey", "o_totalprice"]])

@@ -1,0 +1,131 @@
+"""Property pins for the round-3d analytics operators.
+
+The oracle gate already hash-checks each operator against DuckDB on the
+fixture tables; these tests pin the *algorithmic* invariants the
+distributed shapes rely on — skyline mergeability, the Gini tied-rank
+rewrite, gaps-and-islands against a brute-force scan — on adversarial
+synthetic inputs the fixtures may not cover.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bitquery_kafka_streams_rust_ray.pipelines.queries import _skyline_points
+
+
+def _brute_skyline(cents: np.ndarray, size: np.ndarray) -> set[tuple]:
+    pts = set(zip(cents.tolist(), size.tolist()))
+    out = set()
+    for (c, s) in pts:
+        dominated = any(
+            (c2 <= c and s2 >= s and (c2 < c or s2 > s)) for (c2, s2) in pts
+        )
+        if not dominated:
+            out.add((c, s))
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                min_size=1, max_size=40))
+def test_skyline_matches_brute_force(points):
+    cents = np.array([p[0] for p in points], dtype=np.int64)
+    size = np.array([p[1] for p in points], dtype=np.int64)
+    sc, ss = _skyline_points(cents, size)
+    assert set(zip(sc.tolist(), ss.tolist())) == _brute_skyline(cents, size)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=2, max_size=40),
+       st.integers(1, 5))
+def test_skyline_is_mergeable(points, split):
+    """skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)) — the identity
+    that lets each block reduce to its local frontier."""
+    cents = np.array([p[0] for p in points], dtype=np.int64)
+    size = np.array([p[1] for p in points], dtype=np.int64)
+    k = max(1, (len(points) * split) // 6)
+    a_c, a_s = _skyline_points(cents[:k], size[:k])
+    if k < len(points):
+        b_c, b_s = _skyline_points(cents[k:], size[k:])
+        m_c = np.concatenate([a_c, b_c])
+        m_s = np.concatenate([a_s, b_s])
+    else:
+        m_c, m_s = a_c, a_s
+    got = set(zip(*(x.tolist() for x in _skyline_points(m_c, m_s))))
+    want = set(zip(*(x.tolist() for x in _skyline_points(cents, size))))
+    assert got == want
+
+
+def _gini_from_counts(values: np.ndarray) -> float:
+    """The operator's tied-run rank rewrite, inlined."""
+    v, c = np.unique(values, return_counts=True)
+    r = np.concatenate(([0], np.cumsum(c)[:-1]))
+    s_rank = int((v * (c * r + c * (c + 1) // 2)).sum())
+    n = int(c.sum())
+    total = int((v * c).sum())
+    return 2.0 * float(s_rank) / float(n * total) - (n + 1.0) / n
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(1, 1000), min_size=2, max_size=100))
+def test_gini_rank_rewrite_matches_definition(vals):
+    """The (value, count) rewrite equals the mean-absolute-difference
+    definition G = Σᵢⱼ|xᵢ−xⱼ| / (2 n² μ) for every tie structure."""
+    x = np.array(vals, dtype=np.int64)
+    n = len(x)
+    mad = np.abs(x[:, None] - x[None, :]).sum()
+    want = mad / (2.0 * n * n * x.mean())
+    got = _gini_from_counts(x)
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def _brute_max_streak(days_by_user: dict[int, list[int]]) -> dict[int, int]:
+    out = {}
+    for u, days in days_by_user.items():
+        ds = sorted(set(days))
+        best = cur = 1
+        for a, b in zip(ds, ds[1:]):
+            cur = cur + 1 if b - a == 1 else 1
+            best = max(best, cur)
+        out[u] = best
+    return out
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(st.integers(0, 5),
+                       st.lists(st.integers(0, 30), min_size=1, max_size=25),
+                       min_size=1, max_size=6))
+def test_streak_islands_match_brute_force(days_by_user):
+    """The vectorized break/diff island pass (the per-shard kernel of
+    user_activity_streaks) equals the sequential definition."""
+    rows = [(u, d) for u, days in days_by_user.items() for d in days]
+    g = (pd.DataFrame(rows, columns=["user_id", "day"])
+         .drop_duplicates().sort_values(["user_id", "day"]))
+    u = g["user_id"].to_numpy(np.int64)
+    d = g["day"].to_numpy(np.int64)
+    brk = np.ones(len(u), dtype=bool)
+    brk[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+    starts = np.flatnonzero(brk)
+    lengths = np.diff(np.append(starts, len(u)))
+    isl = pd.DataFrame({"user_id": u[starts], "len": lengths})
+    got = isl.groupby("user_id")["len"].max().to_dict()
+    assert got == _brute_max_streak(days_by_user)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_markov_rows_normalize_and_conserve():
+    """Each from-type's probabilities sum to 1 and the total transition
+    count equals rows-minus-active-users (every user contributes
+    len(events)-1 transitions)."""
+    from bitquery_kafka_streams_rust_ray.pipelines import queries as q
+    sf = "/root/testdata/sf0.001"
+    out = q.markov_transitions_events(sf)
+    sums = out.groupby("from_type")["prob6"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+    expected = len(ev) - ev["user_id"].nunique()
+    assert out["n"].sum() == expected

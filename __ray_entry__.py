@@ -67,6 +67,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_totalprice": q.gini_totalprice,
         # both-sides-large referential-integrity anti-join
         "orders_without_lineitem": q.orders_without_lineitem,
+        # nested aggregation: distribution of group sizes
+        "lineitems_per_order_histogram": q.lineitems_per_order_histogram,
+        # rolling mean/std over a reduced daily series (Bollinger)
+        "rolling_stats_daily": q.rolling_stats_daily,
+        # set-similarity (Jaccard) matrix between type audiences
+        "audience_jaccard_types": q.audience_jaccard_types,
+        # large-large join + whole-day lag moments per priority
+        "fulfillment_lag_by_priority": q.fulfillment_lag_by_priority,
+        # Herfindahl concentration per part (squared-share sum)
+        "hhi_supplier_concentration": q.hhi_supplier_concentration,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -379,6 +389,73 @@ def oracle_sql() -> dict[str, str]:
                                       / (nn - n)) / ((nn - n) - 1.0))
                                   / (nn - n)), 6) AS t6
             FROM s, t ORDER BY event_type
+        """,
+        "lineitems_per_order_histogram": """
+            WITH c AS (SELECT l_orderkey, count(*) AS n_items
+                       FROM lineitem GROUP BY l_orderkey)
+            SELECT n_items, count(*) AS n_orders
+            FROM c GROUP BY n_items ORDER BY n_items
+        """,
+        "rolling_stats_daily": """
+            WITH d AS (
+                SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, day,
+                   CAST(cents AS DOUBLE) / 100.0 AS daily_value,
+                   round((sum(cents) OVER w / CAST(count(*) OVER w AS DOUBLE))
+                         / 100.0, 6) AS roll_mean6,
+                   round(CASE WHEN count(*) OVER w > 1 THEN
+                       sqrt((sum(cents * cents) OVER w
+                             - CAST(sum(cents) OVER w AS DOUBLE)
+                               * sum(cents) OVER w / count(*) OVER w)
+                            / (count(*) OVER w - 1.0)) / 100.0
+                       ELSE NULL END, 6) AS roll_std6
+            FROM d
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY event_type, day
+        """,
+        "audience_jaccard_types": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         count(*) AS inter
+                  FROM d a JOIN d b ON a.user_id = b.user_id
+                                   AND a.event_type < b.event_type
+                  GROUP BY 1, 2),
+            c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+            SELECT type_a, type_b, inter,
+                   round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard6
+            FROM i JOIN c ca ON type_a = ca.event_type
+                 JOIN c cb ON type_b = cb.event_type
+            ORDER BY type_a, type_b
+        """,
+        "fulfillment_lag_by_priority": """
+            WITH f AS (SELECT l_orderkey,
+                              min(CAST(floor(epoch(l_shipdate) / 86400)
+                                       AS BIGINT)) AS ship_day
+                       FROM lineitem GROUP BY l_orderkey),
+            j AS (SELECT o_orderpriority,
+                         ship_day - CAST(floor(epoch(o_orderdate) / 86400)
+                                         AS BIGINT) AS days
+                  FROM orders JOIN f ON o_orderkey = l_orderkey)
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(days) / CAST(count(*) AS DOUBLE), 6) AS avg_days6
+            FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "hhi_supplier_concentration": """
+            WITH s AS (SELECT l_partkey, l_suppkey,
+                              sum(CAST(round(l_quantity * 100) AS BIGINT))
+                                  AS q
+                       FROM lineitem GROUP BY 1, 2),
+            t AS (SELECT l_partkey, sum(q) AS tq, count(*) AS n_suppliers
+                  FROM s GROUP BY 1)
+            SELECT s.l_partkey, n_suppliers,
+                   round(sum((CAST(q AS DOUBLE) / tq)
+                             * (CAST(q AS DOUBLE) / tq)), 6) AS hhi6
+            FROM s JOIN t ON s.l_partkey = t.l_partkey
+            WHERE n_suppliers > 1
+            GROUP BY s.l_partkey, n_suppliers ORDER BY s.l_partkey
         """,
         "markov_transitions_events": """
             WITH s AS (

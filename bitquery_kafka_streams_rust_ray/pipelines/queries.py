@@ -4422,3 +4422,208 @@ def orders_without_lineitem(sf_dir: str) -> pd.DataFrame:
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     return (out.drop(columns=["_m"]).sort_values("o_orderkey")
             .reset_index(drop=True)[["o_orderkey", "o_totalprice"]])
+
+
+def lineitems_per_order_histogram(sf_dir: str) -> pd.DataFrame:
+    """Group-size distribution (how many orders have k lineitems): a
+    nested aggregation — the wide orderkey groupby reduces via per-block
+    partial counts, then the histogram of group sizes is a second
+    per-block partial over the already-reduced frame, so the final
+    shuffle carries at most max-k rows per block."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.group_by("l_orderkey").aggregate([([], "count_all")])
+                .rename_columns(["l_orderkey", "n"]))
+
+    per_order = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby("l_orderkey").aggregate(Sum("n", alias_name="n")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        return (pa.table({"n_items": t["n"]}).group_by("n_items")
+                .aggregate([([], "count_all")])
+                .rename_columns(["n_items", "n_orders"]))
+
+    out = (per_order.map_batches(hist, batch_format="pyarrow")
+           .groupby("n_items").aggregate(Sum("n_orders",
+                                             alias_name="n_orders"))
+           .to_pandas())
+    for c in ("n_items", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("n_items").reset_index(drop=True)
+
+
+def rolling_stats_daily(sf_dir: str, w: int = 3) -> pd.DataFrame:
+    """Bollinger-style rolling mean/std over the daily value series per
+    event type (ROWS w-1 PRECEDING): the corpus reduces to a
+    (types × days) integer-cent frame first; the window runs on that
+    reduced series with explicit moment formulas (int window sums, one
+    float pass) so the doubles match the oracle bit-for-bit."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    day_us = 86400 * US
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.multiply(pc.divide(pa.array(np.asarray(column_ts_us(t["ts"]))),
+                                    pa.scalar(day_us, pa.int64())),
+                          pa.scalar(day_us, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return (pa.table({"event_type": t["event_type"], "day": day,
+                          "cents": cents})
+                .group_by(["event_type", "day"])
+                .aggregate([("cents", "sum")])
+                .rename_columns(["event_type", "day", "cents"]))
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("cents", alias_name="cents"))
+             .to_pandas()).sort_values(["event_type", "day"])
+    frames = []
+    for et, g in daily.groupby("event_type", sort=True):
+        c = g["cents"].to_numpy(np.int64)
+        s = pd.Series(c)
+        n = s.rolling(w, min_periods=1).count().to_numpy(np.float64)
+        sm = s.rolling(w, min_periods=1).sum().to_numpy(np.float64)
+        sq = pd.Series(c * c).rolling(w, min_periods=1).sum().to_numpy(
+            np.float64)
+        mean = sm / n
+        var = np.where(n > 1, (sq - sm * sm / n) / (n - 1.0), np.nan)
+        frames.append(pd.DataFrame({
+            "event_type": et,
+            "day": us_to_timestamp_array(g["day"].to_numpy(np.int64)),
+            "daily_value": c.astype(np.float64) / 100.0,
+            "roll_mean6": np.round(mean / 100.0, 6),
+            "roll_std6": np.round(np.sqrt(var) / 100.0, 6),
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
+def audience_jaccard_types(sf_dir: str) -> pd.DataFrame:
+    """Audience-overlap (set-similarity) matrix between event types:
+    Jaccard of user sets for every type pair. Distinct (user, type)
+    pairs dedupe block-locally, one user co-partition self-merges the
+    alphabet-bounded per-user type sets, and the division runs on the
+    alphabet²-sized frame against exact per-type audience counts."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return (pa.table({"user_id": t["user_id"],
+                          "event_type": t["event_type"], "_shard": shard})
+                .group_by(["user_id", "event_type", "_shard"])
+                .aggregate([]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        inter = (m[m["event_type_a"] < m["event_type_b"]]
+                 .groupby(["event_type_a", "event_type_b"], sort=False)
+                 .size().reset_index(name="inter"))
+        sizes = (d.groupby("event_type", sort=False)
+                 .size().reset_index(name="n_users"))
+        inter["kind"] = "pair"
+        sizes = sizes.rename(columns={"event_type": "event_type_a"})
+        sizes["event_type_b"] = ""
+        sizes["inter"] = sizes.pop("n_users")
+        sizes["kind"] = "size"
+        return pd.concat([inter, sizes], ignore_index=True)[
+            ["event_type_a", "event_type_b", "inter", "kind"]]
+
+    raw = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    agg = (raw.groupby(["kind", "event_type_a", "event_type_b"], sort=True)
+           ["inter"].sum().reset_index())
+    sizes = (agg[agg["kind"] == "size"]
+             .set_index("event_type_a")["inter"].to_dict())
+    out = agg[agg["kind"] == "pair"].drop(columns=["kind"]).rename(
+        columns={"event_type_a": "type_a", "event_type_b": "type_b"})
+    na = out["type_a"].map(sizes).to_numpy(np.int64)
+    nb = out["type_b"].map(sizes).to_numpy(np.int64)
+    inter = out["inter"].to_numpy(np.int64)
+    out["inter"] = inter
+    out["jaccard6"] = np.round(inter * 1.0 / (na + nb - inter), 6)
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True)[["type_a", "type_b", "inter",
+                                     "jaccard6"]])
+
+
+def fulfillment_lag_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Order-to-first-ship lag per priority: the lineitem side reduces
+    to one min-shipdate row per order (per-block Min partials first),
+    then a partitioned hash join against orders — both sides large, no
+    broadcast — feeds integer whole-day diffs into a priorities-sized
+    moment reduce."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"])
+    day_us = 86400 * US
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ship = pa.array(np.asarray(column_ts_us(t["l_shipdate"])))
+        return (pa.table({"o_orderkey": t["l_orderkey"], "ship_us": ship})
+                .group_by("o_orderkey").aggregate([("ship_us", "min")])
+                .rename_columns(["o_orderkey", "ship_us"]))
+
+    first_ship = (li.map_batches(li_partial, batch_format="pyarrow")
+                  .groupby("o_orderkey")
+                  .aggregate(Min("ship_us", alias_name="ship_us")))
+    buckets = join_buckets(_tbytes(sf_dir, "orders", "lineitem"))
+    joined = hash_join(orders, first_ship, on="o_orderkey", how="inner",
+                       buckets=buckets)
+
+    def lag_partial(t: pa.Table) -> pa.Table:
+        od = np.asarray(column_ts_us(t["o_orderdate"])) // day_us
+        sd = t["ship_us"].to_numpy(zero_copy_only=False) // day_us
+        days = sd - od
+        return (pa.table({"o_orderpriority": t["o_orderpriority"],
+                          "days": pa.array(days)})
+                .group_by("o_orderpriority")
+                .aggregate([("days", "sum"), ([], "count_all")])
+                .rename_columns(["o_orderpriority", "sum_days", "n"]))
+
+    out = (joined.map_batches(lag_partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("sum_days", alias_name="sum_days"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    out["avg_days6"] = np.round(out["sum_days"].to_numpy(np.float64)
+                                / out["n"].to_numpy(np.float64), 6)
+    out["n"] = out["n"].astype("int64")
+    return (out.drop(columns=["sum_days"])
+            .sort_values("o_orderpriority").reset_index(drop=True)
+            [["o_orderpriority", "n", "avg_days6"]])
+
+
+def hhi_supplier_concentration(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per part: the
+    (part, supplier) quantity matrix reduces with integer-cent partials,
+    per-part totals come from a transform on that reduced frame, and the
+    squared-share sum is one vectorized pass — output is parts-sized,
+    top-20 most concentrated multi-supplier parts by key order."""
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        return (pa.table({"l_partkey": t["l_partkey"],
+                          "l_suppkey": t["l_suppkey"], "q": q})
+                .group_by(["l_partkey", "l_suppkey"])
+                .aggregate([("q", "sum")])
+                .rename_columns(["l_partkey", "l_suppkey", "q"]))
+
+    ps = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["l_partkey", "l_suppkey"])
+          .aggregate(Sum("q", alias_name="q"))
+          .to_pandas())
+    tot = ps.groupby("l_partkey")["q"].transform("sum").to_numpy(np.float64)
+    share = ps["q"].to_numpy(np.float64) / tot
+    ps["sq"] = share * share
+    out = (ps.groupby("l_partkey", sort=True)
+           .agg(n_suppliers=("l_suppkey", "nunique"), hhi=("sq", "sum"))
+           .reset_index())
+    out = out[out["n_suppliers"] > 1]
+    out["hhi6"] = np.round(out["hhi"].to_numpy(np.float64), 6)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    return (out.drop(columns=["hhi"]).sort_values("l_partkey")
+            .reset_index(drop=True)[["l_partkey", "n_suppliers", "hhi6"]])

@@ -77,6 +77,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulfillment_lag_by_priority": q.fulfillment_lag_by_priority,
         # Herfindahl concentration per part (squared-share sum)
         "hhi_supplier_concentration": q.hhi_supplier_concentration,
+        # weighted median via integer inverse-CDF, no row sort
+        "weighted_median_price": q.weighted_median_price,
+        # co-purchase graph edges (large-domain basket pairs)
+        "copurchase_part_pairs": q.copurchase_part_pairs,
+        # sessionized funnel conversion per entry type
+        "session_conversion_rate": q.session_conversion_rate,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -389,6 +395,60 @@ def oracle_sql() -> dict[str, str]:
                                       / (nn - n)) / ((nn - n) - 1.0))
                                   / (nn - n)), 6) AS t6
             FROM s, t ORDER BY event_type
+        """,
+        "weighted_median_price": """
+            WITH b AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS cents,
+                              CAST(round(l_quantity * 100) AS BIGINT) AS w
+                       FROM lineitem),
+            g AS (SELECT l_returnflag, cents, sum(w) AS w
+                  FROM b GROUP BY 1, 2),
+            c AS (SELECT l_returnflag, cents,
+                         sum(w) OVER (PARTITION BY l_returnflag
+                                      ORDER BY cents) AS cum,
+                         sum(w) OVER (PARTITION BY l_returnflag) AS total
+                  FROM g)
+            SELECT l_returnflag,
+                   CAST(min(CASE WHEN 2 * cum >= total THEN cents END)
+                        AS DOUBLE) / 100.0 AS wmedian
+            FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "copurchase_part_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n
+            FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+            GROUP BY part_a, part_b HAVING count(*) >= 2
+            ORDER BY part_a, part_b
+        """,
+        "session_conversion_rate": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 7200 SECOND
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            e1 AS (SELECT user_id, sid, event_type,
+                          row_number() OVER (PARTITION BY user_id, sid
+                                             ORDER BY ts, event_id) AS rn
+                   FROM s),
+            conv AS (SELECT user_id, sid,
+                            max(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS has_p
+                     FROM s GROUP BY user_id, sid)
+            SELECT e1.event_type AS entry_type,
+                   count(*) AS n_sessions,
+                   CAST(sum(has_p) AS BIGINT) AS n_converted,
+                   round(sum(has_p) * 1.0 / count(*), 6) AS rate6
+            FROM e1 JOIN conv USING (user_id, sid)
+            WHERE rn = 1 GROUP BY entry_type ORDER BY entry_type
         """,
         "lineitems_per_order_histogram": """
             WITH c AS (SELECT l_orderkey, count(*) AS n_items

@@ -4627,3 +4627,118 @@ def hhi_supplier_concentration(sf_dir: str) -> pd.DataFrame:
     out["l_partkey"] = out["l_partkey"].astype("int64")
     return (out.drop(columns=["hhi"]).sort_values("l_partkey")
             .reset_index(drop=True)[["l_partkey", "n_suppliers", "hhi6"]])
+
+
+def weighted_median_price(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    sibling of ``median_value_by_type``: integer (cents, weight) partials
+    reduce to a value-domain-bounded frame per flag, and the weighted
+    inverse-CDF rule (smallest value with 2·cumw ≥ total) picks the
+    median with pure integer comparisons; nothing ever sorts the rows."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        w = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        return (pa.table({"l_returnflag": t["l_returnflag"], "cents": cents,
+                          "w": w})
+                .group_by(["l_returnflag", "cents"])
+                .aggregate([("w", "sum")])
+                .rename_columns(["l_returnflag", "cents", "w"]))
+
+    freq = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "cents"])
+            .aggregate(Sum("w", alias_name="w"))
+            .to_pandas()).sort_values(["l_returnflag", "cents"])
+    rows = []
+    for flag, g in freq.groupby("l_returnflag", sort=True):
+        w = g["w"].to_numpy(np.int64)
+        cum = np.cumsum(w)
+        total = cum[-1]
+        idx = int(np.searchsorted(2 * cum, total))  # first 2*cum >= total
+        rows.append((flag, g["cents"].to_numpy(np.int64)[idx] / 100.0))
+    return pd.DataFrame(rows, columns=["l_returnflag", "wmedian"])
+
+
+def copurchase_part_pairs(sf_dir: str) -> pd.DataFrame:
+    """Co-purchase graph construction (parts appearing in one order
+    together, edge weight = co-order count, support ≥ 2): the
+    large-domain sibling of ``cooccurrence_pairs_events`` — pair fan-out
+    is bounded by per-order basket size (k(k−1)/2 per order), pairs
+    pre-count inside 64 order shards, and the support filter prunes the
+    edge list before it leaves the final reduce."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["l_orderkey"],
+                                        pa.scalar(63, pa.int64())), pa.int64())
+        return (pa.table({"l_orderkey": t["l_orderkey"],
+                          "l_partkey": t["l_partkey"], "_shard": shard})
+                .group_by(["l_orderkey", "l_partkey", "_shard"])
+                .aggregate([]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return (m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+                .size().reset_index(name="n")
+                .rename(columns={"l_partkey_a": "part_a",
+                                 "l_partkey_b": "part_b"}))
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby(["part_a", "part_b"], sort=True)["n"]
+           .sum().reset_index())
+    out = out[out["n"] >= 2]
+    for c in ("part_a", "part_b", "n"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def session_conversion_rate(sf_dir: str, gap_s: int = 7200) -> pd.DataFrame:
+    """Sessionized funnel conversion (per entry event type: how many
+    sessions convert to a purchase): composes the clickstream
+    sessionizer with per-session first/any aggregates — one user
+    co-partition, vectorized gap-cumsum session ids, first-row entry
+    types and purchase flags via numpy reductions over island starts;
+    the rate divides on the alphabet-sized frame."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    gap_us = gap_s * US
+
+    def per_user_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        ts_us = series_ts_us(g["ts"]).to_numpy()
+        et = g["event_type"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (np.diff(ts_us) > gap_us)
+        sid = np.cumsum(brk) - 1  # 0-based session index
+        entry = et[brk]  # first event of each session
+        has_p = np.zeros(sid[-1] + 1 if len(sid) else 0, dtype=np.int64)
+        np.maximum.at(has_p, sid, (et == "purchase").astype(np.int64))
+        return (pd.DataFrame({"entry_type": entry, "converted": has_p})
+                .groupby("entry_type", sort=False)
+                .agg(n_sessions=("converted", "size"),
+                     n_converted=("converted", "sum")).reset_index())
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard")
+           .map_groups(per_user_group, batch_format="pandas")
+           .to_pandas()
+           .groupby("entry_type", sort=True)
+           .agg(n_sessions=("n_sessions", "sum"),
+                n_converted=("n_converted", "sum")).reset_index())
+    out["rate6"] = np.round(out["n_converted"].to_numpy(np.float64) * 1.0
+                            / out["n_sessions"].to_numpy(np.float64), 6)
+    for c in ("n_sessions", "n_converted"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)

@@ -511,11 +511,13 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT l_partkey, sum(q) AS tq, count(*) AS n_suppliers
                   FROM s GROUP BY 1)
             SELECT s.l_partkey, n_suppliers,
-                   round(sum((CAST(q AS DOUBLE) / tq)
-                             * (CAST(q AS DOUBLE) / tq)), 6) AS hhi6
+                   CAST((2 * sum(CAST(q AS HUGEINT) * q) * 1000000
+                         + CAST(tq AS HUGEINT) * tq)
+                        // (2 * CAST(tq AS HUGEINT) * tq) AS BIGINT)
+                       AS hhi_ppm
             FROM s JOIN t ON s.l_partkey = t.l_partkey
             WHERE n_suppliers > 1
-            GROUP BY s.l_partkey, n_suppliers ORDER BY s.l_partkey
+            GROUP BY s.l_partkey, n_suppliers, tq ORDER BY s.l_partkey
         """,
         "markov_transitions_events": """
             WITH s AS (

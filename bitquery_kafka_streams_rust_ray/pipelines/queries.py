@@ -4615,18 +4615,27 @@ def hhi_supplier_concentration(sf_dir: str) -> pd.DataFrame:
           .groupby(["l_partkey", "l_suppkey"])
           .aggregate(Sum("q", alias_name="q"))
           .to_pandas())
-    tot = ps.groupby("l_partkey")["q"].transform("sum").to_numpy(np.float64)
-    share = ps["q"].to_numpy(np.float64) / tot
-    ps["sq"] = share * share
+    # HHI = Σ(q/tq)² = Σq²/tq² is an exact rational of integer-cent
+    # sums, so it DOES hit .5 decimal boundaries (numpy half-even vs
+    # DuckDB half-away flipped two fixture rows at round6). Emit exact
+    # integer parts-per-million instead: half-up integer division on
+    # arbitrary-precision ints, no float anywhere.
+    q = ps["q"].to_numpy(np.int64)
+    ps["qq"] = q * q
     out = (ps.groupby("l_partkey", sort=True)
-           .agg(n_suppliers=("l_suppkey", "nunique"), hhi=("sq", "sum"))
+           .agg(n_suppliers=("l_suppkey", "nunique"),
+                s2=("qq", "sum"), tq=("q", "sum"))
            .reset_index())
     out = out[out["n_suppliers"] > 1]
-    out["hhi6"] = np.round(out["hhi"].to_numpy(np.float64), 6)
+    s2 = out["s2"].astype(object)
+    tq = out["tq"].astype(object)
+    ppm = (2 * s2 * 1_000_000 + tq * tq) // (2 * tq * tq)
+    out["hhi_ppm"] = ppm.astype("int64")
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     out["l_partkey"] = out["l_partkey"].astype("int64")
-    return (out.drop(columns=["hhi"]).sort_values("l_partkey")
-            .reset_index(drop=True)[["l_partkey", "n_suppliers", "hhi6"]])
+    return (out.drop(columns=["s2", "tq"]).sort_values("l_partkey")
+            .reset_index(drop=True)
+            [["l_partkey", "n_suppliers", "hhi_ppm"]])
 
 
 def weighted_median_price(sf_dir: str) -> pd.DataFrame:

@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q.quantize_embeddings,
         # product quantization (rows-only; quality pinned by test_pq.py)
         "pq_encode_embeddings": q.pq_encode_embeddings,
+        # distributed PCA (rows-only; pinned by test_pca.py)
+        "pca_embeddings": q.pca_embeddings,
         # bigram-LM perplexity scoring (CCNet-style quality filter)
         "bigram_lm_documents": q.bigram_lm_documents,
         # LAG/LEAD window functions per key (§2.6)

@@ -4751,3 +4751,22 @@ def session_conversion_rate(sf_dir: str, gap_s: int = 7200) -> pd.DataFrame:
     for c in ("n_sessions", "n_converted"):
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
+
+
+def pca_embeddings(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """Distributed PCA (rows-only: the eigensolve is not ANSI SQL):
+    exact int64 moment partials -> O(dim²) reduce -> driver eigensolve,
+    then a pure-map projection. Output is block-layout-invariant because
+    the covariance matrix is bit-identical on any split (see
+    ``stages/pca.py``); pinned by ``test_pca.py`` (orthonormality,
+    variance conservation, layout invariance, reconstruction ordering)."""
+    from ..stages.pca import pca_fit, pca_project
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(ds, k)
+    out = pca_project(ds, model).to_pandas()
+    for i in range(k):
+        c = f"pc{i + 1}"
+        # e6-quantized units back to input units, 6-decimal pin
+        out[c] = np.round(out[c].to_numpy(np.float64) / 1e6, 6)
+    return out.sort_values("vec_id").reset_index(drop=True)

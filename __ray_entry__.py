@@ -83,6 +83,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_part_pairs": q.copurchase_part_pairs,
         # sessionized funnel conversion per entry type
         "session_conversion_rate": q.session_conversion_rate,
+        # RFM tercile segmentation via inverse-CDF thresholds
+        "rfm_segments": q.rfm_segments,
+        # exact-duplicate rate audit per source
+        "dup_rate_by_source": q.dup_rate_by_source,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -397,6 +401,53 @@ def oracle_sql() -> dict[str, str]:
                                       / (nn - n)) / ((nn - n) - 1.0))
                                   / (nn - n)), 6) AS t6
             FROM s, t ORDER BY event_type
+        """,
+        "rfm_segments": """
+            WITH c AS (
+                SELECT o_custkey,
+                       max(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT))
+                           AS last_day,
+                       count(*) AS freq,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS money
+                FROM orders GROUP BY o_custkey),
+            tr AS (SELECT min(CASE WHEN 3 * cum >= tot THEN v END) AS t1,
+                          min(CASE WHEN 3 * cum >= 2 * tot THEN v END) AS t2
+                   FROM (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
+                                sum(n) OVER () AS tot
+                         FROM (SELECT last_day AS v, count(*) AS n
+                               FROM c GROUP BY 1))),
+            tf AS (SELECT min(CASE WHEN 3 * cum >= tot THEN v END) AS t1,
+                          min(CASE WHEN 3 * cum >= 2 * tot THEN v END) AS t2
+                   FROM (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
+                                sum(n) OVER () AS tot
+                         FROM (SELECT freq AS v, count(*) AS n
+                               FROM c GROUP BY 1))),
+            tm AS (SELECT min(CASE WHEN 3 * cum >= tot THEN v END) AS t1,
+                          min(CASE WHEN 3 * cum >= 2 * tot THEN v END) AS t2
+                   FROM (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
+                                sum(n) OVER () AS tot
+                         FROM (SELECT money AS v, count(*) AS n
+                               FROM c GROUP BY 1)))
+            SELECT (1 + CAST(last_day > tr.t1 AS BIGINT)
+                      + CAST(last_day > tr.t2 AS BIGINT)) AS r_bucket,
+                   (1 + CAST(freq > tf.t1 AS BIGINT)
+                      + CAST(freq > tf.t2 AS BIGINT)) AS f_bucket,
+                   (1 + CAST(money > tm.t1 AS BIGINT)
+                      + CAST(money > tm.t2 AS BIGINT)) AS m_bucket,
+                   count(*) AS n_customers
+            FROM c, tr, tf, tm
+            GROUP BY r_bucket, f_bucket, m_bucket
+            ORDER BY r_bucket, f_bucket, m_bucket
+        """,
+        "dup_rate_by_source": """
+            WITH g AS (SELECT source, text, count(*) AS n
+                       FROM documents GROUP BY source, text)
+            SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                   count(*) AS n_distinct,
+                   CAST(sum(n) - count(*) AS BIGINT) AS n_dupes,
+                   round((sum(n) - count(*)) * 1.0 / sum(n), 6) AS dup_rate6
+            FROM g GROUP BY source ORDER BY source
         """,
         "weighted_median_price": """
             WITH b AS (SELECT l_returnflag,

@@ -4770,3 +4770,96 @@ def pca_embeddings(sf_dir: str, k: int = 2) -> pd.DataFrame:
         # e6-quantized units back to input units, 6-decimal pin
         out[c] = np.round(out[c].to_numpy(np.float64) / 1e6, 6)
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    terciles): one custkey reduce builds the per-customer metric frame,
+    three value-domain-bounded histograms yield exact inverse-CDF
+    tercile thresholds (min v with 3·cum ≥ i·n — the
+    ``weighted_median_price`` rule), bucket assignment is a pure
+    vectorized map over the reduced frame, and the output is the ≤27-
+    cell segment count matrix."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    day_us = 86400 * US
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pa.array(np.asarray(column_ts_us(t["o_orderdate"]))),
+                        pa.scalar(day_us, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"o_custkey": t["o_custkey"], "day": day,
+                          "cents": cents})
+                .group_by("o_custkey")
+                .aggregate([("day", "max"), ("cents", "sum"),
+                            ([], "count_all")])
+                .rename_columns(["o_custkey", "last_day", "money", "freq"]))
+
+    cust = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Max("last_day", alias_name="last_day"),
+                       Sum("money", alias_name="money"),
+                       Sum("freq", alias_name="freq"))
+            .to_pandas())  # customers-sized reduced frame
+
+    def terciles(v: np.ndarray) -> tuple[int, int]:
+        vals, cnts = np.unique(v, return_counts=True)
+        cum = np.cumsum(cnts)
+        n = cum[-1]
+        t1 = vals[int(np.searchsorted(3 * cum, n))]
+        t2 = vals[int(np.searchsorted(3 * cum, 2 * n))]
+        return int(t1), int(t2)
+
+    out_cols = {}
+    for col, name in (("last_day", "r_bucket"), ("freq", "f_bucket"),
+                      ("money", "m_bucket")):
+        v = cust[col].to_numpy(np.int64)
+        t1, t2 = terciles(v)
+        out_cols[name] = 1 + (v > t1).astype(np.int64) + (v > t2).astype(
+            np.int64)
+    seg = pd.DataFrame(out_cols)
+    out = (seg.groupby(["r_bucket", "f_bucket", "m_bucket"], sort=True)
+           .size().reset_index(name="n_customers"))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Exact-duplicate rate per source (the dedup-audit report a corpus
+    curation run publishes): block-local (source, text) counts collapse
+    repeats before the one content-keyed groupby, then per-source doc
+    and distinct-content totals ride constant-size partials. At corpus
+    scale the groupby key would be a 128-bit content hash
+    (``stages/dedup.py``); the fixture keys on the text itself so the
+    oracle's GROUP BY text is matched exactly, collision-free."""
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def local(t: pa.Table) -> pa.Table:
+        return (t.group_by(["source", "text"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["source", "text", "n"]))
+
+    groups = (ds.map_batches(local, batch_format="pyarrow")
+              .groupby(["source", "text"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def per_source(t: pa.Table) -> pa.Table:
+        return (pa.table({"source": t["source"], "n": t["n"]})
+                .group_by("source")
+                .aggregate([("n", "sum"), ([], "count_all")])
+                .rename_columns(["source", "n_docs", "n_distinct"]))
+
+    out = (groups.map_batches(per_source, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_distinct", alias_name="n_distinct"))
+           .to_pandas())
+    nd = out["n_docs"].to_numpy(np.int64)
+    nu = out["n_distinct"].to_numpy(np.int64)
+    out["n_dupes"] = (nd - nu).astype("int64")
+    out["dup_rate6"] = np.round((nd - nu) * 1.0 / nd, 6)
+    for c in ("n_docs", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("source").reset_index(drop=True)
+            [["source", "n_docs", "n_distinct", "n_dupes", "dup_rate6"]])

@@ -4122,17 +4122,25 @@ def profile_lineitem(sf_dir: str) -> pd.DataFrame:
             # drop_null first: SQL's COUNT(DISTINCT) ignores NULLs, and a
             # null->NaN numpy round-trip would count them as one value
             v = np.unique(t[c].drop_null().to_numpy(zero_copy_only=False))
+            # shard by value bits: distinct values partition cleanly, so
+            # each shard's unique-count is final — one fixed-fanout
+            # shuffle of block-deduped pairs replaces the (col, value)-
+            # domain groupby + second reduce
+            shard = v.view(np.int64) & np.int64(63)
             frames.append(pa.table({"col": pa.array([c] * len(v)),
-                                    "v": pa.array(v)}))
+                                    "v": pa.array(v),
+                                    "_shard": pa.array(shard)}))
         return pa.concat_tables(frames)
 
+    def shard_ndv(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col", "v"])
+        return (d.groupby("col", sort=False).size()
+                .reset_index(name="ndv"))
+
     ndv = (ds.map_batches(distincts, batch_format="pyarrow")
-           .groupby(["col", "v"]).aggregate(Count(alias_name="_c"))
-           .map_batches(lambda t: t.group_by("col").aggregate(
-               [([], "count_all")]).rename_columns(["col", "ndv"]),
-               batch_format="pyarrow")
-           .groupby("col").aggregate(Sum("ndv", alias_name="ndv"))
-           .to_pandas())
+           .groupby("_shard").map_groups(shard_ndv, batch_format="pandas")
+           .to_pandas()
+           .groupby("col", sort=True)["ndv"].sum().reset_index())
 
     def stat_partial(t: pa.Table) -> pa.Table:
         rows = {"col": [], "nulls": [], "min_v": [], "max_v": []}
@@ -4433,21 +4441,26 @@ def lineitems_per_order_histogram(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "lineitem", ["l_orderkey"])
 
     def partial(t: pa.Table) -> pa.Table:
-        return (t.group_by("l_orderkey").aggregate([([], "count_all")])
-                .rename_columns(["l_orderkey", "n"]))
-
-    per_order = (ds.map_batches(partial, batch_format="pyarrow")
-                 .groupby("l_orderkey").aggregate(Sum("n", alias_name="n")))
-
-    def hist(t: pa.Table) -> pa.Table:
-        return (pa.table({"n_items": t["n"]}).group_by("n_items")
+        shard = pc.cast(pc.bit_wise_and(t["l_orderkey"],
+                                        pa.scalar(63, pa.int64())), pa.int64())
+        return (t.append_column("_shard", shard)
+                .group_by(["l_orderkey", "_shard"])
                 .aggregate([([], "count_all")])
-                .rename_columns(["n_items", "n_orders"]))
+                .rename_columns(["l_orderkey", "_shard", "n"]))
 
-    out = (per_order.map_batches(hist, batch_format="pyarrow")
-           .groupby("n_items").aggregate(Sum("n_orders",
-                                             alias_name="n_orders"))
-           .to_pandas())
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # orders co-locate per shard, so group sizes finish here and the
+        # shard emits its ≤max-k histogram — ONE fixed-fanout shuffle
+        # instead of an orderkey-domain groupby + a second reduce
+        sizes = g.groupby("l_orderkey", sort=False)["n"].sum()
+        out = sizes.value_counts().reset_index()
+        out.columns = ["n_items", "n_orders"]
+        return out
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby("n_items", sort=True)["n_orders"].sum().reset_index())
     for c in ("n_items", "n_orders"):
         out[c] = out[c].astype("int64")
     return out.sort_values("n_items").reset_index(drop=True)

@@ -129,3 +129,44 @@ def test_markov_rows_normalize_and_conserve():
     ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
     expected = len(ev) - ev["user_id"].nunique()
     assert out["n"].sum() == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(1, 20)),
+                min_size=1, max_size=40))
+def test_weighted_median_rule_matches_expansion(pairs):
+    """The inverse-CDF rule (smallest v with 2·cumw ≥ W) equals the
+    lower weighted median of the weight-expanded multiset."""
+    vals = np.array([p[0] for p in pairs], dtype=np.int64)
+    wts = np.array([p[1] for p in pairs], dtype=np.int64)
+    order = np.argsort(vals, kind="mergesort")
+    v, w = vals[order], wts[order]
+    # collapse ties like the operator's (cents, w) reduce
+    uv, inv = np.unique(v, return_inverse=True)
+    uw = np.bincount(inv, weights=w).astype(np.int64)
+    cum = np.cumsum(uw)
+    got = uv[int(np.searchsorted(2 * cum, cum[-1]))]
+    expanded = np.repeat(vals, wts)
+    expanded.sort()
+    want = expanded[(len(expanded) + 1) // 2 - 1]
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=3, max_size=60))
+def test_tercile_thresholds_are_minimal_covers(vals):
+    """rfm_segments' threshold rule: t_i is the SMALLEST value whose
+    cumulative count reaches i·n/3 — so ≤t_i covers at least i/3 of
+    rows and any smaller value would not."""
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import rfm_segments  # noqa: F401
+    v = np.array(vals, dtype=np.int64)
+    uv, cnts = np.unique(v, return_counts=True)
+    cum = np.cumsum(cnts)
+    n = cum[-1]
+    t1 = uv[int(np.searchsorted(3 * cum, n))]
+    t2 = uv[int(np.searchsorted(3 * cum, 2 * n))]
+    assert 3 * (v <= t1).sum() >= n
+    assert (v < t1).sum() * 3 < n
+    assert 3 * (v <= t2).sum() >= 2 * n
+    assert (v < t2).sum() * 3 < 2 * n
+    assert t1 <= t2

@@ -87,6 +87,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q.rfm_segments,
         # exact-duplicate rate audit per source
         "dup_rate_by_source": q.dup_rate_by_source,
+        # median absolute deviation from one histogram pass
+        "mad_value_by_type": q.mad_value_by_type,
+        # XOR/sum keyset reconciliation checksums per month
+        "keyset_checksum_monthly": q.keyset_checksum_monthly,
+        # FULL OUTER join of two reduced monthly series
+        "monthly_activity_full_join": q.monthly_activity_full_join,
+        # vocabulary-overlap Jaccard matrix between sources
+        "vocab_overlap_sources": q.vocab_overlap_sources,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -401,6 +409,69 @@ def oracle_sql() -> dict[str, str]:
                                       / (nn - n)) / ((nn - n) - 1.0))
                                   / (nn - n)), 6) AS t6
             FROM s, t ORDER BY event_type
+        """,
+        "mad_value_by_type": """
+            WITH h AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+            m AS (SELECT event_type, min(cents) AS med FROM (
+                    SELECT event_type, cents,
+                           sum(cnt) OVER (PARTITION BY event_type
+                                          ORDER BY cents) AS cle,
+                           sum(cnt) OVER (PARTITION BY event_type) AS n
+                    FROM h) WHERE 2 * cle >= n GROUP BY event_type),
+            d AS (SELECT h.event_type, abs(cents - med) AS dev,
+                         sum(cnt) AS cnt
+                  FROM h JOIN m ON h.event_type = m.event_type
+                  GROUP BY 1, 2),
+            mm AS (SELECT event_type, min(dev) AS mad FROM (
+                    SELECT event_type, dev,
+                           sum(cnt) OVER (PARTITION BY event_type
+                                          ORDER BY dev) AS cle,
+                           sum(cnt) OVER (PARTITION BY event_type) AS n
+                    FROM d) WHERE 2 * cle >= n GROUP BY event_type)
+            SELECT m.event_type, CAST(med AS DOUBLE) / 100.0 AS median_v,
+                   CAST(mad AS DOUBLE) / 100.0 AS mad_v
+            FROM m JOIN mm ON m.event_type = mm.event_type
+            ORDER BY m.event_type
+        """,
+        "keyset_checksum_monthly": """
+            SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+                   count(*) AS n_orders,
+                   bit_xor(o_orderkey) AS key_xor,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+            FROM orders GROUP BY month ORDER BY month
+        """,
+        "monthly_activity_full_join": """
+            WITH o AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP
+                           AS month, count(*) AS n_orders
+                       FROM orders GROUP BY 1),
+            l AS (SELECT date_trunc('month', l_shipdate)::TIMESTAMP
+                      AS month, count(*) AS n_shipments
+                  FROM lineitem GROUP BY 1)
+            SELECT COALESCE(o.month, l.month) AS month,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   COALESCE(n_shipments, 0) AS n_shipments
+            FROM o FULL JOIN l ON o.month = l.month ORDER BY month
+        """,
+        "vocab_overlap_sources": r"""
+            WITH t AS (SELECT source,
+                              unnest(regexp_split_to_array(
+                                  trim(text, e' \t\n\r'), '\s+')) AS w
+                       FROM documents
+                       WHERE trim(text, e' \t\n\r') <> ''),
+            d AS (SELECT DISTINCT source, w FROM t),
+            i AS (SELECT a.source AS src_a, b.source AS src_b,
+                         count(*) AS inter
+                  FROM d a JOIN d b ON a.w = b.w AND a.source < b.source
+                  GROUP BY 1, 2),
+            c AS (SELECT source, count(*) AS n FROM d GROUP BY 1)
+            SELECT src_a, src_b, inter,
+                   round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard6
+            FROM i JOIN c ca ON src_a = ca.source
+                 JOIN c cb ON src_b = cb.source
+            ORDER BY src_a, src_b
         """,
         "rfm_segments": """
             WITH c AS (

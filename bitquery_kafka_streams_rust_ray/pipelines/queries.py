@@ -27,7 +27,7 @@ from ..functions.text import TextAnalyzer
 from ..stages.ann import ann_brute_force
 from ..stages.broadcast import broadcast_get
 from ..stages.dedup import exact_dedup, windowed_dedup
-from ..stages.hashing import shard_of
+from ..stages.hashing import add_shard_column, shard_of
 from ..stages.join import (broadcast_asof_join, broadcast_join, hash_join,
                            join_buckets, semi_join)
 from ..stages.neardup import (component_labels, embedding_dedup,
@@ -4876,3 +4876,160 @@ def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     return (out.sort_values("source").reset_index(drop=True)
             [["source", "n_docs", "n_distinct", "n_dupes", "dup_rate6"]])
+
+
+def mad_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation per group (the robust dispersion
+    statistic): BOTH medians come from ONE distributed (type, cents)
+    histogram — the deviation distribution is a driver-side regroup of
+    that value-domain-bounded frame by |v − med|, so the corpus is read
+    once and never sorted. Lower-median inverse-CDF rule throughout
+    (matches ``median_value_by_type``)."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return (pa.table({"event_type": t["event_type"], "cents": cents})
+                .group_by(["event_type", "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "cents", "cnt"]))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()).sort_values(["event_type", "cents"])
+
+    def lower_median(v: np.ndarray, c: np.ndarray) -> int:
+        cum = np.cumsum(c)
+        return int(v[int(np.searchsorted(2 * cum, cum[-1]))])
+
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        v = g["cents"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        med = lower_median(v, c)
+        dev = np.abs(v - med)
+        order = np.argsort(dev, kind="mergesort")
+        dv, dc = dev[order], c[order]
+        # collapse equal deviations (v below and above med can tie)
+        uniq, inv = np.unique(dv, return_inverse=True)
+        dcc = np.bincount(inv, weights=dc).astype(np.int64)
+        mad = lower_median(uniq, dcc)
+        rows.append((et, med / 100.0, mad / 100.0))
+    return pd.DataFrame(rows, columns=["event_type", "median_v", "mad_v"])
+
+
+def keyset_checksum_monthly(sf_dir: str) -> pd.DataFrame:
+    """Reconciliation checksums per month (the cross-system audit a
+    migration runs): count, XOR-fold and sum of the key set. XOR and
+    sum are order-free and mergeable, so per-block partials reduce to a
+    months-sized frame with no sort anywhere; equal checksums on two
+    systems certify equal key sets with overwhelming probability."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        g = pd.DataFrame({"month": month.astype("datetime64[us]"),
+                          "k": df["o_orderkey"].to_numpy(np.int64)})
+        out = (g.groupby("month", sort=False)["k"]
+               .agg(n="size", xor=lambda s: np.bitwise_xor.reduce(
+                   s.to_numpy(np.int64)), ksum="sum").reset_index())
+        return out
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas())  # blocks x months partials
+    out = (parts.groupby("month", sort=True)
+           .agg(n_orders=("n", "sum"),
+                key_xor=("xor", lambda s: int(np.bitwise_xor.reduce(
+                    s.to_numpy(np.int64)))),
+                key_sum=("ksum", "sum")).reset_index())
+    for c in ("n_orders", "key_xor", "key_sum"):
+        out[c] = out[c].astype("int64")
+    out["month"] = out["month"].astype("datetime64[us]")
+    return out.reset_index(drop=True)
+
+
+def monthly_activity_full_join(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join of two independently-reduced monthly series
+    (order volume vs shipment volume) — months present in either side
+    survive with zero-fill. Both inputs reduce to months-sized frames
+    BEFORE the join, so the full-outer itself is tiny; the join type
+    rides the same native hash-shuffle ``Dataset.join`` as the inner/
+    left variants (``stages/join.py::hash_join``)."""
+    orders = _t(sf_dir, "orders", ["o_orderdate"])
+    li = _t(sf_dir, "lineitem", ["l_shipdate"])
+
+    def monthly(col: str, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            month = pc.cast(pc.floor_temporal(t[col], unit="month"),
+                            pa.timestamp("us"))
+            return (pa.table({"month": month}).group_by("month")
+                    .aggregate([([], "count_all")])
+                    .rename_columns(["month", out]))
+        return fn
+
+    o = (orders.map_batches(monthly("o_orderdate", "n_orders"),
+                            batch_format="pyarrow")
+         .groupby("month").aggregate(Sum("n_orders", alias_name="n_orders")))
+    l = (li.map_batches(monthly("l_shipdate", "n_shipments"),
+                        batch_format="pyarrow")
+         .groupby("month").aggregate(Sum("n_shipments",
+                                         alias_name="n_shipments")))
+    joined = hash_join(o, l, on="month", how="outer", buckets=4).to_pandas()
+    out = pd.DataFrame({
+        "month": joined["month"].astype("datetime64[us]"),
+        "n_orders": joined["n_orders"].fillna(0).astype("int64"),
+        "n_shipments": joined["n_shipments"].fillna(0).astype("int64"),
+    })
+    return out.sort_values("month").reset_index(drop=True)
+
+
+def vocab_overlap_sources(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary overlap (Jaccard of word sets) between every source
+    pair — the corpus-similarity matrix a mixing study consults.
+    Distinct (source, word) pairs dedupe block-locally, co-partition by
+    WORD hash (each word's ≤|sources| set closes per shard, pair
+    fan-out is |sources|²-bounded), and the division runs on the
+    pairs-sized frame against exact per-source vocabulary sizes."""
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(t.column("text").combine_chunks())
+        w = pc.list_flatten(toks)
+        src = pc.take(t.column("source"), pc.list_parent_indices(toks))
+        mask = pc.not_equal(w, "")
+        tt = pa.table({"source": pc.filter(src, mask),
+                       "w": pc.filter(w, mask)})
+        tt = tt.group_by(["source", "w"]).aggregate([])
+        # process-stable SipHash sharding (builtin hash is salted)
+        return add_shard_column(tt, "w", 64)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["source", "w"])
+        m = d.merge(d, on="w", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        inter = (m.groupby(["source_a", "source_b"], sort=False)
+                 .size().reset_index(name="inter"))
+        sizes = (d.groupby("source", sort=False).size()
+                 .reset_index(name="inter"))
+        sizes["source_a"] = sizes.pop("source")
+        sizes["source_b"] = ""
+        return pd.concat([inter, sizes[["source_a", "source_b", "inter"]]],
+                         ignore_index=True)
+
+    raw = (ds.map_batches(pairs, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby(["source_a", "source_b"], sort=True)["inter"]
+           .sum().reset_index())
+    sizes = (raw[raw["source_b"] == ""]
+             .set_index("source_a")["inter"].to_dict())
+    out = raw[raw["source_b"] != ""].copy()
+    na = out["source_a"].map(sizes).to_numpy(np.int64)
+    nb = out["source_b"].map(sizes).to_numpy(np.int64)
+    inter = out["inter"].to_numpy(np.int64)
+    out["inter"] = inter
+    out["jaccard6"] = np.round(inter * 1.0 / (na + nb - inter), 6)
+    return (out.rename(columns={"source_a": "src_a", "source_b": "src_b"})
+            .sort_values(["src_a", "src_b"]).reset_index(drop=True)
+            [["src_a", "src_b", "inter", "jaccard6"]])

@@ -282,9 +282,10 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY r_name, n_name)
             SELECT r_name, n_name,
                    CAST(cents AS DOUBLE) / 100 AS revenue,
-                   round(CAST(cents AS DOUBLE)
-                         / CAST(sum(cents) OVER (PARTITION BY r_name)
-                                AS DOUBLE), 6) AS share6
+                   CAST((2 * CAST(cents AS HUGEINT) * 1000000
+                         + sum(cents) OVER (PARTITION BY r_name))
+                        // (2 * CAST(sum(cents) OVER (PARTITION BY r_name)
+                                     AS HUGEINT)) AS BIGINT) AS share_ppm
             FROM rev ORDER BY r_name, n_name
         """,
         "mom_revenue_growth": """
@@ -338,12 +339,17 @@ def oracle_sql() -> dict[str, str]:
                                           1, 1) AS BIGINT) AS digit
                        FROM orders)
             SELECT digit, count(*) AS n,
-                   round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS frac6
+                   CAST((2 * CAST(count(*) AS HUGEINT) * 1000000
+                         + sum(count(*)) OVER ())
+                        // (2 * CAST(sum(count(*)) OVER () AS HUGEINT))
+                        AS BIGINT) AS frac_ppm
             FROM d GROUP BY digit ORDER BY digit
         """,
         "geomean_value_by_type": """
             SELECT event_type, count(*) AS n,
-                   round(exp(avg(ln(value))), 6) AS geomean6
+                   round(exp(sum(CAST(round(ln(value) * 1000000000)
+                                      AS BIGINT))
+                             / 1e9 / count(*)), 6) AS geomean6
             FROM events WHERE value > 0
             GROUP BY event_type ORDER BY event_type
         """,
@@ -468,7 +474,10 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1, 2),
             c AS (SELECT source, count(*) AS n FROM d GROUP BY 1)
             SELECT src_a, src_b, inter,
-                   round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard6
+                   CAST((2 * CAST(inter AS HUGEINT) * 1000000
+                         + (ca.n + cb.n - inter))
+                        // (2 * CAST(ca.n + cb.n - inter AS HUGEINT))
+                        AS BIGINT) AS jaccard_ppm
             FROM i JOIN c ca ON src_a = ca.source
                  JOIN c cb ON src_b = cb.source
             ORDER BY src_a, src_b
@@ -517,7 +526,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
                    count(*) AS n_distinct,
                    CAST(sum(n) - count(*) AS BIGINT) AS n_dupes,
-                   round((sum(n) - count(*)) * 1.0 / sum(n), 6) AS dup_rate6
+                   CAST((2 * CAST(sum(n) - count(*) AS HUGEINT) * 1000000
+                         + sum(n))
+                        // (2 * CAST(sum(n) AS HUGEINT)) AS BIGINT)
+                       AS dup_rate_ppm
             FROM g GROUP BY source ORDER BY source
         """,
         "weighted_median_price": """
@@ -570,7 +582,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1.event_type AS entry_type,
                    count(*) AS n_sessions,
                    CAST(sum(has_p) AS BIGINT) AS n_converted,
-                   round(sum(has_p) * 1.0 / count(*), 6) AS rate6
+                   CAST((2 * CAST(sum(has_p) AS HUGEINT) * 1000000
+                         + count(*))
+                        // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT)
+                       AS rate_ppm
             FROM e1 JOIN conv USING (user_id, sid)
             WHERE rn = 1 GROUP BY entry_type ORDER BY entry_type
         """,
@@ -609,7 +624,10 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1, 2),
             c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
             SELECT type_a, type_b, inter,
-                   round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard6
+                   CAST((2 * CAST(inter AS HUGEINT) * 1000000
+                         + (ca.n + cb.n - inter))
+                        // (2 * CAST(ca.n + cb.n - inter AS HUGEINT))
+                        AS BIGINT) AS jaccard_ppm
             FROM i JOIN c ca ON type_a = ca.event_type
                  JOIN c cb ON type_b = cb.event_type
             ORDER BY type_a, type_b
@@ -624,7 +642,15 @@ def oracle_sql() -> dict[str, str]:
                                          AS BIGINT) AS days
                   FROM orders JOIN f ON o_orderkey = l_orderkey)
             SELECT o_orderpriority, count(*) AS n,
-                   round(sum(days) / CAST(count(*) AS DOUBLE), 6) AS avg_days6
+                   CAST(CASE WHEN sum(days) < 0 THEN
+                        -((2 * CAST(-sum(days) AS HUGEINT) * 1000000
+                           + count(*))
+                          // (2 * CAST(count(*) AS HUGEINT)))
+                        ELSE
+                        (2 * CAST(sum(days) AS HUGEINT) * 1000000
+                         + count(*))
+                        // (2 * CAST(count(*) AS HUGEINT))
+                        END AS BIGINT) AS avg_days_ppm
             FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "hhi_supplier_concentration": """
@@ -650,9 +676,11 @@ def oracle_sql() -> dict[str, str]:
                                               ORDER BY ts, event_id) AS nxt
                 FROM events)
             SELECT event_type AS from_type, nxt AS to_type, count(*) AS n,
-                   round(count(*) * 1.0
-                         / sum(count(*)) OVER (PARTITION BY event_type), 6)
-                       AS prob6
+                   CAST((2 * CAST(count(*) AS HUGEINT) * 1000000
+                         + sum(count(*)) OVER (PARTITION BY event_type))
+                        // (2 * CAST(sum(count(*)) OVER
+                                     (PARTITION BY event_type) AS HUGEINT))
+                        AS BIGINT) AS prob_ppm
             FROM s WHERE nxt IS NOT NULL
             GROUP BY event_type, nxt ORDER BY from_type, to_type
         """,
@@ -676,7 +704,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE trim(text, e' \t\n\r') <> '')
             SELECT source, count(*) AS n_tokens,
                    count(DISTINCT w) AS n_types,
-                   round(count(DISTINCT w) * 1.0 / count(*), 6) AS ttr6
+                   CAST((2 * CAST(count(DISTINCT w) AS HUGEINT) * 1000000
+                         + count(*))
+                        // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT)
+                       AS ttr_ppm
             FROM toks GROUP BY source ORDER BY source
         """,
         "gini_totalprice": """

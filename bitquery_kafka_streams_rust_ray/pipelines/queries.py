@@ -58,6 +58,61 @@ def _tbytes(sf_dir: str, *names: str) -> int:
                for n in names)
 
 
+def _ppm(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """Exact half-away-from-zero integer parts-per-million of num/den
+    (den > 0): ratios of exact integers land on .5 decimal boundaries
+    where numpy's half-even and DuckDB's half-away round
+    deterministically disagree, so ratio outputs ship as ppm ints
+    computed in arbitrary precision. Signs split out first — Python
+    ``//`` floors while DuckDB's truncates, which differ on negatives —
+    and the oracle mirrors the magnitude with
+    ``(2 * CAST(|num| AS HUGEINT) * 1000000 + den) // (2 * den)``."""
+    n = np.asarray(num).astype(object)
+    d = np.asarray(den).astype(object)
+    sign = np.where(n < 0, -1, 1).astype(object)
+    return (sign * ((2 * n * sign * 1_000_000 + d) // (2 * d))).astype(
+        np.int64)
+
+
+def _pairs_in_shards(ds_sharded: rd.Dataset, basket_cols: list[str],
+                     item_col: str, with_sizes: bool = False
+                     ) -> tuple[pd.DataFrame, dict | None]:
+    """Co-basket pair mining kernel shared by the co-occurrence /
+    audience-Jaccard / co-purchase / vocabulary-overlap family.
+
+    ``ds_sharded`` carries block-deduped (basket…, item, _shard) rows
+    where every basket lives in exactly one shard; each shard
+    self-merges its baskets in C (fan-out bounded by basket size),
+    orders pairs a < b and pre-counts, so the global reduce is
+    pairs-domain-sized. With ``with_sizes`` the per-item distinct-basket
+    counts ride the same pass as sentinel rows (item_b = "") for
+    Jaccard denominators."""
+    a, b = f"{item_col}_a", f"{item_col}_b"
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(basket_cols + [item_col])
+        m = d.merge(d, on=basket_cols, suffixes=("_a", "_b"))
+        m = m[m[a] < m[b]]
+        pairs = (m.groupby([a, b], sort=False).size()
+                 .reset_index(name="n"))
+        if not with_sizes:
+            return pairs
+        sizes = (d.groupby(item_col, sort=False).size()
+                 .reset_index(name="n"))
+        sizes[a] = sizes.pop(item_col)
+        sizes[b] = ""
+        return pd.concat([pairs, sizes[[a, b, "n"]]], ignore_index=True)
+
+    raw = (ds_sharded.groupby("_shard")
+           .map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby([a, b], sort=True)["n"].sum().reset_index())
+    if not with_sizes:
+        return raw, None
+    sizes = raw[raw[b] == ""].set_index(a)["n"].to_dict()
+    return raw[raw[b] != ""].reset_index(drop=True), sizes
+
+
 def _round2(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     """Round money-like float aggregates to whole cents.
 
@@ -3866,8 +3921,8 @@ def revenue_share_nation(sf_dir: str) -> pd.DataFrame:
            .sum().reset_index())
     out["revenue"] = out["cents"].to_numpy(np.float64) / 100.0
     region_tot = out.groupby("r_name")["cents"].transform("sum")
-    out["share6"] = np.round(out["cents"].to_numpy(np.float64)
-                             / region_tot.to_numpy(np.float64), 6)
+    out["share_ppm"] = _ppm(out["cents"].to_numpy(np.int64),
+                            region_tot.to_numpy(np.int64))
     return (out.drop(columns=["cents"])
             .sort_values(["r_name", "n_name"]).reset_index(drop=True))
 
@@ -4072,25 +4127,30 @@ def benford_totalprice(sf_dir: str) -> pd.DataFrame:
            .to_pandas()).sort_values("digit").reset_index(drop=True)
     n = out["n"].to_numpy(np.int64)
     out["n"] = n
-    out["frac6"] = np.round(n * 1.0 / n.sum(), 6)
+    out["frac_ppm"] = _ppm(n, np.full(len(n), n.sum(), dtype=np.int64))
     out["digit"] = out["digit"].astype("int64")
-    return out[["digit", "n", "frac6"]]
+    return out[["digit", "n", "frac_ppm"]]
 
 
 def geomean_value_by_type(sf_dir: str) -> pd.DataFrame:
     """Grouped geometric mean via the log-sum identity exp(avg(ln x)):
-    per-block Arrow partials carry (sum of ln, count) per type so the
-    shuffle is alphabet-sized; positivity is pushed into the parquet
-    scan as a row filter."""
+    each element's ln quantizes to an exact 1e-9-unit int64 BEFORE the
+    shuffle (a float partial sum would be arrival-order dependent — the
+    determinism contract every sibling op keeps), so the alphabet-sized
+    reduce is order-free bit-exact; both engines round the SAME libm
+    double per element, and the 1e-9 per-element quantization is ~5
+    orders inside the final 6-decimal round. Positivity is pushed into
+    the parquet scan as a row filter."""
     ds = _t(sf_dir, "events", ["event_type", "value"],
             flt=(pc.field("value") > 0))
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["value"], 0.0))
-        ln = pc.ln(t["value"])
-        return (pa.table({"event_type": t["event_type"], "ln": ln})
+        ln_q = pc.cast(pc.round(pc.multiply(pc.ln(t["value"]), 1e9)),
+                       pa.int64())
+        return (pa.table({"event_type": t["event_type"], "ln_q": ln_q})
                 .group_by("event_type")
-                .aggregate([("ln", "sum"), ([], "count_all")])
+                .aggregate([("ln_q", "sum"), ([], "count_all")])
                 .rename_columns(["event_type", "sl", "n"]))
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
@@ -4098,8 +4158,8 @@ def geomean_value_by_type(sf_dir: str) -> pd.DataFrame:
            .aggregate(Sum("sl", alias_name="sl"), Sum("n", alias_name="n"))
            .to_pandas())
     out["geomean6"] = np.round(
-        np.exp(out["sl"].to_numpy(np.float64) / out["n"].to_numpy(np.float64)),
-        6)
+        np.exp(out["sl"].to_numpy(np.float64) / 1e9
+               / out["n"].to_numpy(np.float64)), 6)
     out["n"] = out["n"].astype("int64")
     return (out.drop(columns=["sl"]).sort_values("event_type")
             .reset_index(drop=True)[["event_type", "n", "geomean6"]])
@@ -4109,11 +4169,13 @@ _PROFILE_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
 
 
 def profile_lineitem(sf_dir: str) -> pd.DataFrame:
-    """Dataset profiler (per-column nulls / exact NDV / min / max): one
-    pruned read feeds two reductions — a (col, value)-distinct two-level
-    groupby whose first level dedupes block-locally so the shuffle
+    """Dataset profiler (per-column nulls / exact NDV / min / max): two
+    deliberately separate pruned scans — a value-sharded NDV
+    co-partition whose first level dedupes block-locally so the shuffle
     carries distincts not rows, and a constant-size min/max/null partial
-    per block merged on the driver. The profile frame is 4 rows."""
+    per block merged on the driver. Re-scanning beats a mid-pipeline
+    materialize() at corpus scale (the 4-column projection would pin
+    TBs in the object store). The profile frame is 4 rows."""
     ds = _t(sf_dir, "lineitem", _PROFILE_COLS)
 
     def distincts(t: pa.Table) -> pa.Table:
@@ -4281,8 +4343,8 @@ def markov_transitions_events(sf_dir: str) -> pd.DataFrame:
            .groupby(["from_type", "to_type"], sort=True)["n"]
            .sum().reset_index())
     row_tot = out.groupby("from_type")["n"].transform("sum")
-    out["prob6"] = np.round(out["n"].to_numpy(np.float64) * 1.0
-                            / row_tot.to_numpy(np.float64), 6)
+    out["prob_ppm"] = _ppm(out["n"].to_numpy(np.int64),
+                           row_tot.to_numpy(np.int64))
     out["n"] = out["n"].astype("int64")
     return out.reset_index(drop=True)
 
@@ -4306,20 +4368,11 @@ def cooccurrence_pairs_events(sf_dir: str) -> pd.DataFrame:
                 .group_by(["user_id", "day", "event_type", "_shard"])
                 .aggregate([]))
 
-    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["user_id", "day", "event_type"])
-        m = d.merge(d, on=["user_id", "day"], suffixes=("_a", "_b"))
-        m = m[m["event_type_a"] < m["event_type_b"]]
-        out = (m.groupby(["event_type_a", "event_type_b"], sort=False)
-               .size().reset_index(name="n"))
-        return out.rename(columns={"event_type_a": "type_a",
-                                   "event_type_b": "type_b"})
-
-    out = (ds.map_batches(sharded, batch_format="pyarrow")
-           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
-           .to_pandas()
-           .groupby(["type_a", "type_b"], sort=True)["n"]
-           .sum().reset_index())
+    pairs, _ = _pairs_in_shards(
+        ds.map_batches(sharded, batch_format="pyarrow"),
+        ["user_id", "day"], "event_type")
+    out = pairs.rename(columns={"event_type_a": "type_a",
+                                "event_type_b": "type_b"})
     out["n"] = out["n"].astype("int64")
     return out.reset_index(drop=True)
 
@@ -4328,8 +4381,9 @@ def ttr_by_source(sf_dir: str) -> pd.DataFrame:
     """Lexical diversity per source (type-token ratio): token totals
     ride constant-size per-block partials; the vocabulary size reuses
     the profiler's shape — block-local unique (source, word) pairs, one
-    distinct-pair groupby, then a per-source count. The division runs
-    once on the sources-sized frame."""
+    distinct-pair groupby, then a per-source count. Two pruned scans by
+    design (a materialize() would pin the text column in the object
+    store); the division runs once on the sources-sized frame."""
     ds = _t(sf_dir, "documents", ["source", "text"])
 
     def words_of(t: pa.Table) -> tuple[pa.Array, pa.Array]:
@@ -4365,10 +4419,10 @@ def ttr_by_source(sf_dir: str) -> pd.DataFrame:
     out = totals.merge(types, on="source")
     out["n_tokens"] = out["n_tokens"].astype("int64")
     out["n_types"] = out["n_types"].astype("int64")
-    out["ttr6"] = np.round(out["n_types"].to_numpy(np.float64) * 1.0
-                           / out["n_tokens"].to_numpy(np.float64), 6)
+    out["ttr_ppm"] = _ppm(out["n_types"].to_numpy(np.int64),
+                          out["n_tokens"].to_numpy(np.int64))
     return (out.sort_values("source").reset_index(drop=True)
-            [["source", "n_tokens", "n_types", "ttr6"]])
+            [["source", "n_tokens", "n_types", "ttr_ppm"]])
 
 
 def gini_totalprice(sf_dir: str) -> pd.DataFrame:
@@ -4377,9 +4431,11 @@ def gini_totalprice(sf_dir: str) -> pd.DataFrame:
     global value sort, which rewrites exactly over the (cents, count)
     distinct-value frame: a tied run occupying ranks r+1..r+c
     contributes v·(c·r + c(c+1)/2) regardless of intra-tie order. The
-    frame is value-domain-bounded, rank sums stay exact int64 (exact
-    to ~10^18, far past any realistic cents·n²), and only the final
-    three-term float expression leaves integers."""
+    frame is value-domain-bounded; the rank-weighted sum is bounded by
+    n·Σcents, which passes int64 around TPC-H sf1, so it accumulates in
+    arbitrary-precision Python ints on the reduced frame (matching the
+    oracle's HUGEINT sum) and only the final three-term float
+    expression leaves integers."""
     ds = _t(sf_dir, "orders", ["o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -4392,11 +4448,12 @@ def gini_totalprice(sf_dir: str) -> pd.DataFrame:
     freq = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("cents").aggregate(Sum("cnt", alias_name="cnt"))
             .to_pandas()).sort_values("cents").reset_index(drop=True)
-    v = freq["cents"].to_numpy(np.int64)
-    c = freq["cnt"].to_numpy(np.int64)
-    r = np.concatenate(([0], np.cumsum(c)[:-1]))  # ranks before each run
+    v = freq["cents"].astype(object).to_numpy()
+    c = freq["cnt"].astype(object).to_numpy()
+    cum = np.cumsum(c)
+    r = np.concatenate(([0], cum[:-1]))  # ranks before each run
     s_rank = int((v * (c * r + c * (c + 1) // 2)).sum())
-    n = int(c.sum())
+    n = int(cum[-1])
     total = int((v * c).sum())
     gini6 = np.round(2.0 * float(s_rank) / float(n * total)
                      - (n + 1.0) / n, 6)
@@ -4526,39 +4583,20 @@ def audience_jaccard_types(sf_dir: str) -> pd.DataFrame:
                 .group_by(["user_id", "event_type", "_shard"])
                 .aggregate([]))
 
-    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["user_id", "event_type"])
-        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
-        inter = (m[m["event_type_a"] < m["event_type_b"]]
-                 .groupby(["event_type_a", "event_type_b"], sort=False)
-                 .size().reset_index(name="inter"))
-        sizes = (d.groupby("event_type", sort=False)
-                 .size().reset_index(name="n_users"))
-        inter["kind"] = "pair"
-        sizes = sizes.rename(columns={"event_type": "event_type_a"})
-        sizes["event_type_b"] = ""
-        sizes["inter"] = sizes.pop("n_users")
-        sizes["kind"] = "size"
-        return pd.concat([inter, sizes], ignore_index=True)[
-            ["event_type_a", "event_type_b", "inter", "kind"]]
-
-    raw = (ds.map_batches(sharded, batch_format="pyarrow")
-           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
-           .to_pandas())
-    agg = (raw.groupby(["kind", "event_type_a", "event_type_b"], sort=True)
-           ["inter"].sum().reset_index())
-    sizes = (agg[agg["kind"] == "size"]
-             .set_index("event_type_a")["inter"].to_dict())
-    out = agg[agg["kind"] == "pair"].drop(columns=["kind"]).rename(
-        columns={"event_type_a": "type_a", "event_type_b": "type_b"})
+    pairs, sizes = _pairs_in_shards(
+        ds.map_batches(sharded, batch_format="pyarrow"),
+        ["user_id"], "event_type", with_sizes=True)
+    out = pairs.rename(columns={"event_type_a": "type_a",
+                                "event_type_b": "type_b",
+                                "n": "inter"})
     na = out["type_a"].map(sizes).to_numpy(np.int64)
     nb = out["type_b"].map(sizes).to_numpy(np.int64)
     inter = out["inter"].to_numpy(np.int64)
     out["inter"] = inter
-    out["jaccard6"] = np.round(inter * 1.0 / (na + nb - inter), 6)
+    out["jaccard_ppm"] = _ppm(inter, na + nb - inter)
     return (out.sort_values(["type_a", "type_b"])
             .reset_index(drop=True)[["type_a", "type_b", "inter",
-                                     "jaccard6"]])
+                                     "jaccard_ppm"]])
 
 
 def fulfillment_lag_by_priority(sf_dir: str) -> pd.DataFrame:
@@ -4600,12 +4638,12 @@ def fulfillment_lag_by_priority(sf_dir: str) -> pd.DataFrame:
            .aggregate(Sum("sum_days", alias_name="sum_days"),
                       Sum("n", alias_name="n"))
            .to_pandas())
-    out["avg_days6"] = np.round(out["sum_days"].to_numpy(np.float64)
-                                / out["n"].to_numpy(np.float64), 6)
+    out["avg_days_ppm"] = _ppm(out["sum_days"].to_numpy(np.int64),
+                               out["n"].to_numpy(np.int64))
     out["n"] = out["n"].astype("int64")
     return (out.drop(columns=["sum_days"])
             .sort_values("o_orderpriority").reset_index(drop=True)
-            [["o_orderpriority", "n", "avg_days6"]])
+            [["o_orderpriority", "n", "avg_days_ppm"]])
 
 
 def hhi_supplier_concentration(sf_dir: str) -> pd.DataFrame:
@@ -4701,20 +4739,11 @@ def copurchase_part_pairs(sf_dir: str) -> pd.DataFrame:
                 .group_by(["l_orderkey", "l_partkey", "_shard"])
                 .aggregate([]))
 
-    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["l_orderkey", "l_partkey"])
-        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
-        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
-        return (m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
-                .size().reset_index(name="n")
-                .rename(columns={"l_partkey_a": "part_a",
-                                 "l_partkey_b": "part_b"}))
-
-    out = (ds.map_batches(sharded, batch_format="pyarrow")
-           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
-           .to_pandas()
-           .groupby(["part_a", "part_b"], sort=True)["n"]
-           .sum().reset_index())
+    pairs, _ = _pairs_in_shards(
+        ds.map_batches(sharded, batch_format="pyarrow"),
+        ["l_orderkey"], "l_partkey")
+    out = pairs.rename(columns={"l_partkey_a": "part_a",
+                                "l_partkey_b": "part_b"})
     out = out[out["n"] >= 2]
     for c in ("part_a", "part_b", "n"):
         out[c] = out[c].astype("int64")
@@ -4759,8 +4788,8 @@ def session_conversion_rate(sf_dir: str, gap_s: int = 7200) -> pd.DataFrame:
            .groupby("entry_type", sort=True)
            .agg(n_sessions=("n_sessions", "sum"),
                 n_converted=("n_converted", "sum")).reset_index())
-    out["rate6"] = np.round(out["n_converted"].to_numpy(np.float64) * 1.0
-                            / out["n_sessions"].to_numpy(np.float64), 6)
+    out["rate_ppm"] = _ppm(out["n_converted"].to_numpy(np.int64),
+                           out["n_sessions"].to_numpy(np.int64))
     for c in ("n_sessions", "n_converted"):
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
@@ -4871,11 +4900,12 @@ def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
     nd = out["n_docs"].to_numpy(np.int64)
     nu = out["n_distinct"].to_numpy(np.int64)
     out["n_dupes"] = (nd - nu).astype("int64")
-    out["dup_rate6"] = np.round((nd - nu) * 1.0 / nd, 6)
+    out["dup_rate_ppm"] = _ppm(nd - nu, nd)
     for c in ("n_docs", "n_distinct"):
         out[c] = out[c].astype("int64")
     return (out.sort_values("source").reset_index(drop=True)
-            [["source", "n_docs", "n_distinct", "n_dupes", "dup_rate6"]])
+            [["source", "n_docs", "n_distinct", "n_dupes",
+              "dup_rate_ppm"]])
 
 
 def mad_value_by_type(sf_dir: str) -> pd.DataFrame:
@@ -4909,11 +4939,10 @@ def mad_value_by_type(sf_dir: str) -> pd.DataFrame:
         c = g["cnt"].to_numpy(np.int64)
         med = lower_median(v, c)
         dev = np.abs(v - med)
-        order = np.argsort(dev, kind="mergesort")
-        dv, dc = dev[order], c[order]
-        # collapse equal deviations (v below and above med can tie)
-        uniq, inv = np.unique(dv, return_inverse=True)
-        dcc = np.bincount(inv, weights=dc).astype(np.int64)
+        # collapse equal deviations (v below and above med can tie);
+        # np.unique sorts, so no pre-sort is needed
+        uniq, inv = np.unique(dev, return_inverse=True)
+        dcc = np.bincount(inv, weights=c).astype(np.int64)
         mad = lower_median(uniq, dcc)
         rows.append((et, med / 100.0, mad / 100.0))
     return pd.DataFrame(rows, columns=["event_type", "median_v", "mad_v"])
@@ -5004,32 +5033,15 @@ def vocab_overlap_sources(sf_dir: str) -> pd.DataFrame:
         # process-stable SipHash sharding (builtin hash is salted)
         return add_shard_column(tt, "w", 64)
 
-    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["source", "w"])
-        m = d.merge(d, on="w", suffixes=("_a", "_b"))
-        m = m[m["source_a"] < m["source_b"]]
-        inter = (m.groupby(["source_a", "source_b"], sort=False)
-                 .size().reset_index(name="inter"))
-        sizes = (d.groupby("source", sort=False).size()
-                 .reset_index(name="inter"))
-        sizes["source_a"] = sizes.pop("source")
-        sizes["source_b"] = ""
-        return pd.concat([inter, sizes[["source_a", "source_b", "inter"]]],
-                         ignore_index=True)
-
-    raw = (ds.map_batches(pairs, batch_format="pyarrow")
-           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
-           .to_pandas()
-           .groupby(["source_a", "source_b"], sort=True)["inter"]
-           .sum().reset_index())
-    sizes = (raw[raw["source_b"] == ""]
-             .set_index("source_a")["inter"].to_dict())
-    out = raw[raw["source_b"] != ""].copy()
-    na = out["source_a"].map(sizes).to_numpy(np.int64)
-    nb = out["source_b"].map(sizes).to_numpy(np.int64)
+    pair_df, sizes = _pairs_in_shards(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["w"], "source", with_sizes=True)
+    out = pair_df.rename(columns={"source_a": "src_a",
+                                  "source_b": "src_b", "n": "inter"})
+    na = out["src_a"].map(sizes).to_numpy(np.int64)
+    nb = out["src_b"].map(sizes).to_numpy(np.int64)
     inter = out["inter"].to_numpy(np.int64)
     out["inter"] = inter
-    out["jaccard6"] = np.round(inter * 1.0 / (na + nb - inter), 6)
-    return (out.rename(columns={"source_a": "src_a", "source_b": "src_b"})
-            .sort_values(["src_a", "src_b"]).reset_index(drop=True)
-            [["src_a", "src_b", "inter", "jaccard6"]])
+    out["jaccard_ppm"] = _ppm(inter, na + nb - inter)
+    return (out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+            [["src_a", "src_b", "inter", "jaccard_ppm"]])

@@ -92,7 +92,8 @@ def pca_fit(ds: rd.Dataset, k: int) -> dict:
             comps[i] = -comps[i]
     total = float(np.clip(evals.sum(), 1e-30, None))
     return {"mean": mean, "components": comps,
-            "explained_ratio": evals[order] / total, "n": n}
+            "explained_ratio": evals[order] / total, "n": n,
+            "total_var": float(np.trace(cov))}
 
 
 def pca_project(ds: rd.Dataset, model: dict,

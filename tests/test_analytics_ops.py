@@ -124,8 +124,8 @@ def test_markov_rows_normalize_and_conserve():
     from bitquery_kafka_streams_rust_ray.pipelines import queries as q
     sf = "/root/testdata/sf0.001"
     out = q.markov_transitions_events(sf)
-    sums = out.groupby("from_type")["prob6"].sum()
-    assert ((sums - 1.0).abs() < 1e-4).all()
+    sums = out.groupby("from_type")["prob_ppm"].sum()
+    assert ((sums - 1_000_000).abs() < 100).all()
     ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
     expected = len(ev) - ev["user_id"].nunique()
     assert out["n"].sum() == expected

@@ -34,10 +34,11 @@ def test_components_orthonormal_and_variance_conserved():
     # explained ratios are a decreasing prefix of a distribution
     r = model["explained_ratio"]
     assert (np.diff(r) <= 1e-12).all() and (r > 0).all() and r.sum() <= 1 + 1e-9
-    # covariance trace equals total variance of the quantized corpus
+    # covariance trace equals total variance of the quantized corpus —
+    # a wrong Sm cell or a mis-scaled divide would break this equality
     _, xq = _numpy_corpus()
     total = ((xq - xq.mean(axis=0)) ** 2).mean(axis=0).sum()
-    # model ratios are eigvals/total — reconstruct eigval sum ≤ total
+    assert model["total_var"] == pytest.approx(total, rel=1e-9)
     assert model["n"] == len(xq)
 
 

@@ -2824,7 +2824,9 @@ def multimodal_decode(sf_dir: str) -> pd.DataFrame:
 # --- round-3 additions: LM scoring, window funcs, outer join, PQ --------
 
 
-def bigram_lm_documents(sf_dir: str) -> pd.DataFrame:
+def bigram_lm_documents(sf_dir: str,
+                        broadcast_threshold_bytes: int = 1 << 28
+                        ) -> pd.DataFrame:
     """CCNet/DSIR-style language-model quality scoring: every document
     scored by the mean log-probability of its word bigrams under an
     add-one-smoothed bigram LM trained on the corpus itself (the
@@ -2881,9 +2883,33 @@ def bigram_lm_documents(sf_dir: str) -> pd.DataFrame:
         lambda t: _word_pairs(t).group_by("word").aggregate([]),
         batch_format="pyarrow").groupby("word").count().count())
 
-    buckets = join_buckets(_tbytes(sf_dir, "documents"))
-    j = hash_join(tf, cb, on="bigram", buckets=buckets)
-    j = hash_join(j, cp, on="w1", buckets=buckets)
+    # join-strategy switch by side size (the house broadcast/hash rule,
+    # cf. stages/join.py): below the threshold the whole LM is two
+    # small dicts — ship them once via ray.put and score in ONE pure
+    # map, collapsing two hash-join barriers; above it (a web-scale
+    # bigram vocabulary fits no single process) the partitioned joins
+    # run unchanged. test_queries_oracle pins both paths identical.
+    corpus_bytes = _tbytes(sf_dir, "documents")
+    if corpus_bytes <= broadcast_threshold_bytes:
+        cb_pdf = cb.to_pandas()  # distinct-bigram frame: small by gate
+        cb_ref = ray.put(dict(zip(cb_pdf["bigram"], cb_pdf["cb"])))
+        cp_pdf = (cb_pdf.assign(
+            w1=[b.split("\x1f", 1)[0] for b in cb_pdf["bigram"]])
+            .groupby("w1", sort=False)["cb"].sum().reset_index(name="cp"))
+        cp_ref = ray.put(dict(zip(cp_pdf["w1"], cp_pdf["cp"])))
+
+        def enrich(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["cb"] = df["bigram"].map(broadcast_get(cb_ref)).astype(
+                np.int64)
+            df["cp"] = df["w1"].map(broadcast_get(cp_ref)).astype(np.int64)
+            return df
+
+        j = tf.map_batches(enrich, batch_format="pandas")
+    else:
+        buckets = join_buckets(corpus_bytes)
+        j = hash_join(tf, cb, on="bigram", buckets=buckets)
+        j = hash_join(j, cp, on="w1", buckets=buckets)
 
     def partial(t: pa.Table) -> pa.Table:
         tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)

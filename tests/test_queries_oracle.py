@@ -110,3 +110,14 @@ def test_zscore_zero_variance_group_matches_oracle(tmp_path, con):
     assert not np.isinf(got["z"].fillna(0)).any()
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   obj="zscore_zero_variance")
+
+
+def test_bigram_lm_join_paths_identical():
+    """The size-adaptive join switch must not change results: force the
+    partitioned hash-join path (threshold 0) and compare it to the
+    default broadcast path frame-for-frame."""
+    from bitquery_kafka_streams_rust_ray.pipelines import queries as q
+
+    small = q.bigram_lm_documents(SF_DIR)
+    big = q.bigram_lm_documents(SF_DIR, broadcast_threshold_bytes=0)
+    pd.testing.assert_frame_equal(small, big, obj="bigram_lm paths")

@@ -95,6 +95,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_activity_full_join": q.monthly_activity_full_join,
         # vocabulary-overlap Jaccard matrix between sources
         "vocab_overlap_sources": q.vocab_overlap_sources,
+        # max drawdown of the reduced daily revenue series
+        "revenue_drawdown": q.revenue_drawdown,
+        # calendar-quarter rollup (pure month arithmetic)
+        "order_quarters": q.order_quarters,
+        # Arrow string-kernel coverage (split/length/list-max/upper)
+        "part_name_stats": q.part_name_stats,
+        # leakage-safe group-aware split (md5 threshold rule)
+        "groupwise_split_documents": q.groupwise_split_documents,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -415,6 +423,51 @@ def oracle_sql() -> dict[str, str]:
                                       / (nn - n)) / ((nn - n) - 1.0))
                                   / (nn - n)), 6) AS t6
             FROM s, t ORDER BY event_type
+        """,
+        "revenue_drawdown": """
+            WITH daily AS (
+                SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1),
+            w AS (SELECT day, cents,
+                         max(cents) OVER (ORDER BY day) AS peak
+                  FROM daily),
+            t AS (SELECT day AS trough_day, peak, (peak - cents) AS dd
+                  FROM w ORDER BY dd DESC, day ASC LIMIT 1)
+            SELECT (SELECT min(day) FROM w
+                    WHERE w.cents = t.peak AND w.day <= t.trough_day)
+                       AS peak_day,
+                   t.trough_day,
+                   CAST(dd AS DOUBLE) / 100.0 AS drawdown
+            FROM t
+        """,
+        "order_quarters": """
+            SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS year,
+                   CAST(date_part('quarter', o_orderdate) AS BIGINT)
+                       AS quarter,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS revenue
+            FROM orders GROUP BY year, quarter ORDER BY year, quarter
+        """,
+        "part_name_stats": """
+            SELECT p_partkey,
+                   CAST(len(string_split(p_name, ' ')) AS BIGINT)
+                       AS n_words,
+                   CAST(list_aggregate(list_transform(
+                            string_split(p_name, ' '),
+                            x -> length(x)), 'max') AS BIGINT)
+                       AS max_word_len,
+                   upper(string_split(p_name, ' ')[1]) AS first_word_upper
+            FROM part ORDER BY p_partkey
+        """,
+        "groupwise_split_documents": """
+            SELECT doc_id, source,
+                   CASE WHEN substr(md5(source), 1, 2) < '0d' THEN 'test'
+                        WHEN substr(md5(source), 1, 2) < '26' THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents ORDER BY doc_id
         """,
         "mad_value_by_type": """
             WITH h AS (SELECT event_type,

@@ -5071,3 +5071,130 @@ def vocab_overlap_sources(sf_dir: str) -> pd.DataFrame:
     out["jaccard_ppm"] = _ppm(inter, na + nb - inter)
     return (out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
             [["src_a", "src_b", "inter", "jaccard_ppm"]])
+
+
+def revenue_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Maximum drawdown of the daily revenue series (peak-to-trough in
+    running-max terms — the stress statistic for any monitored series):
+    the corpus reduces to an integer-cent days-sized frame, and the
+    running peak / drawdown scan is one vectorized cummax over that
+    reduced series. Output: one row (peak day, trough day, depth)."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86400 * US
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.multiply(pc.divide(
+            pa.array(np.asarray(column_ts_us(t["o_orderdate"]))),
+            pa.scalar(day_us, pa.int64())), pa.scalar(day_us, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"day": day, "cents": cents}).group_by("day")
+                .aggregate([("cents", "sum")])
+                .rename_columns(["day", "cents"]))
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+             .to_pandas()).sort_values("day").reset_index(drop=True)
+    c = daily["cents"].to_numpy(np.int64)
+    peak = np.maximum.accumulate(c)
+    dd = peak - c
+    i = int(np.argmax(dd))  # first deepest trough
+    # the peak day is the FIRST day attaining the running max before i
+    p = int(np.argmax(c[:i + 1] == peak[i]))
+    days = daily["day"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "peak_day": us_to_timestamp_array(days[[p]]),
+        "trough_day": us_to_timestamp_array(days[[i]]),
+        "drawdown": np.array([dd[i]], dtype=np.float64) / 100.0,
+    })
+
+
+def order_quarters(sf_dir: str) -> pd.DataFrame:
+    """Calendar-quarter rollup (date-part coverage: year + quarter from
+    pure month arithmetic, no locale or strftime): per-block partials
+    reduce to a (years × 4)-sized frame."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        q = pc.add(pc.divide(pc.subtract(pc.month(t["o_orderdate"]), 1), 3),
+                   1)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"year": pc.cast(y, pa.int64()),
+                          "quarter": pc.cast(q, pa.int64()),
+                          "cents": cents})
+                .group_by(["year", "quarter"])
+                .aggregate([("cents", "sum"), ([], "count_all")])
+                .rename_columns(["year", "quarter", "cents", "n_orders"]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["year", "quarter"])
+           .aggregate(Sum("cents", alias_name="cents"),
+                      Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    out["revenue"] = out["cents"].to_numpy(np.float64) / 100.0
+    for c in ("year", "quarter", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return (out.drop(columns=["cents"])
+            .sort_values(["year", "quarter"]).reset_index(drop=True)
+            [["year", "quarter", "n_orders", "revenue"]])
+
+
+def part_name_stats(sf_dir: str) -> pd.DataFrame:
+    """String-kernel coverage over part names (split / element-wise
+    length / list max / case fold — all Arrow compute, no Python row
+    loop): word count, length of the longest word, and the upper-cased
+    first word per part."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["p_name"].combine_chunks(), " ")
+        n_words = pc.list_value_length(words)
+        # per-list max word length: flatten + segmented maximum.at
+        flat_len = pc.utf8_length(pc.list_flatten(words))
+        parent = pc.list_parent_indices(words)
+        seg = np.zeros(len(t), dtype=np.int64)
+        np.maximum.at(seg, np.asarray(parent),
+                      flat_len.to_numpy(zero_copy_only=False))
+        first = pc.utf8_upper(pc.list_element(words, 0))
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "n_words": pc.cast(n_words, pa.int64()),
+            "max_word_len": pa.array(seg),
+            "first_word_upper": first,
+        })
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def groupwise_split_documents(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe train/val/test split: the split keys on the SOURCE
+    (all documents of one source land in one split), so near-duplicate
+    documents within a source can never straddle the train/eval
+    boundary — the group-aware variant of ``split_documents``, keyed by
+    the md5 of the source (hex-string threshold compare — both engines produce the
+    identical lowercase digest, so the rule is exactly
+    SQL-reproducible): first digest byte < 0x0d → test (~5%), < 0x26 →
+    val (~15%), else train."""
+    import hashlib
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        # distinct sources per block are few: hash each once
+        uniq, inv = np.unique(src, return_inverse=True)
+        h2 = np.array([hashlib.md5(s.encode()).hexdigest()[:2]
+                       for s in uniq])
+        split_u = np.where(h2 < "0d", "test",
+                           np.where(h2 < "26", "val", "train"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "source": t["source"],
+                         "split": pa.array(split_u[inv])})
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -4977,9 +4977,14 @@ def mad_value_by_type(sf_dir: str) -> pd.DataFrame:
 def keyset_checksum_monthly(sf_dir: str) -> pd.DataFrame:
     """Reconciliation checksums per month (the cross-system audit a
     migration runs): count, XOR-fold and sum of the key set. XOR and
-    sum are order-free and mergeable, so per-block partials reduce to a
-    months-sized frame with no sort anywhere; equal checksums on two
-    systems certify equal key sets with overwhelming probability."""
+    sum are order-free and mergeable, so per-block partials shuffle
+    into a months-keyed reduce where a custom ``AggregateFn`` folds the
+    XORs distributed — the driver only ever sees the months-sized
+    result (a driver-side merge would scale with block count). Equal
+    checksums on two systems certify equal key sets with overwhelming
+    probability."""
+    from ray.data.aggregate import AggregateFn
+
     ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -4991,17 +4996,23 @@ def keyset_checksum_monthly(sf_dir: str) -> pd.DataFrame:
                    s.to_numpy(np.int64)), ksum="sum").reset_index())
         return out
 
-    parts = (ds.map_batches(partial, batch_format="pandas")
-             .to_pandas())  # blocks x months partials
-    out = (parts.groupby("month", sort=True)
-           .agg(n_orders=("n", "sum"),
-                key_xor=("xor", lambda s: int(np.bitwise_xor.reduce(
-                    s.to_numpy(np.int64)))),
-                key_sum=("ksum", "sum")).reset_index())
+    def _xor_block(a: int, blk) -> int:
+        v = (blk["xor"].to_numpy(np.int64) if isinstance(blk, pd.DataFrame)
+             else blk["xor"].to_numpy(zero_copy_only=False))
+        return a ^ int(np.bitwise_xor.reduce(v))
+
+    xor_fold = AggregateFn(init=lambda k: 0, merge=lambda a, b: a ^ b,
+                           accumulate_block=_xor_block, name="key_xor")
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("month")
+           .aggregate(xor_fold, Sum("n", alias_name="n_orders"),
+                      Sum("ksum", alias_name="key_sum"))
+           .to_pandas())
     for c in ("n_orders", "key_xor", "key_sum"):
         out[c] = out[c].astype("int64")
     out["month"] = out["month"].astype("datetime64[us]")
-    return out.reset_index(drop=True)
+    return (out.sort_values("month").reset_index(drop=True)
+            [["month", "n_orders", "key_xor", "key_sum"]])
 
 
 def monthly_activity_full_join(sf_dir: str) -> pd.DataFrame:

@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_stats": q.part_name_stats,
         # leakage-safe group-aware split (md5 threshold rule)
         "groupwise_split_documents": q.groupwise_split_documents,
+        # RANGE-frame trailing window (time-based, peer-inclusive)
+        "trailing_hour_sum_events": q.trailing_hour_sum_events,
+        # interpolated quantile_cont per group from the cents histogram
+        "quantile_cont_events": q.quantile_cont_events,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -423,6 +427,22 @@ def oracle_sql() -> dict[str, str]:
                                       / (nn - n)) / ((nn - n) - 1.0))
                                   / (nn - n)), 6) AS t6
             FROM s, t ORDER BY event_type
+        """,
+        "trailing_hour_sum_events": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS trail_cents
+            FROM events ORDER BY event_id
+        """,
+        "quantile_cont_events": """
+            SELECT event_type,
+                   round(quantile_cont(CAST(round(value * 100) AS BIGINT)
+                                       / 100.0, 0.5), 6) AS p50_cont,
+                   round(quantile_cont(CAST(round(value * 100) AS BIGINT)
+                                       / 100.0, 0.9), 6) AS p90_cont
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "revenue_drawdown": """
             WITH daily AS (

@@ -5209,3 +5209,88 @@ def groupwise_split_documents(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def trailing_hour_sum_events(sf_dir: str) -> pd.DataFrame:
+    """Time-based window frame (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW — the value-range sibling of the ROWS frame in
+    ``moving_sum_events``): per event, the user's cent sum over the
+    trailing hour INCLUDING equal-timestamp peers, exactly SQL RANGE
+    peer semantics. One user co-partition; inside each shard a
+    composite (user-rank · span + ts) key makes BOTH frame edges plain
+    ``searchsorted`` calls on one sorted array — never a per-user loop.
+    The span term bounds rank·span ≤ users-per-shard × (epoch span +
+    1 h), which a windowed deployment keeps far inside int64."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    gap_us = 3600 * US
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        tus = series_ts_us(g["ts"]).to_numpy()
+        c = np.round(g["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        chg = np.ones(len(g), dtype=np.int64)
+        chg[1:] = (u[1:] != u[:-1]).astype(np.int64)
+        rank = np.cumsum(chg) - 1
+        base = tus - tus.min()
+        span = base.max() + gap_us + 2
+        comp = rank * span + base
+        left = np.searchsorted(comp, comp - gap_us, side="left")
+        right = np.searchsorted(comp, comp, side="right") - 1
+        cum = np.cumsum(c)
+        trail = cum[right] - np.where(left > 0, cum[left - 1], 0)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(np.int64),
+                             "user_id": u, "trail_cents": trail})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def quantile_cont_events(sf_dir: str) -> pd.DataFrame:
+    """Interpolated quantiles per group (``quantile_cont`` — the
+    continuous sibling of the discrete inverse-CDF everywhere else):
+    position (n−1)·q resolves to its two bracketing order statistics by
+    searchsorted over the SAME distributed (type, cents) histogram the
+    discrete ops use, and the linear interpolation runs once per group
+    with the oracle's own ``lo + frac·(hi − lo)`` expression shape."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return (pa.table({"event_type": t["event_type"], "cents": cents})
+                .group_by(["event_type", "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "cents", "cnt"]))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()).sort_values(["event_type", "cents"])
+
+    def interp(v: np.ndarray, cum: np.ndarray, pos: float) -> float:
+        lo_i = int(np.searchsorted(cum, np.floor(pos) + 1))
+        hi_i = int(np.searchsorted(cum, np.ceil(pos) + 1))
+        lo = v[lo_i] / 100.0
+        hi = v[hi_i] / 100.0
+        return lo + (pos - np.floor(pos)) * (hi - lo)
+
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        v = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(g["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+        rows.append((et,
+                     np.round(interp(v, cum, 0.5 * (n - 1)), 6),
+                     np.round(interp(v, cum, 0.9 * (n - 1)), 6)))
+    return pd.DataFrame(rows, columns=["event_type", "p50_cont",
+                                       "p90_cont"])

@@ -2884,13 +2884,22 @@ def bigram_lm_documents(sf_dir: str,
         batch_format="pyarrow").groupby("word").count().count())
 
     # join-strategy switch by side size (the house broadcast/hash rule,
-    # cf. stages/join.py): below the threshold the whole LM is two
-    # small dicts — ship them once via ray.put and score in ONE pure
-    # map, collapsing two hash-join barriers; above it (a web-scale
-    # bigram vocabulary fits no single process) the partitioned joins
-    # run unchanged. test_queries_oracle pins both paths identical.
+    # cf. stages/join.py): when the DISTINCT-BIGRAM frame itself is
+    # small the whole LM is two dicts — ship them once via ray.put and
+    # score in ONE pure map, collapsing two hash-join barriers;
+    # otherwise (a web-scale bigram vocabulary fits no single process)
+    # the partitioned joins run unchanged. The cheap corpus-bytes
+    # pre-filter only bounds what we dare materialize to COUNT the
+    # reduced frame — the broadcast decision itself is made on that
+    # count, not on compressed input bytes (a 250 MB parquet can hide
+    # tens of millions of bigrams). test_queries_oracle pins both
+    # paths identical.
     corpus_bytes = _tbytes(sf_dir, "documents")
+    use_broadcast = False
     if corpus_bytes <= broadcast_threshold_bytes:
+        cb = cb.materialize()  # object-store-backed, spillable
+        use_broadcast = cb.count() <= 2_000_000  # dict stays sub-GB
+    if use_broadcast:
         cb_pdf = cb.to_pandas()  # distinct-bigram frame: small by gate
         cb_ref = ray.put(dict(zip(cb_pdf["bigram"], cb_pdf["cb"])))
         cp_pdf = (cb_pdf.assign(
@@ -5222,7 +5231,6 @@ def trailing_hour_sum_events(sf_dir: str) -> pd.DataFrame:
     The span term bounds rank·span ≤ users-per-shard × (epoch span +
     1 h), which a windowed deployment keeps far inside int64."""
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    gap_us = 3600 * US
 
     def sharded(t: pa.Table) -> pa.Table:
         shard = pc.cast(pc.bit_wise_and(t["user_id"],
@@ -5239,9 +5247,14 @@ def trailing_hour_sum_events(sf_dir: str) -> pd.DataFrame:
         chg[1:] = (u[1:] != u[:-1]).astype(np.int64)
         rank = np.cumsum(chg) - 1
         base = tus - tus.min()
-        span = base.max() + gap_us + 2
+        span = base.max() + HOUR_US + 2
+        # overflow must crash, not corrupt: a wrapped composite key is
+        # no longer sorted and both frame edges silently go wrong
+        assert (int(rank[-1]) + 1) * int(span) < 2 ** 63, (
+            "user-rank x time-span exceeds int64; shard smaller or "
+            "window the epoch")
         comp = rank * span + base
-        left = np.searchsorted(comp, comp - gap_us, side="left")
+        left = np.searchsorted(comp, comp - HOUR_US, side="left")
         right = np.searchsorted(comp, comp, side="right") - 1
         cum = np.cumsum(c)
         trail = cum[right] - np.where(left > 0, cum[left - 1], 0)

@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_hour_sum_events": q.trailing_hour_sum_events,
         # interpolated quantile_cont per group from the cents histogram
         "quantile_cont_events": q.quantile_cont_events,
+        # full CUBE grouping sets from one finest-grain reduce
+        "cube_orders": q.cube_orders,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -427,6 +429,19 @@ def oracle_sql() -> dict[str, str]:
                                       / (nn - n)) / ((nn - n) - 1.0))
                                   / (nn - n)), 6) AS t6
             FROM s, t ORDER BY event_type
+        """,
+        "cube_orders": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COALESCE(CAST(date_part('year', o_orderdate) AS BIGINT),
+                            -1) AS year,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority,
+                           date_part('year', o_orderdate))
+            ORDER BY status, priority, year
         """,
         "trailing_hour_sum_events": """
             SELECT event_id, user_id,

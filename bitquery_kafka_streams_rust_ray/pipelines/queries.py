@@ -5307,3 +5307,51 @@ def quantile_cont_events(sf_dir: str) -> pd.DataFrame:
                      np.round(interp(v, cum, 0.9 * (n - 1)), 6)))
     return pd.DataFrame(rows, columns=["event_type", "p50_cont",
                                        "p90_cont"])
+
+
+def cube_orders(sf_dir: str) -> pd.DataFrame:
+    """Full CUBE over (status, priority, year) — all 8 grouping sets
+    with 'ALL' markers (the grouping-sets completion of
+    ``rollup_orders``): the corpus reduces ONCE to the finest-grain
+    integer-cent frame (statuses × priorities × years rows) and every
+    coarser set derives from that reduced frame driver-side; the cube
+    never re-scans input."""
+    ds = _t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority",
+                               "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"status": t["o_orderstatus"],
+                          "priority": t["o_orderpriority"],
+                          "year": y, "cents": cents})
+                .group_by(["status", "priority", "year"])
+                .aggregate([("cents", "sum"), ([], "count_all")])
+                .rename_columns(["status", "priority", "year",
+                                 "cents", "n_orders"]))
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["status", "priority", "year"])
+            .aggregate(Sum("cents", alias_name="cents"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .to_pandas())
+    fine["year"] = fine["year"].astype("int64")
+    dims = ["status", "priority", "year"]
+    frames = []
+    for mask in range(8):  # bit i set -> dim i kept
+        keep = [d for i, d in enumerate(dims) if mask >> i & 1]
+        g = (fine.groupby(keep, sort=False)[["cents", "n_orders"]]
+             .sum().reset_index() if keep
+             else fine[["cents", "n_orders"]].sum().to_frame().T)
+        for d in dims:
+            if d not in keep:
+                g[d] = "ALL" if d != "year" else -1
+        frames.append(g[dims + ["cents", "n_orders"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["revenue"] = out["cents"].to_numpy(np.float64) / 100.0
+    out["year"] = out["year"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out.drop(columns=["cents"])
+            .sort_values(dims).reset_index(drop=True)
+            [dims + ["n_orders", "revenue"]])

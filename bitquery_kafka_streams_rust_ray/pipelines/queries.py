@@ -2836,8 +2836,10 @@ def bigram_lm_documents(sf_dir: str,
     term-frequency rows (a doc is one input row, so its tf is
     batch-local); corpus bigram counts and prefix counts are
     distributed ``groupby`` reductions that stay Datasets; both ride
-    BACK onto the per-doc rows via hash joins (never a driver-side LM
-    table — a web-scale bigram vocabulary fits no single process); the
+    BACK onto the per-doc rows via a size-adaptive join — broadcast
+    dicts when the counted distinct-bigram frame is small, partitioned
+    hash joins otherwise (a web-scale bigram vocabulary fits no single
+    process, so the large path never collects it anywhere); the
     vocabulary size V is the one driver scalar. The per-doc reduce
     sums INTEGER picolog units (each row's tf*ln scaled 1e12 and
     rounded), so the distributed sum is order-free bit-exact; the 1e-10

@@ -26,6 +26,14 @@ import ray
 ray.init(address=cluster.address, include_dashboard=False,
          logging_level="ERROR")
 
+# under load the second node can register late; SPREAD packs onto the
+# head node if it schedules before both nodes are visible
+import time
+for _ in range(120):
+    if len([n for n in ray.nodes() if n["Alive"]]) >= 2:
+        break
+    time.sleep(0.5)
+
 from bitquery_kafka_streams_rust_ray.config import EngineConfig
 from bitquery_kafka_streams_rust_ray.pipelines.streaming import StateShard
 
@@ -72,17 +80,22 @@ def test_state_shards_spread_across_nodes(pages_dir, tmp_path):
     # two attempts: the subprocess spins its own 2-node cluster and can
     # lose the race for CPUs/ports when the full suite (plus sandbox
     # noisy neighbors) is saturating the box
-    for attempt in range(2):
+    rec = None
+    for attempt in range(3):
         out = subprocess.run(
             [sys.executable, str(script)], capture_output=True, text=True,
             timeout=540, cwd=repo,
             env={**os.environ, "RAY_ADDRESS": ""},
         )
-        if out.returncode == 0:
+        if out.returncode != 0:
+            continue
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        # a saturated box can still schedule before node 2 is usable;
+        # only a REPEATED pack is a real SPREAD regression
+        if rec["n_nodes"] == 2:
             break
     assert out.returncode == 0, out.stderr[-2000:]
-    rec = json.loads(out.stdout.strip().splitlines()[-1])
-    assert rec["n_actors"] == 4
+    assert rec is not None and rec["n_actors"] == 4
     # SPREAD must use both nodes; default packing would give 1
     assert rec["n_nodes"] == 2, rec
 

@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_cont_events": q.quantile_cont_events,
         # full CUBE grouping sets from one finest-grain reduce
         "cube_orders": q.cube_orders,
+        # association-rule lift over (user, day) baskets
+        "basket_lift_events": q.basket_lift_events,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -429,6 +431,29 @@ def oracle_sql() -> dict[str, str]:
                                       / (nn - n)) / ((nn - n) - 1.0))
                                   / (nn - n)), 6) AS t6
             FROM s, t ORDER BY event_type
+        """,
+        "basket_lift_events": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                              event_type
+                       FROM events),
+            bb AS (SELECT count(*) AS nb FROM
+                   (SELECT DISTINCT user_id, day FROM d)),
+            i AS (SELECT a.event_type AS type_a, b2.event_type AS type_b,
+                         count(*) AS inter
+                  FROM d a JOIN d b2 ON a.user_id = b2.user_id
+                                    AND a.day = b2.day
+                                    AND a.event_type < b2.event_type
+                  GROUP BY 1, 2),
+            c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+            SELECT type_a, type_b, inter,
+                   CAST((2 * CAST(inter AS HUGEINT) * nb * 1000000
+                         + CAST(ca.n AS HUGEINT) * cb.n)
+                        // (2 * CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT)
+                       AS lift_ppm
+            FROM i JOIN c ca ON type_a = ca.event_type
+                 JOIN c cb ON type_b = cb.event_type, bb
+            ORDER BY type_a, type_b
         """,
         "cube_orders": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS status,

@@ -66,7 +66,9 @@ def _ppm(num: np.ndarray, den: np.ndarray) -> np.ndarray:
     computed in arbitrary precision. Signs split out first — Python
     ``//`` floors while DuckDB's truncates, which differ on negatives —
     and the oracle mirrors the magnitude with
-    ``(2 * CAST(|num| AS HUGEINT) * 1000000 + den) // (2 * den)``."""
+    ``(2 * CAST(|num| AS HUGEINT) * 1000000 + den) // (2 * den)``.
+    Domain: |num/den| must stay below ~9·10^12 so the ppm itself fits
+    int64 — every caller is a share/rate (≤ 1) or a bounded average."""
     n = np.asarray(num).astype(object)
     d = np.asarray(den).astype(object)
     sign = np.where(n < 0, -1, 1).astype(object)
@@ -75,8 +77,8 @@ def _ppm(num: np.ndarray, den: np.ndarray) -> np.ndarray:
 
 
 def _pairs_in_shards(ds_sharded: rd.Dataset, basket_cols: list[str],
-                     item_col: str, with_sizes: bool = False
-                     ) -> tuple[pd.DataFrame, dict | None]:
+                     item_col: str, with_sizes: bool = False,
+                     with_basket_count: bool = False):
     """Co-basket pair mining kernel shared by the co-occurrence /
     audience-Jaccard / co-purchase / vocabulary-overlap family.
 
@@ -86,7 +88,9 @@ def _pairs_in_shards(ds_sharded: rd.Dataset, basket_cols: list[str],
     orders pairs a < b and pre-counts, so the global reduce is
     pairs-domain-sized. With ``with_sizes`` the per-item distinct-basket
     counts ride the same pass as sentinel rows (item_b = "") for
-    Jaccard denominators."""
+    Jaccard denominators; ``with_basket_count`` adds the shard's
+    distinct-basket total the same way (baskets live in exactly one
+    shard, so the sentinel counts sum exactly)."""
     a, b = f"{item_col}_a", f"{item_col}_b"
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -95,22 +99,36 @@ def _pairs_in_shards(ds_sharded: rd.Dataset, basket_cols: list[str],
         m = m[m[a] < m[b]]
         pairs = (m.groupby([a, b], sort=False).size()
                  .reset_index(name="n"))
-        if not with_sizes:
-            return pairs
-        sizes = (d.groupby(item_col, sort=False).size()
-                 .reset_index(name="n"))
-        sizes[a] = sizes.pop(item_col)
-        sizes[b] = ""
-        return pd.concat([pairs, sizes[[a, b, "n"]]], ignore_index=True)
+        frames = [pairs]
+        if with_sizes:
+            sizes = (d.groupby(item_col, sort=False).size()
+                     .reset_index(name="n"))
+            sizes[a] = sizes.pop(item_col)
+            sizes[b] = ""
+            frames.append(sizes[[a, b, "n"]])
+        if with_basket_count:
+            frames.append(pd.DataFrame(
+                {a: [""], b: [""],
+                 "n": [len(d.drop_duplicates(basket_cols))]}))
+        return pd.concat(frames, ignore_index=True) if len(frames) > 1 \
+            else pairs
 
     raw = (ds_sharded.groupby("_shard")
            .map_groups(per_shard, batch_format="pandas")
            .to_pandas()
            .groupby([a, b], sort=True)["n"].sum().reset_index())
-    if not with_sizes:
-        return raw, None
-    sizes = raw[raw[b] == ""].set_index(a)["n"].to_dict()
-    return raw[raw[b] != ""].reset_index(drop=True), sizes
+    n_baskets = None
+    if with_basket_count:
+        n_baskets = int(raw.loc[raw[a] == "", "n"].sum())
+        raw = raw[raw[a] != ""]
+    sizes = None
+    if with_sizes:
+        sizes = raw[raw[b] == ""].set_index(a)["n"].to_dict()
+        raw = raw[raw[b] != ""]
+    raw = raw.reset_index(drop=True)
+    if with_basket_count:
+        return raw, sizes, n_baskets
+    return raw, sizes
 
 
 def _round2(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
@@ -5357,3 +5375,42 @@ def cube_orders(sf_dir: str) -> pd.DataFrame:
     return (out.drop(columns=["cents"])
             .sort_values(dims).reset_index(drop=True)
             [dims + ["n_orders", "revenue"]])
+
+
+def basket_lift_events(sf_dir: str) -> pd.DataFrame:
+    """Association-rule lift per co-occurring type pair —
+    P(a,b)/(P(a)·P(b)) over (user, day) baskets, the market-basket
+    strength metric on top of ``cooccurrence_pairs_events``. All three
+    probabilities share one denominator (the distinct-basket count), so
+    lift = inter·B / (nₐ·n_b) is an exact integer ratio shipped as
+    half-away ppm; pairs and per-type basket counts ride the shared
+    ``_pairs_in_shards`` kernel, and B is one tiny distinct reduce."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    day_us = 86400 * US
+
+    def sharded(t: pa.Table) -> pa.Table:
+        day = pc.divide(pa.array(np.asarray(column_ts_us(t["ts"]))),
+                        pa.scalar(day_us, pa.int64()))
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return (pa.table({"user_id": t["user_id"], "day": day,
+                          "event_type": t["event_type"], "_shard": shard})
+                .group_by(["user_id", "day", "event_type", "_shard"])
+                .aggregate([]))
+
+    pre = ds.map_batches(sharded, batch_format="pyarrow")
+    pairs, sizes, n_baskets = _pairs_in_shards(
+        pre, ["user_id", "day"], "event_type",
+        with_sizes=True, with_basket_count=True)
+
+    out = pairs.rename(columns={"event_type_a": "type_a",
+                                "event_type_b": "type_b",
+                                "n": "inter"})
+    na = out["type_a"].map(sizes).astype(object).to_numpy()
+    nb = out["type_b"].map(sizes).astype(object).to_numpy()
+    inter = out["inter"].astype(object).to_numpy()
+    out["inter"] = out["inter"].astype("int64")
+    out["lift_ppm"] = _ppm(inter * n_baskets, na * nb)
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True)[["type_a", "type_b", "inter",
+                                     "lift_ppm"]])

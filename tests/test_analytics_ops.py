@@ -170,3 +170,21 @@ def test_tercile_thresholds_are_minimal_covers(vals):
     assert 3 * (v <= t2).sum() >= 2 * n
     assert (v < t2).sum() * 3 < 2 * n
     assert t1 <= t2
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(-10**12, 10**12), st.integers(1, 10**12))
+def test_ppm_matches_decimal_half_away(num, den):
+    # domain mirrors _ppm's contract: |num/den| small enough that the
+    # ppm itself fits int64 (every caller is a share/rate or bounded avg)
+    """_ppm == Decimal ROUND_HALF_UP (half away from zero) at 6 places —
+    the DuckDB-compatible rounding the ratio outputs rely on."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import _ppm
+
+    got = int(_ppm(np.array([num], dtype=object),
+                   np.array([den], dtype=object))[0])
+    want = int((Decimal(num) * 1_000_000 / Decimal(den)).quantize(
+        Decimal(1), rounding=ROUND_HALF_UP))
+    assert got == want, (num, den, got, want)

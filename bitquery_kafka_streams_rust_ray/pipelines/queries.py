@@ -4298,6 +4298,10 @@ def spearman_value_hour_by_type(sf_dir: str) -> pd.DataFrame:
                          "hr": pa.array(hr)})
 
     def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        # ranks are value-determined, but the float cov/var sums below
+        # follow row order — pin it so the statistic is bit-identical
+        # on any block arrival order
+        g = g.sort_values(["cents", "hr"], kind="mergesort")
         rv = g["cents"].rank(method="average").to_numpy(np.float64)
         rh = g["hr"].rank(method="average").to_numpy(np.float64)
         n = len(g)

@@ -188,3 +188,35 @@ def test_ppm_matches_decimal_half_away(num, den):
     want = int((Decimal(num) * 1_000_000 / Decimal(den)).quantize(
         Decimal(1), rounding=ROUND_HALF_UP))
     assert got == want, (num, den, got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pairs_in_shards_matches_brute_force():
+    """The shared co-basket kernel (pairs + per-item sizes + basket
+    count) equals an itertools brute force on a synthetic frame with
+    baskets spanning multiple blocks."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import \
+        _pairs_in_shards
+
+    rng = np.random.RandomState(7)
+    rows = [{"basket": int(rng.randint(0, 20)),
+             "item": f"i{rng.randint(0, 6)}"} for _ in range(400)]
+    df = pd.DataFrame(rows).assign(_shard=lambda d: d["basket"] % 4)
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+    pairs, sizes, n_baskets = _pairs_in_shards(
+        ds, ["basket"], "item", with_sizes=True, with_basket_count=True)
+
+    d = df.drop_duplicates(["basket", "item"])
+    want_pairs = {}
+    for _, grp in d.groupby("basket"):
+        for x, y in combinations(sorted(grp["item"]), 2):
+            want_pairs[(x, y)] = want_pairs.get((x, y), 0) + 1
+    got_pairs = {(r.item_a, r.item_b): r.n for r in pairs.itertuples()}
+    assert got_pairs == want_pairs
+    assert sizes == d.groupby("item").size().to_dict()
+    assert n_baskets == d["basket"].nunique()

@@ -111,6 +111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_orders": q.cube_orders,
         # association-rule lift over (user, day) baskets
         "basket_lift_events": q.basket_lift_events,
+        # scalar-subquery filter against one broadcast global average
+        "above_avg_orders": q.above_avg_orders,
+        # recursive-CTE family: BFS levels over the co-purchase graph
+        "bfs_copurchase_levels": q.bfs_copurchase_levels,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -431,6 +435,37 @@ def oracle_sql() -> dict[str, str]:
                                       / (nn - n)) / ((nn - n) - 1.0))
                                   / (nn - n)), 6) AS t6
             FROM s, t ORDER BY event_type
+        """,
+        "above_avg_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS revenue
+            FROM orders
+            WHERE o_totalprice >
+                  (SELECT CAST(sum(CAST(round(o_totalprice * 100)
+                                        AS BIGINT)) AS DOUBLE)
+                          / count(*) / 100.0
+                   FROM orders)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "bfs_copurchase_levels": """
+            WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey
+                                 FROM lineitem),
+            e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                   FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                                    AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+            edges AS (SELECT pa AS src, pb AS dst FROM e0
+                      UNION ALL SELECT pb, pa FROM e0),
+            seed AS (SELECT min(pa) AS s FROM e0),
+            bfs AS (
+                SELECT s AS node, 0 AS level FROM seed
+                UNION
+                SELECT e.dst, b.level + 1
+                FROM bfs b JOIN edges e ON e.src = b.node
+                WHERE b.level < 3)
+            SELECT node, CAST(min(level) AS BIGINT) AS level
+            FROM bfs GROUP BY node ORDER BY node
         """,
         "basket_lift_events": """
             WITH d AS (SELECT DISTINCT user_id,

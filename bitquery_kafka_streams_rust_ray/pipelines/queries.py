@@ -5418,3 +5418,101 @@ def basket_lift_events(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["type_a", "type_b"])
             .reset_index(drop=True)[["type_a", "type_b", "inter",
                                      "lift_ppm"]])
+
+
+def above_avg_orders(sf_dir: str) -> pd.DataFrame:
+    """Scalar-subquery pattern (rows above the GLOBAL average): pass 1
+    reduces to the two exact integer sums behind the average, pass 2 is
+    a pure-map filter against that one broadcast scalar — both engines
+    compare against the identical double (SX/N of the same ints), so
+    the boundary rows agree exactly."""
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return pa.table({"sx": pa.array([pc.sum(cents).as_py() or 0],
+                                        pa.int64()),
+                         "n": pa.array([len(t)], pa.int64())})
+
+    m = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    avg = float(m["sx"].sum()) / float(m["n"].sum()) / 100.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["o_totalprice"], pa.scalar(avg, pa.float64()))
+        tt = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(tt["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"o_orderpriority": tt["o_orderpriority"],
+                          "cents": cents})
+                .group_by("o_orderpriority")
+                .aggregate([("cents", "sum"), ([], "count_all")])
+                .rename_columns(["o_orderpriority", "cents", "n_orders"]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("cents", alias_name="cents"),
+                      Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    out["revenue"] = out["cents"].to_numpy(np.float64) / 100.0
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out.drop(columns=["cents"])
+            .sort_values("o_orderpriority").reset_index(drop=True)
+            [["o_orderpriority", "n_orders", "revenue"]])
+
+
+def bfs_copurchase_levels(sf_dir: str, max_level: int = 3) -> pd.DataFrame:
+    """Graph traversal (BFS levels from a seed node — the recursive-CTE
+    family next to pagerank/components): edges come from the shared
+    co-purchase kernel, then each level is ONE pure-map pass over the
+    edge Dataset with the frontier broadcast once per task; the visited
+    set stays node-bounded on the driver (the same contract as
+    ``doc_components``' label frame). First reach = minimum level, so
+    the output matches the oracle's min-level recursive expansion."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["l_orderkey"],
+                                        pa.scalar(63, pa.int64())), pa.int64())
+        return (pa.table({"l_orderkey": t["l_orderkey"],
+                          "l_partkey": t["l_partkey"], "_shard": shard})
+                .group_by(["l_orderkey", "l_partkey", "_shard"])
+                .aggregate([]))
+
+    pairs, _ = _pairs_in_shards(
+        ds.map_batches(sharded, batch_format="pyarrow"),
+        ["l_orderkey"], "l_partkey")
+    pairs = pairs[pairs["n"] >= 2]
+    # symmetric edge Dataset (stays distributed; the driver only ever
+    # holds node-id sets)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(np.concatenate([pairs["l_partkey_a"].to_numpy(np.int64),
+                                        pairs["l_partkey_b"].to_numpy(np.int64)])),
+        "dst": pa.array(np.concatenate([pairs["l_partkey_b"].to_numpy(np.int64),
+                                        pairs["l_partkey_a"].to_numpy(np.int64)])),
+    })).materialize()
+
+    seed = int(pairs["l_partkey_a"].min())
+    levels = {seed: 0}
+    frontier = {seed}
+    for lvl in range(1, max_level + 1):
+        f_ref = ray.put(frontier)
+
+        def expand(t: pa.Table) -> pa.Table:
+            f = broadcast_get(f_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            mask = np.isin(src, np.fromiter(f, dtype=np.int64))
+            return (pa.table({"dst": t["dst"].filter(pa.array(mask))})
+                    .group_by("dst").aggregate([]))
+
+        reached = (edges.map_batches(expand, batch_format="pyarrow")
+                   .to_pandas()["dst"].unique())
+        frontier = {int(d) for d in reached} - set(levels)
+        if not frontier:
+            break
+        for nd in frontier:
+            levels[nd] = lvl
+    out = pd.DataFrame(sorted(levels.items()), columns=["node", "level"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

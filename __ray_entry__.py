@@ -115,6 +115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_orders": q.above_avg_orders,
         # recursive-CTE family: BFS levels over the co-purchase graph
         "bfs_copurchase_levels": q.bfs_copurchase_levels,
+        # PERCENT_RANK per group (completes the rank family)
+        "percent_rank_orders": q.percent_rank_orders,
+        # per-user EWMA (rows-only: recursive, pinned by pytest)
+        "ewma_last_per_user": q.ewma_last_per_user,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -435,6 +439,21 @@ def oracle_sql() -> dict[str, str]:
                                       / (nn - n)) / ((nn - n) - 1.0))
                                   / (nn - n)), 6) AS t6
             FROM s, t ORDER BY event_type
+        """,
+        "percent_rank_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST((2 * CAST((rank() OVER w) - 1 AS HUGEINT) * 1000000
+                         + GREATEST(cnt - 1, 1))
+                        // (2 * CAST(GREATEST(cnt - 1, 1) AS HUGEINT))
+                        AS BIGINT) AS pr_ppm
+            FROM (SELECT o_orderkey, o_orderpriority,
+                         CAST(floor(o_totalprice / 1000) AS BIGINT)
+                             AS bucket,
+                         count(*) OVER (PARTITION BY o_orderpriority)
+                             AS cnt
+                  FROM orders)
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY bucket)
+            ORDER BY o_orderkey
         """,
         "above_avg_orders": """
             SELECT o_orderpriority, count(*) AS n_orders,

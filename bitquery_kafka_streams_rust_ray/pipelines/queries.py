@@ -5516,3 +5516,96 @@ def bfs_copurchase_levels(sf_dir: str, max_level: int = 3) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def percent_rank_orders(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK per group with NO global sort — completes the rank
+    family (rank/dense_rank/cume_dist/ntile/percent_rank): ranks derive
+    from the same value-domain-bounded (priority, bucket) histogram as
+    ``dense_rank_orders`` — rank() of a row is the cumulative count of
+    strictly smaller buckets + 1, broadcast back via searchsorted — and
+    (rank−1)/(n−1) ships as exact half-away ppm."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                               "o_totalprice"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        bkt = pc.cast(pc.floor(pc.divide(t["o_totalprice"], 1000.0)),
+                      pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "bucket": bkt})
+
+    withb = ds.map_batches(bucketed, batch_format="pyarrow")
+    hist = (withb.map_batches(
+        lambda t: (t.group_by(["o_orderpriority", "bucket"])
+                   .aggregate([([], "count_all")])
+                   .rename_columns(["o_orderpriority", "bucket", "n"])),
+        batch_format="pyarrow")
+        .groupby(["o_orderpriority", "bucket"])
+        .aggregate(Sum("n", alias_name="n")).to_pandas())
+    table = {}
+    totals = {}
+    for prio, sub in hist.sort_values("bucket").groupby("o_orderpriority"):
+        v = sub["bucket"].to_numpy(np.int64)
+        c = sub["n"].to_numpy(np.int64)
+        # rank of a row with bucket v = (# rows with smaller bucket) + 1
+        table[prio] = (v, np.concatenate(([0], np.cumsum(c)[:-1])))
+        totals[prio] = int(c.sum())
+    t_ref = ray.put((table, totals))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        tbl, tot = broadcast_get(t_ref)
+        bkt = df["bucket"].to_numpy(np.int64)
+        rank = np.empty(len(df), dtype=np.int64)
+        n = np.empty(len(df), dtype=np.int64)
+        for prio in np.unique(df["o_orderpriority"]):
+            m = df["o_orderpriority"].to_numpy() == prio
+            v, cumb = tbl[prio]
+            rank[m] = cumb[np.searchsorted(v, bkt[m])] + 1
+            n[m] = tot[prio]
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_orderpriority": df["o_orderpriority"],
+            "pr_ppm": _ppm(rank - 1, np.maximum(n - 1, 1)),
+        })
+
+    out = withb.map_batches(assign, batch_format="pandas").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["pr_ppm"] = out["pr_ppm"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def ewma_last_per_user(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
+    """Per-user exponentially-weighted moving average (final smoothed
+    value per user) — the order-dependent recursive statistic (rows-only:
+    not ANSI SQL; pinned against pandas ewm by ``test_analytics_ops``).
+    One user co-partition; inside each shard pandas' C-grouped ewm does
+    the recursion — never a per-user Python loop."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(
+            drop=True)
+        # Cython-grouped ewm: one kernel call for the whole shard
+        ew = (g.groupby("user_id", sort=False)["value"]
+              .ewm(alpha=alpha, adjust=False).mean().droplevel(0)
+              .sort_index().to_numpy(np.float64))
+        gb = g.groupby("user_id", sort=False)
+        last_idx = gb.tail(1).index.to_numpy()
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64)[last_idx],
+            "n_events": gb.size().to_numpy(np.int64),
+            "ewma6": np.round(ew[last_idx], 6),
+        })
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -220,3 +220,24 @@ def test_pairs_in_shards_matches_brute_force():
     assert got_pairs == want_pairs
     assert sizes == d.groupby("item").size().to_dict()
     assert n_baskets == d["basket"].nunique()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ewma_matches_sequential_recursion():
+    """The grouped-ewm kernel equals the sequential definition
+    e_i = a*x_i + (1-a)*e_{i-1} per user (adjust=False)."""
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import \
+        ewma_last_per_user
+
+    sf = "/root/testdata/sf0.001"
+    got = ewma_last_per_user(sf).set_index("user_id")
+    ev = (pd.read_parquet(f"{sf}/events.parquet",
+                          columns=["event_id", "user_id", "ts", "value"])
+          .sort_values(["user_id", "ts", "event_id"]))
+    a = 0.3
+    for uid, grp in ev.groupby("user_id"):
+        e = None
+        for x in grp["value"]:
+            e = x if e is None else a * x + (1 - a) * e
+        assert got.loc[uid, "n_events"] == len(grp)
+        assert abs(got.loc[uid, "ewma6"] - e) < 1e-5, uid

@@ -117,8 +117,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_copurchase_levels": q.bfs_copurchase_levels,
         # PERCENT_RANK per group (completes the rank family)
         "percent_rank_orders": q.percent_rank_orders,
-        # per-user EWMA (rows-only: recursive, pinned by pytest)
-        "ewma_last_per_user": q.ewma_last_per_user,
         # -- round-3b additions (not yet driver-checked, so they lead) ---
         # bounded ROWS window (moving sum per key)
         "moving_sum_events": q.moving_sum_events,
@@ -194,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_encode_embeddings": q.pq_encode_embeddings,
         # distributed PCA (rows-only; pinned by test_pca.py)
         "pca_embeddings": q.pca_embeddings,
+        # per-user EWMA (rows-only: recursive, pinned by pytest)
+        "ewma_last_per_user": q.ewma_last_per_user,
         # bigram-LM perplexity scoring (CCNet-style quality filter)
         "bigram_lm_documents": q.bigram_lm_documents,
         # LAG/LEAD window functions per key (§2.6)

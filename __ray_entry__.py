@@ -36,6 +36,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # and the remainder follows.  Coverage is identical either way — every
     # entry below is a first-class catalog member.
     return {
+        # -- round-3e additions (newest, never driver-checked) -----------
+        # triangle counting on the co-purchase graph (wedge-close join)
+        "triangle_count_copurchase": q.triangle_count_copurchase,
+        # interval-overlap sweep-line: peak simultaneous sessions
+        "max_concurrent_sessions": q.max_concurrent_sessions,
+        # SCD2-style validity intervals from consecutive state runs
+        "state_intervals_events": q.state_intervals_events,
+        # UNPIVOT/melt reshaping + per-(flag, measure) aggregate
+        "unpivot_lineitem": q.unpivot_lineitem,
+        # largest-remainder apportionment (exact integer budget split)
+        "budget_allocation_nations": q.budget_allocation_nations,
         # -- round-3d additions (newest, never driver-checked) -----------
         # ratio-to-report window (share within region)
         "revenue_share_nation": q.revenue_share_nation,
@@ -295,6 +306,113 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "triangle_count_copurchase": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                  GROUP BY pa, pb HAVING count(*) >= 2),
+            t AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+                  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+            n AS (SELECT a AS part FROM t
+                  UNION ALL SELECT b FROM t
+                  UNION ALL SELECT c FROM t)
+            SELECT part, count(*) AS n_triangles
+            FROM n GROUP BY part
+            ORDER BY n_triangles DESC, part LIMIT 20
+        """,
+        "max_concurrent_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 7200 SECOND
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            iv AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+                   FROM s GROUP BY user_id, sid),
+            d AS (SELECT st AS ts, 1 AS delta FROM iv
+                  UNION ALL SELECT en, -1 FROM iv),
+            r AS (SELECT ts, sum(delta) OVER (ORDER BY ts, delta DESC
+                                              ROWS UNBOUNDED PRECEDING) AS c
+                  FROM d)
+            SELECT CAST((SELECT max(c) FROM r) AS BIGINT) AS max_concurrent,
+                   (SELECT min(ts) FROM r
+                    WHERE c = (SELECT max(c) FROM r)) AS first_peak_ts
+        """,
+        "state_intervals_events": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(event_type) OVER w
+                            IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS rid
+                  FROM o),
+            g AS (SELECT user_id, rid, event_type AS state,
+                         min(ts) AS valid_from, count(*) AS n_events
+                  FROM r GROUP BY user_id, rid, event_type)
+            SELECT user_id, state, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY rid) AS valid_to,
+                   n_events
+            FROM g ORDER BY user_id, valid_from
+        """,
+        "unpivot_lineitem": """
+            WITH m AS (
+                SELECT l_returnflag AS flag, 'quantity' AS measure,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS c
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'extendedprice',
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'discount',
+                       CAST(round(l_discount * 100) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'tax',
+                       CAST(round(l_tax * 100) AS BIGINT)
+                FROM lineitem)
+            SELECT flag, measure, count(*) AS n,
+                   CAST(sum(c) AS DOUBLE) / 100 AS total
+            FROM m GROUP BY flag, measure ORDER BY flag, measure
+        """,
+        "budget_allocation_nations": """
+            WITH nr AS (
+                SELECT n_nationkey AS nk, n_name,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY nk, n_name),
+            t AS (SELECT sum(CAST(cents AS HUGEINT)) AS tot FROM nr),
+            b AS (SELECT nk, n_name, cents,
+                         CAST(1000000 * CAST(cents AS HUGEINT) // tot
+                              AS BIGINT) AS base,
+                         CAST(1000000 * CAST(cents AS HUGEINT) % tot
+                              AS BIGINT) AS rem
+                  FROM nr, t),
+            k AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS leftover
+                  FROM b),
+            rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, nk) AS rn
+                   FROM b)
+            SELECT n_name, CAST(cents AS DOUBLE) / 100 AS revenue,
+                   CAST(base + CASE WHEN rn <= (SELECT leftover FROM k)
+                                    THEN 1 ELSE 0 END AS BIGINT)
+                       AS alloc_units
+            FROM rk ORDER BY n_name
+        """,
         "revenue_share_nation": """
             WITH rev AS (
                 SELECT r_name, n_name,

@@ -5609,3 +5609,224 @@ def ewma_last_per_user(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
     out["user_id"] = out["user_id"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def triangle_count_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Triangle counting on the co-purchase graph (the classic cohesion
+    metric over ``copurchase_part_pairs``'s edges): pair mining runs
+    distributed via the shared co-basket kernel and the support-2 filter
+    prunes the edge list to the heavy-hitter subgraph BEFORE enumeration,
+    so the a<b<c wedge-close join (e(a,b) x e(b,c) ⋉ e(a,c)) runs on the
+    reduced edge frame — a documented output-invariant single-task
+    cutoff like the union-find in ``doc_components``; at 100 TB the same
+    two merges run as partitioned hash joins keyed on the shared vertex
+    (``stages/join.py:hash_join``), with the min-vertex orientation
+    bounding per-key fan-out. Output: top-20 parts by triangle count."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["l_orderkey"],
+                                        pa.scalar(63, pa.int64())), pa.int64())
+        return (pa.table({"l_orderkey": t["l_orderkey"],
+                          "l_partkey": t["l_partkey"], "_shard": shard})
+                .group_by(["l_orderkey", "l_partkey", "_shard"])
+                .aggregate([]))
+
+    pairs, _ = _pairs_in_shards(
+        ds.map_batches(sharded, batch_format="pyarrow"),
+        ["l_orderkey"], "l_partkey")
+    e = pairs[pairs["n"] >= 2].rename(
+        columns={"l_partkey_a": "a", "l_partkey_b": "b"})[["a", "b"]]
+    # wedges a-b-c with a<b<c (edges are already a<b oriented) ...
+    w = e.merge(e.rename(columns={"a": "b", "b": "c"}), on="b")
+    # ... closed by the third edge (a, c)
+    tri = w.merge(e.rename(columns={"b": "c"}), on=["a", "c"])
+    nodes = pd.concat([tri["a"], tri["b"], tri["c"]], ignore_index=True)
+    out = (nodes.value_counts().rename_axis("part")
+           .reset_index(name="n_triangles"))
+    out = out.sort_values(["n_triangles", "part"],
+                          ascending=[False, True]).head(20)
+    for c in ("part", "n_triangles"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def max_concurrent_sessions(sf_dir: str, gap_s: int = 7200) -> pd.DataFrame:
+    """Peak simultaneous sessions (interval-overlap sweep-line): sessions
+    come from the gap-rule sessionizer inside 32 user shards, each
+    session emits a (+1 at start, -1 at end) boundary pair, and the
+    sweep runs as a two-level exact prefix max — deltas co-partition by
+    calendar day, each day task sorts only its own boundaries (starts
+    before ends at equal ts) and reports (delta_sum, local_max,
+    first_peak_ts), then the days-sized frame combines on the driver
+    with a running offset. Concurrency only attains new values at +1
+    rows, so delta-less days can never hold the peak and the two-level
+    split is exact."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap_us = gap_s * US
+    day_us = 86_400 * US
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def sessions_to_deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        ts_us = series_ts_us(g["ts"]).to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (np.diff(ts_us) > gap_us)
+        start_idx = np.flatnonzero(brk)
+        end_idx = np.append(start_idx[1:], len(g)) - 1
+        st, en = ts_us[start_idx], ts_us[end_idx]
+        ts = np.concatenate([st, en])
+        delta = np.concatenate([np.ones(len(st), np.int64),
+                                -np.ones(len(en), np.int64)])
+        return pd.DataFrame({"_day": (ts // day_us) * day_us,
+                             "ts_us": ts, "delta": delta})
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts_us"].to_numpy(np.int64)
+        d = g["delta"].to_numpy(np.int64)
+        order = np.lexsort((-d, ts))  # ts asc, +1 before -1 at ties
+        prefix = np.cumsum(d[order])
+        local_max = int(prefix.max())
+        peak = int(np.flatnonzero(prefix == local_max)[0])
+        return pd.DataFrame({"_day": g["_day"].iloc[:1],
+                             "delta_sum": [int(prefix[-1])],
+                             "local_max": [local_max],
+                             "peak_ts_us": [int(ts[order][peak])]})
+
+    days = (ds.map_batches(sharded, batch_format="pyarrow")
+            .groupby("_shard").map_groups(sessions_to_deltas,
+                                          batch_format="pandas")
+            .groupby("_day").map_groups(per_day, batch_format="pandas")
+            .to_pandas().sort_values("_day").reset_index(drop=True))
+    offset = np.concatenate(
+        [[0], np.cumsum(days["delta_sum"].to_numpy(np.int64))[:-1]])
+    peaks = offset + days["local_max"].to_numpy(np.int64)
+    best = int(peaks.max())
+    first = int(np.flatnonzero(peaks == best)[0])
+    return pd.DataFrame({
+        "max_concurrent": np.array([best], np.int64),
+        "first_peak_ts": us_to_timestamp_array(
+            np.array([days["peak_ts_us"].iloc[first]], np.int64)),
+    })
+
+
+def state_intervals_events(sf_dir: str) -> pd.DataFrame:
+    """SCD2-style state-interval construction (collapse each user's
+    consecutive runs of one event_type into validity intervals with
+    valid_from / valid_to and a run length): one user co-partition, one
+    sort per shard, run breaks from a vectorized type/user shift —
+    valid_to is the next run's valid_from within the user (NULL on the
+    open tail), matching LEAD over the grouped runs."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        start_idx = np.flatnonzero(brk)
+        n_events = np.diff(np.append(start_idx, len(g)))
+        user, state, vfrom = u[start_idx], et[start_idx], ts[start_idx]
+        vto = np.append(vfrom[1:], np.datetime64("NaT", "us"))
+        vto[np.append(user[1:] != user[:-1], True)] = np.datetime64(
+            "NaT", "us")
+        return pd.DataFrame({"user_id": user, "state": state,
+                             "valid_from": vfrom, "valid_to": vto,
+                             "n_events": n_events.astype(np.int64)})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return (out.sort_values(["user_id", "valid_from"])
+            .reset_index(drop=True))
+
+
+def unpivot_lineitem(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT/melt reshaping (wide measures -> long (measure, value)
+    rows) with a per-(flag, measure) aggregate on top: each block melts
+    its four measure columns into one long Arrow table (pure reshaping,
+    no row loop), converts to exact cents, and folds a count+sum partial
+    so the shuffle carries 12 rows per block."""
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    names = ["quantity", "extendedprice", "discount", "tax"]
+    ds = _t(sf_dir, "lineitem", ["l_returnflag"] + measures)
+
+    def partial(t: pa.Table) -> pa.Table:
+        longs = [pa.table({
+            "flag": t["l_returnflag"],
+            "measure": pa.array([nm] * len(t), pa.string()),
+            "c": pc.cast(pc.round(pc.multiply(t[m], 100.0)), pa.int64()),
+        }) for m, nm in zip(measures, names)]
+        return (pa.concat_tables(longs)
+                .group_by(["flag", "measure"])
+                .aggregate([("c", "sum"), ("c", "count")])
+                .rename_columns(["flag", "measure", "cents", "n"]))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby(["flag", "measure"], sort=True)
+           .agg(n=("n", "sum"), cents=("cents", "sum")).reset_index())
+    out["total"] = out.pop("cents").to_numpy(np.float64) / 100.0
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def budget_allocation_nations(sf_dir: str, budget: int = 1_000_000) -> pd.DataFrame:
+    """Largest-remainder (Hamilton) apportionment: allocate a fixed
+    integer budget across nations proportional to order revenue so the
+    parts sum EXACTLY to the budget. Revenue reduces to a nations-sized
+    integer-cent frame (broadcast dimension chain + per-block partials);
+    the floor-share / remainder-rank arithmetic runs in arbitrary
+    precision on that 25-row frame — ties on remainder break by nation
+    key, matching the oracle's row_number."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    dim = dim[["c_custkey", "n_nationkey", "n_name"]].rename(
+        columns={"c_custkey": "o_custkey"})
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(ds, dim, on="o_custkey", how="inner",
+                            concurrency=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        return (pd.DataFrame({"nk": df["n_nationkey"],
+                              "n_name": df["n_name"], "cents": cents})
+                .groupby(["nk", "n_name"], sort=False)["cents"]
+                .sum().reset_index())
+
+    out = (joined.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby(["nk", "n_name"], sort=True)["cents"]
+           .sum().reset_index())
+    cents = out["cents"].to_numpy().astype(object)  # exact big ints
+    tot = int(cents.sum())
+    base = np.array([int(budget) * int(c) // tot for c in cents],
+                    dtype=object)
+    rem = np.array([int(budget) * int(c) % tot for c in cents],
+                   dtype=object)
+    leftover = int(budget) - int(base.sum())
+    # rank by (remainder desc, nation key asc); top `leftover` get +1
+    order = sorted(range(len(out)),
+                   key=lambda i: (-rem[i], int(out["nk"].iloc[i])))
+    alloc = base.astype(np.int64)
+    alloc[order[:leftover]] += 1
+    res = pd.DataFrame({
+        "n_name": out["n_name"],
+        "revenue": out["cents"].to_numpy(np.float64) / 100.0,
+        "alloc_units": alloc,
+    })
+    return res.sort_values("n_name").reset_index(drop=True)

@@ -37,6 +37,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # calendar gap detection over the distinct-day reduced frame
+        "order_date_gaps": q.order_date_gaps,
+        # time-weighted average with exact big-int duration products
+        "twap_value_per_user": q.twap_value_per_user,
+        # engagement-depth histogram over sessionizer output
+        "session_depth_histogram": q.session_depth_histogram,
+        # mutual information over the type x hour contingency
+        "mutual_info_type_hour": q.mutual_info_type_hour,
+        # blocked fuzzy similarity self-join on the name domain
+        "fuzzy_name_pairs_parts": q.fuzzy_name_pairs_parts,
         # triangle counting on the co-purchase graph (wedge-close join)
         "triangle_count_copurchase": q.triangle_count_copurchase,
         # interval-overlap sweep-line: peak simultaneous sessions
@@ -306,6 +316,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "order_date_gaps": """
+            WITH d AS (SELECT DISTINCT o_orderdate AS day FROM orders),
+            l AS (SELECT day, lead(day) OVER (ORDER BY day) AS nxt FROM d)
+            SELECT day + INTERVAL 1 DAY AS gap_start,
+                   nxt - INTERVAL 1 DAY AS gap_end,
+                   CAST(date_diff('day', day, nxt) - 1 AS BIGINT)
+                       AS missing_days
+            FROM l WHERE date_diff('day', day, nxt) > 1
+            ORDER BY gap_start
+        """,
+        "twap_value_per_user": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+                FROM events),
+            agg AS (
+                SELECT user_id,
+                       sum(CAST(cents AS HUGEINT)
+                           * (epoch_us(nxt) - epoch_us(ts))) AS num,
+                       CAST(max(epoch_us(ts)) - min(epoch_us(ts))
+                            AS HUGEINT) AS den,
+                       count(*) AS n_events
+                FROM o GROUP BY user_id)
+            SELECT user_id, n_events,
+                   CAST((2 * num * 1000000 + den * 100)
+                        // (2 * den * 100) AS BIGINT) AS twap_micro
+            FROM agg WHERE n_events >= 2 AND den > 0
+            ORDER BY user_id
+        """,
+        "session_depth_histogram": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 7200 SECOND
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id,
+                         sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            d AS (SELECT user_id, sid, count(*) AS depth
+                  FROM s GROUP BY user_id, sid)
+            SELECT CAST(depth AS BIGINT) AS depth,
+                   count(*) AS n_sessions
+            FROM d GROUP BY depth ORDER BY depth
+        """,
+        "mutual_info_type_hour": """
+            WITH c AS (
+                SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h,
+                       count(*) AS o
+                FROM events GROUP BY event_type, h),
+            r AS (SELECT event_type, CAST(sum(o) AS DOUBLE) AS rt
+                  FROM c GROUP BY event_type),
+            col AS (SELECT h, CAST(sum(o) AS DOUBLE) AS ct
+                    FROM c GROUP BY h),
+            n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c)
+            SELECT c.event_type,
+                   round(sum((c.o / n.n)
+                             * ln(c.o * n.n / (r.rt * col.ct))), 6) AS mi_6
+            FROM c JOIN r ON c.event_type = r.event_type
+                 JOIN col ON c.h = col.h, n
+            GROUP BY c.event_type ORDER BY c.event_type
+        """,
+        "fuzzy_name_pairs_parts": """
+            WITH p AS (SELECT DISTINCT p_name AS name FROM part)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+            FROM p a JOIN p b
+                ON a.name < b.name
+                AND abs(length(a.name) - length(b.name)) <= 3
+                AND levenshtein(a.name, b.name) <= 3
+            ORDER BY name_a, name_b
+        """,
         "triangle_count_copurchase": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb

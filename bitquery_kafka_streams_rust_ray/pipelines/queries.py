@@ -5830,3 +5830,188 @@ def budget_allocation_nations(sf_dir: str, budget: int = 1_000_000) -> pd.DataFr
         "alloc_units": alloc,
     })
     return res.sort_values("n_name").reset_index(drop=True)
+
+
+def order_date_gaps(sf_dir: str) -> pd.DataFrame:
+    """Calendar gap detection (missing-day ranges in the order stream —
+    the sequence-completeness audit a feed monitor runs): the corpus
+    reduces to its distinct order dates (block-local unique partials,
+    one distinct-day groupby), and the lead-diff gap scan runs on that
+    days-sized frame. Output: one row per gap with its bounds and
+    width."""
+    ds = _t(sf_dir, "orders", ["o_orderdate"])
+
+    def distinct_days(t: pa.Table) -> pa.Table:
+        return (pa.table({"day": pc.cast(t["o_orderdate"],
+                                         pa.timestamp("us"))})
+                .group_by("day").aggregate([]))
+
+    days = (ds.map_batches(distinct_days, batch_format="pyarrow")
+            .groupby("day").count().to_pandas())
+    d_us = np.sort(series_ts_us(days["day"]).to_numpy())
+    day_us = 86_400 * US
+    diff = np.diff(d_us)
+    gaps = np.flatnonzero(diff > day_us)
+    return pd.DataFrame({
+        "gap_start": us_to_timestamp_array(d_us[gaps] + day_us),
+        "gap_end": us_to_timestamp_array(d_us[gaps + 1] - day_us),
+        "missing_days": (diff[gaps] // day_us - 1).astype(np.int64),
+    })
+
+
+def twap_value_per_user(sf_dir: str) -> pd.DataFrame:
+    """Time-weighted average (TWAP — each value weighted by how long it
+    was 'current' until the user's next event): one user co-partition,
+    one sort per shard, then exact arithmetic end-to-end — integer-cent
+    x microsecond-duration products sum as arbitrary-precision ints
+    (they overflow int64 at month-long spans; the oracle mirrors with
+    HUGEINT) and the final micro-unit ratio uses the shared half-away
+    division rule. Single-event users have no duration and drop."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        ts_us = series_ts_us(g["ts"]).to_numpy()
+        cents = np.round(g["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        last = np.append(u[1:] != u[:-1], True)
+        dur = np.append(np.diff(ts_us), 0)
+        dur[last] = 0  # no next event -> no holding period
+        prod = cents.astype(object) * dur.astype(object)  # exact big ints
+        f = pd.DataFrame({"user_id": u, "num": prod, "ts_us": ts_us})
+        agg = (f.groupby("user_id", sort=False)
+               .agg(num=("num", "sum"), t_min=("ts_us", "min"),
+                    t_max=("ts_us", "max"), n_events=("ts_us", "size"))
+               .reset_index())
+        return agg
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    out = out[(out["n_events"] >= 2)
+              & (out["t_max"] > out["t_min"])].reset_index(drop=True)
+    den = (out["t_max"] - out["t_min"]).to_numpy().astype(object) * 100
+    out["twap_micro"] = _ppm(out["num"].to_numpy(), den)
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return (out[["user_id", "n_events", "twap_micro"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def session_depth_histogram(sf_dir: str, gap_s: int = 7200) -> pd.DataFrame:
+    """Session-depth distribution (how many sessions contain exactly k
+    events — the engagement-depth histogram over the sessionizer's
+    output): sessions come from the gap rule inside 32 user shards,
+    each shard histograms its own session lengths, and the final reduce
+    carries at most max-depth rows per shard."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap_us = gap_s * US
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        ts_us = series_ts_us(g["ts"]).to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (np.diff(ts_us) > gap_us)
+        start_idx = np.flatnonzero(brk)
+        depth = np.diff(np.append(start_idx, len(g)))
+        v, c = np.unique(depth, return_counts=True)
+        return pd.DataFrame({"depth": v.astype(np.int64),
+                             "n_sessions": c.astype(np.int64)})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby("depth", sort=True)["n_sessions"].sum().reset_index())
+    for c in ("depth", "n_sessions"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def mutual_info_type_hour(sf_dir: str) -> pd.DataFrame:
+    """Mutual-information feature relevance (how much hour-of-day tells
+    about event_type — chi-square's information-theoretic sibling over
+    the same contingency): observed counts reduce to the groups-x-24
+    frame via the identical partial shape as ``chi2_type_hour``, and
+    each type's KL contribution sum((o/n)·ln(o·n/(rt·ct))) computes
+    driver-side from exact integer marginals, rounded to 6."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    _schema = pa.schema([("event_type", pa.string()), ("h", pa.int64()),
+                         ("o", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        h = (np.asarray(column_ts_us(t["ts"])) // HOUR_US) % 24
+        tt = pa.table({"event_type": t["event_type"], "h": pa.array(h)})
+        return (tt.group_by(["event_type", "h"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "h", "o"]).cast(_schema))
+
+    c = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby(["event_type", "h"]).aggregate(Sum("o", alias_name="o"))
+         .to_pandas())
+    pivot = c.pivot_table(index="event_type", columns="h", values="o",
+                          aggfunc="sum", fill_value=0)
+    obs = pivot.to_numpy(np.float64)
+    rt = obs.sum(axis=1, keepdims=True)
+    ct = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        term = np.where(obs > 0,
+                        (obs / n) * np.log(obs * n / (rt * ct)), 0.0)
+    out = pd.DataFrame({"event_type": pivot.index,
+                        "mi_6": np.round(term.sum(axis=1), 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def fuzzy_name_pairs_parts(sf_dir: str, max_dist: int = 3) -> pd.DataFrame:
+    """Blocked similarity self-join (distinct part names within edit
+    distance 1..3 — the fuzzy-key record-linkage step exact dedup
+    can't do): the name DOMAIN reduces distributed first (block-local
+    unique partials + one distinct groupby), then candidate pairs block
+    on |length difference| <= max_dist before the row-vectorized DP
+    kernel scores them — at 100 TB the domain frame re-shards by
+    length bucket and each bucket scores independently; here it is a
+    64-name reduced frame."""
+    ds = _t(sf_dir, "part", ["p_name"])
+
+    def distinct_names(t: pa.Table) -> pa.Table:
+        return (pa.table({"name": t["p_name"]})
+                .group_by("name").aggregate([]))
+
+    names = (ds.map_batches(distinct_names, batch_format="pyarrow")
+             .groupby("name").count().to_pandas()["name"]
+             .sort_values().to_numpy())
+    lens = np.array([len(s) for s in names])
+    rows = []
+    for i, probe in enumerate(names[:-1]):
+        cand_idx = np.flatnonzero(
+            np.abs(lens[i + 1:] - lens[i]) <= max_dist) + i + 1
+        if len(cand_idx) == 0:
+            continue
+        cand = pa.array(names[cand_idx], pa.string())
+        d = np.asarray(_levenshtein_batch(cand, probe))
+        hit = d <= max_dist
+        if hit.any():
+            rows.append(pd.DataFrame({
+                "name_a": probe, "name_b": names[cand_idx[hit]],
+                "dist": d[hit].astype(np.int64)}))
+    out = (pd.concat(rows, ignore_index=True) if rows
+           else pd.DataFrame({"name_a": pd.Series([], dtype=str),
+                              "name_b": pd.Series([], dtype=str),
+                              "dist": pd.Series([], dtype="int64")}))
+    return (out.sort_values(["name_a", "name_b"])
+            .reset_index(drop=True))

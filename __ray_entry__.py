@@ -37,6 +37,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # winsorized robust stats from the distinct-value histogram
+        "winsorized_stats_events": q.winsorized_stats_events,
+        # time-band self-join burst density (range-join family)
+        "neighbor_count_events": q.neighbor_count_events,
+        # relational division: users covering every event type
+        "users_all_event_types": q.users_all_event_types,
+        # U-shaped position-based attribution in exact ppm credits
+        "u_shape_attribution_events": q.u_shape_attribution_events,
+        # group-vs-global distribution benchmark (exact integer CDF)
+        "nation_avg_percentile": q.nation_avg_percentile,
         # calendar gap detection over the distinct-day reduced frame
         "order_date_gaps": q.order_date_gaps,
         # time-weighted average with exact big-int duration products
@@ -316,6 +326,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "winsorized_stats_events": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(cents, 0.05) AS p05,
+                         quantile_disc(cents, 0.95) AS p95
+                  FROM c GROUP BY event_type),
+            a AS (SELECT c.event_type,
+                         sum(CAST(greatest(q.p05, least(q.p95, c.cents))
+                                  AS HUGEINT)) AS s,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         max(q.p05) AS p05, max(q.p95) AS p95
+                  FROM c JOIN q ON c.event_type = q.event_type
+                  GROUP BY c.event_type)
+            SELECT event_type, p05 AS p05_cents, p95 AS p95_cents,
+                   CAST((2 * s * 1000000 + n * 100) // (2 * n * 100)
+                        AS BIGINT) AS wmean_micro
+            FROM a ORDER BY event_type
+        """,
+        "neighbor_count_events": """
+            SELECT a.event_id,
+                   count(b.event_id) AS n_neighbors
+            FROM events a LEFT JOIN events b
+                ON a.user_id = b.user_id AND b.event_id <> a.event_id
+                AND b.ts BETWEEN a.ts - INTERVAL 300 SECOND
+                             AND a.ts + INTERVAL 300 SECOND
+            GROUP BY a.event_id ORDER BY a.event_id
+        """,
+        "users_all_event_types": """
+            WITH t AS (SELECT count(DISTINCT event_type) AS k FROM events),
+            u AS (SELECT user_id, count(DISTINCT event_type) AS k
+                  FROM events GROUP BY user_id)
+            SELECT u.user_id FROM u, t WHERE u.k = t.k ORDER BY user_id
+        """,
+        "u_shape_attribution_events": """
+            WITH p AS (
+                SELECT user_id, ts, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events WHERE event_type = 'purchase'),
+            fp AS (SELECT user_id, ts, event_id FROM p WHERE rn = 1),
+            pre AS (
+                SELECT e.user_id, e.event_type, e.ts, e.event_id
+                FROM events e JOIN fp ON e.user_id = fp.user_id
+                WHERE e.ts < fp.ts
+                   OR (e.ts = fp.ts AND e.event_id < fp.event_id)),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn,
+                         count(*) OVER (PARTITION BY user_id) AS k
+                  FROM pre)
+            SELECT event_type,
+                   CAST(sum(CASE WHEN k = 1 THEN 1000000
+                                 WHEN k = 2 THEN 500000
+                                 WHEN rn = 1 OR rn = k THEN 400000
+                                 ELSE (2 * 200000 + (k - 2))
+                                      // (2 * (k - 2))
+                            END) AS BIGINT) AS credit_ppm
+            FROM r GROUP BY event_type ORDER BY event_type
+        """,
+        "nation_avg_percentile": """
+            WITH oc AS (
+                SELECT o_custkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders),
+            j AS (SELECT n_name, cents
+                  FROM oc JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey),
+            a AS (SELECT n_name, sum(CAST(cents AS HUGEINT)) AS s,
+                         CAST(count(*) AS HUGEINT) AS m
+                  FROM j GROUP BY n_name),
+            g AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM oc),
+            b AS (SELECT a.n_name,
+                         count(*) FILTER (
+                             WHERE CAST(oc.cents AS HUGEINT) * a.m < a.s)
+                             AS below
+                  FROM a, oc GROUP BY a.n_name)
+            SELECT n_name,
+                   CAST((2 * CAST(below AS HUGEINT) * 1000000 + nn)
+                        // (2 * nn) AS BIGINT) AS pct_ppm
+            FROM b, g ORDER BY n_name
+        """,
         "order_date_gaps": """
             WITH d AS (SELECT DISTINCT o_orderdate AS day FROM orders),
             l AS (SELECT day, lead(day) OVER (ORDER BY day) AS nxt FROM d)

@@ -6015,3 +6015,229 @@ def fuzzy_name_pairs_parts(sf_dir: str, max_dist: int = 3) -> pd.DataFrame:
                               "dist": pd.Series([], dtype="int64")}))
     return (out.sort_values(["name_a", "name_b"])
             .reset_index(drop=True))
+
+
+def winsorized_stats_events(sf_dir: str) -> pd.DataFrame:
+    """Winsorized robust statistics (clip each type's values at its own
+    p05/p95, then the clipped mean — the outlier-insensitive location
+    estimate a quality monitor trends): the same distinct-value cents
+    histogram as ``iqr_outliers_events`` feeds inverted-CDF quantiles,
+    and the clipped sum is one vectorized pass over that tiny frame —
+    exact integers end-to-end, half-away micro-unit mean."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    _schema = pa.schema([("event_type", pa.string()),
+                         ("cents", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return (pa.table({"event_type": t["event_type"],
+                          "cents": pa.array(cents)})
+                .group_by(["event_type", "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "cents", "n"])
+                .cast(_schema))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    rows = []
+    for etype, sub in hist.groupby("event_type"):
+        sub = sub.sort_values("cents")
+        vals = sub["cents"].to_numpy(np.int64)
+        cnt = sub["n"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        p05 = int(vals[np.searchsorted(cum, (5 * n + 99) // 100)])
+        p95 = int(vals[np.searchsorted(cum, (95 * n + 99) // 100)])
+        clipped = np.clip(vals, p05, p95).astype(object)
+        s = int((clipped * cnt.astype(object)).sum())
+        rows.append((etype, p05, p95,
+                     int(_ppm(np.array([s], object),
+                              np.array([n * 100], object))[0])))
+    out = pd.DataFrame(rows, columns=["event_type", "p05_cents",
+                                      "p95_cents", "wmean_micro"])
+    for c in ("p05_cents", "p95_cents", "wmean_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def neighbor_count_events(sf_dir: str, band_s: int = 300) -> pd.DataFrame:
+    """Time-band self-join (for every event, how many OTHER events the
+    same user fired within ±5 minutes — the burst-density feature a
+    bot detector reads): the range-join sibling of
+    ``trailing_hour_sum_events`` — one user co-partition and a
+    composite (user-rank · span + ts) key turn both band edges into
+    plain searchsorted calls; no per-user loop, no quadratic join."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    band_us = band_s * US
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        tus = series_ts_us(g["ts"]).to_numpy()
+        chg = np.ones(len(g), dtype=np.int64)
+        chg[1:] = (u[1:] != u[:-1]).astype(np.int64)
+        rank = np.cumsum(chg) - 1
+        base = tus - tus.min()
+        span = base.max() + band_us + 2  # band edges stay inside the user
+        assert (int(rank[-1]) + 1) * int(span) < 2 ** 63, (
+            "user-rank x time-span exceeds int64; shard smaller or "
+            "window the epoch")
+        comp = rank * span + base
+        left = np.searchsorted(comp, comp - band_us, side="left")
+        right = np.searchsorted(comp, comp + band_us, side="right")
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(np.int64),
+                             "n_neighbors": right - left - 1})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def users_all_event_types(sf_dir: str) -> pd.DataFrame:
+    """Relational division (users who performed EVERY event type — the
+    'for all' join SQL expresses with a double NOT EXISTS or a
+    distinct-count equality): distinct (user, type) pairs dedupe
+    block-locally so the shuffle carries pairs not rows, the per-user
+    distinct count reduces once, and the divisor cardinality comes from
+    the same pair frame — nothing materializes beyond the pair
+    domain."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return (pa.table({"user_id": t["user_id"],
+                          "event_type": t["event_type"]})
+                .group_by(["user_id", "event_type"]).aggregate([]))
+
+    pairs = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+             .groupby(["user_id", "event_type"]).count()
+             .to_pandas())
+    k_all = pairs["event_type"].nunique()
+    per_user = pairs.groupby("user_id", sort=True).size()
+    out = per_user[per_user == k_all].index.to_frame(index=False)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def u_shape_attribution_events(sf_dir: str) -> pd.DataFrame:
+    """U-shaped (position-based) marketing attribution: each user's
+    events STRICTLY before their first purchase share one unit of
+    credit — 40/40% to first and last touch, the middle 20% split
+    half-away-evenly — and credit sums per event_type in exact ppm
+    integers. One user co-partition; first-purchase index, prefix
+    masks, ranks and the credit formula are all vectorized (pre-rows
+    are a contiguous prefix of each sorted user group, so rank is
+    plain index arithmetic)."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        idx = np.arange(len(g))
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gid = np.cumsum(new_user) - 1
+        ngroups = int(gid[-1]) + 1 if len(g) else 0
+        big = np.iinfo(np.int64).max
+        fp = np.full(ngroups, big, np.int64)
+        is_p = et == "purchase"
+        np.minimum.at(fp, gid[is_p], idx[is_p])
+        pre = (idx < fp[gid]) & (fp[gid] < big)
+        starts = np.flatnonzero(new_user)
+        rn = idx - starts[gid] + 1
+        k = np.bincount(gid[pre], minlength=ngroups)
+        k_row, rn_row = k[gid[pre]], rn[pre]
+        d = np.maximum(k_row - 2, 1)
+        mid = (2 * 200_000 + d) // (2 * d)
+        credit = np.where(
+            k_row == 1, 1_000_000,
+            np.where(k_row == 2, 500_000,
+                     np.where((rn_row == 1) | (rn_row == k_row),
+                              400_000, mid)))
+        return (pd.DataFrame({"event_type": et[pre], "credit": credit})
+                .groupby("event_type", sort=False)["credit"]
+                .sum().reset_index())
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby("event_type", sort=True)["credit"].sum()
+           .reset_index().rename(columns={"credit": "credit_ppm"}))
+    out["credit_ppm"] = out["credit_ppm"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def nation_avg_percentile(sf_dir: str) -> pd.DataFrame:
+    """Group-vs-global distribution benchmark (where each nation's
+    average order value sits in the GLOBAL order distribution): the
+    global distinct-cents histogram and the per-nation exact (sum,
+    count) moments reduce in parallel, then the strictly-below count
+    compares c·m < s in exact integer arithmetic on the
+    distinct-value frame — no float mean ever exists, so there is no
+    boundary to disagree on."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    dim = dim[["c_custkey", "n_name"]].rename(
+        columns={"c_custkey": "o_custkey"})
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(ds, dim, on="o_custkey", how="inner",
+                            concurrency=8)
+
+    def nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        f = pd.DataFrame({"n_name": df["n_name"], "cents": cents})
+        return (f.groupby("n_name", sort=False)
+                .agg(s=("cents", "sum"), m=("cents", "size"))
+                .reset_index())
+
+    _hschema = pa.schema([("cents", pa.int64()), ("n", pa.int64())])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _hschema.empty_table()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"cents": cents}).group_by("cents")
+                .aggregate([([], "count_all")])
+                .rename_columns(["cents", "n"]).cast(_hschema))
+
+    nations = (joined.map_batches(nation_partial, batch_format="pandas")
+               .to_pandas()
+               .groupby("n_name", sort=True)
+               .agg(s=("s", "sum"), m=("m", "sum")).reset_index())
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("cents").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("cents"))
+    vals = hist["cents"].to_numpy(np.int64).astype(object)
+    cnt = hist["n"].to_numpy(np.int64)
+    n_total = int(cnt.sum())
+    below = [int(cnt[np.asarray(vals * int(m) < int(s),
+                                dtype=bool)].sum())
+             for s, m in zip(nations["s"], nations["m"])]
+    out = pd.DataFrame({
+        "n_name": nations["n_name"],
+        "pct_ppm": _ppm(np.array(below, object),
+                        np.array([n_total] * len(below), object)),
+    })
+    return out.sort_values("n_name").reset_index(drop=True)

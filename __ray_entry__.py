@@ -37,6 +37,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # lag-7 autocorrelation of the reduced daily series
+        "autocorr7_daily_revenue": q.autocorr7_daily_revenue,
+        # changepoint scan: largest prefix/suffix mean shift
+        "level_shift_daily_revenue": q.level_shift_daily_revenue,
+        # funnel latency histogram (first view -> first later purchase)
+        "conversion_latency_events": q.conversion_latency_events,
+        # concentration-curve point: top-1% revenue share, tie-invariant
+        "top1pct_revenue_share": q.top1pct_revenue_share,
         # winsorized robust stats from the distinct-value histogram
         "winsorized_stats_events": q.winsorized_stats_events,
         # time-band self-join burst density (range-join family)
@@ -326,6 +334,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "autocorr7_daily_revenue": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1),
+            p AS (SELECT a.cents AS x, b.cents AS y
+                  FROM d a JOIN d b ON b.day = a.day + INTERVAL 7 DAY),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         sum(CAST(x AS HUGEINT)) AS sx,
+                         sum(CAST(y AS HUGEINT)) AS sy,
+                         sum(CAST(x AS HUGEINT) * x) AS sxx,
+                         sum(CAST(y AS HUGEINT) * y) AS syy,
+                         sum(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM p)
+            SELECT CAST(n AS BIGINT) AS n_pairs,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                       AS acf7_6
+            FROM m
+        """,
+        "level_shift_daily_revenue": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1),
+            s AS (SELECT day,
+                         sum(CAST(cents AS HUGEINT)) OVER (ORDER BY day)
+                             AS pre,
+                         row_number() OVER (ORDER BY day) AS i,
+                         count(*) OVER () AS n,
+                         sum(CAST(cents AS HUGEINT)) OVER () AS tot
+                  FROM d),
+            c AS (SELECT day, abs(pre * (n - i) - (tot - pre) * i) AS num,
+                         CAST(i * (n - i) AS HUGEINT) AS den
+                  FROM s WHERE i >= 7 AND n - i >= 7),
+            r AS (SELECT day, CAST((2 * num * 10000 + den) // (2 * den)
+                                   AS BIGINT) AS shift_micro
+                  FROM c)
+            SELECT day AS split_day, shift_micro
+            FROM r ORDER BY shift_micro DESC, split_day LIMIT 1
+        """,
+        "conversion_latency_events": """
+            WITH v AS (SELECT user_id, min(ts) AS fv FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS fp
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > v.fv
+                  GROUP BY e.user_id),
+            l AS (SELECT epoch_us(p.fp) - epoch_us(v.fv) AS lat
+                  FROM v JOIN p ON v.user_id = p.user_id)
+            SELECT CAST(lat // 3600000000 AS BIGINT) AS bucket_h,
+                   count(*) AS n_users
+            FROM l GROUP BY bucket_h ORDER BY bucket_h
+        """,
+        "top1pct_revenue_share": """
+            WITH oc AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders),
+            h AS (SELECT cents, count(*) AS c FROM oc GROUP BY cents),
+            t AS (SELECT cents, c,
+                         sum(c) OVER (ORDER BY cents DESC) AS cum,
+                         sum(CAST(cents AS HUGEINT) * c)
+                             OVER (ORDER BY cents DESC) AS csum
+                  FROM h),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                         sum(CAST(cents AS HUGEINT)) AS tot
+                  FROM oc),
+            k AS (SELECT (nn + 99) // 100 AS k FROM n),
+            cut AS (SELECT cents, c, cum, csum FROM t, k
+                    WHERE cum >= k.k ORDER BY cents DESC LIMIT 1)
+            SELECT k.k AS k, cut.cents AS cutoff_cents,
+                   CAST((2 * (cut.csum
+                              - CAST(cut.cents AS HUGEINT) * cut.c
+                              + (k.k - (cut.cum - cut.c)) * cut.cents)
+                         * 1000000 + n.tot) // (2 * n.tot) AS BIGINT)
+                       AS share_ppm
+            FROM cut, k, n
+        """,
         "winsorized_stats_events": """
             WITH c AS (
                 SELECT event_type,

@@ -6241,3 +6241,185 @@ def nation_avg_percentile(sf_dir: str) -> pd.DataFrame:
                         np.array([n_total] * len(below), object)),
     })
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def autocorr7_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Weekly-seasonality detector (lag-7 autocorrelation of the daily
+    revenue series): the corpus reduces to integer-cent daily partials
+    first, the (day, day+7) self-pairing joins the OBSERVED days only
+    (calendar holes drop the pair, matching the oracle's equi-join),
+    and Pearson runs once from arbitrary-precision moment sums — the
+    cross-products overflow int64 at year-long spans, so the partials
+    sum as Python ints and the oracle mirrors with HUGEINT."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    _schema = pa.schema([("day", pa.timestamp("us")), ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        day = pc.cast(pc.floor_temporal(
+            pc.cast(t["o_orderdate"], pa.timestamp("us")), unit="day"),
+            pa.timestamp("us"))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"day": day, "cents": cents})
+                .group_by("day").aggregate([("cents", "sum")])
+                .rename_columns(["day", "cents"]).cast(_schema))
+
+    days = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+            .to_pandas())
+    d_us = series_ts_us(days["day"]).to_numpy()
+    order = np.argsort(d_us)
+    d_us, cents = d_us[order], days["cents"].to_numpy(np.int64)[order]
+    week_us = 7 * 86_400 * US
+    j = np.searchsorted(d_us, d_us + week_us)
+    ok = (j < len(d_us)) & (d_us[np.minimum(j, len(d_us) - 1)]
+                            == d_us + week_us)
+    x = cents[ok].astype(object)
+    y = cents[j[ok]].astype(object)
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    sxy = int((x * y).sum())
+    num = float(n * sxy - sx * sy)
+    den = float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    r = num / np.sqrt(den)
+    return pd.DataFrame({"n_pairs": np.array([n], np.int64),
+                         "acf7_6": [round(float(r), 6)]})
+
+
+def level_shift_daily_revenue(sf_dir: str, min_seg: int = 7) -> pd.DataFrame:
+    """Changepoint scan (the split of the daily revenue series with the
+    largest |prefix mean − suffix mean| — a drift alarm over a feed):
+    the series reduces to a days-sized integer frame, both cumulative
+    sums are one vectorized pass, and every candidate split's shift
+    quantizes to exact half-away micro-units BEFORE the argmax so both
+    engines compare identical integers (ties take the earliest day).
+    Segments shorter than ``min_seg`` days are not candidates."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    _schema = pa.schema([("day", pa.timestamp("us")), ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        day = pc.cast(pc.floor_temporal(
+            pc.cast(t["o_orderdate"], pa.timestamp("us")), unit="day"),
+            pa.timestamp("us"))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"day": day, "cents": cents})
+                .group_by("day").aggregate([("cents", "sum")])
+                .rename_columns(["day", "cents"]).cast(_schema))
+
+    days = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+            .to_pandas().sort_values("day").reset_index(drop=True))
+    c = days["cents"].to_numpy(np.int64).astype(object)
+    n = len(c)
+    pre = np.cumsum(c)  # object -> exact
+    tot = int(pre[-1])
+    best = (-1, None)
+    for i in range(min_seg, n - min_seg + 1):
+        a, b = int(pre[i - 1]), tot - int(pre[i - 1])
+        num = abs(a * (n - i) - b * i)
+        den = i * (n - i)
+        micro = (2 * num * 10_000 + den) // (2 * den)
+        if micro > best[0]:
+            best = (micro, i - 1)
+    return pd.DataFrame({
+        "split_day": days["day"].iloc[[best[1]]].reset_index(drop=True),
+        "shift_micro": np.array([best[0]], np.int64),
+    })
+
+
+def conversion_latency_events(sf_dir: str) -> pd.DataFrame:
+    """Funnel latency distribution (hours from each user's first view
+    to their first STRICTLY LATER purchase, as an hour-bucket
+    histogram): one user co-partition; first-view and
+    first-qualifying-purchase reductions are two np.minimum.at passes,
+    the whole-hour bucket is integer division, and the final reduce is
+    bucket-sized."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        u = g["user_id"].to_numpy(np.int64)
+        tus = series_ts_us(g["ts"]).to_numpy()
+        et = g["event_type"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gid = np.cumsum(new_user) - 1
+        ngroups = int(gid[-1]) + 1 if len(g) else 0
+        big = np.iinfo(np.int64).max
+        fv = np.full(ngroups, big, np.int64)
+        isv = et == "view"
+        np.minimum.at(fv, gid[isv], tus[isv])
+        fp = np.full(ngroups, big, np.int64)
+        isp = (et == "purchase") & (tus > fv[gid])
+        np.minimum.at(fp, gid[isp], tus[isp])
+        okg = (fv < big) & (fp < big)
+        lat = fp[okg] - fv[okg]
+        bucket = lat // HOUR_US
+        v, cnt = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({"bucket_h": v.astype(np.int64),
+                             "n_users": cnt.astype(np.int64)})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby("bucket_h", sort=True)["n_users"].sum().reset_index())
+    for c in ("bucket_h", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def top1pct_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Revenue-concentration curve point (share of total revenue held
+    by the top 1% of orders — Gini's headline-number sibling): the
+    distinct-cents histogram reduces once; the top-k sum rewrites
+    order-free over that frame as (everything strictly above the
+    cutoff) + (k − count_above)·cutoff, which is invariant to how ties
+    at the cutoff break — so no row sort and no arbitrary tie choice
+    anywhere; exact integers into the shared half-away ppm."""
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+
+    _schema = pa.schema([("cents", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"cents": cents}).group_by("cents")
+                .aggregate([([], "count_all")])
+                .rename_columns(["cents", "n"]).cast(_schema))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cents").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("cents", ascending=False)
+            .reset_index(drop=True))
+    vals = hist["cents"].to_numpy(np.int64).astype(object)
+    cnt = hist["n"].to_numpy(np.int64).astype(object)
+    cum = np.cumsum(cnt)
+    n_total = int(cum[-1])
+    tot = int((vals * cnt).sum())
+    k = (n_total + 99) // 100
+    i = int(np.searchsorted(cum, k))  # first (largest-cents) row with cum >= k
+    cutoff = int(vals[i])
+    above_cnt = int(cum[i - 1]) if i > 0 else 0
+    above_sum = int((vals[:i] * cnt[:i]).sum())
+    top_sum = above_sum + (k - above_cnt) * cutoff
+    return pd.DataFrame({
+        "k": np.array([k], np.int64),
+        "cutoff_cents": np.array([cutoff], np.int64),
+        "share_ppm": _ppm(np.array([top_sum], object),
+                          np.array([tot], object)),
+    })

@@ -37,6 +37,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # windowed-baseline spike alerting in exact integers
+        "spike_events": q.spike_events,
+        # semi-Markov dwell times per event type
+        "dwell_by_type_events": q.dwell_by_type_events,
+        # join + histogram quantiles of fulfillment lag tails
+        "fulfillment_lag_quantiles": q.fulfillment_lag_quantiles,
         # lag-7 autocorrelation of the reduced daily series
         "autocorr7_daily_revenue": q.autocorr7_daily_revenue,
         # changepoint scan: largest prefix/suffix mean shift
@@ -334,6 +340,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "spike_events": """
+            WITH w AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       sum(CAST(round(value * 100) AS BIGINT)) OVER f AS s,
+                       count(*) OVER f AS n
+                FROM events
+                WINDOW f AS (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 1 DAY PRECEDING
+                             AND CURRENT ROW))
+            SELECT event_id, CAST(n AS BIGINT) AS n_window,
+                   CAST(s AS BIGINT) AS s_cents
+            FROM w WHERE n >= 4 AND cents * (n - 1) > 2 * (s - cents)
+            ORDER BY event_id
+        """,
+        "dwell_by_type_events": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+                FROM events),
+            g AS (SELECT event_type,
+                         epoch_us(nxt) - epoch_us(ts) AS d
+                  FROM o WHERE nxt IS NOT NULL)
+            SELECT event_type, count(*) AS n_gaps,
+                   CAST((2 * sum(CAST(d AS HUGEINT))
+                         + CAST(count(*) AS HUGEINT) * 1000)
+                        // (2 * CAST(count(*) AS HUGEINT) * 1000)
+                        AS BIGINT) AS avg_dwell_ms
+            FROM g GROUP BY event_type ORDER BY event_type
+        """,
+        "fulfillment_lag_quantiles": """
+            WITH fs AS (SELECT l_orderkey AS o_orderkey,
+                               min(l_shipdate) AS fsd
+                        FROM lineitem GROUP BY 1),
+            j AS (SELECT o_orderpriority,
+                         date_diff('day', o_orderdate, fsd) AS days
+                  FROM orders JOIN fs USING (o_orderkey))
+            SELECT o_orderpriority,
+                   CAST(quantile_disc(days, 0.5) AS BIGINT) AS p50_days,
+                   CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90_days
+            FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
         "autocorr7_daily_revenue": """
             WITH d AS (
                 SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,

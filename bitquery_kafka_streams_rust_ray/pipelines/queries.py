@@ -36,6 +36,7 @@ from ..stages.timeops import US, column_ts_us, series_ts_us, us_to_timestamp_arr
 from ..stages.windows import session_window_agg, windowed_agg
 
 HOUR_US = 3600 * US
+DAY_US = 86_400 * US
 
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None,
@@ -6423,3 +6424,148 @@ def top1pct_revenue_share(sf_dir: str) -> pd.DataFrame:
         "share_ppm": _ppm(np.array([top_sum], object),
                           np.array([tot], object)),
     })
+
+
+def spike_events(sf_dir: str) -> pd.DataFrame:
+    """Windowed-baseline spike alerting (events whose value exceeds 2x
+    the mean of the user's OTHER trailing-day events, needing at least
+    3 of them — the threshold-over-moving-baseline rule a streaming
+    monitor fires on): reuses the composite-key searchsorted frame
+    machinery of ``trailing_hour_sum_events`` for BOTH the trailing
+    cent sum and the window count, then the alert compares
+    cents·(n−1) > 2·(s−cents) in exact integers — no float mean, no
+    boundary to disagree on."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        tus = series_ts_us(g["ts"]).to_numpy()
+        c = np.round(g["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        chg = np.ones(len(g), dtype=np.int64)
+        chg[1:] = (u[1:] != u[:-1]).astype(np.int64)
+        rank = np.cumsum(chg) - 1
+        base = tus - tus.min()
+        span = base.max() + DAY_US + 2
+        assert (int(rank[-1]) + 1) * int(span) < 2 ** 63, (
+            "user-rank x time-span exceeds int64; shard smaller or "
+            "window the epoch")
+        comp = rank * span + base
+        left = np.searchsorted(comp, comp - DAY_US, side="left")
+        right = np.searchsorted(comp, comp, side="right")
+        cum = np.cumsum(c)
+        s = cum[right - 1] - np.where(left > 0, cum[left - 1], 0)
+        n = right - left
+        spike = (n >= 4) & (c * (n - 1) > 2 * (s - c))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[spike],
+            "n_window": n[spike].astype(np.int64),
+            "s_cents": s[spike].astype(np.int64)})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def dwell_by_type_events(sf_dir: str) -> pd.DataFrame:
+    """Semi-Markov dwell times (how long users linger on each action —
+    every consecutive gap attributes to the EARLIER event's type,
+    completing ``markov_transitions_events``'s transition probabilities
+    with transition timing): one user co-partition, boundary-masked
+    vectorized diffs, per-type (sum_us, n) partials, and the
+    millisecond average divides exact integers half-away."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        tus = series_ts_us(g["ts"]).to_numpy()
+        et = g["event_type"].to_numpy()
+        has_next = np.append(u[1:] == u[:-1], False)
+        d = np.append(np.diff(tus), 0)[has_next]
+        return (pd.DataFrame({"event_type": et[has_next], "d": d})
+                .groupby("event_type", sort=False)
+                .agg(sum_us=("d", "sum"), n_gaps=("d", "size"))
+                .reset_index())
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby("event_type", sort=True)
+           .agg(sum_us=("sum_us", "sum"), n_gaps=("n_gaps", "sum"))
+           .reset_index())
+    tot = out["sum_us"].to_numpy().astype(object)
+    n = out["n_gaps"].to_numpy().astype(object)
+    out["avg_dwell_ms"] = np.array(
+        [(2 * int(t) + int(m) * 1000) // (2 * int(m) * 1000)
+         for t, m in zip(tot, n)], np.int64)
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return (out[["event_type", "n_gaps", "avg_dwell_ms"]]
+            .reset_index(drop=True))
+
+
+def fulfillment_lag_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Order-to-first-ship lag QUANTILES per priority (p50/p90 tail
+    view of ``fulfillment_lag_by_priority``'s means): the same
+    per-order Min reduce + partitioned hash join, then whole-day lags
+    reduce into a distinct-value histogram per priority and the
+    inverted-CDF rule reads both quantiles off that tiny frame."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"])
+    day_us = 86400 * US
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ship = pa.array(np.asarray(column_ts_us(t["l_shipdate"])))
+        return (pa.table({"o_orderkey": t["l_orderkey"], "ship_us": ship})
+                .group_by("o_orderkey").aggregate([("ship_us", "min")])
+                .rename_columns(["o_orderkey", "ship_us"]))
+
+    first_ship = (li.map_batches(li_partial, batch_format="pyarrow")
+                  .groupby("o_orderkey")
+                  .aggregate(Min("ship_us", alias_name="ship_us")))
+    buckets = join_buckets(_tbytes(sf_dir, "orders", "lineitem"))
+    joined = hash_join(orders, first_ship, on="o_orderkey", how="inner",
+                       buckets=buckets)
+
+    def lag_hist(t: pa.Table) -> pa.Table:
+        od = np.asarray(column_ts_us(t["o_orderdate"])) // day_us
+        sd = t["ship_us"].to_numpy(zero_copy_only=False) // day_us
+        return (pa.table({"o_orderpriority": t["o_orderpriority"],
+                          "days": pa.array(sd - od)})
+                .group_by(["o_orderpriority", "days"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["o_orderpriority", "days", "n"]))
+
+    hist = (joined.map_batches(lag_hist, batch_format="pyarrow")
+            .groupby(["o_orderpriority", "days"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    rows = []
+    for prio, sub in hist.groupby("o_orderpriority"):
+        sub = sub.sort_values("days")
+        vals = sub["days"].to_numpy(np.int64)
+        cum = sub["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        p50 = int(vals[np.searchsorted(cum, (n + 1) // 2)])
+        p90 = int(vals[np.searchsorted(cum, (9 * n + 9) // 10)])
+        rows.append((prio, p50, p90))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "p50_days",
+                                      "p90_days"])
+    for c in ("p50_days", "p90_days"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

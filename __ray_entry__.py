@@ -37,6 +37,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # per-dimension feature stats via in-block positional explode
+        "dim_stats_embeddings": q.dim_stats_embeddings,
+        # LOCF calendar gap fill (ASOF-join semantics)
+        "gapfill_daily_revenue": q.gapfill_daily_revenue,
+        # Mann-Whitney U / Cliff's delta from two histograms
+        "mannwhitney_purchase_view": q.mannwhitney_purchase_view,
         # windowed-baseline spike alerting in exact integers
         "spike_events": q.spike_events,
         # semi-Markov dwell times per event type
@@ -340,6 +346,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dim_stats_embeddings": """
+            WITH e AS (
+                SELECT i, CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                     * 1000000.0 + 0.5) AS BIGINT) AS q
+                FROM embeddings,
+                     LATERAL (SELECT unnest(range(1, len(embedding) + 1))
+                              AS i) t),
+            a AS (SELECT CAST(i AS BIGINT) AS dim,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         sum(CAST(q AS HUGEINT)) AS sq,
+                         sum(CAST(q AS HUGEINT) * q) AS sqq
+                  FROM e GROUP BY i)
+            SELECT dim, CAST(n AS BIGINT) AS n,
+                   round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                         / 1000000.0, 6) AS mean_6,
+                   round(sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                         / CAST(n AS DOUBLE) / 1000000.0, 6) AS std_6
+            FROM a ORDER BY dim
+        """,
+        "gapfill_daily_revenue": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+            cal AS (SELECT unnest(generate_series(lo, hi,
+                                                  INTERVAL 1 DAY)) AS day
+                    FROM b)
+            SELECT cal.day, CAST(d.cents AS DOUBLE) / 100 AS revenue,
+                   CAST(cal.day <> d.day AS BIGINT) AS filled
+            FROM cal ASOF JOIN d ON cal.day >= d.day ORDER BY cal.day
+        """,
+        "mannwhitney_purchase_view": """
+            WITH pv AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                               count(*) AS n
+                        FROM events WHERE event_type = 'purchase'
+                        GROUP BY 1),
+            vw AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                          count(*) AS n
+                   FROM events WHERE event_type = 'view' GROUP BY 1),
+            u AS (SELECT sum(CAST(p.n AS HUGEINT) * v.n *
+                             CASE WHEN p.c > v.c THEN 2
+                                  WHEN p.c = v.c THEN 1
+                                  ELSE 0 END) AS u2
+                  FROM pv p, vw v),
+            m AS (SELECT (SELECT sum(CAST(n AS HUGEINT)) FROM pv) AS n1,
+                         (SELECT sum(CAST(n AS HUGEINT)) FROM vw) AS n2)
+            SELECT CAST(u2 AS BIGINT) AS u2, CAST(n1 AS BIGINT) AS n1,
+                   CAST(n2 AS BIGINT) AS n2,
+                   round(CAST(u2 - n1 * n2 AS DOUBLE)
+                         / CAST(n1 * n2 AS DOUBLE), 6) AS delta_6
+            FROM u, m
+        """,
         "spike_events": """
             WITH w AS (
                 SELECT event_id,

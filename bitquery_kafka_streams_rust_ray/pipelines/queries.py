@@ -6569,3 +6569,134 @@ def fulfillment_lag_quantiles(sf_dir: str) -> pd.DataFrame:
     for c in ("p50_days", "p90_days"):
         out[c] = out[c].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def dim_stats_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension feature statistics over the embedding column (the
+    feature-wise mean/std a normalizer or whitening step needs):
+    positional list explode happens INSIDE each block as one reshape —
+    elements e6-quantize first (the ``embedding_norms`` rule), the
+    per-dim (n, Σq, Σq²) partials are three numpy column sums, and the
+    dims-sized reduce carries 64 rows per block; moments sum as
+    arbitrary-precision ints (HUGEINT in the oracle) and each output is
+    ONE division of exact integers rounded to 6 — no summation-order
+    float noise exists anywhere."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "sq": pd.Series([], dtype=object),
+                                 "sqq": pd.Series([], dtype=object)})
+        m = np.stack(df["embedding"].to_numpy())  # rows x dim
+        q = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        qo = q.astype(object)
+        return pd.DataFrame({
+            "dim": np.arange(1, q.shape[1] + 1, dtype=np.int64),
+            "n": np.full(q.shape[1], q.shape[0], np.int64),
+            "sq": qo.sum(axis=0), "sqq": (qo * qo).sum(axis=0)})
+
+    parts = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+             .groupby("dim", sort=True)
+             .agg(n=("n", "sum"), sq=("sq", "sum"), sqq=("sqq", "sum"))
+             .reset_index())
+    n = parts["n"].to_numpy().astype(object)
+    sq = parts["sq"].to_numpy()
+    sqq = parts["sqq"].to_numpy()
+    mean6 = [round(float(int(s)) / int(m) / 1e6, 6)
+             for s, m in zip(sq, n)]
+    std6 = [round(float(np.sqrt(float(int(m) * int(ss) - int(s) * int(s))))
+                  / int(m) / 1e6, 6)
+            for s, ss, m in zip(sq, sqq, n)]
+    return pd.DataFrame({"dim": parts["dim"].astype("int64"),
+                         "n": parts["n"].astype("int64"),
+                         "mean_6": mean6, "std_6": std6})
+
+
+def gapfill_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """LOCF gap fill (complete the daily revenue series over the full
+    calendar, carrying the last observed value forward — the as-of
+    semantics DuckDB spells ASOF JOIN): the corpus reduces to its
+    days-sized integer frame, the calendar expands and fills with one
+    searchsorted pass on that reduced frame, and a ``filled`` flag
+    marks carried rows."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    _schema = pa.schema([("day", pa.timestamp("us")), ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        day = pc.cast(pc.floor_temporal(
+            pc.cast(t["o_orderdate"], pa.timestamp("us")), unit="day"),
+            pa.timestamp("us"))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"day": day, "cents": cents})
+                .group_by("day").aggregate([("cents", "sum")])
+                .rename_columns(["day", "cents"]).cast(_schema))
+
+    days = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+            .to_pandas().sort_values("day").reset_index(drop=True))
+    d_us = series_ts_us(days["day"]).to_numpy()
+    cents = days["cents"].to_numpy(np.int64)
+    day_us = 86_400 * US
+    cal = np.arange(d_us[0], d_us[-1] + day_us, day_us)
+    src = np.searchsorted(d_us, cal, side="right") - 1
+    filled = d_us[src] != cal
+    return pd.DataFrame({
+        "day": us_to_timestamp_array(cal),
+        "revenue": cents[src].astype(np.float64) / 100.0,
+        "filled": filled.astype(np.int64),
+    })
+
+
+def mannwhitney_purchase_view(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney U / Cliff's delta (nonparametric do-purchases-run-
+    higher-than-views test on event values): both sides reduce to
+    distinct-cents histograms, the rank statistic rewrites exactly over
+    the histogram cross as 2U = Σ n_p·n_v·(2·[p>v] + [p=v]) — integer
+    arithmetic, tie-exact, no row sort — and the effect size is one
+    division of exact integers rounded to 6. The histogram cross is
+    value-domain-sized; at wider domains the merge-scan form (sorted
+    cumulative counts) replaces it without changing the output."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    _schema = pa.schema([("event_type", pa.string()),
+                         ("cents", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"],
+                        value_set=pa.array(["purchase", "view"]))
+        t = t.filter(mask)
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return (pa.table({"event_type": t["event_type"], "cents": cents})
+                .group_by(["event_type", "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "cents", "n"])
+                .cast(_schema))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+    p = hist[hist["event_type"] == "purchase"].sort_values("cents")
+    v = hist[hist["event_type"] == "view"].sort_values("cents")
+    pv, pn = p["cents"].to_numpy(np.int64), p["n"].to_numpy(np.int64)
+    vv, vn = v["cents"].to_numpy(np.int64), v["n"].to_numpy(np.int64)
+    vcum = np.concatenate([[0], np.cumsum(vn)])
+    less = vcum[np.searchsorted(vv, pv, side="left")]
+    upto = vcum[np.searchsorted(vv, pv, side="right")]
+    ties = upto - less
+    u2 = int((pn.astype(object) * (2 * less.astype(object)
+                                   + ties.astype(object))).sum())
+    n1, n2 = int(pn.sum()), int(vn.sum())
+    delta6 = round(float(u2 - n1 * n2) / float(n1 * n2), 6)
+    return pd.DataFrame({"u2": np.array([u2], np.int64),
+                         "n1": np.array([n1], np.int64),
+                         "n2": np.array([n2], np.int64),
+                         "delta_6": [delta6]})

@@ -37,6 +37,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # sliding-window distinct (7-day rolling actives, constant fan-out)
+        "rolling7_active_users": q.rolling7_active_users,
+        # journey mining: most common 5-step entry paths
+        "common_journeys": q.common_journeys,
+        # Fano-factor burstiness with zero hours via the span term
+        "fano_burstiness_types": q.fano_burstiness_types,
         # per-dimension feature stats via in-block positional explode
         "dim_stats_embeddings": q.dim_stats_embeddings,
         # LOCF calendar gap fill (ASOF-join semantics)
@@ -346,6 +352,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rolling7_active_users": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               date_trunc('day', ts)::TIMESTAMP AS day
+                        FROM events),
+            b AS (SELECT max(day) AS hi FROM ud),
+            sel AS (SELECT DISTINCT user_id,
+                           day + INTERVAL (o) DAY AS wday
+                    FROM ud,
+                         LATERAL (SELECT unnest(range(0, 7)) AS o) t)
+            SELECT wday, count(*) AS active7
+            FROM sel, b WHERE wday <= b.hi
+            GROUP BY wday ORDER BY wday
+        """,
+        "common_journeys": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+            p AS (SELECT user_id,
+                         string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM r WHERE rn <= 5 GROUP BY user_id)
+            SELECT path, count(*) AS n_users FROM p GROUP BY path
+            ORDER BY n_users DESC, path LIMIT 20
+        """,
+        "fano_burstiness_types": """
+            WITH c AS (SELECT event_type,
+                              epoch_us(ts) // 3600000000 AS h,
+                              count(*) AS c
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT CAST(max(h) - min(h) + 1 AS HUGEINT) AS hh
+                  FROM c),
+            g AS (SELECT event_type, CAST(sum(c) AS HUGEINT) AS n,
+                         sum(CAST(c AS HUGEINT) * c) AS scc
+                  FROM c GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(CAST(b.hh * g.scc - g.n * g.n AS DOUBLE)
+                         / CAST(g.n * b.hh AS DOUBLE), 6) AS fano_6
+            FROM g, b ORDER BY event_type
+        """,
         "dim_stats_embeddings": """
             WITH e AS (
                 SELECT i, CAST(floor(CAST(embedding[i] AS DOUBLE)

@@ -6700,3 +6700,122 @@ def mannwhitney_purchase_view(sf_dir: str) -> pd.DataFrame:
                          "n1": np.array([n1], np.int64),
                          "n2": np.array([n2], np.int64),
                          "delta_6": [delta6]})
+
+
+def rolling7_active_users(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window distinct count (7-day rolling active users per
+    day — the DAU/WAU family's hard member, since distinct does not
+    decompose over overlapping windows): the corpus reduces to distinct
+    (user, day) pairs first, each pair fans out to the ≤7 window-end
+    days it covers (a CONSTANT fan-out of the pair domain, not of the
+    corpus), a second distinct collapses multi-active users per window,
+    and the final count is days-sized. Window ends clamp to the
+    observed day range."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    day_us = 86_400 * US
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        day = (np.asarray(column_ts_us(t["ts"])) // day_us) * day_us
+        return (pa.table({"user_id": t["user_id"],
+                          "day_us": pa.array(day)})
+                .group_by(["user_id", "day_us"]).aggregate([]))
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["user_id", "day_us"]).count()
+             .select_columns(["user_id", "day_us"]))
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day_us"].to_numpy(zero_copy_only=False)
+        offs = np.arange(7, dtype=np.int64) * day_us
+        return (pa.table({
+            "user_id": pa.array(np.repeat(u, 7)),
+            "wday_us": pa.array((d[:, None] + offs[None, :]).ravel()),
+        }).group_by(["user_id", "wday_us"]).aggregate([]))
+
+    win = (pairs.map_batches(fan_out, batch_format="pyarrow")
+           .groupby(["user_id", "wday_us"]).count()
+           .to_pandas())
+    hi = int((win["wday_us"] - 6 * day_us).max())  # last OBSERVED day
+    out = (win[win["wday_us"] <= hi]
+           .groupby("wday_us", sort=True).size()
+           .reset_index(name="active7"))
+    return pd.DataFrame({
+        "wday": us_to_timestamp_array(out["wday_us"].to_numpy(np.int64)),
+        "active7": out["active7"].astype("int64"),
+    })
+
+
+def common_journeys(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Journey mining (the most common 5-step entry paths across
+    users): the first-k prefix masks out of each sorted user group with
+    pure index arithmetic, paths join per shard and pre-count, and the
+    global reduce carries (path, count) rows only — top-20 by count
+    then path."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gid = np.cumsum(new_user) - 1
+        starts = np.flatnonzero(new_user)
+        rn = np.arange(len(g)) - starts[gid]
+        head = rn < k
+        f = pd.DataFrame({"gid": gid[head],
+                          "et": g["event_type"].to_numpy()[head]})
+        paths = f.groupby("gid", sort=False)["et"].agg(">".join)
+        return (paths.value_counts().rename_axis("path")
+                .reset_index(name="n_users"))
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby("path", sort=True)["n_users"].sum().reset_index())
+    out = out.sort_values(["n_users", "path"],
+                          ascending=[False, True]).head(20)
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def fano_burstiness_types(sf_dir: str) -> pd.DataFrame:
+    """Traffic burstiness (Fano factor var/mean of per-hour event
+    counts, zero hours included — Poisson traffic scores 1, bursty
+    traffic higher): per-(type, hour) counts reduce once, the global
+    hour span H comes from the same frame, and the dispersion
+    (H·Σc² − n²)/(n·H) is ONE division of exact integers rounded to
+    6 — zero-count hours enter through H without materializing."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    _schema = pa.schema([("event_type", pa.string()), ("h", pa.int64()),
+                         ("c", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        h = np.asarray(column_ts_us(t["ts"])) // HOUR_US
+        return (pa.table({"event_type": t["event_type"],
+                          "h": pa.array(h)})
+                .group_by(["event_type", "h"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "h", "c"]).cast(_schema))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "h"]).aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    H = int(hist["h"].max() - hist["h"].min() + 1)
+    g = (hist.assign(cc=lambda d: d["c"].astype(object) ** 2)
+         .groupby("event_type", sort=True)
+         .agg(n=("c", "sum"), scc=("cc", "sum")).reset_index())
+    fano = [round(float(int(H) * int(scc) - int(n) * int(n))
+                  / float(int(n) * int(H)), 6)
+            for n, scc in zip(g["n"], g["scc"])]
+    return pd.DataFrame({"event_type": g["event_type"],
+                         "n": g["n"].astype("int64"),
+                         "fano_6": fano})

@@ -37,6 +37,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # leaderboard rank-delta movers between date halves
+        "rank_movers_parts": q.rank_movers_parts,
+        # time-constrained strict-sequence funnel (CEP, 24 h steps)
+        "timed_funnel_events": q.timed_funnel_events,
+        # k-anonymity audit over quasi-identifier classes
+        "k_anonymity_audit_events": q.k_anonymity_audit_events,
         # sliding-window distinct (7-day rolling actives, constant fan-out)
         "rolling7_active_users": q.rolling7_active_users,
         # journey mining: most common 5-step entry paths
@@ -352,6 +358,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rank_movers_parts": """
+            WITH b AS (
+                SELECT min(epoch_us(l_shipdate)) // 86400000000 AS lo_d,
+                       max(epoch_us(l_shipdate)) // 86400000000 AS hi_d
+                FROM lineitem),
+            s AS (SELECT lo_d + (hi_d - lo_d + 2) // 2 AS split_d FROM b),
+            hc AS (SELECT CASE WHEN epoch_us(l_shipdate) // 86400000000
+                                    >= split_d
+                               THEN 2 ELSE 1 END AS half,
+                          l_partkey,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                   FROM lineitem, s),
+            agg AS (SELECT half, l_partkey, sum(c) AS cents
+                    FROM hc GROUP BY half, l_partkey),
+            r AS (SELECT half, l_partkey,
+                         CAST(row_number() OVER (
+                             PARTITION BY half
+                             ORDER BY cents DESC, l_partkey) AS BIGINT)
+                             AS rank
+                  FROM agg)
+            SELECT a.l_partkey, a.rank AS rank_h1, b2.rank AS rank_h2,
+                   a.rank - b2.rank AS gain
+            FROM r a JOIN r b2 ON a.l_partkey = b2.l_partkey
+                              AND a.half = 1 AND b2.half = 2
+            ORDER BY gain DESC, a.l_partkey LIMIT 10
+        """,
+        "timed_funnel_events": """
+            WITH f1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            f2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN f1 ON e.user_id = f1.user_id
+                   WHERE e.event_type = 'view' AND e.ts > f1.t1
+                     AND e.ts <= f1.t1 + INTERVAL 86400 SECOND
+                   GROUP BY e.user_id),
+            f3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN f2 ON e.user_id = f2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > f2.t2
+                     AND e.ts <= f2.t2 + INTERVAL 86400 SECOND
+                   GROUP BY e.user_id)
+            SELECT (SELECT count(*) FROM f1) AS n_stage1,
+                   (SELECT count(*) FROM f2) AS n_stage2,
+                   (SELECT count(*) FROM f3) AS n_stage3
+        """,
+        "k_anonymity_audit_events": """
+            WITH g AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) % 24 AS h,
+                       (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2, 3)
+            SELECT count(*) AS n_classes,
+                   CAST(min(n) AS BIGINT) AS min_size,
+                   CAST(count(*) FILTER (WHERE n < 5) AS BIGINT)
+                       AS n_below_k
+            FROM g
+        """,
         "rolling7_active_users": """
             WITH ud AS (SELECT DISTINCT user_id,
                                date_trunc('day', ts)::TIMESTAMP AS day

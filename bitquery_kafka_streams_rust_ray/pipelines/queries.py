@@ -6819,3 +6819,150 @@ def fano_burstiness_types(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"event_type": g["event_type"],
                          "n": g["n"].astype("int64"),
                          "fano_6": fano})
+
+
+def rank_movers_parts(sf_dir: str) -> pd.DataFrame:
+    """Rank-delta movers (which parts climbed the revenue leaderboard
+    between the first and second half of the ship-date range): the
+    corpus reduces to per-(half, part) integer-cent partials — the
+    half is pure date arithmetic on a broadcast split point — ranks
+    assign deterministically (revenue desc, key asc) on the parts-sized
+    frame, and the movers report needs parts present in BOTH halves.
+    Top-10 by rank gain then key."""
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_shipdate",
+                                 "l_extendedprice"])
+    day_us = 86_400 * US
+    agg = ds.aggregate(Min("l_shipdate"), Max("l_shipdate"))
+    lo, hi = [pd.Timestamp(v).value // 1000 for v in
+              (agg["min(l_shipdate)"], agg["max(l_shipdate)"])]
+    split_day = (lo // day_us + ((hi - lo) // day_us + 2) // 2)
+    split_us = split_day * day_us
+
+    _schema = pa.schema([("half", pa.int64()), ("l_partkey", pa.int64()),
+                         ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        sd = np.asarray(column_ts_us(t["l_shipdate"]))
+        half = (sd >= split_us).astype(np.int64) + 1
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"half": pa.array(half),
+                          "l_partkey": t["l_partkey"], "cents": cents})
+                .group_by(["half", "l_partkey"])
+                .aggregate([("cents", "sum")])
+                .rename_columns(["half", "l_partkey", "cents"])
+                .cast(_schema))
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["half", "l_partkey"])
+             .aggregate(Sum("cents", alias_name="cents"))
+             .to_pandas())
+
+    def ranked(h: int) -> pd.DataFrame:
+        sub = parts[parts["half"] == h].sort_values(
+            ["cents", "l_partkey"], ascending=[False, True])
+        sub = sub.assign(rank=np.arange(1, len(sub) + 1, dtype=np.int64))
+        return sub[["l_partkey", "rank"]]
+
+    m = ranked(1).merge(ranked(2), on="l_partkey",
+                        suffixes=("_h1", "_h2"))
+    m["gain"] = m["rank_h1"] - m["rank_h2"]
+    m = m.sort_values(["gain", "l_partkey"],
+                      ascending=[False, True]).head(10)
+    for c in ("l_partkey", "rank_h1", "rank_h2", "gain"):
+        m[c] = m[c].astype("int64")
+    return m.reset_index(drop=True)
+
+
+def timed_funnel_events(sf_dir: str, step_s: int = 86_400) -> pd.DataFrame:
+    """Time-constrained strict-sequence funnel (signup → view →
+    purchase, each stage within 24 h of the previous stage's earliest
+    completion — the CEP pattern ``funnel_events`` relaxes): per-user
+    stage times chain through three np.minimum.at reductions inside one
+    user co-partition (stage k+1's candidate set depends on stage k's
+    result, so the chain is sequential but each link is vectorized);
+    the output is one stage-counts row."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    step_us = step_s * US
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        u = g["user_id"].to_numpy(np.int64)
+        tus = series_ts_us(g["ts"]).to_numpy()
+        et = g["event_type"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gid = np.cumsum(new_user) - 1
+        ngroups = int(gid[-1]) + 1 if len(g) else 0
+        big = np.iinfo(np.int64).max
+
+        def stage(name: str, after: np.ndarray) -> np.ndarray:
+            t_k = np.full(ngroups, big, np.int64)
+            # cap: no overflow — `after` is big for unreached users, so
+            # gate on after<big before adding the step window
+            ok = ((et == name) & (after[gid] < big)
+                  & (tus > after[gid])
+                  & (tus <= after[gid] + step_us))
+            np.minimum.at(t_k, gid[ok], tus[ok])
+            return t_k
+
+        f1 = np.full(ngroups, big, np.int64)
+        s1 = et == "signup"
+        np.minimum.at(f1, gid[s1], tus[s1])
+        f2 = stage("view", f1)
+        f3 = stage("purchase", f2)
+        return pd.DataFrame({
+            "n_stage1": [int((f1 < big).sum())],
+            "n_stage2": [int((f2 < big).sum())],
+            "n_stage3": [int((f3 < big).sum())]})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas().sum())
+    return pd.DataFrame({
+        "n_stage1": np.array([out["n_stage1"]], np.int64),
+        "n_stage2": np.array([out["n_stage2"]], np.int64),
+        "n_stage3": np.array([out["n_stage3"]], np.int64)})
+
+
+def k_anonymity_audit_events(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """K-anonymity audit over quasi-identifiers (event_type x
+    hour-of-day x day-of-week — the privacy re-identification check a
+    release pipeline runs): group sizes reduce to the
+    quasi-identifier-domain-sized frame (|types|·24·7 max), then the
+    minimum class size and the count of classes below k read that tiny
+    frame. Locale-free dow via epoch-day arithmetic."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    _schema = pa.schema([("event_type", pa.string()), ("h", pa.int64()),
+                         ("dow", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        tus = np.asarray(column_ts_us(t["ts"]))
+        h = (tus // HOUR_US) % 24
+        dow = (tus // DAY_US + 4) % 7
+        return (pa.table({"event_type": t["event_type"],
+                          "h": pa.array(h), "dow": pa.array(dow)})
+                .group_by(["event_type", "h", "dow"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "h", "dow", "n"])
+                .cast(_schema))
+
+    sizes = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "h", "dow"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    n = sizes["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "n_classes": np.array([len(sizes)], np.int64),
+        "min_size": np.array([int(n.min())], np.int64),
+        "n_below_k": np.array([int((n < k).sum())], np.int64)})

@@ -37,6 +37,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # shuffle-skew forecaster over the SQL-mirrorable Knuth hash
+        "partition_skew_events": q.partition_skew_events,
+        # nested top-k drill-down leaderboard
+        "top_parts_in_top_nations": q.top_parts_in_top_nations,
+        # bi-temporal (order month x ship lag) count matrix
+        "ship_lag_matrix": q.ship_lag_matrix,
         # leaderboard rank-delta movers between date halves
         "rank_movers_parts": q.rank_movers_parts,
         # time-constrained strict-sequence funnel (CEP, 24 h steps)
@@ -358,6 +364,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "partition_skew_events": """
+            WITH p AS (SELECT CAST((user_id * 2654435761) % 4294967296
+                                   % 32 AS BIGINT) AS partition
+                       FROM events),
+            c AS (SELECT partition, count(*) AS n FROM p
+                  GROUP BY partition),
+            t AS (SELECT CAST(sum(n) AS HUGEINT) AS tot FROM c)
+            SELECT partition, n,
+                   CAST((2 * CAST(n AS HUGEINT) * 1000000 + tot)
+                        // (2 * tot) AS BIGINT) AS share_ppm
+            FROM c, t ORDER BY partition
+        """,
+        "top_parts_in_top_nations": """
+            WITH npf AS (
+                SELECT n_name, l_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS cents
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name, l_partkey),
+            nr AS (SELECT n_name, sum(cents) AS ncents FROM npf
+                   GROUP BY n_name),
+            t5 AS (SELECT n_name FROM nr
+                   ORDER BY ncents DESC, n_name LIMIT 5),
+            r AS (SELECT npf.n_name, l_partkey, cents,
+                         CAST(row_number() OVER (
+                             PARTITION BY npf.n_name
+                             ORDER BY cents DESC, l_partkey) AS BIGINT)
+                             AS part_rank
+                  FROM npf JOIN t5 USING (n_name))
+            SELECT n_name, part_rank, l_partkey,
+                   CAST(cents AS DOUBLE) / 100 AS revenue
+            FROM r WHERE part_rank <= 3 ORDER BY n_name, part_rank
+        """,
+        "ship_lag_matrix": """
+            SELECT date_trunc('month', o_orderdate)::TIMESTAMP
+                       AS order_month,
+                   CAST((year(l_shipdate) * 12 + month(l_shipdate))
+                        - (year(o_orderdate) * 12 + month(o_orderdate))
+                        AS BIGINT) AS lag_months,
+                   count(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "rank_movers_parts": """
             WITH b AS (
                 SELECT min(epoch_us(l_shipdate)) // 86400000000 AS lo_d,

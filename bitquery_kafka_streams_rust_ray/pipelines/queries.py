@@ -6966,3 +6966,132 @@ def k_anonymity_audit_events(sf_dir: str, k: int = 5) -> pd.DataFrame:
         "n_classes": np.array([len(sizes)], np.int64),
         "min_size": np.array([int(n.min())], np.int64),
         "n_below_k": np.array([int((n < k).sum())], np.int64)})
+
+
+def partition_skew_events(sf_dir: str, parts: int = 32) -> pd.DataFrame:
+    """Shuffle-skew forecaster (what load each of 32 hash partitions
+    would carry if the corpus shuffled on user_id — the capacity-
+    planning audit run BEFORE committing to a partition key): rows
+    pre-count per (block, partition) with the engine's SQL-mirrorable
+    Knuth multiplicative hash (``stages/hashing.py:
+    multiplicative_hash_u32``), so the reduce carries parts-sized
+    partials; shares ship as exact half-away ppm."""
+    from ..stages.hashing import multiplicative_hash_u32
+
+    ds = _t(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        p = (multiplicative_hash_u32(u) % np.uint64(parts)).astype(np.int64)
+        return (pa.table({"partition": pa.array(p)})
+                .group_by("partition").aggregate([([], "count_all")])
+                .rename_columns(["partition", "n"]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("partition").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("partition").reset_index(drop=True))
+    total = int(out["n"].sum())
+    out["share_ppm"] = _ppm(out["n"].to_numpy(np.int64).astype(object),
+                            np.array([total] * len(out), object))
+    for c in ("partition", "n"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def top_parts_in_top_nations(sf_dir: str) -> pd.DataFrame:
+    """Nested top-k (the top-3 revenue parts WITHIN each of the top-5
+    revenue nations — a drill-down leaderboard): lineitem x orders is
+    the large-large partitioned hash join, the customer->nation chain
+    broadcasts, (nation, part) cent partials fold per block, and both
+    rank levels run on the reduced frame with key-ordered ties."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = (cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+           [["c_custkey", "n_name"]].rename(
+               columns={"c_custkey": "o_custkey"}))
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_nat = broadcast_join(orders, dim, on="o_custkey", how="inner",
+                           concurrency=8).map_batches(
+        lambda t: t.select(["o_orderkey", "n_name"]),
+        batch_format="pyarrow")
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey",
+                                 "l_extendedprice"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_partkey",
+                                    "l_extendedprice"]),
+        batch_format="pyarrow")
+    buckets = join_buckets(_tbytes(sf_dir, "orders", "lineitem"))
+    joined = hash_join(li, o_nat, on="o_orderkey", how="inner",
+                       buckets=buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"n_name": t["n_name"],
+                          "l_partkey": t["l_partkey"], "cents": cents})
+                .group_by(["n_name", "l_partkey"])
+                .aggregate([("cents", "sum")])
+                .rename_columns(["n_name", "l_partkey", "cents"]))
+
+    np_frame = (joined.map_batches(partial, batch_format="pyarrow")
+                .groupby(["n_name", "l_partkey"])
+                .aggregate(Sum("cents", alias_name="cents"))
+                .to_pandas())
+    nat_rev = (np_frame.groupby("n_name", sort=True)["cents"].sum()
+               .reset_index()
+               .sort_values(["cents", "n_name"],
+                            ascending=[False, True]).head(5))
+    top = np_frame[np_frame["n_name"].isin(nat_rev["n_name"])]
+    top = top.sort_values(["n_name", "cents", "l_partkey"],
+                          ascending=[True, False, True])
+    top = top.groupby("n_name", sort=True).head(3).copy()
+    top["part_rank"] = top.groupby("n_name").cumcount() + 1
+    top["revenue"] = top.pop("cents").to_numpy(np.float64) / 100.0
+    top["l_partkey"] = top["l_partkey"].astype("int64")
+    top["part_rank"] = top["part_rank"].astype("int64")
+    return (top[["n_name", "part_rank", "l_partkey", "revenue"]]
+            .reset_index(drop=True))
+
+
+def ship_lag_matrix(sf_dir: str) -> pd.DataFrame:
+    """Bi-temporal lag matrix (orders placed in month M shipping after
+    K whole months — the fulfillment heatmap a logistics dashboard
+    draws): the large-large join reuses the partitioned hash-join
+    shape, calendar months come from Arrow temporal kernels, and the
+    (month x lag)-sized count matrix is the only thing shuffled."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_shipdate"]),
+        batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    buckets = join_buckets(_tbytes(sf_dir, "orders", "lineitem"))
+    joined = hash_join(li, orders, on="o_orderkey", how="inner",
+                       buckets=buckets)
+
+    _schema = pa.schema([("order_month", pa.timestamp("us")),
+                         ("lag_months", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        od = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        sd = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        month = pc.cast(pc.floor_temporal(od, unit="month"),
+                        pa.timestamp("us"))
+        lag = pc.subtract(
+            pc.add(pc.multiply(pc.year(sd), 12), pc.month(sd)),
+            pc.add(pc.multiply(pc.year(od), 12), pc.month(od)))
+        return (pa.table({"order_month": month,
+                          "lag_months": pc.cast(lag, pa.int64())})
+                .group_by(["order_month", "lag_months"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["order_month", "lag_months", "n"])
+                .cast(_schema))
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby(["order_month", "lag_months"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas()
+           .sort_values(["order_month", "lag_months"])
+           .reset_index(drop=True))
+    for c in ("lag_months", "n"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -37,6 +37,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # rolling 7-day MEDIAN (order statistics in a sliding frame)
+        "rolling_median_daily": q.rolling_median_daily,
+        # CDC MERGE apply: upsert + delete feed into a base snapshot
+        "merge_upsert_documents": q.merge_upsert_documents,
         # shuffle-skew forecaster over the SQL-mirrorable Knuth hash
         "partition_skew_events": q.partition_skew_events,
         # nested top-k drill-down leaderboard
@@ -364,6 +368,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rolling_median_daily": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1),
+            r AS (SELECT day,
+                         CAST(median(cents) OVER (ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                             AS DOUBLE) AS med7,
+                         row_number() OVER (ORDER BY day) AS i
+                  FROM d)
+            SELECT day, med7 FROM r WHERE i >= 7 ORDER BY day
+        """,
+        "merge_upsert_documents": """
+            WITH upd AS (SELECT doc_id, text || ' v2' AS new_text
+                         FROM documents WHERE doc_id % 7 = 0),
+            del AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0)
+            SELECT b.doc_id,
+                   CAST(length(coalesce(u.new_text, b.text)) AS BIGINT)
+                       AS n_chars_final,
+                   CAST(u.doc_id IS NOT NULL AS BIGINT) AS changed
+            FROM documents b LEFT JOIN upd u ON b.doc_id = u.doc_id
+            WHERE b.doc_id NOT IN (SELECT doc_id FROM del)
+            ORDER BY b.doc_id
+        """,
         "partition_skew_events": """
             WITH p AS (SELECT CAST((user_id * 2654435761) % 4294967296
                                    % 32 AS BIGINT) AS partition

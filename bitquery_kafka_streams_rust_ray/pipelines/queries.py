@@ -7095,3 +7095,87 @@ def ship_lag_matrix(sf_dir: str) -> pd.DataFrame:
     for c in ("lag_months", "n"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def rolling_median_daily(sf_dir: str, w: int = 7) -> pd.DataFrame:
+    """Rolling MEDIAN over the daily revenue series (order statistics
+    in a sliding frame — algorithmically unlike the rolling mean/std,
+    which decompose into moment sums; the median does not, so each
+    full 7-day window sorts): the corpus reduces to the days-sized
+    integer frame once, then one sliding_window_view + per-window sort
+    runs on that reduced frame. Odd window → the middle element is an
+    exact integer on both engines; only full windows emit."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    _schema = pa.schema([("day", pa.timestamp("us")), ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        day = pc.cast(pc.floor_temporal(
+            pc.cast(t["o_orderdate"], pa.timestamp("us")), unit="day"),
+            pa.timestamp("us"))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"day": day, "cents": cents})
+                .group_by("day").aggregate([("cents", "sum")])
+                .rename_columns(["day", "cents"]).cast(_schema))
+
+    days = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+            .to_pandas().sort_values("day").reset_index(drop=True))
+    c = days["cents"].to_numpy(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(c, w)
+    med = np.sort(win, axis=1)[:, w // 2]
+    return pd.DataFrame({
+        "day": days["day"].iloc[w - 1:].reset_index(drop=True),
+        "med7": med.astype(np.float64),
+    })
+
+
+def merge_upsert_documents(sf_dir: str) -> pd.DataFrame:
+    """CDC MERGE apply (upsert a change feed into a base snapshot with
+    deletes — the Delta/Hudi-style 'MERGE INTO' a lakehouse compaction
+    runs): the deterministic change feed derives from the corpus
+    itself (doc_id%7 rows get a ' v2' text suffix, doc_id%13 rows are
+    deletes), updates apply through a partitioned hash LEFT join —
+    both sides scale with the corpus, no broadcast — and the delete
+    anti-join broadcasts its key set (``semi_join(anti=True)``). Output
+    is the post-merge per-doc length + changed flag."""
+    base = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def mod_mask(col: pa.ChunkedArray, m: int):
+        return pc.equal(
+            pc.subtract(col, pc.multiply(pc.divide(col, m), m)), 0)
+
+    def make_updates(t: pa.Table) -> pa.Table:
+        t = t.filter(mod_mask(t["doc_id"], 7))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "new_text": pc.binary_join_element_wise(t["text"], " v2", "")})
+
+    def make_deletes(t: pa.Table) -> pa.Table:
+        return t.filter(mod_mask(t["doc_id"], 13))
+
+    upd = (_t(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(make_updates, batch_format="pyarrow"))
+    del_keys = (_t(sf_dir, "documents", ["doc_id"])
+                .map_batches(make_deletes, batch_format="pyarrow")
+                .to_pandas()["doc_id"].to_numpy(np.int64))
+    buckets = join_buckets(_tbytes(sf_dir, "documents") * 2)
+    merged = hash_join(base, upd, on="doc_id", how="left",
+                       buckets=buckets)
+    alive = semi_join(merged, list(del_keys), "doc_id", anti=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        new = t["new_text"]
+        final = pc.if_else(pc.is_valid(new), new, t["text"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars_final": pc.cast(pc.utf8_length(final), pa.int64()),
+            "changed": pc.cast(pc.is_valid(new), pa.int64())})
+
+    out = alive.map_batches(finish, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

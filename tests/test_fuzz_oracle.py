@@ -1,0 +1,167 @@
+"""Adversarial-input oracle fuzz for the continuation-session operators.
+
+The driver's correctness gate and `test_queries_oracle` run on the fixed
+testdata tables; this module re-runs the session's new operators against
+their DuckDB oracles on SEEDED-RANDOM tables built to stress the edges
+those fixtures never hit: exact timestamp ties (within and across
+users), single-event users, users whose first event is a purchase,
+all-one-type users, users with every event at the same instant,
+tie-heavy value distributions, and calendar holes. Deterministic: fixed
+seeds, so a pass is stable run to run.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as entrymod
+from test_queries_oracle import normalize, to_df
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+EVENTS_QUERIES = [
+    "max_concurrent_sessions",
+    "state_intervals_events",
+    "twap_value_per_user",
+    "session_depth_histogram",
+    "u_shape_attribution_events",
+    "neighbor_count_events",
+    "spike_events",
+    "dwell_by_type_events",
+    "conversion_latency_events",
+    "timed_funnel_events",
+    "users_all_event_types",
+    "winsorized_stats_events",
+    "fano_burstiness_types",
+    "rolling7_active_users",
+    "common_journeys",
+    "mutual_info_type_hour",
+    "k_anonymity_audit_events",
+    "mannwhitney_purchase_view",
+    "partition_skew_events",
+]
+
+ORDERS_QUERIES = [
+    "order_date_gaps",
+    "autocorr7_daily_revenue",
+    "level_shift_daily_revenue",
+    "gapfill_daily_revenue",
+    "rolling_median_daily",
+    "top1pct_revenue_share",
+    "budget_allocation_nations",
+    "nation_avg_percentile",
+]
+
+SEEDS = [7, 1231]
+
+
+def _write(d: str, name: str, df: pd.DataFrame) -> None:
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, f"{name}.parquet"))
+
+
+def make_events(d: str, seed: int) -> None:
+    rng = np.random.default_rng(seed)
+    n = 3000
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    span = 45 * 86_400 * 1_000_000
+    ts = base + rng.integers(0, span, n)
+    # 30% snap to whole minutes -> cross-user exact ties
+    snap = rng.random(n) < 0.3
+    ts[snap] -= ts[snap] % 60_000_000
+    user = rng.integers(1, 61, n)
+    # adversarial users: 55 = one event; 56 = all purchases; 57 = one
+    # type only; 58 = every event at the same instant
+    user[user == 55] = rng.integers(1, 50, (user == 55).sum())
+    idx = rng.choice(n, 40, replace=False)
+    user[idx[:1]] = 55
+    user[idx[1:12]] = 56
+    user[idx[12:26]] = 57
+    user[idx[26:]] = 58
+    et = rng.choice(EVENT_TYPES, n)
+    et[user == 56] = "purchase"
+    et[user == 57] = "click"
+    ts[user == 58] = base + 7_777_000_123
+    # tie-heavy values: half the rows draw from 12 distinct cents
+    value = np.round(rng.uniform(0.01, 400.0, n), 2)
+    tied = rng.random(n) < 0.5
+    value[tied] = rng.choice(
+        np.round(np.linspace(0.5, 300.0, 12), 2), tied.sum())
+    _write(d, "events", pd.DataFrame({
+        "event_id": np.arange(1, n + 1, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]"),
+        "user_id": user.astype(np.int64),
+        "event_type": et,
+        "value": value,
+        "props": ['{"k": 1}'] * n,
+    }))
+
+
+def make_orders(d: str, seed: int) -> None:
+    rng = np.random.default_rng(seed + 99)
+    n = 2500
+    base_day = pd.Timestamp("2023-01-01").value // 1000
+    # 80 candidate days, some never drawn -> calendar holes
+    days = np.sort(rng.choice(80, 60, replace=False))
+    od = base_day + rng.choice(days, n) * 86_400 * 1_000_000
+    price = np.round(rng.uniform(10.0, 40_000.0, n), 2)
+    tied = rng.random(n) < 0.3
+    price[tied] = rng.choice(
+        np.round(np.linspace(100.0, 9_000.0, 15), 2), tied.sum())
+    _write(d, "orders", pd.DataFrame({
+        "o_orderkey": np.arange(1, n + 1, dtype=np.int64),
+        "o_custkey": rng.integers(1, 51, n).astype(np.int64),
+        "o_orderstatus": rng.choice(["O", "F", "P"], n),
+        "o_totalprice": price,
+        "o_orderdate": pd.to_datetime(od, unit="us").astype(
+            "datetime64[us]"),
+        "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], n),
+    }))
+    _write(d, "customer", pd.DataFrame({
+        "c_custkey": np.arange(1, 51, dtype=np.int64),
+        "c_nationkey": rng.integers(0, 10, 50).astype(np.int64),
+    }))
+    _write(d, "nation", pd.DataFrame({
+        "n_nationkey": np.arange(10, dtype=np.int64),
+        "n_name": [f"NATION_{i:02d}" for i in range(10)],
+        "n_regionkey": (np.arange(10) % 3).astype(np.int64),
+    }))
+    _write(d, "region", pd.DataFrame({
+        "r_regionkey": np.arange(3, dtype=np.int64),
+        "r_name": [f"REGION_{i}" for i in range(3)],
+    }))
+
+
+@pytest.fixture(scope="module", params=SEEDS)
+def fuzz_dir(request, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp(f"fuzz_{request.param}"))
+    make_events(d, request.param)
+    make_orders(d, request.param)
+    return d
+
+
+@pytest.fixture(scope="module")
+def fuzz_con(fuzz_dir):
+    con = duckdb.connect()
+    for t in ("events", "orders", "customer", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{os.path.join(fuzz_dir, t)}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", EVENTS_QUERIES + ORDERS_QUERIES)
+def test_fuzz_matches_oracle(name, fuzz_dir, fuzz_con):
+    got = normalize(to_df(entrymod.queries()[name](fuzz_dir)))
+    want = normalize(fuzz_con.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), f"{name} columns"
+    assert len(got) == len(want), (
+        f"{name} rows: {len(got)} vs {len(want)}")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name,
+                                  check_exact=True)

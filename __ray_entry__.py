@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # star-schema denormalization + distributed XOR reconciliation
+        "denormalized_star_checksum": q.denormalized_star_checksum,
         # rolling 7-day MEDIAN (order statistics in a sliding frame)
         "rolling_median_daily": q.rolling_median_daily,
         # CDC MERGE apply: upsert + delete feed into a base snapshot
@@ -368,6 +370,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "denormalized_star_checksum": """
+            WITH wide AS (
+                SELECT r_name,
+                       l_orderkey * 8 + l_linenumber AS lid,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS rev,
+                       CAST(round(p_retailprice * 100) AS BIGINT)
+                           AS retail,
+                       CAST(round(s_acctbal * 100) AS BIGINT) AS sbal
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey)
+            SELECT r_name, count(*) AS n_rows,
+                   bit_xor(lid) AS line_xor,
+                   CAST(sum(rev) AS BIGINT) AS rev_cents,
+                   CAST(sum(retail) AS BIGINT) AS retail_cents,
+                   CAST(sum(sbal) AS BIGINT) AS sbal_cents
+            FROM wide GROUP BY r_name ORDER BY r_name
+        """,
         "rolling_median_daily": """
             WITH d AS (
                 SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,

@@ -7179,3 +7179,91 @@ def merge_upsert_documents(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def denormalized_star_checksum(sf_dir: str) -> pd.DataFrame:
+    """Star-schema denormalization audit (build the fully-joined wide
+    line table — lineitem x orders x customer x nation x region x part
+    x supplier — and certify it with per-region reconciliation
+    checksums, the ETL acceptance test a warehouse migration runs):
+    the ONE large-large edge (lineitem x orders) goes through the
+    partitioned hash join; every dimension chain broadcasts (customer
+    -> nation -> region collapses to one custkey map, part and supplier
+    ship as key->cents dicts); a composite line id (orderkey·8 +
+    linenumber) XOR-folds DISTRIBUTED via the custom AggregateFn, so
+    the driver sees only the regions-sized frame."""
+    from ray.data.aggregate import AggregateFn
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _t(sf_dir, "region").to_pandas()
+    dim = (cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+           .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+           [["c_custkey", "r_name"]].rename(
+               columns={"c_custkey": "o_custkey"}))
+    part = _t(sf_dir, "part", ["p_partkey", "p_retailprice"]).to_pandas()
+    part_cents = dict(zip(
+        part["p_partkey"].to_numpy(np.int64),
+        np.round(part["p_retailprice"].to_numpy(np.float64)
+                 * 100.0).astype(np.int64)))
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    supp_cents = dict(zip(
+        supp["s_suppkey"].to_numpy(np.int64),
+        np.round(supp["s_acctbal"].to_numpy(np.float64)
+                 * 100.0).astype(np.int64)))
+    part_ref, supp_ref = ray.put(part_cents), ray.put(supp_cents)
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_partkey", "l_suppkey",
+                                 "l_extendedprice"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_linenumber",
+                                    "l_partkey", "l_suppkey",
+                                    "l_extendedprice"]),
+        batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    buckets = join_buckets(_tbytes(sf_dir, "orders", "lineitem"))
+    joined = hash_join(li, orders, on="o_orderkey", how="inner",
+                       buckets=buckets)
+    wide = broadcast_join(joined, dim, on="o_custkey", how="inner",
+                          concurrency=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pc_map, sc_map = ray.get(part_ref), ray.get(supp_ref)
+        line_id = (df["o_orderkey"].to_numpy(np.int64) * 8
+                   + df["l_linenumber"].to_numpy(np.int64))
+        rev = np.round(df["l_extendedprice"].to_numpy(np.float64)
+                       * 100.0).astype(np.int64)
+        retail = (pd.Series(df["l_partkey"].to_numpy(np.int64))
+                  .map(pc_map).to_numpy(np.int64))
+        sbal = (pd.Series(df["l_suppkey"].to_numpy(np.int64))
+                .map(sc_map).to_numpy(np.int64))
+        g = pd.DataFrame({"r_name": df["r_name"], "lid": line_id,
+                          "rev": rev, "retail": retail, "sbal": sbal})
+        return (g.groupby("r_name", sort=False)
+                .agg(n=("lid", "size"),
+                     xor=("lid", lambda s: np.bitwise_xor.reduce(
+                         s.to_numpy(np.int64))),
+                     rev=("rev", "sum"), retail=("retail", "sum"),
+                     sbal=("sbal", "sum"))
+                .reset_index())
+
+    def _xor_block(a: int, blk) -> int:
+        v = (blk["xor"].to_numpy(np.int64) if isinstance(blk, pd.DataFrame)
+             else blk["xor"].to_numpy(zero_copy_only=False))
+        return a ^ int(np.bitwise_xor.reduce(v))
+
+    xor_fold = AggregateFn(init=lambda k: 0, merge=lambda a, b: a ^ b,
+                           accumulate_block=_xor_block, name="line_xor")
+    out = (wide.map_batches(partial, batch_format="pandas")
+           .groupby("r_name")
+           .aggregate(xor_fold, Sum("n", alias_name="n_rows"),
+                      Sum("rev", alias_name="rev_cents"),
+                      Sum("retail", alias_name="retail_cents"),
+                      Sum("sbal", alias_name="sbal_cents"))
+           .to_pandas())
+    for c in ("line_xor", "n_rows", "rev_cents", "retail_cents",
+              "sbal_cents"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("r_name").reset_index(drop=True)
+            [["r_name", "n_rows", "line_xor", "rev_cents",
+              "retail_cents", "sbal_cents"]])

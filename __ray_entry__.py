@@ -573,10 +573,11 @@ def oracle_sql() -> dict[str, str]:
                          sum(CAST(q AS HUGEINT) * q) AS sqq
                   FROM e GROUP BY i)
             SELECT dim, CAST(n AS BIGINT) AS n,
-                   round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
-                         / 1000000.0, 6) AS mean_6,
-                   round(sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
-                         / CAST(n AS DOUBLE) / 1000000.0, 6) AS std_6
+                   CAST(floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                              + 0.5) AS BIGINT) AS mean_q,
+                   CAST(floor(sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                              / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+                       AS std_q
             FROM a ORDER BY dim
         """,
         "gapfill_daily_revenue": """

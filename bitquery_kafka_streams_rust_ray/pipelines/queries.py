@@ -6579,8 +6579,10 @@ def dim_stats_embeddings(sf_dir: str) -> pd.DataFrame:
     per-dim (n, Σq, Σq²) partials are three numpy column sums, and the
     dims-sized reduce carries 64 rows per block; moments sum as
     arbitrary-precision ints (HUGEINT in the oracle) and each output is
-    ONE division of exact integers rounded to 6 — no summation-order
-    float noise exists anywhere."""
+    ONE identical float expression over exact integers, floored to a
+    micro-unit int (a round-to-6 output sat ON .5e-6 boundaries when
+    n divides the sum evenly — caught by the fuzz harness — so the
+    boundary rule is now the shared floor(x + 0.5))."""
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -6604,14 +6606,15 @@ def dim_stats_embeddings(sf_dir: str) -> pd.DataFrame:
     n = parts["n"].to_numpy().astype(object)
     sq = parts["sq"].to_numpy()
     sqq = parts["sqq"].to_numpy()
-    mean6 = [round(float(int(s)) / int(m) / 1e6, 6)
-             for s, m in zip(sq, n)]
-    std6 = [round(float(np.sqrt(float(int(m) * int(ss) - int(s) * int(s))))
-                  / int(m) / 1e6, 6)
-            for s, ss, m in zip(sq, sqq, n)]
+    mean_q = [int(np.floor(float(int(s)) / int(m) + 0.5))
+              for s, m in zip(sq, n)]
+    std_q = [int(np.floor(
+        float(np.sqrt(float(int(m) * int(ss) - int(s) * int(s))))
+        / int(m) + 0.5)) for s, ss, m in zip(sq, sqq, n)]
     return pd.DataFrame({"dim": parts["dim"].astype("int64"),
                          "n": parts["n"].astype("int64"),
-                         "mean_6": mean6, "std_6": std6})
+                         "mean_q": np.array(mean_q, np.int64),
+                         "std_q": np.array(std_q, np.int64)})
 
 
 def gapfill_daily_revenue(sf_dir: str) -> pd.DataFrame:

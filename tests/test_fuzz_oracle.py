@@ -59,6 +59,19 @@ ORDERS_QUERIES = [
     "nation_avg_percentile",
 ]
 
+STAR_QUERIES = [
+    "triangle_count_copurchase",
+    "unpivot_lineitem",
+    "fulfillment_lag_quantiles",
+    "rank_movers_parts",
+    "ship_lag_matrix",
+    "top_parts_in_top_nations",
+    "denormalized_star_checksum",
+    "fuzzy_name_pairs_parts",
+    "merge_upsert_documents",
+    "dim_stats_embeddings",
+]
+
 SEEDS = [7, 1231]
 
 
@@ -139,24 +152,94 @@ def make_orders(d: str, seed: int) -> None:
     }))
 
 
+def make_star(d: str, seed: int) -> None:
+    rng = np.random.default_rng(seed + 777)
+    orders = pd.read_parquet(os.path.join(d, "orders.parquet"))
+    # lineitem: 1-5 lines per order, small part domain so the
+    # co-purchase graph has triangles
+    k = rng.integers(1, 6, len(orders))
+    okey = np.repeat(orders["o_orderkey"].to_numpy(np.int64), k)
+    odate = np.repeat(
+        orders["o_orderdate"].astype("datetime64[us]").to_numpy()
+        .astype("int64"), k)
+    n = len(okey)
+    lnum = np.concatenate([np.arange(1, c + 1) for c in k])
+    ship = odate + rng.integers(0, 90, n) * 86_400 * 1_000_000
+    _write(d, "lineitem", pd.DataFrame({
+        "l_orderkey": okey,
+        "l_partkey": rng.integers(1, 81, n).astype(np.int64),
+        "l_suppkey": rng.integers(1, 31, n).astype(np.int64),
+        "l_linenumber": lnum.astype(np.int64),
+        "l_quantity": rng.integers(1, 50, n).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(100.0, 90_000.0, n), 2),
+        "l_discount": np.round(rng.uniform(0.0, 0.1, n), 2),
+        "l_tax": np.round(rng.uniform(0.0, 0.08, n), 2),
+        "l_returnflag": rng.choice(["A", "N", "R"], n),
+        "l_linestatus": rng.choice(["O", "F"], n),
+        "l_shipdate": pd.to_datetime(ship, unit="us").astype(
+            "datetime64[us]"),
+    }))
+    # part names from a small vocab with near-collisions for the
+    # fuzzy join
+    adjs = ["red", "blue", "green", "hot", "cold", "big"]
+    nouns = ["gear", "gears", "bolt", "bolts", "ring", "widget"]
+    names = [f"{a} {b}" for a in adjs for b in nouns]
+    _write(d, "part", pd.DataFrame({
+        "p_partkey": np.arange(1, 81, dtype=np.int64),
+        "p_name": rng.choice(names, 80),
+        "p_brand": rng.choice(["B1", "B2"], 80),
+        "p_type": rng.choice(["t1", "t2", "t3"], 80),
+        "p_size": rng.integers(1, 50, 80).astype(np.int64),
+        "p_retailprice": np.round(rng.uniform(900.0, 2_000.0, 80), 2),
+    }))
+    _write(d, "supplier", pd.DataFrame({
+        "s_suppkey": np.arange(1, 31, dtype=np.int64),
+        "s_name": [f"S{i:03d}" for i in range(1, 31)],
+        "s_nationkey": rng.integers(0, 10, 30).astype(np.int64),
+        "s_acctbal": np.round(rng.uniform(-999.0, 9_999.0, 30), 2),
+    }))
+    nd = 400
+    words = ["alpha", "beta", "gamma", "delta", "omega", "zeta"]
+    texts = [" ".join(rng.choice(words, rng.integers(3, 30)))
+             for _ in range(nd)]
+    _write(d, "documents", pd.DataFrame({
+        "doc_id": np.arange(1, nd + 1, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(["en", "de", "fr"], nd),
+        "source": rng.choice(["web", "wiki"], nd),
+        "n_chars": np.array([len(t) for t in texts], np.int64),
+    }))
+    dim = 16
+    vecs = np.round(rng.normal(0, 1, (200, dim)), 4).astype(np.float32)
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(1, 201, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 4, 200).astype(np.int32)),
+    })
+    pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
+
+
 @pytest.fixture(scope="module", params=SEEDS)
 def fuzz_dir(request, tmp_path_factory):
     d = str(tmp_path_factory.mktemp(f"fuzz_{request.param}"))
     make_events(d, request.param)
     make_orders(d, request.param)
+    make_star(d, request.param)
     return d
 
 
 @pytest.fixture(scope="module")
 def fuzz_con(fuzz_dir):
     con = duckdb.connect()
-    for t in ("events", "orders", "customer", "nation", "region"):
+    for t in ("events", "orders", "customer", "nation", "region",
+              "lineitem", "part", "supplier", "documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{os.path.join(fuzz_dir, t)}.parquet'")
     return con
 
 
-@pytest.mark.parametrize("name", EVENTS_QUERIES + ORDERS_QUERIES)
+@pytest.mark.parametrize("name",
+                         EVENTS_QUERIES + ORDERS_QUERIES + STAR_QUERIES)
 def test_fuzz_matches_oracle(name, fuzz_dir, fuzz_con):
     got = normalize(to_df(entrymod.queries()[name](fuzz_dir)))
     want = normalize(fuzz_con.execute(entrymod.oracle_sql()[name]).df())

@@ -556,8 +556,9 @@ def oracle_sql() -> dict[str, str]:
                          sum(CAST(c AS HUGEINT) * c) AS scc
                   FROM c GROUP BY event_type)
             SELECT event_type, CAST(n AS BIGINT) AS n,
-                   round(CAST(b.hh * g.scc - g.n * g.n AS DOUBLE)
-                         / CAST(g.n * b.hh AS DOUBLE), 6) AS fano_6
+                   CAST((2 * (b.hh * g.scc - g.n * g.n) * 1000000
+                         + g.n * b.hh) // (2 * g.n * b.hh) AS BIGINT)
+                       AS fano_ppm
             FROM g, b ORDER BY event_type
         """,
         "dim_stats_embeddings": """
@@ -611,8 +612,14 @@ def oracle_sql() -> dict[str, str]:
                          (SELECT sum(CAST(n AS HUGEINT)) FROM vw) AS n2)
             SELECT CAST(u2 AS BIGINT) AS u2, CAST(n1 AS BIGINT) AS n1,
                    CAST(n2 AS BIGINT) AS n2,
-                   round(CAST(u2 - n1 * n2 AS DOUBLE)
-                         / CAST(n1 * n2 AS DOUBLE), 6) AS delta_6
+                   CASE WHEN u2 < n1 * n2
+                        THEN -CAST((2 * (n1 * n2 - u2) * 1000000
+                                    + n1 * n2) // (2 * n1 * n2)
+                                   AS BIGINT)
+                        ELSE CAST((2 * (u2 - n1 * n2) * 1000000
+                                   + n1 * n2) // (2 * n1 * n2)
+                                  AS BIGINT)
+                   END AS delta_ppm
             FROM u, m
         """,
         "spike_events": """

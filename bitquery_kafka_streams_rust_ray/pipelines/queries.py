@@ -6661,8 +6661,9 @@ def mannwhitney_purchase_view(sf_dir: str) -> pd.DataFrame:
     higher-than-views test on event values): both sides reduce to
     distinct-cents histograms, the rank statistic rewrites exactly over
     the histogram cross as 2U = Σ n_p·n_v·(2·[p>v] + [p=v]) — integer
-    arithmetic, tie-exact, no row sort — and the effect size is one
-    division of exact integers rounded to 6. The histogram cross is
+    arithmetic, tie-exact, no row sort — and the effect size ships as
+    exact half-away ppm (a rational round-6 double can sit ON a .5e-6
+    boundary; same hardening as ``dim_stats_embeddings``). The histogram cross is
     value-domain-sized; at wider domains the merge-scan form (sorted
     cumulative counts) replaces it without changing the output."""
     ds = _t(sf_dir, "events", ["event_type", "value"])
@@ -6698,11 +6699,12 @@ def mannwhitney_purchase_view(sf_dir: str) -> pd.DataFrame:
     u2 = int((pn.astype(object) * (2 * less.astype(object)
                                    + ties.astype(object))).sum())
     n1, n2 = int(pn.sum()), int(vn.sum())
-    delta6 = round(float(u2 - n1 * n2) / float(n1 * n2), 6)
+    delta_ppm = int(_ppm(np.array([u2 - n1 * n2], object),
+                         np.array([n1 * n2], object))[0])
     return pd.DataFrame({"u2": np.array([u2], np.int64),
                          "n1": np.array([n1], np.int64),
                          "n2": np.array([n2], np.int64),
-                         "delta_6": [delta6]})
+                         "delta_ppm": np.array([delta_ppm], np.int64)})
 
 
 def rolling7_active_users(sf_dir: str) -> pd.DataFrame:
@@ -6792,8 +6794,8 @@ def fano_burstiness_types(sf_dir: str) -> pd.DataFrame:
     counts, zero hours included — Poisson traffic scores 1, bursty
     traffic higher): per-(type, hour) counts reduce once, the global
     hour span H comes from the same frame, and the dispersion
-    (H·Σc² − n²)/(n·H) is ONE division of exact integers rounded to
-    6 — zero-count hours enter through H without materializing."""
+    (H·Σc² − n²)/(n·H) ships as exact half-away ppm — zero-count
+    hours enter through H without materializing."""
     ds = _t(sf_dir, "events", ["event_type", "ts"])
 
     _schema = pa.schema([("event_type", pa.string()), ("h", pa.int64()),
@@ -6816,12 +6818,13 @@ def fano_burstiness_types(sf_dir: str) -> pd.DataFrame:
     g = (hist.assign(cc=lambda d: d["c"].astype(object) ** 2)
          .groupby("event_type", sort=True)
          .agg(n=("c", "sum"), scc=("cc", "sum")).reset_index())
-    fano = [round(float(int(H) * int(scc) - int(n) * int(n))
-                  / float(int(n) * int(H)), 6)
-            for n, scc in zip(g["n"], g["scc"])]
+    fano = _ppm(
+        np.array([int(H) * int(scc) - int(n) * int(n)
+                  for n, scc in zip(g["n"], g["scc"])], object),
+        np.array([int(n) * int(H) for n in g["n"]], object))
     return pd.DataFrame({"event_type": g["event_type"],
                          "n": g["n"].astype("int64"),
-                         "fano_6": fano})
+                         "fano_ppm": fano})
 
 
 def rank_movers_parts(sf_dir: str) -> pd.DataFrame:

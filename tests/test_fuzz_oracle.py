@@ -59,6 +59,61 @@ ORDERS_QUERIES = [
     "nation_avg_percentile",
 ]
 
+# pre-session catalog entries over the same tables — regression net
+LEGACY_QUERIES = [
+    "zscore_events",
+    "moving_sum_events",
+    "trailing_hour_sum_events",
+    "percentiles_events",
+    "quantile_cont_events",
+    "iqr_outliers_events",
+    "value_histogram_events",
+    "median_value_by_type",
+    "mad_value_by_type",
+    "distinct_users",
+    "tumbling_events",
+    "sliding_events",
+    "session_events",
+    "sessionize_events",
+    "running_events",
+    "first_event_per_user",
+    "windowed_dedup_events",
+    "event_trigrams",
+    "markov_transitions_events",
+    "cooccurrence_pairs_events",
+    "basket_lift_events",
+    "audience_jaccard_types",
+    "lead_lag_events",
+    "argmax_event_per_type",
+    "mode_event_type_per_user",
+    "corr_value_hour_by_type",
+    "welch_ttest_events",
+    "spearman_value_hour_by_type",
+    "chi2_type_hour",
+    "geomean_value_by_type",
+    "linreg_value_hour_by_type",
+    "funnel_events",
+    "abandoned_views",
+    "window_distinct_users",
+    "cumulative_new_users",
+    "stratified_sample_events",
+    "exact_sample_events",
+    "mom_revenue_growth",
+    "revenue_drawdown",
+    "order_quarters",
+    "dow_orders",
+    "topk_orders",
+    "dense_rank_orders",
+    "cume_dist_orders",
+    "percent_rank_orders",
+    "above_avg_orders",
+    "cube_orders",
+    "orders_interarrival",
+    "benford_totalprice",
+    "gini_totalprice",
+    "keyset_checksum_monthly",
+]
+
 STAR_QUERIES = [
     "triangle_count_copurchase",
     "unpivot_lineitem",
@@ -239,7 +294,8 @@ def fuzz_con(fuzz_dir):
 
 
 @pytest.mark.parametrize("name",
-                         EVENTS_QUERIES + ORDERS_QUERIES + STAR_QUERIES)
+                         EVENTS_QUERIES + ORDERS_QUERIES + STAR_QUERIES
+                         + LEGACY_QUERIES)
 def test_fuzz_matches_oracle(name, fuzz_dir, fuzz_con):
     got = normalize(to_df(entrymod.queries()[name](fuzz_dir)))
     want = normalize(fuzz_con.execute(entrymod.oracle_sql()[name]).df())

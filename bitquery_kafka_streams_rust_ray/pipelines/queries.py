@@ -7007,54 +7007,64 @@ def partition_skew_events(sf_dir: str, parts: int = 32) -> pd.DataFrame:
 def top_parts_in_top_nations(sf_dir: str) -> pd.DataFrame:
     """Nested top-k (the top-3 revenue parts WITHIN each of the top-5
     revenue nations — a drill-down leaderboard): lineitem x orders is
-    the large-large partitioned hash join, the customer->nation chain
-    broadcasts, (nation, part) cent partials fold per block, and both
-    rank levels run on the reduced frame with key-ordered ties."""
+    the large-large partitioned hash join (integer keys only), the
+    customer->nationkey map broadcasts, and the reduce co-partitions
+    by NATION (25 groups) rather than by (nation, part) — a groupby
+    over the ~rows-sized (nation, part) domain cost 21-24 s at sf0.1
+    because the group count, not the key dtype, priced the shuffle;
+    each nation task owns every row of its nation, so the per-part
+    sums, the nation total and the top-3 selection all finish inside
+    the group task and only (25 x 3)-sized results reach the driver.
+    Both rank levels keep key-ordered ties."""
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    dim = (cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
-           [["c_custkey", "n_name"]].rename(
-               columns={"c_custkey": "o_custkey"}))
+    dim = cust[["c_custkey", "c_nationkey"]].rename(
+        columns={"c_custkey": "o_custkey"})
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    o_nat = broadcast_join(orders, dim, on="o_custkey", how="inner",
-                           concurrency=8).map_batches(
-        lambda t: t.select(["o_orderkey", "n_name"]),
-        batch_format="pyarrow")
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey",
                                  "l_extendedprice"]).map_batches(
         lambda t: t.rename_columns(["o_orderkey", "l_partkey",
                                     "l_extendedprice"]),
         batch_format="pyarrow")
     buckets = join_buckets(_tbytes(sf_dir, "orders", "lineitem"))
-    joined = hash_join(li, o_nat, on="o_orderkey", how="inner",
-                       buckets=buckets)
+    joined = broadcast_join(
+        hash_join(li, orders, on="o_orderkey", how="inner",
+                  buckets=buckets),
+        dim, on="o_custkey", how="inner", concurrency=8)
 
     def partial(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
                         pa.int64())
-        return (pa.table({"n_name": t["n_name"],
+        return (pa.table({"_nk": pc.cast(t["c_nationkey"], pa.int64()),
                           "l_partkey": t["l_partkey"], "cents": cents})
-                .group_by(["n_name", "l_partkey"])
+                .group_by(["_nk", "l_partkey"])
                 .aggregate([("cents", "sum")])
-                .rename_columns(["n_name", "l_partkey", "cents"]))
+                .rename_columns(["_nk", "l_partkey", "cents"]))
 
-    np_frame = (joined.map_batches(partial, batch_format="pyarrow")
-                .groupby(["n_name", "l_partkey"])
-                .aggregate(Sum("cents", alias_name="cents"))
-                .to_pandas())
-    nat_rev = (np_frame.groupby("n_name", sort=True)["cents"].sum()
-               .reset_index()
-               .sort_values(["cents", "n_name"],
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        sums = (g.groupby("l_partkey", sort=False)["cents"].sum()
+                .reset_index())
+        sums = sums.sort_values(["cents", "l_partkey"],
+                                ascending=[False, True]).head(3)
+        sums["part_rank"] = np.arange(1, len(sums) + 1, dtype=np.int64)
+        sums["_nk"] = np.int64(g["_nk"].iloc[0])
+        sums["ncents"] = np.int64(g["cents"].sum())
+        return sums
+
+    top = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("_nk").map_groups(per_nation, batch_format="pandas")
+           .to_pandas())
+    top["n_name"] = top["_nk"].map(
+        dict(zip(nat["n_nationkey"], nat["n_name"])))
+    nat_rev = (top[["n_name", "ncents"]].drop_duplicates()
+               .sort_values(["ncents", "n_name"],
                             ascending=[False, True]).head(5))
-    top = np_frame[np_frame["n_name"].isin(nat_rev["n_name"])]
-    top = top.sort_values(["n_name", "cents", "l_partkey"],
-                          ascending=[True, False, True])
-    top = top.groupby("n_name", sort=True).head(3).copy()
-    top["part_rank"] = top.groupby("n_name").cumcount() + 1
+    top = top[top["n_name"].isin(nat_rev["n_name"])]
     top["revenue"] = top.pop("cents").to_numpy(np.float64) / 100.0
     top["l_partkey"] = top["l_partkey"].astype("int64")
     top["part_rank"] = top["part_rank"].astype("int64")
-    return (top[["n_name", "part_rank", "l_partkey", "revenue"]]
+    return (top.sort_values(["n_name", "part_rank"])
+            [["n_name", "part_rank", "l_partkey", "revenue"]]
             .reset_index(drop=True))
 
 

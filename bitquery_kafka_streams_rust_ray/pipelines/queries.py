@@ -6710,40 +6710,45 @@ def mannwhitney_purchase_view(sf_dir: str) -> pd.DataFrame:
 def rolling7_active_users(sf_dir: str) -> pd.DataFrame:
     """Sliding-window distinct count (7-day rolling active users per
     day — the DAU/WAU family's hard member, since distinct does not
-    decompose over overlapping windows): the corpus reduces to distinct
-    (user, day) pairs first, each pair fans out to the ≤7 window-end
-    days it covers (a CONSTANT fan-out of the pair domain, not of the
-    corpus), a second distinct collapses multi-active users per window,
-    and the final count is days-sized. Window ends clamp to the
-    observed day range."""
+    decompose over overlapping windows): each user's distinct active
+    days, the ≤7-day window fan-out AND the window-level dedup all
+    finish INSIDE one user co-partition (a user lives in exactly one
+    of 32 shards, so shard-local distinct IS global distinct — the
+    pair-domain-sized groupby a first cut shuffled was priced by its
+    group count, the same lesson as ``top_parts_in_top_nations``);
+    each shard emits (wday, partial count) rows and the final reduce
+    is days-sized. Window ends clamp to the observed day range."""
     ds = _t(sf_dir, "events", ["user_id", "ts"])
     day_us = 86_400 * US
 
-    def pair_partial(t: pa.Table) -> pa.Table:
+    def sharded(t: pa.Table) -> pa.Table:
         day = (np.asarray(column_ts_us(t["ts"])) // day_us) * day_us
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
         return (pa.table({"user_id": t["user_id"],
-                          "day_us": pa.array(day)})
-                .group_by(["user_id", "day_us"]).aggregate([]))
+                          "day_us": pa.array(day), "_shard": shard})
+                .group_by(["user_id", "day_us", "_shard"]).aggregate([]))
 
-    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
-             .groupby(["user_id", "day_us"]).count()
-             .select_columns(["user_id", "day_us"]))
-
-    def fan_out(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        d = t["day_us"].to_numpy(zero_copy_only=False)
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.drop_duplicates(["user_id", "day_us"])
+        u = pairs["user_id"].to_numpy(np.int64)
+        d = pairs["day_us"].to_numpy(np.int64)
         offs = np.arange(7, dtype=np.int64) * day_us
-        return (pa.table({
-            "user_id": pa.array(np.repeat(u, 7)),
-            "wday_us": pa.array((d[:, None] + offs[None, :]).ravel()),
-        }).group_by(["user_id", "wday_us"]).aggregate([]))
+        w = pd.DataFrame({
+            "user_id": np.repeat(u, 7),
+            "wday_us": (d[:, None] + offs[None, :]).ravel(),
+        }).drop_duplicates()
+        out = (w.groupby("wday_us", sort=False).size()
+               .reset_index(name="n"))
+        out["last_day"] = d.max()
+        return out
 
-    win = (pairs.map_batches(fan_out, batch_format="pyarrow")
-           .groupby(["user_id", "wday_us"]).count()
+    win = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
            .to_pandas())
-    hi = int((win["wday_us"] - 6 * day_us).max())  # last OBSERVED day
+    hi = int(win["last_day"].max())  # last OBSERVED day, any shard
     out = (win[win["wday_us"] <= hi]
-           .groupby("wday_us", sort=True).size()
+           .groupby("wday_us", sort=True)["n"].sum()
            .reset_index(name="active7"))
     return pd.DataFrame({
         "wday": us_to_timestamp_array(out["wday_us"].to_numpy(np.int64)),

@@ -6111,26 +6111,42 @@ def neighbor_count_events(sf_dir: str, band_s: int = 300) -> pd.DataFrame:
 def users_all_event_types(sf_dir: str) -> pd.DataFrame:
     """Relational division (users who performed EVERY event type — the
     'for all' join SQL expresses with a double NOT EXISTS or a
-    distinct-count equality): distinct (user, type) pairs dedupe
-    block-locally so the shuffle carries pairs not rows, the per-user
-    distinct count reduces once, and the divisor cardinality comes from
-    the same pair frame — nothing materializes beyond the pair
-    domain."""
+    distinct-count equality): the divisor cardinality reduces to an
+    alphabet-sized frame, and the per-user distinct counts finish
+    inside one 32-shard user co-partition (a user lives in exactly one
+    shard, so shard-local distinct IS global) — the pair-domain
+    groupby a first cut shuffled was priced by its group count, the
+    ``top_parts_in_top_nations`` lesson. Each shard emits only its
+    qualifying users."""
     ds = _t(sf_dir, "events", ["user_id", "event_type"])
 
-    def distinct_pairs(t: pa.Table) -> pa.Table:
-        return (pa.table({"user_id": t["user_id"],
-                          "event_type": t["event_type"]})
-                .group_by(["user_id", "event_type"]).aggregate([]))
+    def types_partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"event_type": t["event_type"]})
+                .group_by("event_type").aggregate([]))
 
-    pairs = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
-             .groupby(["user_id", "event_type"]).count()
-             .to_pandas())
-    k_all = pairs["event_type"].nunique()
-    per_user = pairs.groupby("user_id", sort=True).size()
-    out = per_user[per_user == k_all].index.to_frame(index=False)
+    k_all = (ds.map_batches(types_partial, batch_format="pyarrow")
+             .groupby("event_type").count().count())
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return (pa.table({"user_id": t["user_id"],
+                          "event_type": t["event_type"],
+                          "_shard": shard})
+                .group_by(["user_id", "event_type", "_shard"])
+                .aggregate([]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.drop_duplicates(["user_id", "event_type"])
+               .groupby("user_id", sort=False).size())
+        return pd.DataFrame({
+            "user_id": cnt[cnt == k_all].index.to_numpy(np.int64)})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
     out["user_id"] = out["user_id"].astype("int64")
-    return out.reset_index(drop=True)
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 def u_shape_attribution_events(sf_dir: str) -> pd.DataFrame:

@@ -37,6 +37,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # equi-depth (quantile) binning off the cents histogram
+        "equidepth_bins_totalprice": q.equidepth_bins_totalprice,
+        # JL random projection (rows-only; seeded sign matrix matmul)
+        "random_projection_embeddings": q.random_projection_embeddings,
         # star-schema denormalization + distributed XOR reconciliation
         "denormalized_star_checksum": q.denormalized_star_checksum,
         # rolling 7-day MEDIAN (order statistics in a sliding frame)
@@ -370,6 +374,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "equidepth_bins_totalprice": """
+            WITH oc AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders),
+            h AS (SELECT cents, count(*) AS c FROM oc GROUP BY cents),
+            t AS (SELECT cents, sum(c) OVER (ORDER BY cents) AS cum
+                  FROM h),
+            n AS (SELECT count(*) AS nn FROM oc),
+            q AS (SELECT i, (SELECT min(cents) FROM t, n
+                             WHERE cum >= (i * nn + 9) // 10) AS hi
+                  FROM (SELECT unnest(range(1, 11)) AS i) s),
+            b AS (SELECT i, hi, lag(hi) OVER (ORDER BY i) AS lo FROM q)
+            SELECT b.i AS bin, b.hi AS hi_cents,
+                   count(oc.cents) AS n
+            FROM b LEFT JOIN oc
+                ON (b.lo IS NULL OR oc.cents > b.lo) AND oc.cents <= b.hi
+            GROUP BY b.i, b.hi ORDER BY b.i
+        """,
         "denormalized_star_checksum": """
             WITH wide AS (
                 SELECT r_name,

@@ -7304,3 +7304,72 @@ def denormalized_star_checksum(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("r_name").reset_index(drop=True)
             [["r_name", "n_rows", "line_xor", "rev_cents",
               "retail_cents", "sbal_cents"]])
+
+
+def equidepth_bins_totalprice(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Equi-depth (quantile) binning — the feature-engineering
+    discretizer that gives each bin ~equal mass, unlike
+    ``value_histogram_events``'s equal WIDTH: bin edges are inverted-
+    CDF quantiles at i/k read off the distinct-cents histogram, and
+    the per-bin counts are cumulative-count differences at the edges —
+    one histogram reduce, no row sort; heavy ties make bins uneven by
+    exactly the amount both engines agree on."""
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+
+    _schema = pa.schema([("cents", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"cents": cents}).group_by("cents")
+                .aggregate([([], "count_all")])
+                .rename_columns(["cents", "n"]).cast(_schema))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cents").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("cents").reset_index(drop=True))
+    vals = hist["cents"].to_numpy(np.int64)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    edges = np.array([int(vals[np.searchsorted(
+        cum, (i * n + k - 1) // k)]) for i in range(1, k + 1)], np.int64)
+    # count of values <= edge, via the cumulative histogram
+    le = cum[np.searchsorted(vals, edges, side="right") - 1]
+    counts = np.diff(np.concatenate([[0], le]))
+    return pd.DataFrame({
+        "bin": np.arange(1, k + 1, dtype=np.int64),
+        "hi_cents": edges,
+        "n": counts.astype(np.int64)})
+
+
+def random_projection_embeddings(sf_dir: str, k: int = 8,
+                                 seed: int = 12345) -> pd.DataFrame:
+    """Johnson-Lindenstrauss random projection (seeded sign matrix,
+    ±1/√k entries — the training-free dimensionality reducer an ANN
+    or dedup pipeline runs before indexing): the projection matrix is
+    built ONCE from the pinned seed, ships via ``ray.put`` and every
+    batch is one matmul — a pure map, zero shuffles, layout-invariant
+    because the matrix is a function of (seed, dim) only. Rows-only
+    (no ANSI-SQL oracle for a seeded matmul); pinned by
+    ``test_random_projection.py`` (distance-distortion bound, exact
+    layout invariance, determinism across sessions)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    rng = np.random.default_rng(seed)
+    proj = (rng.integers(0, 2, (dim, k)).astype(np.float64) * 2.0
+            - 1.0) / np.sqrt(k)
+    proj_ref = ray.put(proj)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(proj_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        out = m @ p
+        res = pd.DataFrame({"vec_id": df["vec_id"].to_numpy(np.int64)})
+        for j in range(out.shape[1]):
+            res[f"p{j + 1}"] = np.round(out[:, j], 6)
+        return res
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -57,6 +57,7 @@ ORDERS_QUERIES = [
     "top1pct_revenue_share",
     "budget_allocation_nations",
     "nation_avg_percentile",
+    "equidepth_bins_totalprice",
 ]
 
 # pre-session catalog entries over the same tables — regression net

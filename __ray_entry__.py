@@ -37,6 +37,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # mergeable string aggregate: group LCP via min/max trick
+        "brand_name_lcp": q.brand_name_lcp,
+        # bounded-influence (contribution-capped) counts, DP-style
+        "capped_contribution_counts": q.capped_contribution_counts,
         # equi-depth (quantile) binning off the cents histogram
         "equidepth_bins_totalprice": q.equidepth_bins_totalprice,
         # JL random projection (rows-only; seeded sign matrix matmul)
@@ -374,6 +378,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "brand_name_lcp": """
+            WITH mm AS (SELECT p_brand, min(p_name) AS mn,
+                               max(p_name) AS mx
+                        FROM part GROUP BY p_brand),
+            l AS (SELECT p_brand, mn,
+                         coalesce((SELECT max(i) FROM
+                                   (SELECT unnest(range(1,
+                                        least(length(mn), length(mx))
+                                        + 1)) AS i)
+                                   WHERE substr(mn, 1, CAST(i AS INT))
+                                       = substr(mx, 1, CAST(i AS INT))),
+                                  0) AS k
+                  FROM mm)
+            SELECT p_brand, substr(mn, 1, CAST(k AS INT)) AS prefix,
+                   CAST(k AS BIGINT) AS prefix_len
+            FROM l ORDER BY p_brand
+        """,
+        "capped_contribution_counts": """
+            WITH uc AS (SELECT user_id, event_type, count(*) AS n
+                        FROM events GROUP BY 1, 2)
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(sum(least(n, 10)) AS BIGINT) AS n_capped
+            FROM uc GROUP BY event_type ORDER BY event_type
+        """,
         "equidepth_bins_totalprice": """
             WITH oc AS (
                 SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -7373,3 +7373,78 @@ def random_projection_embeddings(sf_dir: str, k: int = 8,
 
     out = ds.map_batches(fn, batch_format="pandas").to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def brand_name_lcp(sf_dir: str) -> pd.DataFrame:
+    """Mergeable string aggregate (the longest common prefix of every
+    part name within a brand — the namespace-discovery scan a catalog
+    normalizer runs): LCP over a set equals LCP(lexicographic min,
+    lexicographic max), so the whole reduction rides two plain Min/Max
+    string aggregates — per-block partials, one brands-sized shuffle —
+    and the single pairwise LCP runs on the reduced frame. The oracle
+    mirrors min/max + a position-probe subquery."""
+    ds = _t(sf_dir, "part", ["p_brand", "p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"p_brand": t["p_brand"], "name": t["p_name"]})
+                .group_by("p_brand")
+                .aggregate([("name", "min"), ("name", "max")])
+                .rename_columns(["p_brand", "mn", "mx"]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("p_brand")
+           .aggregate(Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx"))
+           .to_pandas())
+
+    def lcp(a: str, b: str) -> str:
+        i = 0
+        m = min(len(a), len(b))
+        while i < m and a[i] == b[i]:
+            i += 1
+        return a[:i]
+
+    out["prefix"] = [lcp(a, b) for a, b in zip(out["mn"], out["mx"])]
+    out["prefix_len"] = out["prefix"].str.len().astype("int64")
+    return (out[["p_brand", "prefix", "prefix_len"]]
+            .sort_values("p_brand").reset_index(drop=True))
+
+
+def capped_contribution_counts(sf_dir: str, cap: int = 10) -> pd.DataFrame:
+    """Bounded-influence aggregation (per-type event counts where each
+    user contributes AT MOST ``cap`` events — the contribution-capping
+    step differential-privacy and abuse-resistant metrics pipelines
+    apply before any release): per-(user, type) counts finish inside
+    one 32-shard user co-partition (shard-local counts are global —
+    the user lives in one shard), the min(count, cap) clamps there
+    too, and the final reduce is alphabet-sized. The uncapped count
+    rides along so the clamped mass is visible."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return (pa.table({"user_id": t["user_id"],
+                          "event_type": t["event_type"],
+                          "_shard": shard})
+                .group_by(["user_id", "event_type", "_shard"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["user_id", "event_type", "_shard", "n"]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.groupby(["user_id", "event_type"], sort=False)["n"]
+               .sum().reset_index())
+        cnt["capped"] = np.minimum(cnt["n"].to_numpy(np.int64), cap)
+        return (cnt.groupby("event_type", sort=False)
+                .agg(n_events=("n", "sum"), n_capped=("capped", "sum"))
+                .reset_index())
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby("event_type", sort=True)
+           .agg(n_events=("n_events", "sum"),
+                n_capped=("n_capped", "sum")).reset_index())
+    for c in ("n_events", "n_capped"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)

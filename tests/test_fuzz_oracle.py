@@ -46,6 +46,7 @@ EVENTS_QUERIES = [
     "k_anonymity_audit_events",
     "mannwhitney_purchase_view",
     "partition_skew_events",
+    "capped_contribution_counts",
 ]
 
 ORDERS_QUERIES = [
@@ -126,6 +127,7 @@ STAR_QUERIES = [
     "fuzzy_name_pairs_parts",
     "merge_upsert_documents",
     "dim_stats_embeddings",
+    "brand_name_lcp",
 ]
 
 SEEDS = [7, 1231]

@@ -37,6 +37,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # running-record detection via two-level prefix max
+        "record_highs_events": q.record_highs_events,
+        # temporal point-in-time (AS OF) state reads at three probes
+        "state_at_probes_events": q.state_at_probes_events,
         # mergeable string aggregate: group LCP via min/max trick
         "brand_name_lcp": q.brand_name_lcp,
         # bounded-influence (contribution-capped) counts, DP-style
@@ -378,6 +382,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "record_highs_events": """
+            WITH o AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       max(CAST(round(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev
+                FROM events)
+            SELECT event_id, event_type, cents
+            FROM o WHERE prev IS NULL OR cents > prev
+            ORDER BY event_id
+        """,
+        "state_at_probes_events": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS lo,
+                              max(epoch_us(ts)) AS hi
+                       FROM events),
+            p AS (SELECT i, lo + (hi - lo) * i // 4 AS pt
+                  FROM b, (SELECT unnest(range(1, 4)) AS i) t),
+            r AS (SELECT p.i, e.user_id, e.event_type,
+                         row_number() OVER (
+                             PARTITION BY p.i, e.user_id
+                             ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                  FROM events e JOIN p ON epoch_us(e.ts) <= p.pt)
+            SELECT CAST(i AS BIGINT) AS probe, user_id,
+                   event_type AS state
+            FROM r WHERE rn = 1 ORDER BY probe, user_id
+        """,
         "brand_name_lcp": """
             WITH mm AS (SELECT p_brand, min(p_name) AS mn,
                                max(p_name) AS mx

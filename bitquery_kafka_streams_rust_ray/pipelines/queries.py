@@ -7448,3 +7448,114 @@ def capped_contribution_counts(sf_dir: str, cap: int = 10) -> pd.DataFrame:
     for c in ("n_events", "n_capped"):
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
+
+
+def record_highs_events(sf_dir: str) -> pd.DataFrame:
+    """Running-record detection (events that set a new all-time value
+    high for their type — the leaderboard-breaker feed): a running max
+    is order-dependent, so it runs TWO-LEVEL like the sweep-line — a
+    (type, day) max reduce first, the driver takes the exclusive
+    cumulative max over that days-sized frame, and each (type, day)
+    group task replays only its own day against the broadcast
+    prior-day high (shifted prefix-max inside the day). A record is
+    the first event strictly above everything before it; the first
+    event of a type is a record by definition."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+    day_us = 86_400 * US
+
+    _schema = pa.schema([("event_type", pa.string()),
+                         ("day_us", pa.int64()), ("mx", pa.int64())])
+
+    def day_max(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        day = (np.asarray(column_ts_us(t["ts"])) // day_us) * day_us
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return (pa.table({"event_type": t["event_type"],
+                          "day_us": pa.array(day), "mx": cents})
+                .group_by(["event_type", "day_us"])
+                .aggregate([("mx", "max")])
+                .rename_columns(["event_type", "day_us", "mx"])
+                .cast(_schema))
+
+    days = (ds.map_batches(day_max, batch_format="pyarrow")
+            .groupby(["event_type", "day_us"])
+            .aggregate(Max("mx", alias_name="mx"))
+            .to_pandas().sort_values(["event_type", "day_us"]))
+    lo = np.iinfo(np.int64).min
+    prior = {}
+    for et, sub in days.groupby("event_type"):
+        mx = sub["mx"].to_numpy(np.int64)
+        run = np.concatenate([[lo], np.maximum.accumulate(mx)[:-1]])
+        for d, p in zip(sub["day_us"].to_numpy(np.int64), run):
+            prior[(et, int(d))] = int(p)
+    prior_ref = ray.put(prior)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = (np.asarray(column_ts_us(t["ts"])) // day_us) * day_us
+        return t.append_column("_day", pa.array(day))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(prior_ref)[(g["event_type"].iloc[0],
+                                int(g["_day"].iloc[0]))]
+        g = g.sort_values(["ts", "event_id"])
+        cents = np.round(g["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        prev = np.maximum(
+            np.concatenate([[lo], np.maximum.accumulate(cents)[:-1]]), p)
+        rec = cents > prev
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[rec],
+            "event_type": g["event_type"].to_numpy()[rec],
+            "cents": cents[rec]})
+
+    out = (ds.map_batches(keyed, batch_format="pyarrow")
+           .groupby(["event_type", "_day"])
+           .map_groups(per_group, batch_format="pandas")
+           .to_pandas())
+    out["event_id"] = out["event_id"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def state_at_probes_events(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time state read (each user's current state at three
+    probe instants — the temporal-table 'AS OF' query a lakehouse
+    serves from SCD2 intervals like ``state_intervals_events``): probe
+    points derive from the global time range by integer arithmetic
+    (identical in both engines), and each probe's as-of lookup is a
+    groupby-tail over the sorted user co-partition — three vectorized
+    passes, no per-user loop. Users with no event at-or-before a probe
+    are absent for that probe."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    agg = ds.aggregate(Min("ts"), Max("ts"))
+    lo = pd.Timestamp(agg["min(ts)"]).value // 1000
+    hi = pd.Timestamp(agg["max(ts)"]).value // 1000
+    probes = [(i, lo + (hi - lo) * i // 4) for i in (1, 2, 3)]
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())), pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        tus = series_ts_us(g["ts"]).to_numpy()
+        frames = []
+        for i, pt in probes:
+            sub = g[tus <= pt]
+            last = sub.groupby("user_id", sort=False).tail(1)
+            frames.append(pd.DataFrame({
+                "probe": np.full(len(last), i, np.int64),
+                "user_id": last["user_id"].to_numpy(np.int64),
+                "state": last["event_type"].to_numpy()}))
+        return pd.concat(frames, ignore_index=True)
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    out["probe"] = out["probe"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return (out.sort_values(["probe", "user_id"])
+            .reset_index(drop=True))

@@ -47,6 +47,8 @@ EVENTS_QUERIES = [
     "mannwhitney_purchase_view",
     "partition_skew_events",
     "capped_contribution_counts",
+    "record_highs_events",
+    "state_at_probes_events",
 ]
 
 ORDERS_QUERIES = [

@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entry below is a first-class catalog member.
     return {
         # -- round-3e additions (newest, never driver-checked) -----------
+        # ISO-8601 week-year rollup (calendar-function parity)
+        "iso_week_orders": q.iso_week_orders,
         # running-record detection via two-level prefix max
         "record_highs_events": q.record_highs_events,
         # temporal point-in-time (AS OF) state reads at three probes
@@ -382,6 +384,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "iso_week_orders": """
+            SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+                   CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100 AS revenue
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "record_highs_events": """
             WITH o AS (
                 SELECT event_id, event_type,

@@ -7559,3 +7559,41 @@ def state_at_probes_events(sf_dir: str) -> pd.DataFrame:
     out["user_id"] = out["user_id"].astype("int64")
     return (out.sort_values(["probe", "user_id"])
             .reset_index(drop=True))
+
+
+def iso_week_orders(sf_dir: str) -> pd.DataFrame:
+    """ISO-8601 week rollup (orders and revenue per ISO year-week —
+    the calendar function whose week-years disagree with calendar
+    years at every January/December boundary, so engine parity is a
+    real check, not a formatting detail): Arrow's ``iso_year`` /
+    ``iso_week`` kernels against DuckDB's ``isoyear``/``weekofyear``,
+    integer-cent partials, weeks-sized reduce."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    _schema = pa.schema([("iso_year", pa.int64()), ("iso_week", pa.int64()),
+                         ("n", pa.int64()), ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        od = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return (pa.table({"iso_year": pc.cast(pc.iso_year(od), pa.int64()),
+                          "iso_week": pc.cast(pc.iso_week(od), pa.int64()),
+                          "cents": cents})
+                .group_by(["iso_year", "iso_week"])
+                .aggregate([([], "count_all"), ("cents", "sum")])
+                .rename_columns(["iso_year", "iso_week", "n", "cents"])
+                .cast(_schema))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["iso_year", "iso_week"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents"))
+           .to_pandas())
+    out["revenue"] = out.pop("cents").to_numpy(np.float64) / 100.0
+    for c in ("iso_year", "iso_week", "n"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["iso_year", "iso_week"])
+            .reset_index(drop=True))

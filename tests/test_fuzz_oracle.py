@@ -61,6 +61,7 @@ ORDERS_QUERIES = [
     "budget_allocation_nations",
     "nation_avg_percentile",
     "equidepth_bins_totalprice",
+    "iso_week_orders",
 ]
 
 # pre-session catalog entries over the same tables — regression net

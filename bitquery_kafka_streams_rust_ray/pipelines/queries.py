@@ -1082,6 +1082,10 @@ def source_quality_filter(sf_dir: str) -> pd.DataFrame:
         per_source["sum_chars"] >= floor_chars * per_source["n_docs"]
     ]["source"].tolist()
     out = semi_join(ds, kept, "source").to_pandas()
+    if out.empty:  # no source passed: Ray drops the schema with the rows
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "source": pd.Series([], dtype=str),
+                             "n_chars": pd.Series([], dtype="int64")})
     return (out[["doc_id", "source", "n_chars"]]
             .sort_values("doc_id").reset_index(drop=True))
 
@@ -1973,8 +1977,11 @@ def bm25_documents(sf_dir: str) -> pd.DataFrame:
             "bm25_6": pa.array(np.round(out["s"].to_numpy(), 6)),
         })
 
-    out = (docs.map_batches(score, batch_format="pyarrow")
-           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    if out.empty:  # no doc matches any query term: schema-less empty
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "bm25_6": pd.Series([], dtype="float64")})
+    out = out.sort_values("doc_id").reset_index(drop=True)
     out["doc_id"] = out["doc_id"].astype("int64")
     return out[["doc_id", "bm25_6"]]
 
@@ -4544,6 +4551,9 @@ def orders_without_lineitem(sf_dir: str) -> pd.DataFrame:
     out = (joined.map_batches(lambda t: t.filter(pc.is_null(t["_m"])),
                               batch_format="pyarrow")
            .to_pandas())
+    if out.empty:  # zero orphans: Ray drops the schema with the rows
+        return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                             "o_totalprice": pd.Series([], dtype="float64")})
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     return (out.drop(columns=["_m"]).sort_values("o_orderkey")
             .reset_index(drop=True)[["o_orderkey", "o_totalprice"]])
@@ -5075,7 +5085,10 @@ def monthly_activity_full_join(sf_dir: str) -> pd.DataFrame:
                         batch_format="pyarrow")
          .groupby("month").aggregate(Sum("n_shipments",
                                          alias_name="n_shipments")))
-    joined = hash_join(o, l, on="month", how="outer", buckets=4).to_pandas()
+    # both sides are already months-sized, so the full-outer itself
+    # belongs on the driver (the reduced-frame pattern) — a 4-bucket
+    # native join over a handful of months left partitions empty
+    joined = o.to_pandas().merge(l.to_pandas(), on="month", how="outer")
     out = pd.DataFrame({
         "month": joined["month"].astype("datetime64[us]"),
         "n_orders": joined["n_orders"].fillna(0).astype("int64"),

@@ -163,10 +163,20 @@ def broadcast_asof_join(
 
 def semi_join(ds: ray.data.Dataset, keys: Sequence, col: str,
               anti: bool = False) -> ray.data.Dataset:
-    """Broadcast semi (or anti) join: membership mask, no shuffle."""
-    key_ref = ray.put(pa.array(list(keys)))
+    """Broadcast semi (or anti) join: membership mask, no shuffle.
+
+    An EMPTY key set is a legal degenerate (a filter stage that kept
+    nothing): ``pa.array([])`` is null-typed and ``is_in`` rejects it,
+    so the mask constant-folds instead — semi keeps nothing, anti
+    keeps everything."""
+    keys = list(keys)
+    key_ref = ray.put(pa.array(keys)) if keys else None
 
     def mask(batch: pa.Table) -> pa.Table:
+        if key_ref is None:
+            if anti:
+                return batch
+            return batch.slice(0, 0)
         m = pc.is_in(batch[col], ray.get(key_ref))
         m = pc.fill_null(m, False)
         return batch.filter(pc.invert(m) if anti else m)
@@ -175,7 +185,7 @@ def semi_join(ds: ray.data.Dataset, keys: Sequence, col: str,
 
 
 def join_buckets(input_bytes: int, per_bucket_bytes: int = 2 << 27,
-                 lo: int = 4, hi: int = 1024) -> int:
+                 lo: int = 1, hi: int = 1024) -> int:
     """Size hash-join partition count to the data, not a constant.
 
     Each bucket is a shuffle aggregator actor whose spin-up is paid at
@@ -184,6 +194,15 @@ def join_buckets(input_bytes: int, per_bucket_bytes: int = 2 << 27,
     ``per_bucket_bytes`` targets ~256 MB of (compressed) input per
     partition — each join partition materializes its hash table, so
     this bounds the per-actor working set on a real cluster.
+
+    The floor is 1, not a parallelism constant: when the key domain is
+    SMALLER than the partition count, some partitions receive no blocks
+    from one side and Ray 2.49's native hash-shuffle join builds them
+    as schema-less tables, which crashes the pyarrow join ("No match
+    ... for key field reference") — found by the adversarial fuzz
+    harness on low-cardinality keys (months, tiny vocabularies).
+    Partition count should follow bytes; measured at sf0.1, lo=1 vs
+    lo=4 is inside run-to-run noise on every join-heavy query.
     """
     return max(lo, min(hi, int(input_bytes // per_bucket_bytes) + 1))
 

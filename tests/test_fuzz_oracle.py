@@ -181,9 +181,12 @@ def make_events(d: str, seed: int) -> None:
 def make_orders(d: str, seed: int) -> None:
     rng = np.random.default_rng(seed + 99)
     n = 2500
-    base_day = pd.Timestamp("2023-01-01").value // 1000
-    # 80 candidate days, some never drawn -> calendar holes
-    days = np.sort(rng.choice(80, 60, replace=False))
+    # inside the real testdata's 1995-2001 order range, straddling the
+    # date constants (q1's 1997-06-01 cutoff, q3's 1998-01-01 window)
+    # so those queries exercise non-trivially
+    base_day = pd.Timestamp("1995-03-01").value // 1000
+    # 200 of 1200 candidate days -> plenty of calendar holes
+    days = np.sort(rng.choice(1200, 200, replace=False))
     od = base_day + rng.choice(days, n) * 86_400 * 1_000_000
     price = np.round(rng.uniform(10.0, 40_000.0, n), 2)
     tied = rng.random(n) < 0.3
@@ -200,7 +203,12 @@ def make_orders(d: str, seed: int) -> None:
     }))
     _write(d, "customer", pd.DataFrame({
         "c_custkey": np.arange(1, 51, dtype=np.int64),
+        "c_name": [f"Customer#{i:09d}" for i in range(1, 51)],
         "c_nationkey": rng.integers(0, 10, 50).astype(np.int64),
+        "c_acctbal": np.round(rng.uniform(-999.0, 9_999.0, 50), 2),
+        "c_mktsegment": rng.choice(
+            ["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE",
+             "HOUSEHOLD"], 50),
     }))
     _write(d, "nation", pd.DataFrame({
         "n_nationkey": np.arange(10, dtype=np.int64),
@@ -261,13 +269,15 @@ def make_star(d: str, seed: int) -> None:
     }))
     nd = 400
     words = ["alpha", "beta", "gamma", "delta", "omega", "zeta"]
-    texts = [" ".join(rng.choice(words, rng.integers(3, 30)))
+    # 10-80 words (~60-480 chars) straddles the 290-char quality floor,
+    # so the source gate keeps SOME sources and drops others
+    texts = [" ".join(rng.choice(words, rng.integers(10, 80)))
              for _ in range(nd)]
     _write(d, "documents", pd.DataFrame({
         "doc_id": np.arange(1, nd + 1, dtype=np.int64),
         "text": texts,
-        "lang": rng.choice(["en", "de", "fr"], nd),
-        "source": rng.choice(["web", "wiki"], nd),
+        "lang": rng.choice(["en", "fr", "es", "de", "zh"], nd),
+        "source": rng.choice([f"src{i}" for i in range(8)], nd),
         "n_chars": np.array([len(t) for t in texts], np.int64),
     }))
     dim = 16
@@ -299,12 +309,52 @@ def fuzz_con(fuzz_dir):
     return con
 
 
+_LISTED = set(EVENTS_QUERIES + ORDERS_QUERIES + STAR_QUERIES
+              + LEGACY_QUERIES)
+# every other oracle entry rides a single-seed full-catalog wave;
+# exclusions are entries whose semantics need the driver fixtures
+FULL_WAVE_EXCLUDE = set()
+FULL_WAVE = sorted(set(entrymod.oracle_sql()) - _LISTED
+                   - FULL_WAVE_EXCLUDE)
+
+
 @pytest.mark.parametrize("name",
                          EVENTS_QUERIES + ORDERS_QUERIES + STAR_QUERIES
                          + LEGACY_QUERIES)
 def test_fuzz_matches_oracle(name, fuzz_dir, fuzz_con):
     got = normalize(to_df(entrymod.queries()[name](fuzz_dir)))
     want = normalize(fuzz_con.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), f"{name} columns"
+    assert len(got) == len(want), (
+        f"{name} rows: {len(got)} vs {len(want)}")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name,
+                                  check_exact=True)
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir_one(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fuzz_full_7"))
+    make_events(d, 7)
+    make_orders(d, 7)
+    make_star(d, 7)
+    return d
+
+
+@pytest.fixture(scope="module")
+def fuzz_con_one(fuzz_dir_one):
+    con = duckdb.connect()
+    for t in ("events", "orders", "customer", "nation", "region",
+              "lineitem", "part", "supplier", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{os.path.join(fuzz_dir_one, t)}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", FULL_WAVE)
+def test_fuzz_full_catalog(name, fuzz_dir_one, fuzz_con_one):
+    got = normalize(to_df(entrymod.queries()[name](fuzz_dir_one)))
+    want = normalize(
+        fuzz_con_one.execute(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns), f"{name} columns"
     assert len(got) == len(want), (
         f"{name} rows: {len(got)} vs {len(want)}")

@@ -4669,45 +4669,87 @@ def audience_jaccard_types(sf_dir: str) -> pd.DataFrame:
                                      "jaccard_ppm"]])
 
 
-def fulfillment_lag_by_priority(sf_dir: str) -> pd.DataFrame:
-    """Order-to-first-ship lag per priority: the lineitem side reduces
-    to one min-shipdate row per order (per-block Min partials first),
-    then a partitioned hash join against orders — both sides large, no
-    broadcast — feeds integer whole-day diffs into a priorities-sized
-    moment reduce."""
+def _fulfillment_lag_hist(sf_dir: str) -> pd.DataFrame:
+    """Shared engine for the two fulfillment-lag views: ONE orderkey
+    co-partition replaces the old per-order Min groupby (an
+    orderkey-domain group count priced that shuffle) plus the second
+    hash-join exchange. Both sides reduce per block first (lineitem to
+    per-block min ship DAYS — floor is monotone, so min commutes with
+    the day quantization), union under one typed Arrow schema, and a
+    shards-sized groupby co-locates each order's rows; inside the shard
+    a vectorized group-min + merge yields whole-day lags that collapse
+    to a (priority, days) histogram before leaving the task. The driver
+    only ever sees shards x |priorities x days| rows, and both the mean
+    and the quantile views read off that one tiny frame."""
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate",
                                    "o_orderpriority"])
     day_us = 86400 * US
+    shards = join_buckets(_tbytes(sf_dir, "orders", "lineitem"))
 
     def li_partial(t: pa.Table) -> pa.Table:
-        ship = pa.array(np.asarray(column_ts_us(t["l_shipdate"])))
-        return (pa.table({"o_orderkey": t["l_orderkey"], "ship_us": ship})
-                .group_by("o_orderkey").aggregate([("ship_us", "min")])
-                .rename_columns(["o_orderkey", "ship_us"]))
+        sd = pa.array(np.asarray(column_ts_us(t["l_shipdate"])) // day_us)
+        g = (pa.table({"o_orderkey": t["l_orderkey"], "ship_days": sd})
+             .group_by("o_orderkey").aggregate([("ship_days", "min")])
+             .rename_columns(["o_orderkey", "ship_days"]))
+        out = pa.table({
+            "o_orderkey": g["o_orderkey"],
+            "ship_days": g["ship_days"],
+            "od_days": pa.nulls(len(g), pa.int64()),
+            "o_orderpriority": pa.nulls(len(g), pa.string())})
+        return add_shard_column(out, "o_orderkey", shards)
 
-    first_ship = (li.map_batches(li_partial, batch_format="pyarrow")
-                  .groupby("o_orderkey")
-                  .aggregate(Min("ship_us", alias_name="ship_us")))
-    buckets = join_buckets(_tbytes(sf_dir, "orders", "lineitem"))
-    joined = hash_join(orders, first_ship, on="o_orderkey", how="inner",
-                       buckets=buckets)
+    def o_partial(t: pa.Table) -> pa.Table:
+        od = pa.array(np.asarray(column_ts_us(t["o_orderdate"])) // day_us)
+        out = pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "ship_days": pa.nulls(len(t), pa.int64()),
+            "od_days": od,
+            "o_orderpriority": t["o_orderpriority"]})
+        return add_shard_column(out, "o_orderkey", shards)
 
-    def lag_partial(t: pa.Table) -> pa.Table:
-        od = np.asarray(column_ts_us(t["o_orderdate"])) // day_us
-        sd = t["ship_us"].to_numpy(zero_copy_only=False) // day_us
-        days = sd - od
-        return (pa.table({"o_orderpriority": t["o_orderpriority"],
-                          "days": pa.array(days)})
-                .group_by("o_orderpriority")
-                .aggregate([("days", "sum"), ([], "count_all")])
-                .rename_columns(["o_orderpriority", "sum_days", "n"]))
+    u = (li.map_batches(li_partial, batch_format="pyarrow")
+         .union(orders.map_batches(o_partial, batch_format="pyarrow")))
 
-    out = (joined.map_batches(lag_partial, batch_format="pyarrow")
-           .groupby("o_orderpriority")
-           .aggregate(Sum("sum_days", alias_name="sum_days"),
-                      Sum("n", alias_name="n"))
-           .to_pandas())
+    def shard_hist(g: pd.DataFrame) -> pd.DataFrame:
+        # day counts are ~1e4, far inside float53 — the pandas
+        # null-to-float widening of the absent side's ints is safe here
+        li_rows = g[g["ship_days"].notna()]
+        o_rows = g[g["od_days"].notna()]
+        first = (li_rows.groupby("o_orderkey", sort=False)["ship_days"]
+                 .min().reset_index())
+        m = o_rows[["o_orderkey", "od_days", "o_orderpriority"]].merge(
+            first, on="o_orderkey", how="inner")
+        if not len(m):
+            return pd.DataFrame(
+                {"o_orderpriority": pd.Series([], dtype=object),
+                 "days": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")})
+        days = (m["ship_days"].to_numpy(np.int64)
+                - m["od_days"].to_numpy(np.int64))
+        return (pd.DataFrame({"o_orderpriority": m["o_orderpriority"],
+                              "days": days})
+                .groupby(["o_orderpriority", "days"], sort=False)
+                .size().rename("n").reset_index())
+
+    return (u.groupby("_shard")
+            .map_groups(shard_hist, batch_format="pandas")
+            .to_pandas()
+            .groupby(["o_orderpriority", "days"], as_index=False)["n"]
+            .sum())
+
+
+def fulfillment_lag_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Order-to-first-ship lag per priority: reads the shared
+    co-partitioned lag histogram (`_fulfillment_lag_hist`) and takes
+    the exact integer mean per priority off that priorities x days
+    frame — no join or orderkey-domain groupby of its own."""
+    hist = _fulfillment_lag_hist(sf_dir)
+    hist = hist.assign(
+        sum_days=hist["days"].to_numpy(np.int64)
+        * hist["n"].to_numpy(np.int64))
+    out = (hist.groupby("o_orderpriority", as_index=False)
+           .agg(n=("n", "sum"), sum_days=("sum_days", "sum")))
     out["avg_days_ppm"] = _ppm(out["sum_days"].to_numpy(np.int64),
                                out["n"].to_numpy(np.int64))
     out["n"] = out["n"].astype("int64")
@@ -6549,41 +6591,10 @@ def dwell_by_type_events(sf_dir: str) -> pd.DataFrame:
 
 def fulfillment_lag_quantiles(sf_dir: str) -> pd.DataFrame:
     """Order-to-first-ship lag QUANTILES per priority (p50/p90 tail
-    view of ``fulfillment_lag_by_priority``'s means): the same
-    per-order Min reduce + partitioned hash join, then whole-day lags
-    reduce into a distinct-value histogram per priority and the
+    view of ``fulfillment_lag_by_priority``'s means): reads the shared
+    co-partitioned lag histogram (`_fulfillment_lag_hist`) and the
     inverted-CDF rule reads both quantiles off that tiny frame."""
-    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate",
-                                   "o_orderpriority"])
-    day_us = 86400 * US
-
-    def li_partial(t: pa.Table) -> pa.Table:
-        ship = pa.array(np.asarray(column_ts_us(t["l_shipdate"])))
-        return (pa.table({"o_orderkey": t["l_orderkey"], "ship_us": ship})
-                .group_by("o_orderkey").aggregate([("ship_us", "min")])
-                .rename_columns(["o_orderkey", "ship_us"]))
-
-    first_ship = (li.map_batches(li_partial, batch_format="pyarrow")
-                  .groupby("o_orderkey")
-                  .aggregate(Min("ship_us", alias_name="ship_us")))
-    buckets = join_buckets(_tbytes(sf_dir, "orders", "lineitem"))
-    joined = hash_join(orders, first_ship, on="o_orderkey", how="inner",
-                       buckets=buckets)
-
-    def lag_hist(t: pa.Table) -> pa.Table:
-        od = np.asarray(column_ts_us(t["o_orderdate"])) // day_us
-        sd = t["ship_us"].to_numpy(zero_copy_only=False) // day_us
-        return (pa.table({"o_orderpriority": t["o_orderpriority"],
-                          "days": pa.array(sd - od)})
-                .group_by(["o_orderpriority", "days"])
-                .aggregate([([], "count_all")])
-                .rename_columns(["o_orderpriority", "days", "n"]))
-
-    hist = (joined.map_batches(lag_hist, batch_format="pyarrow")
-            .groupby(["o_orderpriority", "days"])
-            .aggregate(Sum("n", alias_name="n"))
-            .to_pandas())
+    hist = _fulfillment_lag_hist(sf_dir)
     rows = []
     for prio, sub in hist.groupby("o_orderpriority"):
         sub = sub.sort_values("days")

@@ -49,8 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "capped_contribution_counts": q.capped_contribution_counts,
         # equi-depth (quantile) binning off the cents histogram
         "equidepth_bins_totalprice": q.equidepth_bins_totalprice,
-        # JL random projection (rows-only; seeded sign matrix matmul)
-        "random_projection_embeddings": q.random_projection_embeddings,
+        # sentinel: long-green grouped aggregation (A1/A5) kept inside
+        # the checked window as the regression canary
+        "q1_pricing": q.q1_pricing,
         # star-schema denormalization + distributed XOR reconciliation
         "denormalized_star_checksum": q.denormalized_star_checksum,
         # rolling 7-day MEDIAN (order statistics in a sliding frame)
@@ -310,9 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio": q.multimodal_audio,
         # the streaming engine end-to-end
         "streaming_flagship": q.streaming_flagship,
-        # -- sentinels: long-green rows kept inside the checked window ---
-        # grouped aggregation (A1/A5, partial+final)
-        "q1_pricing": q.q1_pricing,
+        # -- previously driver-checked rows (green in r1/r2) -------------
+        # JL random projection (rows-only; seeded sign matrix matmul)
+        "random_projection_embeddings": q.random_projection_embeddings,
         # filters (F1/F2) and derived-column filter (F4/M10)
         "filter_events": q.filter_events,
         "revenue_items": q.revenue_items,

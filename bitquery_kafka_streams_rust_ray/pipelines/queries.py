@@ -6261,11 +6261,14 @@ def u_shape_attribution_events(sf_dir: str) -> pd.DataFrame:
 def nation_avg_percentile(sf_dir: str) -> pd.DataFrame:
     """Group-vs-global distribution benchmark (where each nation's
     average order value sits in the GLOBAL order distribution): the
-    global distinct-cents histogram and the per-nation exact (sum,
-    count) moments reduce in parallel, then the strictly-below count
-    compares c·m < s in exact integer arithmetic on the
-    distinct-value frame — no float mean ever exists, so there is no
-    boundary to disagree on."""
+    per-nation exact (sum, count) moments reduce first, then the
+    strictly-below test c*m < s is rewritten c <= floor((s-1)/m) so 25
+    exact integer cutoffs broadcast into a second narrow scan — the
+    global distribution never shuffles (the old distinct-cents
+    histogram groupby priced its exchange by group count ~ row count);
+    each block answers every cutoff with one sort + searchsorted and
+    emits a nations-sized partial. No float mean ever exists, so there
+    is no boundary to disagree on."""
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
@@ -6283,34 +6286,40 @@ def nation_avg_percentile(sf_dir: str) -> pd.DataFrame:
                 .agg(s=("cents", "sum"), m=("cents", "size"))
                 .reset_index())
 
-    _hschema = pa.schema([("cents", pa.int64()), ("n", pa.int64())])
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return _hschema.empty_table()
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
-                        pa.int64())
-        return (pa.table({"cents": cents}).group_by("cents")
-                .aggregate([([], "count_all")])
-                .rename_columns(["cents", "n"]).cast(_hschema))
-
     nations = (joined.map_batches(nation_partial, batch_format="pandas")
                .to_pandas()
                .groupby("n_name", sort=True)
                .agg(s=("s", "sum"), m=("m", "sum")).reset_index())
-    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby("cents").aggregate(Sum("n", alias_name="n"))
-            .to_pandas().sort_values("cents"))
-    vals = hist["cents"].to_numpy(np.int64).astype(object)
-    cnt = hist["n"].to_numpy(np.int64)
-    n_total = int(cnt.sum())
-    below = [int(cnt[np.asarray(vals * int(m) < int(s),
-                                dtype=bool)].sum())
-             for s, m in zip(nations["s"], nations["m"])]
+    # c*m < s  <=>  c <= (s-1)//m  for positive integer m — exact, and
+    # the per-row comparison stays in int64 (no c*m product to overflow)
+    cuts = np.array([int(s - 1) // int(m)
+                     for s, m in zip(nations["s"], nations["m"])],
+                    dtype=np.int64)
+    names = nations["n_name"].to_numpy()
+    _pschema = pa.schema([("n_name", pa.string()), ("below", pa.int64()),
+                          ("total", pa.int64())])
+
+    def below_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _pschema.empty_table()
+        cents = np.sort(pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+            pa.int64()).to_numpy(zero_copy_only=False))
+        below = np.searchsorted(cents, cuts, side="right")
+        return pa.table({"n_name": pa.array(names),
+                         "below": pa.array(below.astype(np.int64)),
+                         "total": pa.array(np.full(len(cuts), len(cents),
+                                                   np.int64))})
+
+    parts = (ds.map_batches(below_partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby("n_name", sort=True)
+             .agg(below=("below", "sum"), total=("total", "sum"))
+             .reset_index())
     out = pd.DataFrame({
-        "n_name": nations["n_name"],
-        "pct_ppm": _ppm(np.array(below, object),
-                        np.array([n_total] * len(below), object)),
+        "n_name": parts["n_name"],
+        "pct_ppm": _ppm(parts["below"].to_numpy(np.int64).astype(object),
+                        parts["total"].to_numpy(np.int64).astype(object)),
     })
     return out.sort_values("n_name").reset_index(drop=True)
 

@@ -311,6 +311,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio": q.multimodal_audio,
         # the streaming engine end-to-end
         "streaming_flagship": q.streaming_flagship,
+        # -- round-3f additions (past the checked window; rotate next
+        # round) -----------------------------------------------------
+        # contrastive hard-negative mining (nearest other-label vector)
+        "hard_negatives_embeddings": q.hard_negatives_embeddings,
+        # Kaplan-Meier survival risk table for view->purchase
+        "kaplan_meier_events": q.kaplan_meier_events,
+        # functional-dependency discovery audit (data profiling)
+        "fd_audit_lineitem": q.fd_audit_lineitem,
         # -- previously driver-checked rows (green in r1/r2) -------------
         # JL random projection (rows-only; seeded sign matrix matmul)
         "random_projection_embeddings": q.random_projection_embeddings,
@@ -3008,6 +3016,81 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY (event_id * 2654435761) % 4294967296, event_id
             ) <= 2
             ORDER BY event_id
+        """,
+        "hard_negatives_embeddings": """
+            SELECT vec_id, neg_id FROM (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(a.embedding,
+                                                           b.embedding)
+                                    DESC, b.vec_id
+                       ) AS rn
+                FROM embeddings a JOIN embeddings b ON b.label <> a.label
+            ) WHERE rn = 1 ORDER BY vec_id
+        """,
+        "kaplan_meier_events": """
+            WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0
+                       FROM events WHERE event_type = 'view'
+                       GROUP BY user_id),
+            m AS (SELECT max(epoch_us(ts)) AS tmax FROM events
+                  WHERE event_type IN ('view', 'purchase')),
+            p AS (SELECT v.user_id, min(epoch_us(e.ts)) AS tp
+                  FROM v JOIN events e ON e.user_id = v.user_id
+                   AND e.event_type = 'purchase'
+                   AND epoch_us(e.ts) > v.t0
+                  GROUP BY v.user_id),
+            subj AS (SELECT v.user_id,
+                CASE WHEN p.tp IS NOT NULL
+                     THEN (p.tp - v.t0) // 86400000000
+                     ELSE ((SELECT tmax FROM m) - v.t0) // 86400000000
+                END AS t,
+                CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+                FROM v LEFT JOIN p USING (user_id)),
+            agg AS (SELECT t, sum(ev) AS n_events, count(*) AS n_total
+                    FROM subj GROUP BY t),
+            -- the risk-set window must run BEFORE the event-rows-only
+            -- filter: censored-only durations still hold subjects at
+            -- risk (WHERE evaluates before window functions, so the
+            -- filter lives in an outer query)
+            risk AS (SELECT t, n_events,
+                            sum(n_total) OVER (ORDER BY t DESC) AS n_risk
+                     FROM agg)
+            SELECT CAST(t AS BIGINT) AS t_days,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(n_events AS BIGINT) AS n_events
+            FROM risk WHERE n_events > 0 ORDER BY t_days
+        """,
+        "fd_audit_lineitem": """
+            WITH cand AS (
+                SELECT 'l_orderkey->l_returnflag' AS fd,
+                       count(*) AS n_keys,
+                       count(*) FILTER (WHERE d > 1) AS n_violating
+                FROM (SELECT l_orderkey,
+                             count(DISTINCT l_returnflag) AS d
+                      FROM lineitem GROUP BY l_orderkey)
+                UNION ALL
+                SELECT 'l_orderkey->l_shipdate',
+                       count(*), count(*) FILTER (WHERE d > 1)
+                FROM (SELECT l_orderkey,
+                             count(DISTINCT l_shipdate) AS d
+                      FROM lineitem GROUP BY l_orderkey)
+                UNION ALL
+                SELECT 'l_partkey->l_extendedprice',
+                       count(*), count(*) FILTER (WHERE d > 1)
+                FROM (SELECT l_partkey,
+                             count(DISTINCT l_extendedprice) AS d
+                      FROM lineitem GROUP BY l_partkey)
+                UNION ALL
+                SELECT 'l_returnflag->l_linestatus',
+                       count(*), count(*) FILTER (WHERE d > 1)
+                FROM (SELECT l_returnflag,
+                             count(DISTINCT l_linestatus) AS d
+                      FROM lineitem GROUP BY l_returnflag)
+            )
+            SELECT fd, CAST(n_keys AS BIGINT) AS n_keys,
+                   CAST(n_violating AS BIGINT) AS n_violating
+            FROM cand ORDER BY fd
         """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,

@@ -7630,3 +7630,201 @@ def iso_week_orders(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     return (out.sort_values(["iso_year", "iso_week"])
             .reset_index(drop=True))
+
+
+def hard_negatives_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training (for every vector,
+    the most cosine-similar vector carrying a DIFFERENT label — the
+    pair-construction step of a triplet/InfoNCE data pipeline): exact
+    all-pairs baseline in the ``cosine_pairs_embeddings`` mold — the
+    id-sorted normalized matrix + label vector ``ray.put`` once and
+    read zero-copy per task, the corpus side is a pure streaming map
+    doing one ``X @ M.T`` matmul per batch with same-label columns
+    masked to -inf; argmax over the id-sorted axis makes float ties
+    land on the smaller neg_id, mirroring the oracle's
+    ``(score DESC, neg_id)`` order. Anchors whose label covers the
+    whole corpus have no negative and drop (matching the oracle's
+    inner join). At 10^12 vectors the broadcast side routes through
+    the IVF shortlist (stages/ann.py) exactly like ``knn_classify``;
+    the masking rule is unchanged. Only ids are emitted, so the
+    hash-compare is exact."""
+    emb = (_t(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    ids = emb["vec_id"].to_numpy(np.int64)
+    labels = emb["label"].to_numpy(np.int64)
+    X = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    ref = ray.put((ids, labels, X))
+
+    def mine(t: pa.Table) -> pa.Table:
+        all_ids, labs, mat = broadcast_get(ref)
+        rid = t["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(all_ids, rid)
+        sims = mat[pos] @ mat.T
+        same = labs[pos][:, None] == labs[None, :]
+        sims = np.where(same, -np.inf, sims)
+        has_neg = ~same.all(axis=1)
+        neg = sims.argmax(axis=1)  # first max = smaller id (id-sorted)
+        return pa.table({
+            "vec_id": pa.array(rid[has_neg].astype(np.int64)),
+            "neg_id": pa.array(all_ids[neg[has_neg]].astype(np.int64)),
+        })
+
+    out = (_t(sf_dir, "embeddings", ["vec_id"])
+           .map_batches(mine, batch_format="pyarrow").to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def kaplan_meier_events(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier survival table for view->purchase conversion:
+    subjects are users with >=1 'view' (t0 = first view); the event is
+    the first purchase STRICTLY after t0; subjects with none are
+    right-censored at the study horizon (max ts over view/purchase
+    events). Emits the exact-integer KM risk table — one row per
+    whole-day duration where an event occurred, with the at-risk count
+    n_risk = #subjects whose (event or censoring) time is >= t — so
+    every number is an exact int and the survival curve is the running
+    product over this frame. Shape: views pre-reduce to a per-batch
+    per-user min, purchase rows ride the same user co-partition (a
+    purchase below the still-unknown global t0 cannot be discarded
+    early), each shard collapses to a (t, ev) histogram before leaving
+    the task, and the reverse-cumulative risk set is computed on that
+    durations-sized frame."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    day_us = 86400 * US
+    _types = pa.array(["view", "purchase"])
+
+    def tmax_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=_types))
+        if len(t) == 0:
+            return pa.table({"tmax": pa.array([], pa.int64())})
+        tus = np.asarray(column_ts_us(t["ts"]))
+        return pa.table({"tmax": pa.array([int(tus.max())], pa.int64())})
+
+    _empty = pd.DataFrame({"t_days": pd.Series([], dtype="int64"),
+                           "n_risk": pd.Series([], dtype="int64"),
+                           "n_events": pd.Series([], dtype="int64")})
+    hdf = ds.map_batches(tmax_partial, batch_format="pyarrow").to_pandas()
+    if not len(hdf):
+        return _empty
+    tmax = int(hdf["tmax"].max())
+
+    _schema = pa.schema([("user_id", pa.int64()), ("kind", pa.int64()),
+                         ("tus", pa.int64()), ("_shard", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=_types))
+        if len(t) == 0:
+            return _schema.empty_table()
+        tus = pa.array(np.asarray(column_ts_us(t["ts"])), pa.int64())
+        tt = pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                       "event_type": t["event_type"], "tus": tus})
+        v = (tt.filter(pc.equal(tt["event_type"], pa.scalar("view")))
+             .group_by("user_id").aggregate([("tus", "min")])
+             .rename_columns(["user_id", "tus"]))
+        p = tt.filter(pc.equal(tt["event_type"], pa.scalar("purchase")))
+        out = pa.concat_tables([
+            pa.table({"user_id": v["user_id"],
+                      "kind": pa.array(np.zeros(len(v), np.int64)),
+                      "tus": v["tus"]}),
+            pa.table({"user_id": p["user_id"],
+                      "kind": pa.array(np.ones(len(p), np.int64)),
+                      "tus": p["tus"]}),
+        ])
+        return add_shard_column(out, "user_id", 32).cast(_schema)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["kind"] == 0]
+        if not len(v):
+            return pd.DataFrame({"t": pd.Series([], dtype="int64"),
+                                 "ev": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        t0 = v.groupby("user_id", sort=False)["tus"].min().rename("t0")
+        p = (g[g["kind"] == 1].merge(t0, on="user_id", how="inner"))
+        p = p[p["tus"] > p["t0"]]
+        tp = p.groupby("user_id", sort=False)["tus"].min().rename("tp")
+        f = t0.to_frame().join(tp, how="left")
+        t0_us = f["t0"].to_numpy(np.int64)
+        tp_us = f["tp"].to_numpy(np.float64)  # exact: us fits float53
+        ev = ~np.isnan(tp_us)
+        t = np.empty(len(f), np.int64)
+        t[ev] = (tp_us[ev].astype(np.int64) - t0_us[ev]) // day_us
+        t[~ev] = (tmax - t0_us[~ev]) // day_us
+        return (pd.DataFrame({"t": t, "ev": ev.astype(np.int64)})
+                .groupby(["t", "ev"], sort=False).size().rename("n")
+                .reset_index())
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+            .to_pandas())
+    if not len(hist):
+        return _empty
+    hist = hist.groupby(["t", "ev"], as_index=False)["n"].sum()
+    per_t = (hist.assign(nev=hist["n"] * hist["ev"])
+             .groupby("t", as_index=False)
+             .agg(n_events=("nev", "sum"), n_total=("n", "sum"))
+             .sort_values("t", ascending=False))
+    per_t["n_risk"] = per_t["n_total"].cumsum()
+    out = per_t[per_t["n_events"] > 0].sort_values("t")
+    return pd.DataFrame({
+        "t_days": out["t"].to_numpy(np.int64),
+        "n_risk": out["n_risk"].to_numpy(np.int64),
+        "n_events": out["n_events"].to_numpy(np.int64),
+    })
+
+
+_FD_CANDIDATES = [("l_orderkey", "l_returnflag"),
+                  ("l_orderkey", "l_shipdate"),
+                  ("l_partkey", "l_extendedprice"),
+                  ("l_returnflag", "l_linestatus")]
+
+
+def fd_audit_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency audit (data profiling): for each candidate
+    det -> dep pair, how many distinct determinant values exist and how
+    many of them VIOLATE the dependency (more than one distinct
+    dependent). Both sides stringify per batch (injective for these
+    exact values, so distinctness classes are unchanged), all four
+    candidates union into ONE tagged stream, and a single (fd, det)
+    co-partition — dets never split across shards — lets each shard
+    drop duplicate pairs and count violators locally; only a
+    candidates-sized (fd, n_keys, n_violating) partial leaves each
+    shard. The oracle mirrors with one COUNT(DISTINCT) subquery per
+    candidate."""
+    cols = sorted({c for pair in _FD_CANDIDATES for c in pair})
+    ds = _t(sf_dir, "lineitem", cols)
+    _schema = pa.schema([("fd", pa.string()), ("det", pa.string()),
+                         ("dep", pa.string()), ("_shard", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        parts = []
+        for det_c, dep_c in _FD_CANDIDATES:
+            g = (pa.table({"det": pc.cast(t[det_c], pa.string()),
+                           "dep": pc.cast(t[dep_c], pa.string())})
+                 .group_by(["det", "dep"]).aggregate([]))
+            parts.append(pa.table({
+                "fd": pa.array([f"{det_c}->{dep_c}"] * len(g)),
+                "det": g["det"], "dep": g["dep"]}))
+        out = pa.concat_tables(parts)
+        key = pc.binary_join_element_wise(out["fd"], out["det"], "|")
+        shard = pa.array(shard_of(key.to_numpy(zero_copy_only=False), 32))
+        return out.append_column("_shard", shard).cast(_schema)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["fd", "det", "dep"])
+        per_det = (u.groupby(["fd", "det"], sort=False)["dep"].size()
+                   .rename("d").reset_index())
+        return (per_det.assign(viol=(per_det["d"] > 1).astype(np.int64))
+                .groupby("fd", sort=False)
+                .agg(n_keys=("det", "size"), n_violating=("viol", "sum"))
+                .reset_index())
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas()
+           .groupby("fd", as_index=False)[["n_keys", "n_violating"]].sum())
+    for c in ("n_keys", "n_violating"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("fd").reset_index(drop=True)

@@ -319,6 +319,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier_events": q.kaplan_meier_events,
         # functional-dependency discovery audit (data profiling)
         "fd_audit_lineitem": q.fd_audit_lineitem,
+        # SemDeDup-style within-class semantic dedup (single-pass rule)
+        "semdedup_label_embeddings": q.semdedup_label_embeddings,
+        # BPE first-merge candidates (adjacent char-pair counts)
+        "bpe_pair_candidates": q.bpe_pair_candidates,
+        # PSI distribution-drift gate between stream halves
+        "psi_value_drift": q.psi_value_drift,
         # -- previously driver-checked rows (green in r1/r2) -------------
         # JL random projection (rows-only; seeded sign matrix matmul)
         "random_projection_embeddings": q.random_projection_embeddings,
@@ -3060,6 +3066,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_risk AS BIGINT) AS n_risk,
                    CAST(n_events AS BIGINT) AS n_events
             FROM risk WHERE n_events > 0 ORDER BY t_days
+        """,
+        "semdedup_label_embeddings": """
+            SELECT a.vec_id, CAST(a.label AS BIGINT) AS label
+            FROM embeddings a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.label = a.label AND b.vec_id < a.vec_id
+                  AND list_cosine_similarity(a.embedding, b.embedding)
+                      >= 0.35
+            ) ORDER BY a.vec_id
+        """,
+        "bpe_pair_candidates": """
+            WITH pairs AS (
+                SELECT substring(text, u, 2) AS pair FROM (
+                    SELECT text,
+                           unnest(range(1, CAST(length(text) AS BIGINT)))
+                               AS u
+                    FROM documents)
+            )
+            SELECT pair, count(*) AS n FROM pairs
+            WHERE NOT contains(pair, ' ')
+            GROUP BY pair ORDER BY n DESC, pair LIMIT 10
+        """,
+        "psi_value_drift": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS tmin,
+                              max(epoch_us(ts)) AS tmax,
+                              min(value) AS vmin, max(value) AS vmax
+                       FROM events),
+            binned AS (SELECT
+                CASE WHEN (SELECT vmax FROM b) = (SELECT vmin FROM b)
+                     THEN 0
+                     ELSE least(CAST(floor(
+                         ((value - (SELECT vmin FROM b)) * 10.0)
+                         / ((SELECT vmax FROM b) - (SELECT vmin FROM b)))
+                         AS BIGINT), 9) END AS bin,
+                CASE WHEN epoch_us(ts) <
+                     ((SELECT tmin FROM b) + (SELECT tmax FROM b)) // 2
+                     THEN 1 ELSE 0 END AS firsthalf
+                FROM events),
+            agg AS (SELECT bin, sum(firsthalf) AS a,
+                           count(*) - sum(firsthalf) AS c
+                    FROM binned GROUP BY bin),
+            tot AS (SELECT coalesce(sum(a), 0) AS n1,
+                           coalesce(sum(c), 0) AS n2 FROM agg),
+            grid AS (SELECT unnest(range(0, 10)) AS bin),
+            j AS (SELECT g.bin, coalesce(agg.a, 0) AS a,
+                         coalesce(agg.c, 0) AS c
+                  FROM grid g LEFT JOIN agg ON agg.bin = g.bin)
+            SELECT CAST(j.bin AS BIGINT) AS bin,
+                   CAST(a AS BIGINT) AS n_first,
+                   CAST(c AS BIGINT) AS n_second,
+                   CAST(floor(
+                       ((a + 1.0) / (n1 + 10.0)
+                        - (c + 1.0) / (n2 + 10.0))
+                       * ln(((a + 1.0) / (n1 + 10.0))
+                            / ((c + 1.0) / (n2 + 10.0)))
+                       * 1000000.0 + 0.5) AS BIGINT) AS psi_micro
+            FROM j, tot ORDER BY bin
         """,
         "fd_audit_lineitem": """
             WITH cand AS (

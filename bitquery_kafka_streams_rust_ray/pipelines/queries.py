@@ -7828,3 +7828,160 @@ def fd_audit_lineitem(sf_dir: str) -> pd.DataFrame:
     for c in ("n_keys", "n_violating"):
         out[c] = out[c].astype("int64")
     return out.sort_values("fd").reset_index(drop=True)
+
+
+def semdedup_label_embeddings(sf_dir: str, tau: float = 0.35) -> pd.DataFrame:
+    """SemDeDup-style semantic dedup within classes: a vector is
+    dropped when ANY lower-id vector of the same label sits at cosine
+    >= tau — the single-pass, order-free variant of SemDeDup's greedy
+    within-cluster prune (the greedy transitive form, where dropped
+    vectors cannot cause further drops, lives in
+    ``stages/neardup.py::embedding_dedup``'s cluster path; this rule is
+    deliberately non-transitive so it is exactly SQL-expressible).
+    Shape mirrors ``hard_negatives_embeddings``: id-sorted normalized
+    matrix + labels broadcast once, corpus side a pure streaming map —
+    one masked matmul per batch, keep when the lower-id same-label
+    max cosine stays below tau. Only surviving ids are emitted."""
+    emb = (_t(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    ids = emb["vec_id"].to_numpy(np.int64)
+    labels = emb["label"].to_numpy(np.int64)
+    X = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    ref = ray.put((ids, labels, X))
+
+    def prune(t: pa.Table) -> pa.Table:
+        all_ids, labs, mat = broadcast_get(ref)
+        rid = t["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(all_ids, rid)
+        sims = mat[pos] @ mat.T
+        eligible = ((labs[pos][:, None] == labs[None, :])
+                    & (all_ids[None, :] < rid[:, None]))
+        dup = ((sims >= tau) & eligible).any(axis=1)
+        return pa.table({
+            "vec_id": pa.array(rid[~dup].astype(np.int64)),
+            "label": pa.array(labs[pos][~dup].astype(np.int64)),
+        })
+
+    out = (_t(sf_dir, "embeddings", ["vec_id"])
+           .map_batches(prune, batch_format="pyarrow").to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def bpe_pair_candidates(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """First-merge candidates for BPE tokenizer training: the k most
+    frequent adjacent CHARACTER pairs across the corpus (pairs spanning
+    a space excluded — merges never cross word boundaries), ties broken
+    by pair ascending. The hot path is one numpy pass per batch: texts
+    join on a single space (the boundary pairs that creates contain a
+    space and are masked anyway), the byte view folds into 16-bit pair
+    codes, and one bincount(65536) produces the batch partial; the
+    global reduce rides a (pair-code, n) groupby bounded by 64Ki rows
+    per block, and the top-k cut happens on that output-sized frame.
+    Byte pairs == character pairs only for ASCII corpora (true for
+    these tables by construction; a UTF-8 corpus would dictionary-
+    encode codepoints first)."""
+    ds = _t(sf_dir, "documents", ["text"])
+    _schema = pa.schema([("code", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        blob = " ".join(t["text"].to_pylist()).encode()
+        a = np.frombuffer(blob, np.uint8)
+        if len(a) < 2:
+            return _schema.empty_table()
+        codes = a[:-1].astype(np.int32) * 256 + a[1:]
+        keep = (a[:-1] != 32) & (a[1:] != 32)
+        cnt = np.bincount(codes[keep], minlength=65536)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"code": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("code").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    if not len(agg):
+        return pd.DataFrame({"pair": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    # pair-code ascending IS pair-string ascending for ASCII
+    agg = (agg.sort_values(["n", "code"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    agg["pair"] = [bytes([c >> 8, c & 255]).decode()
+                   for c in agg["code"]]
+    agg["n"] = agg["n"].astype("int64")
+    return agg[["pair", "n"]]
+
+
+def psi_value_drift(sf_dir: str, bins: int = 10) -> pd.DataFrame:
+    """Population-stability-index drift check between the first and
+    second half of the stream (the train/serve distribution-shift gate
+    a production data pipeline runs before refreshing a model): the
+    value range splits into 10 equal-width bins, events split at the
+    midpoint timestamp, and each bin's Laplace-smoothed PSI
+    contribution lands as a micro-unit int. Two streaming passes: a
+    blocks-sized (tmin, tmax, vmin, vmax) partial-extrema pass, then a
+    (half, bin) count partial per batch with a 2x10-row reduce. Counts
+    are exact ints; the one float expression (p-q)*ln(p/q) is written
+    identically here and in the oracle so both floor the same double
+    (the dim_stats boundary rule)."""
+    ds = _t(sf_dir, "events", ["ts", "value"])
+    grid = np.arange(bins, dtype=np.int64)
+    _zero = pd.DataFrame({"bin": grid,
+                          "n_first": np.zeros(bins, np.int64),
+                          "n_second": np.zeros(bins, np.int64),
+                          "psi_micro": np.zeros(bins, np.int64)})
+
+    def extrema(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"tmin": pa.array([], pa.int64()),
+                             "tmax": pa.array([], pa.int64()),
+                             "vmin": pa.array([], pa.float64()),
+                             "vmax": pa.array([], pa.float64())})
+        tus = np.asarray(column_ts_us(t["ts"]))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"tmin": pa.array([int(tus.min())], pa.int64()),
+                         "tmax": pa.array([int(tus.max())], pa.int64()),
+                         "vmin": pa.array([float(v.min())]),
+                         "vmax": pa.array([float(v.max())])})
+
+    ext = ds.map_batches(extrema, batch_format="pyarrow").to_pandas()
+    if not len(ext):
+        return _zero
+    tmid = (int(ext["tmin"].min()) + int(ext["tmax"].max())) // 2
+    vmin, vmax = float(ext["vmin"].min()), float(ext["vmax"].max())
+
+    def counts(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        tus = np.asarray(column_ts_us(t["ts"]))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        if vmax == vmin:
+            b = np.zeros(len(v), np.int64)
+        else:
+            # the oracle computes this same ((v-vmin)*10)/(vmax-vmin)
+            # double, so the floor boundary agrees bit-for-bit
+            b = np.minimum(np.floor(((v - vmin) * float(bins))
+                                    / (vmax - vmin)).astype(np.int64),
+                           bins - 1)
+        first = (tus < tmid).astype(np.int64)
+        df = (pd.DataFrame({"bin": b, "a": first, "c": 1 - first})
+              .groupby("bin", sort=False, as_index=False).sum())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+           .groupby("bin", as_index=False)[["a", "c"]].sum())
+    full = (pd.DataFrame({"bin": grid}).merge(agg, on="bin", how="left")
+            .fillna(0))
+    a = full["a"].to_numpy(np.float64)
+    c = full["c"].to_numpy(np.float64)
+    n1, n2 = a.sum(), c.sum()
+    p = (a + 1.0) / (n1 + float(bins))
+    q = (c + 1.0) / (n2 + float(bins))
+    psi = np.floor((p - q) * np.log(p / q) * 1_000_000.0 + 0.5)
+    return pd.DataFrame({"bin": grid,
+                         "n_first": a.astype(np.int64),
+                         "n_second": c.astype(np.int64),
+                         "psi_micro": psi.astype(np.int64)})

@@ -325,6 +325,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_candidates": q.bpe_pair_candidates,
         # PSI distribution-drift gate between stream halves
         "psi_value_drift": q.psi_value_drift,
+        # skyline / Pareto frontier with block-skyline partials
+        "skyline_parts": q.skyline_parts,
+        # interval-union coverage per user (overlaps counted once)
+        "covered_time_per_user": q.covered_time_per_user,
+        # rendezvous-hash placement + minimal-movement proof
+        "hrw_assignment_documents": q.hrw_assignment_documents,
         # -- previously driver-checked rows (green in r1/r2) -------------
         # JL random projection (rows-only; seeded sign matrix matmul)
         "random_projection_embeddings": q.random_projection_embeddings,
@@ -3124,6 +3130,72 @@ def oracle_sql() -> dict[str, str]:
                             / ((c + 1.0) / (n2 + 10.0)))
                        * 1000000.0 + 0.5) AS BIGINT) AS psi_micro
             FROM j, tot ORDER BY bin
+        """,
+        "skyline_parts": """
+            SELECT p_partkey, p_retailprice,
+                   CAST(p_size AS BIGINT) AS p_size
+            FROM part a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice <= a.p_retailprice
+                  AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size > a.p_size)
+            ) ORDER BY p_partkey
+        """,
+        "covered_time_per_user": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                               epoch_us(ts) + 1800000000 AS e
+                        FROM events),
+            w AS (SELECT user_id, s, e,
+                         max(e) OVER (PARTITION BY user_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pmax
+                  FROM iv)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN pmax IS NULL OR pmax < s
+                                 THEN e - s
+                                 WHEN pmax >= e THEN 0
+                                 ELSE e - pmax END) AS BIGINT)
+                       AS covered_us
+            FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        "hrw_assignment_documents": """
+            WITH n AS (SELECT unnest(range(0, 5)) AS node),
+            w AS (SELECT d.doc_id, n.node,
+                         -- HUGEINT: the reduced residue (< 2^32) times
+                         -- the Knuth constant tops INT64; numpy's
+                         -- uint64 holds it (< 1.2e19 < 2^64-1)
+                         (CAST((d.doc_id * 1000003 + n.node)
+                               % 4294967296 AS HUGEINT)
+                          * 2654435761) % 4294967296 AS wt
+                  FROM documents d, n),
+            own AS (SELECT doc_id, node AS owner FROM (
+                        SELECT doc_id, node, row_number() OVER (
+                            PARTITION BY doc_id
+                            ORDER BY wt DESC, node) AS rn FROM w)
+                    WHERE rn = 1),
+            own2 AS (SELECT doc_id, node AS owner2 FROM (
+                         SELECT doc_id, node, row_number() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY wt DESC, node) AS rn
+                         FROM w WHERE node <> 2)
+                     WHERE rn = 1),
+            j AS (SELECT own.owner, own2.owner2 FROM own
+                  JOIN own2 USING (doc_id)),
+            grid AS (SELECT unnest(range(0, 5)) AS node)
+            SELECT CAST(g.node AS BIGINT) AS node,
+                   CAST(coalesce((SELECT count(*) FROM j
+                                  WHERE owner = g.node), 0) AS BIGINT)
+                       AS n_before,
+                   CAST(coalesce((SELECT count(*) FROM j
+                                  WHERE owner2 = g.node), 0) AS BIGINT)
+                       AS n_after,
+                   CAST(coalesce((SELECT count(*) FROM j
+                                  WHERE owner <> owner2
+                                    AND owner2 = g.node), 0) AS BIGINT)
+                       AS n_moved_in
+            FROM grid g ORDER BY node
         """,
         "fd_audit_lineitem": """
             WITH cand AS (

@@ -7985,3 +7985,135 @@ def psi_value_drift(sf_dir: str, bins: int = 10) -> pd.DataFrame:
                          "n_first": a.astype(np.int64),
                          "n_second": c.astype(np.int64),
                          "psi_micro": psi.astype(np.int64)})
+
+
+def skyline_parts(sf_dir: str) -> pd.DataFrame:
+    """Skyline (Pareto frontier) of the part table — every part not
+    dominated by another that is at-most-as-expensive AND
+    at-least-as-big with one strict inequality (the classic
+    two-criteria optimizer query). Distribution leans on the skyline
+    algebra: a globally non-dominated row is non-dominated within its
+    block, so each block emits its local skyline (sort by price asc /
+    size desc + one segment-max sweep, no quadratic pass) and the
+    exact final skyline is recomputed on the union — a frame the size
+    of the frontier, not the table (worst case, a fully
+    anti-correlated table, degrades the cut to the input; random data
+    keeps it ~log-sized)."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def block_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(["p_retailprice", "p_size", "p_partkey"],
+                            ascending=[True, False, True])
+        price = df["p_retailprice"].to_numpy(np.float64)
+        size = df["p_size"].to_numpy(np.int64)
+        # max size among STRICTLY cheaper rows
+        run = np.maximum.accumulate(size)
+        grp_start = np.r_[True, price[1:] != price[:-1]]
+        start_idx = np.maximum.accumulate(
+            np.where(grp_start, np.arange(len(df)), 0))
+        prev_max = np.where(start_idx > 0, run[start_idx - 1],
+                            np.iinfo(np.int64).min)
+        # max size within the same price (first of each price group,
+        # because the sort puts the biggest size first per price)
+        eq_max = size[start_idx]
+        dominated = (prev_max >= size) | (eq_max > size)
+        return df[~dominated]
+
+    sky = (ds.map_batches(block_skyline, batch_format="pandas")
+           .to_pandas())
+    out = block_skyline(sky)
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def covered_time_per_user(sf_dir: str, window_s: int = 1800) -> pd.DataFrame:
+    """Interval-union coverage: each event opens a 30-minute activity
+    interval; the answer is the total UNION length per user (overlaps
+    counted once — the interval-algebra sibling of the sweep-line
+    ``max_concurrent_sessions``). One user co-partition, then per
+    shard a sort + per-user running-max of interval ends turns the
+    union into one vectorized clipped-gap sum; exact microsecond
+    ints end-to-end and each shard emits final per-user rows (users
+    never split across shards)."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    w_us = window_s * US
+
+    def sharded(t: pa.Table) -> pa.Table:
+        tus = pa.array(np.asarray(column_ts_us(t["ts"])), pa.int64())
+        out = pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                        "tus": tus})
+        return add_shard_column(out, "user_id", 32)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tus"])
+        s = g["tus"].to_numpy(np.int64)
+        e = s + w_us
+        gb = g.groupby("user_id", sort=False)
+        pmax = gb["tus"].transform(
+            lambda x: pd.Series(np.maximum.accumulate(
+                x.to_numpy() + w_us), index=x.index).shift(1))
+        pm = pmax.to_numpy(np.float64)  # NaN on each user's first row;
+        # non-NaN values are <= tmax + w_us, inside float53, so exact
+        prev = np.where(np.isnan(pm), s, pm).astype(np.int64)
+        covered = np.clip(e - np.maximum(s, prev), 0, None)
+        return (pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                              "covered_us": covered})
+                .groupby("user_id", as_index=False)["covered_us"].sum())
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    out["covered_us"] = out["covered_us"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def hrw_assignment_documents(sf_dir: str) -> pd.DataFrame:
+    """Rendezvous (highest-random-weight) placement audit — the
+    partitioning scheme a 256-node cluster would use to pin corpus
+    shards to nodes, plus the minimal-movement proof when node 2
+    leaves: every doc scores each of 5 nodes with the SQL-mirrorable
+    Knuth hash, the owner is the argmax (ties to the smaller node),
+    and the post-removal owner recomputes over the surviving nodes.
+    By HRW's defining property only node 2's docs move, and the
+    emitted per-node (n_before, n_after, n_moved_in) table shows it.
+    Pure streaming map: each batch reduces to a <=25-row (owner,
+    owner2) matrix; the driver sees nodes-sized frames only."""
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    nodes = np.arange(5, dtype=np.uint64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if not len(ids):
+            return pa.table({"owner": pa.array([], pa.int64()),
+                             "owner2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        m = np.uint64(4294967296)
+        wt = (((ids[:, None] * np.uint64(1000003) + nodes[None, :]) % m)
+              * np.uint64(2654435761)) % m
+        owner = wt.argmax(axis=1)  # first max = smaller node id
+        wt2 = wt.copy()
+        wt2[:, 2] = 0  # node 2 leaves; weights are never 0-valued ties
+        owner2 = wt2.argmax(axis=1)
+        df = (pd.DataFrame({"owner": owner.astype(np.int64),
+                            "owner2": owner2.astype(np.int64)})
+              .groupby(["owner", "owner2"], as_index=False).size()
+              .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    mat = (ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+           .groupby(["owner", "owner2"], as_index=False)["n"].sum())
+    grid = np.arange(5, dtype=np.int64)
+    before = (mat.groupby("owner")["n"].sum()
+              .reindex(grid, fill_value=0))
+    after = (mat.groupby("owner2")["n"].sum()
+             .reindex(grid, fill_value=0))
+    moved_in = (mat[mat["owner"] != mat["owner2"]]
+                .groupby("owner2")["n"].sum().reindex(grid, fill_value=0))
+    return pd.DataFrame({"node": grid,
+                         "n_before": before.to_numpy(np.int64),
+                         "n_after": after.to_numpy(np.int64),
+                         "n_moved_in": moved_in.to_numpy(np.int64)})

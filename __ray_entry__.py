@@ -400,6 +400,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams_documents": q.top_bigrams_documents,
         "rare_terms_documents": q.rare_terms_documents,
         "bm25_documents": q.bm25_documents,
+        # MATCH_RECOGNIZE-style CEP: regex over per-user type sequences
+        "cep_pattern_events": q.cep_pattern_events,
+        # count-based classifier trained + scored distributed
+        "naive_bayes_lang_documents": q.naive_bayes_lang_documents,
+        # k-center greedy diversity coreset (rows-only; pytest oracle)
+        "kcenter_select_embeddings": q.kcenter_select_embeddings,
+        # count-min frequency sketch (approximate -> rows-only)
+        "approx_type_counts": q.approx_type_counts,
     }
 
 
@@ -3228,14 +3236,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_violating AS BIGINT) AS n_violating
             FROM cand ORDER BY fd
         """,
+        "cep_pattern_events": r"""
+            WITH s AS (
+                SELECT user_id,
+                       string_agg(substr(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY user_id),
+            m AS (
+                SELECT user_id,
+                       CAST(len(regexp_extract_all(seq, 's[cv]*p'))
+                            AS BIGINT) AS n_matches
+                FROM s)
+            SELECT user_id, n_matches FROM m
+            WHERE n_matches > 0 ORDER BY user_id
+        """,
+        "naive_bayes_lang_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           trim(text, e' \t\n\r'), '\s+')) AS w
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''),
+            counts AS (
+                SELECT d.lang, t.w, count(*) AS c
+                FROM toks t JOIN documents d USING (doc_id)
+                GROUP BY d.lang, t.w),
+            langtot AS (SELECT lang, sum(c) AS n FROM counts GROUP BY lang),
+            vocab AS (SELECT count(DISTINCT w) AS v FROM toks),
+            priors AS (
+                SELECT lang,
+                       CAST(round(ln(count(*) /
+                                     (SELECT CAST(count(*) AS DOUBLE)
+                                      FROM documents)) * 1000000000)
+                            AS BIGINT) AS pq
+                FROM documents GROUP BY lang),
+            ll AS (
+                SELECT w.w, l.lang,
+                       CAST(round(ln((coalesce(c.c, 0) + 1) /
+                                     CAST(l.n + v.v AS DOUBLE))
+                                  * 1000000000) AS BIGINT) AS lq
+                FROM (SELECT DISTINCT w FROM toks) w
+                CROSS JOIN langtot l CROSS JOIN vocab v
+                LEFT JOIN counts c ON c.w = w.w AND c.lang = l.lang),
+            st AS (
+                SELECT t.doc_id, l.lang, sum(l.lq) AS s
+                FROM toks t JOIN ll l ON l.w = t.w
+                GROUP BY t.doc_id, l.lang),
+            scored AS (
+                SELECT d.doc_id, d.lang, p.lang AS cand,
+                       CAST(p.pq + coalesce(st.s, 0) AS BIGINT) AS score_q,
+                       row_number() OVER (
+                           PARTITION BY d.doc_id
+                           ORDER BY p.pq + coalesce(st.s, 0) DESC,
+                                    p.lang) AS rk
+                FROM documents d
+                CROSS JOIN priors p
+                LEFT JOIN st ON st.doc_id = d.doc_id AND st.lang = p.lang)
+            SELECT doc_id, lang, cand AS pred_lang, score_q
+            FROM scored WHERE rk = 1 ORDER BY doc_id
+        """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,
         # minhash/simhash/embedding dedup (heuristic near-dup; exact
         # n-gram Jaccard has the bit-exact oracle above),
         # kmeans_embeddings (iterative), ann_ivf_topk +
-        # approx_* sketches (approximate by construction; accuracy
-        # bounds pinned in test_sketches.py / test_cluster.py /
-        # test_ann.py), multimodal_* (stubbed codecs) and
+        # approx_* sketches incl. approx_type_counts (approximate by
+        # construction; accuracy bounds pinned in test_sketches.py /
+        # test_cluster.py / test_ann.py),
+        # kcenter_select_embeddings (iterative greedy; exact numpy
+        # oracle in test_cluster.py), multimodal_* (stubbed codecs) and
         # streaming_flagship (stateful streaming engine; pinned by the
         # single-process oracle + golden-window + byte-identity tests).
     }

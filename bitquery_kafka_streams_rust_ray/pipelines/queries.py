@@ -8117,3 +8117,213 @@ def hrw_assignment_documents(sf_dir: str) -> pd.DataFrame:
                          "n_before": before.to_numpy(np.int64),
                          "n_after": after.to_numpy(np.int64),
                          "n_moved_in": moved_in.to_numpy(np.int64)})
+
+
+def cep_pattern_events(sf_dir: str) -> pd.DataFrame:
+    """MATCH_RECOGNIZE-style CEP over per-user event sequences: count
+    non-overlapping matches of the pattern signup -> (click|view)* ->
+    purchase in each user's time-ordered stream (the regex-over-
+    sequence generalization of ``funnel_events``, mirroring the
+    reference's sequential trade-pattern scans in
+    src/processors/dex_processor.rs). Each user's events co-locate in
+    one of 32 fixed shards (a user lives in exactly one shard, so
+    shard-local sequences are complete); inside the shard one sort +
+    one groupby-join builds a compact type-initial string per user and
+    a single vectorized ``str.count`` runs the automaton — the pattern
+    alphabet excludes the terminal symbol, so greedy (Python re) and
+    leftmost-longest (RE2) semantics coincide and the count is
+    engine-independent. Only (user, n_matches) rows leave the shard."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())),
+                        pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        seq = (pd.Series(g["event_type"].str[0].to_numpy(),
+                         index=g["user_id"].to_numpy())
+               .groupby(level=0, sort=False).agg("".join))
+        n = seq.str.count(r"s[cv]*p")
+        n = n[n > 0]
+        return pd.DataFrame({"user_id": n.index.to_numpy(np.int64),
+                             "n_matches": n.to_numpy(np.int64)})
+
+    out = (ds.map_batches(sharded, batch_format="pyarrow")
+           .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def naive_bayes_lang_documents(sf_dir: str) -> pd.DataFrame:
+    """Multinomial naive-Bayes language classifier, trained AND scored
+    distributed (the classic count-based text classifier a curation
+    pipeline uses when no pretrained model ships — the learned sibling
+    of ``quality_model_documents``'s fixed weights). Training is pure
+    aggregation: per-block (lang, token) count partials reduce once
+    over the vocabulary domain (at 100 TB the vocabulary first prunes
+    to a top-V Misra-Gries survivor set; here it is bounded), plus a
+    langs-sized doc-count reduce for the priors. The model — a
+    (vocab x langs) matrix of Laplace-smoothed log-likelihoods,
+    quantized to exact 1e-9-unit int64 per cell (the ``geomean``
+    contract: both engines round the SAME libm double once, then all
+    arithmetic is order-free integer) — broadcasts via ``ray.put``;
+    scoring is a pure map whose per-doc class sums never leave the
+    block (a document lives in one block, so no shuffle). Argmax ties
+    break to the lexicographically smallest language."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    _tok_schema = pa.schema([("lang", pa.string()), ("w", pa.string()),
+                             ("c", pa.int64())])
+    _doc_schema = pa.schema([("lang", pa.string()), ("n", pa.int64())])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _tok_schema.empty_table()
+        toks = pc.utf8_split_whitespace(t.column("text").combine_chunks())
+        w = pc.list_flatten(toks)
+        lang = pc.take(t.column("lang"), pc.list_parent_indices(toks))
+        mask = pc.not_equal(w, "")
+        return (pa.table({"lang": pc.filter(lang, mask),
+                          "w": pc.filter(w, mask)})
+                .group_by(["lang", "w"]).aggregate([([], "count_all")])
+                .rename_columns(["lang", "w", "c"]).cast(_tok_schema))
+
+    counts = (ds.map_batches(tok_partial, batch_format="pyarrow")
+              .groupby(["lang", "w"]).aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _doc_schema.empty_table()
+        return (t.select(["lang"]).group_by("lang")
+                .aggregate([([], "count_all")])
+                .rename_columns(["lang", "n"]).cast(_doc_schema))
+
+    docs = (ds.map_batches(doc_partial, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("lang").reset_index(drop=True))
+
+    langs = docs["lang"].tolist()
+    n_total = int(docs["n"].sum())
+
+    def _lnq(x: np.ndarray) -> np.ndarray:
+        # the geomean contract: Arrow's ln on the exact IEEE ratio,
+        # rounded once to 1e-9 units — bit-equal to the SQL oracle's
+        # round(ln(x) * 1e9)
+        return pc.cast(pc.round(pc.multiply(
+            pc.ln(pa.array(x, pa.float64())), 1e9)), pa.int64()).to_numpy()
+
+    piv = (counts.pivot_table(index="w", columns="lang", values="c",
+                              aggfunc="sum", fill_value=0)
+           .reindex(columns=langs, fill_value=0).sort_index())
+    n_lang = piv.sum(axis=0).to_numpy(np.int64)   # tokens per lang
+    vocab_n = len(piv)
+    ll = np.stack([
+        _lnq((piv[lg].to_numpy(np.int64) + 1.0) / float(n_lang[j] + vocab_n))
+        for j, lg in enumerate(langs)], axis=1)   # vocab x langs int64
+    prior_q = _lnq(docs["n"].to_numpy(np.int64) / float(n_total))
+    tok_index = {w: i for i, w in enumerate(piv.index)}
+    model_ref = ray.put((tok_index, ll, prior_q, langs))
+
+    def score(t: pa.Table) -> pa.Table:
+        tok_idx, mat, pq, lgs = broadcast_get(model_ref)
+        toks = pc.utf8_split_whitespace(t.column("text").combine_chunks())
+        w = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        mask = pc.not_equal(w, "").to_numpy(zero_copy_only=False)
+        rows = np.array([tok_idx[x] for x in
+                         w.to_numpy(zero_copy_only=False)[mask]],
+                        dtype=np.int64)
+        scores = np.tile(pq, (len(t), 1))
+        if len(rows):
+            np.add.at(scores, parent[mask], mat[rows])
+        best = scores.argmax(axis=1)  # first max = lexicographically
+        return pa.table({                            # smallest lang
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "pred_lang": pa.array([lgs[b] for b in best], pa.string()),
+            "score_q": pa.array(scores[np.arange(len(t)), best],
+                                pa.int64())})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def kcenter_select_embeddings(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """k-center greedy (farthest-point) coreset selection over the
+    embedding table — the diversity sampler a training-data curation
+    pipeline runs to pick maximally-spread exemplars (the geometric
+    dual of ``semdedup_label_embeddings``'s redundancy removal).
+    Elements quantize to exact 1e-6-unit int64 first (the
+    ``embedding_norms`` rule), so every squared distance is an exact
+    integer and the argmax — ties to the smallest vec_id — is
+    bit-identical across block layouts and cluster sizes. Each of the
+    k rounds is one streaming pass: centers-so-far broadcast (≤ k
+    small vectors), each block emits only its local champion row, and
+    the driver reduces a blocks-sized frame. At 100 TB the running
+    min-distance column persists between rounds instead of being
+    recomputed (k passes become k map-only incremental updates over a
+    cached column); at test scale recomputation against ≤ k centers is
+    the cheaper shape."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _champion(t: pa.Table, centers: np.ndarray | None) -> pa.Table:
+        empty = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "d2q": pa.array([], pa.int64()),
+            "q": pa.array([], pa.list_(pa.int64()))})
+        if len(t) == 0:
+            return empty
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        if centers is None:  # seed round: farthest from the origin
+            d2 = (q * q).sum(axis=1)
+        else:
+            d2 = np.full(len(q), np.iinfo(np.int64).max)
+            for c in centers:  # <= k broadcast centers: k vectorized
+                diff = q - c[None, :]          # passes, no pair matrix
+                np.minimum(d2, (diff * diff).sum(axis=1), out=d2)
+        ids = t["vec_id"].to_numpy()
+        best = int(np.lexsort((ids, -d2))[0])  # max d2, tie -> min id
+        return pa.table({
+            "vec_id": pa.array([int(ids[best])], pa.int64()),
+            "d2q": pa.array([int(d2[best])], pa.int64()),
+            "q": pa.array([q[best].tolist()], pa.list_(pa.int64()))})
+
+    selected: list[tuple[int, int, np.ndarray]] = []
+    centers: np.ndarray | None = None
+    for _ in range(k):
+        cands = (ds.map_batches(
+            lambda t, c=centers: _champion(t, c),
+            batch_format="pyarrow").to_pandas())
+        cands = cands.sort_values(
+            ["d2q", "vec_id"], ascending=[False, True])
+        row = cands.iloc[0]
+        qvec = np.array(row["q"], dtype=np.int64)
+        selected.append((int(row["vec_id"]), int(row["d2q"]), qvec))
+        centers = np.stack([s[2] for s in selected])
+
+    return pd.DataFrame({
+        "step": np.arange(k, dtype=np.int64),
+        "vec_id": np.array([s[0] for s in selected], np.int64),
+        "d2q": np.array([s[1] for s in selected], np.int64)})
+
+
+def approx_type_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-min frequency estimates for every event type (the
+    point-query frequency sketch completing the HLL / histogram /
+    Bloom / Misra-Gries family in ``stages/sketches.py``): per-block
+    (depth x width) counter grids merge CELL-WISE through one
+    constant-size groupby — exchange volume independent of row count —
+    and the probe keys read the merged grid. Estimates never
+    undercount (each row counts the key plus its collisions) and
+    exceed truth by at most e*N/width w.h.p.; the exact-count twin for
+    the accuracy pin is ``distinct_users``'s groupby family."""
+    from ..stages.sketches import cms_counts
+    ds = _t(sf_dir, "events", ["event_type"])
+    probes = ["click", "error", "purchase", "signup", "view"]
+    out = cms_counts(ds, "event_type", probes, depth=4, width=2048)
+    return out.sort_values("item").reset_index(drop=True)

@@ -380,3 +380,71 @@ def heavy_hitters(
     return (out.sort_values(["approx_count", "item"],
                             ascending=[False, True])
             .reset_index(drop=True))
+
+
+def _cms_positions(hashes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(n, depth) column indexes via Kirsch-Mitzenmacher double
+    hashing (h1 + i*h2, the same trick as :class:`BloomFilter`) — depth
+    independent-enough rows from two uint64 hashes, no per-row loop."""
+    h1 = hashes
+    h2 = _splitmix64(hashes) | np.uint64(1)
+    i = np.arange(depth, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(width)).astype(np.int64)
+
+
+def cms_partial(values: pa.Array | pa.ChunkedArray,
+                depth: int = 4, width: int = 2048) -> np.ndarray:
+    """Count-min sketch of one batch: a (depth, width) int64 counter
+    grid. Partials MERGE BY ELEMENTWISE ADDITION — the linearity that
+    lets a 100-TB stream ride normal map_batches partials + one
+    constant-size reduce, exactly like the HLL registers (
+    max-merge) and the histogram bins (add-merge). Memory is
+    depth*width*8 bytes per partial regardless of rows."""
+    grid = np.zeros((depth, width), dtype=np.int64)
+    pos = _cms_positions(_hash_column(values), depth, width)
+    for r in range(depth):  # depth is 4: four bincount passes, no row loop
+        grid[r] += np.bincount(pos[:, r], minlength=width)
+    return grid
+
+
+def cms_query(grid: np.ndarray, keys: pa.Array) -> np.ndarray:
+    """Point-estimate counts for ``keys``: min over the depth rows —
+    NEVER an underestimate (every row counts the key plus collisions),
+    and ≤ true + e*N/width with probability 1 - exp(-depth) (the
+    classic CM guarantee)."""
+    depth, width = grid.shape
+    pos = _cms_positions(_hash_column(keys), depth, width)
+    ests = np.stack([grid[r, pos[:, r]] for r in range(depth)], axis=1)
+    return ests.min(axis=1)
+
+
+def cms_counts(
+    ds: ray.data.Dataset,
+    value_col: str,
+    probe_keys: list,
+    depth: int = 4,
+    width: int = 2048,
+) -> pd.DataFrame:
+    """Distributed count-min frequency estimation: per-block sketch
+    partials flow as flattened rows through ONE constant-size groupby
+    (depth*width cells per block, summed cell-wise — the add-merge
+    linearity), then the probe keys read the merged grid. The stream
+    itself never shuffles and the exchange volume is independent of
+    row count — the designed 100-TB path for "how often does key X
+    occur" when the key domain is too large for an exact groupby."""
+    def partial(t: pa.Table) -> pa.Table:
+        grid = cms_partial(t[value_col], depth, width)
+        cell = np.arange(depth * width, dtype=np.int64)
+        return pa.table({"cell": cell, "c": grid.ravel()})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("c", alias_name="c"))
+              .to_pandas().sort_values("cell"))
+    grid = np.zeros(depth * width, dtype=np.int64)
+    grid[merged["cell"].to_numpy(np.int64)] = merged["c"].to_numpy(np.int64)
+    grid = grid.reshape(depth, width)
+    keys = pa.array([str(k) for k in probe_keys], pa.string())
+    est = cms_query(grid, keys)
+    return pd.DataFrame({"item": [str(k) for k in probe_keys],
+                         "approx_count": est.astype("int64")})

@@ -45,3 +45,31 @@ def test_kmeans_recovers_label_structure():
     assert (out["n_vecs"] > 0).all()
     ratio = out["n_vecs"].max() / max(1, out["n_vecs"].min())
     assert ratio < 50, out
+
+
+def test_kcenter_matches_numpy_oracle():
+    """k-center greedy selection is bit-identical to a single-machine
+    numpy replay of the same quantized-integer rule (exact distances,
+    ties to the smallest vec_id), regardless of block layout."""
+    import pyarrow.parquet as pq
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import (
+        kcenter_select_embeddings)
+    sf = "/root/testdata/sf0.01"
+    got = kcenter_select_embeddings(sf, k=8)
+
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+    q = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    d2 = (q * q).sum(axis=1)
+    rows = []
+    for step in range(8):
+        best = np.lexsort((ids, -d2))[0]
+        rows.append((step, int(ids[best]), int(d2[best])))
+        diff = q - q[best][None, :]
+        nd = (diff * diff).sum(axis=1)
+        d2 = nd if step == 0 else np.minimum(d2, nd)
+    ref = pd.DataFrame(rows, columns=["step", "vec_id", "d2q"]).astype(
+        {"step": "int64", "vec_id": "int64", "d2q": "int64"})
+    pd.testing.assert_frame_equal(got, ref)

@@ -213,3 +213,54 @@ def test_heavy_hitters_bigrams_match_exact_top():
         SELECT bigram, count(*) AS n FROM pairs GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 5""").df()
     assert set(exact["bigram"]).issubset(set(got["item"]))
+
+
+# ---------------------------------------------------------------- CMS
+
+def test_cms_overestimate_and_bound():
+    """Count-min never undercounts, and with width 256 over a 2000-key
+    domain the classic e*N/width bound holds for every probe."""
+    from bitquery_kafka_streams_rust_ray.stages.sketches import (
+        cms_partial, cms_query)
+    rng = np.random.default_rng(11)
+    # zipf-ish skew: heavy keys + a long tail to force collisions
+    keys = np.concatenate([
+        np.repeat(np.arange(20), 500),
+        rng.integers(100, 2100, size=10_000)])
+    vals = pa.array([f"k{int(v)}" for v in keys], pa.string())
+    grid = cms_partial(vals, depth=4, width=256)
+    probes = pa.array([f"k{i}" for i in range(20)], pa.string())
+    est = cms_query(grid, probes)
+    exact = np.array([int((keys == i).sum()) for i in range(20)])
+    n = len(keys)
+    assert (est >= exact).all()
+    assert (est <= exact + np.e * n / 256).all()
+
+
+def test_cms_merge_linearity():
+    """Sketch of the whole == elementwise sum of part sketches — the
+    property that makes per-block partials + one add-merge reduce
+    exact-equivalent to sketching the stream in one pass."""
+    from bitquery_kafka_streams_rust_ray.stages.sketches import cms_partial
+    vals = [f"v{i % 37}" for i in range(1000)]
+    whole = cms_partial(pa.array(vals), depth=4, width=64)
+    parts = sum(cms_partial(pa.array(vals[i:i + 100]), depth=4, width=64)
+                for i in range(0, 1000, 100))
+    assert np.array_equal(whole, parts)
+
+
+def test_cms_counts_distributed_matches_exact_on_small_domain():
+    """End-to-end distributed path at a width where the 5-type domain
+    cannot collide with itself enough to matter: estimates >= exact,
+    and on this domain exactly equal (the Ray reduce is exact add-merge
+    of the per-block grids)."""
+    from bitquery_kafka_streams_rust_ray.stages.sketches import cms_counts
+    ds = ray.data.read_parquet(SF + "/events.parquet",
+                               columns=["event_type"])
+    probes = ["click", "error", "purchase", "signup", "view"]
+    out = cms_counts(ds, "event_type", probes, depth=4, width=2048)
+    exact = (duckdb.sql(
+        f"SELECT event_type, count(*) n FROM '{SF}/events.parquet' "
+        "GROUP BY 1").df().set_index("event_type")["n"])
+    got = out.set_index("item")["approx_count"]
+    assert (got >= exact[got.index]).all()

@@ -2552,7 +2552,8 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(o.t, 0), 2) AS total_spent
             FROM customer c LEFT JOIN (
                 SELECT o_custkey, count(*) AS n,
-                       sum(o_totalprice) AS t
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS DOUBLE) / 100 AS t
                 FROM orders GROUP BY o_custkey) o
                 ON o.o_custkey = c.c_custkey
             ORDER BY c.c_custkey

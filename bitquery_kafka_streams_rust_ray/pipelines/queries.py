@@ -1591,16 +1591,32 @@ def pagerank_trade_graph(sf_dir: str, iters: int = 3,
             cust, pa.scalar(1 << 32, pa.int64())))
         return pa.table({"cust": cust, "supp": supp})
 
-    # materialized: three consumers (two degree reduces + the encode)
+    # materialized: two consumers (the degree reduce + the encode)
     # would otherwise each re-run join+distinct; this is the reduced
     # pair table (two int64s per edge), not the corpus
     pairs = uniq.map_batches(split_ids, batch_format="pyarrow").materialize()
-    deg_c = (pairs.groupby("cust").aggregate(Count(alias_name="deg"))
-             .to_pandas().sort_values("cust"))
-    deg_s = (pairs.groupby("supp").aggregate(Count(alias_name="deg"))
-             .to_pandas().sort_values("supp"))
-    custs = deg_c["cust"].to_numpy()
-    supps = deg_s["supp"].to_numpy()
+
+    # BOTH degree vectors in ONE pass of node-sized per-block partials
+    # merged on the driver — the degree frame is dimension-sized
+    # (customers + suppliers), so two Ray all-to-all groupbys over the
+    # edge list cost ~15 s at sf0.1 for what a blocks x nodes partial
+    # merge does in ~0.3 s (the `zscore_events` two-pass shape)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        tc = (t.group_by("cust").aggregate([([], "count_all")])
+              .rename_columns(["node", "deg"]))
+        ts = (t.group_by("supp").aggregate([([], "count_all")])
+              .rename_columns(["node", "deg"]))
+        return pa.concat_tables([
+            tc.append_column("side", pa.array(["c"] * len(tc))),
+            ts.append_column("side", pa.array(["s"] * len(ts)))])
+
+    deg = (pairs.map_batches(deg_partial, batch_format="pyarrow")
+           .to_pandas().groupby(["side", "node"], as_index=False)["deg"]
+           .sum())
+    deg_c = deg[deg["side"] == "c"].sort_values("node")
+    deg_s = deg[deg["side"] == "s"].sort_values("node")
+    custs = deg_c["node"].to_numpy()
+    supps = deg_s["node"].to_numpy()
     n = len(custs) + len(supps)
     deg_arr = np.concatenate([deg_c["deg"].to_numpy(),
                               deg_s["deg"].to_numpy()]).astype(np.float64)
@@ -3011,21 +3027,64 @@ def customer_order_stats(sf_dir: str) -> pd.DataFrame:
     zero-fill. Both sides stream; nothing driver-side."""
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    agg = (orders.groupby("o_custkey")
-           .aggregate(Count(alias_name="n_orders"),
-                      Sum("o_totalprice", alias_name="total_spent"))
-           .map_batches(lambda t: t.rename_columns(
-               ["c_custkey", "n_orders", "total_spent"]),
-               batch_format="pyarrow"))
-    j = hash_join(cust, agg, on="c_custkey", how="left",
-                  buckets=join_buckets(_tbytes(sf_dir, "customer",
-                                               "orders")))
-    out = j.to_pandas()
-    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
-    out["total_spent"] = out["total_spent"].astype("float64").fillna(0.0)
-    out = _round2(out, ["total_spent"])
-    out = out.sort_values("c_custkey").reset_index(drop=True)
-    return out[["c_custkey", "c_mktsegment", "n_orders", "total_spent"]]
+
+    # ONE custkey co-partition replaces the custkey-domain groupby plus
+    # the separate hash-join exchange (the `_fulfillment_lag_hist`
+    # shape — a custkey-domain group count priced that shuffle): both
+    # sides pre-reduce per block, union under one typed schema, and the
+    # shards-sized groupby co-locates each customer's rows; the
+    # left-outer merge and zero-fill happen inside the shard task.
+    _schema = pa.schema([("c_custkey", pa.int64()),
+                         ("c_mktsegment", pa.string()),
+                         ("n_orders", pa.int64()),
+                         ("cents", pa.int64()),
+                         ("_shard", pa.int64())])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = (pa.table({"c_custkey": t["o_custkey"], "cents": cents})
+             .group_by("c_custkey")
+             .aggregate([([], "count_all"), ("cents", "sum")])
+             .rename_columns(["c_custkey", "n_orders", "cents"]))
+        g = pa.table({"c_custkey": g["c_custkey"],
+                      "c_mktsegment": pa.nulls(len(g), pa.string()),
+                      "n_orders": g["n_orders"],
+                      "cents": g["cents"]})
+        return add_shard_column(g, "c_custkey", 32).cast(_schema)
+
+    def c_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        g = pa.table({"c_custkey": t["c_custkey"],
+                      "c_mktsegment": t["c_mktsegment"],
+                      "n_orders": pa.nulls(len(t), pa.int64()),
+                      "cents": pa.nulls(len(t), pa.int64())})
+        return add_shard_column(g, "c_custkey", 32).cast(_schema)
+
+    u = (orders.map_batches(o_partial, batch_format="pyarrow")
+         .union(cust.map_batches(c_partial, batch_format="pyarrow")))
+
+    def shard_merge(g: pd.DataFrame) -> pd.DataFrame:
+        c_rows = g[g["c_mktsegment"].notna()]
+        o_rows = g[g["c_mktsegment"].isna()]
+        agg = (o_rows.groupby("c_custkey", sort=False)
+               .agg(n_orders=("n_orders", "sum"), cents=("cents", "sum"))
+               .reset_index())
+        m = c_rows[["c_custkey", "c_mktsegment"]].merge(
+            agg, on="c_custkey", how="left")
+        m["n_orders"] = m["n_orders"].fillna(0).astype("int64")
+        m["total_spent"] = np.round(
+            m["cents"].fillna(0).astype("float64") / 100.0, 2)
+        return m[["c_custkey", "c_mktsegment", "n_orders", "total_spent"]]
+
+    out = (u.groupby("_shard").map_groups(shard_merge,
+                                          batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("c_custkey").reset_index(drop=True)
+            [["c_custkey", "c_mktsegment", "n_orders", "total_spent"]])
 
 
 def pq_encode_embeddings(sf_dir: str) -> pd.DataFrame:
@@ -4774,62 +4833,119 @@ def hhi_supplier_concentration(sf_dir: str) -> pd.DataFrame:
                 .aggregate([("q", "sum")])
                 .rename_columns(["l_partkey", "l_suppkey", "q"]))
 
-    ps = (ds.map_batches(partial, batch_format="pyarrow")
-          .groupby(["l_partkey", "l_suppkey"])
-          .aggregate(Sum("q", alias_name="q"))
-          .to_pandas())
-    # HHI = Σ(q/tq)² = Σq²/tq² is an exact rational of integer-cent
-    # sums, so it DOES hit .5 decimal boundaries (numpy half-even vs
-    # DuckDB half-away flipped two fixture rows at round6). Emit exact
-    # integer parts-per-million instead: half-up integer division on
-    # arbitrary-precision ints, no float anywhere.
-    q = ps["q"].to_numpy(np.int64)
-    ps["qq"] = q * q
-    out = (ps.groupby("l_partkey", sort=True)
-           .agg(n_suppliers=("l_suppkey", "nunique"),
-                s2=("qq", "sum"), tq=("q", "sum"))
-           .reset_index())
-    out = out[out["n_suppliers"] > 1]
-    s2 = out["s2"].astype(object)
-    tq = out["tq"].astype(object)
-    ppm = (2 * s2 * 1_000_000 + tq * tq) // (2 * tq * tq)
-    out["hhi_ppm"] = ppm.astype("int64")
-    out["n_suppliers"] = out["n_suppliers"].astype("int64")
-    out["l_partkey"] = out["l_partkey"].astype("int64")
-    return (out.drop(columns=["s2", "tq"]).sort_values("l_partkey")
-            .reset_index(drop=True)
+    # the (part, supplier) pair domain is near rows-sized, so a Ray
+    # all-to-all groupby over it cost 6+ s at sf0.1 (group count prices
+    # the shuffle — the `top_parts_in_top_nations` lesson). Instead ONE
+    # partkey co-partition into 32 fixed shards: every row of a part
+    # lands in one shard, so the pair sums, the per-part total AND the
+    # whole HHI finish inside the shard task; only parts-sized result
+    # rows reach the driver.
+    def shard_hhi(g: pd.DataFrame) -> pd.DataFrame:
+        ps = (g.groupby(["l_partkey", "l_suppkey"], sort=False,
+                        as_index=False)["q"].sum())
+        q = ps["q"].to_numpy(np.int64)
+        ps["qq"] = q * q
+        out = (ps.groupby("l_partkey", sort=False)
+               .agg(n_suppliers=("l_suppkey", "nunique"),
+                    s2=("qq", "sum"), tq=("q", "sum"))
+               .reset_index())
+        out = out[out["n_suppliers"] > 1]
+        if not len(out):
+            return pd.DataFrame(
+                {"l_partkey": pd.Series([], dtype="int64"),
+                 "n_suppliers": pd.Series([], dtype="int64"),
+                 "hhi_ppm": pd.Series([], dtype="int64")})
+        # HHI = Σ(q/tq)² = Σq²/tq² is an exact rational of integer-cent
+        # sums, so it DOES hit .5 decimal boundaries (numpy half-even vs
+        # DuckDB half-away flipped two fixture rows at round6). Emit
+        # exact integer parts-per-million instead: half-up integer
+        # division on arbitrary-precision ints, no float anywhere.
+        s2 = out["s2"].astype(object)
+        tq = out["tq"].astype(object)
+        ppm = (2 * s2 * 1_000_000 + tq * tq) // (2 * tq * tq)
+        out["hhi_ppm"] = ppm.astype("int64")
+        out["n_suppliers"] = out["n_suppliers"].astype("int64")
+        out["l_partkey"] = out["l_partkey"].astype("int64")
+        return out[["l_partkey", "n_suppliers", "hhi_ppm"]]
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .map_batches(lambda t: add_shard_column(t, "l_partkey", 32),
+                        batch_format="pyarrow")
+           .groupby("_shard").map_groups(shard_hhi, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("l_partkey").reset_index(drop=True)
             [["l_partkey", "n_suppliers", "hhi_ppm"]])
 
 
 def weighted_median_price(sf_dir: str) -> pd.DataFrame:
     """Quantity-weighted median price per return flag — the weighted
-    sibling of ``median_value_by_type``: integer (cents, weight) partials
-    reduce to a value-domain-bounded frame per flag, and the weighted
-    inverse-CDF rule (smallest value with 2·cumw ≥ total) picks the
-    median with pure integer comparisons; nothing ever sorts the rows."""
+    sibling of ``median_value_by_type``, EXACT in two bounded streaming
+    passes. The price domain is near rows-sized (extendedprice =
+    quantity x part price), so a distinct-cents groupby would shuffle
+    ~every row (measured 8-9 s at sf0.1); instead pass 1 reduces to a
+    fixed-width $100-bucket weight histogram (``cents // 10^4`` bounds
+    the bucket domain with no min/max pre-pass; blocks x buckets
+    partials merge on the driver), the driver walks the cumulative to
+    find each flag's median BUCKET, and pass 2 re-scans only rows
+    inside those buckets (a flags-sized broadcast predicate) for the
+    exact within-bucket rule — smallest cents with 2·cumw ≥ total,
+    pure integer comparisons, nothing ever sorts the corpus."""
     ds = _t(sf_dir, "lineitem",
             ["l_returnflag", "l_extendedprice", "l_quantity"])
+    BUCKET = 10_000  # cents per bucket ($100)
 
-    def partial(t: pa.Table) -> pa.Table:
+    def pass1(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
                         pa.int64())
         w = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
-        return (pa.table({"l_returnflag": t["l_returnflag"], "cents": cents,
+        b = pc.divide(cents, pa.scalar(BUCKET, pa.int64()))
+        return (pa.table({"l_returnflag": t["l_returnflag"], "b": b,
                           "w": w})
-                .group_by(["l_returnflag", "cents"])
-                .aggregate([("w", "sum")])
-                .rename_columns(["l_returnflag", "cents", "w"]))
+                .group_by(["l_returnflag", "b"]).aggregate([("w", "sum")])
+                .rename_columns(["l_returnflag", "b", "w"]))
 
-    freq = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["l_returnflag", "cents"])
-            .aggregate(Sum("w", alias_name="w"))
-            .to_pandas()).sort_values(["l_returnflag", "cents"])
-    rows = []
-    for flag, g in freq.groupby("l_returnflag", sort=True):
-        w = g["w"].to_numpy(np.int64)
+    hist = (ds.map_batches(pass1, batch_format="pyarrow").to_pandas()
+            .groupby(["l_returnflag", "b"], as_index=False)["w"].sum()
+            .sort_values(["l_returnflag", "b"]))
+    targets: dict[str, tuple[int, int, int]] = {}  # flag -> (bucket,
+    for flag, g in hist.groupby("l_returnflag", sort=True):   # prev_cum,
+        w = g["w"].to_numpy(np.int64)                         # total)
         cum = np.cumsum(w)
-        total = cum[-1]
-        idx = int(np.searchsorted(2 * cum, total))  # first 2*cum >= total
+        total = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, total))
+        targets[flag] = (int(g["b"].to_numpy(np.int64)[idx]),
+                         int(cum[idx - 1]) if idx else 0, total)
+    targets_ref = ray.put(targets)
+
+    def pass2(t: pa.Table) -> pa.Table:
+        tg = broadcast_get(targets_ref)
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()).to_numpy()
+        w = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)),
+                    pa.int64()).to_numpy()
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        want = (pd.Series(flags)
+                .map({f: v[0] for f, v in tg.items()})
+                .to_numpy(np.int64))
+        keep = (cents // BUCKET) == want
+        if not keep.any():
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        df = (pd.DataFrame({"l_returnflag": flags[keep],
+                            "cents": cents[keep], "w": w[keep]})
+              .groupby(["l_returnflag", "cents"], as_index=False)["w"]
+              .sum())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    inb = (ds.map_batches(pass2, batch_format="pyarrow").to_pandas()
+           .groupby(["l_returnflag", "cents"], as_index=False)["w"].sum()
+           .sort_values(["l_returnflag", "cents"]))
+    rows = []
+    for flag, g in inb.groupby("l_returnflag", sort=True):
+        _, prev, total = targets[flag]
+        cum = prev + np.cumsum(g["w"].to_numpy(np.int64))
+        idx = int(np.searchsorted(2 * cum, total))
         rows.append((flag, g["cents"].to_numpy(np.int64)[idx] / 100.0))
     return pd.DataFrame(rows, columns=["l_returnflag", "wmedian"])
 
@@ -6915,10 +7031,14 @@ def rank_movers_parts(sf_dir: str) -> pd.DataFrame:
                 .rename_columns(["half", "l_partkey", "cents"])
                 .cast(_schema))
 
+    # parts is a DIMENSION: blocks x (2 x |parts|) pre-reduced partials
+    # merge on the driver (the `zscore_events` shape) — a Ray all-to-all
+    # groupby over the 2x-parts group domain cost 5-7 s at sf0.1 for
+    # what this merge does in ~0.3 s
     parts = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby(["half", "l_partkey"])
-             .aggregate(Sum("cents", alias_name="cents"))
-             .to_pandas())
+             .to_pandas()
+             .groupby(["half", "l_partkey"], as_index=False)["cents"]
+             .sum())
 
     def ranked(h: int) -> pd.DataFrame:
         sub = parts[parts["half"] == h].sort_values(

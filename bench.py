@@ -126,6 +126,9 @@ QUERY_NAMES = [
     "pq_encode_embeddings",
     "lead_lag_events",
     "customer_order_stats",
+    "pagerank_trade_graph",
+    "naive_bayes_lang_documents",
+    "cep_pattern_events",
 ]
 
 

@@ -3661,10 +3661,11 @@ def event_trigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return pd.DataFrame({"trigram": vc.index.to_numpy(),
                              "n": vc.to_numpy(np.int64)})
 
+    # shards x alphabet^3 rows: a driver merge beats a second exchange
     counts = (ds.map_batches(sharded, batch_format="pyarrow")
               .groupby("_shard").map_groups(per_shard, batch_format="pandas")
-              .groupby("trigram").aggregate(Sum("n", alias_name="n"))
-              .to_pandas())  # trigram-vocabulary-sized
+              .to_pandas()
+              .groupby("trigram", as_index=False)["n"].sum())
     counts["n"] = counts["n"].astype("int64")
     out = counts.sort_values(["n", "trigram"],
                              ascending=[False, True]).head(k)
@@ -3884,11 +3885,12 @@ def cohort_retention(sf_dir: str) -> pd.DataFrame:
         return (out.groupby(["cohort_week", "week_offset"], sort=False)
                 .size().reset_index(name="n_users"))
 
+    # shards x (cohorts x offsets) rows: driver merge, not an exchange
     out = (ds.map_batches(sharded, batch_format="pyarrow")
            .groupby("_shard").map_groups(per_shard, batch_format="pandas")
-           .groupby(["cohort_week", "week_offset"])
-           .aggregate(Sum("n_users", alias_name="n_users"))
-           .to_pandas())  # cohorts x offsets
+           .to_pandas()
+           .groupby(["cohort_week", "week_offset"], as_index=False)
+           ["n_users"].sum())
     out["n_users"] = out["n_users"].astype("int64")
     return (out.sort_values(["cohort_week", "week_offset"])
             .reset_index(drop=True))
@@ -3962,10 +3964,12 @@ def orders_interarrival(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"gap_days": vals.astype(np.int64),
                              "n": cnts.astype(np.int64)})
 
+    # the final reduce is gap-domain-sized (shards x |gaps| rows): a
+    # driver merge beats a second Ray all-to-all exchange
     out = (ds.map_batches(sharded, batch_format="pyarrow")
            .groupby("_shard").map_groups(per_shard, batch_format="pandas")
-           .groupby("gap_days").aggregate(Sum("n", alias_name="n"))
-           .to_pandas())  # gap-domain-sized
+           .to_pandas()
+           .groupby("gap_days", as_index=False)["n"].sum())
     out["n"] = out["n"].astype("int64")
     return out.sort_values("gap_days").reset_index(drop=True)
 
@@ -8311,9 +8315,12 @@ def naive_bayes_lang_documents(sf_dir: str) -> pd.DataFrame:
                 .group_by(["lang", "w"]).aggregate([([], "count_all")])
                 .rename_columns(["lang", "w", "c"]).cast(_tok_schema))
 
+    # the (lang, token) frame is model-sized (vocab x langs): blocks x
+    # vocab pre-reduced partials merge on the driver — a Ray all-to-all
+    # groupby over the vocab-domain group count cost ~4 s at sf0.1
     counts = (ds.map_batches(tok_partial, batch_format="pyarrow")
-              .groupby(["lang", "w"]).aggregate(Sum("c", alias_name="c"))
-              .to_pandas())
+              .to_pandas()
+              .groupby(["lang", "w"], as_index=False)["c"].sum())
 
     def doc_partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -8323,8 +8330,8 @@ def naive_bayes_lang_documents(sf_dir: str) -> pd.DataFrame:
                 .rename_columns(["lang", "n"]).cast(_doc_schema))
 
     docs = (ds.map_batches(doc_partial, batch_format="pyarrow")
-            .groupby("lang").aggregate(Sum("n", alias_name="n"))
-            .to_pandas().sort_values("lang").reset_index(drop=True))
+            .to_pandas().groupby("lang", as_index=False)["n"].sum()
+            .sort_values("lang").reset_index(drop=True))
 
     langs = docs["lang"].tolist()
     n_total = int(docs["n"].sum())

@@ -408,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_select_embeddings": q.kcenter_select_embeddings,
         # count-min frequency sketch (approximate -> rows-only)
         "approx_type_counts": q.approx_type_counts,
+        # two-proportion z-test on a hash-deterministic A/B split
+        "ab_test_events": q.ab_test_events,
     }
 
 
@@ -3236,6 +3238,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT fd, CAST(n_keys AS BIGINT) AS n_keys,
                    CAST(n_violating AS BIGINT) AS n_violating
             FROM cand ORDER BY fd
+        """,
+        "ab_test_events": """
+            WITH u AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                AND CAST(round(value * 100) AS BIGINT)
+                                    > 39000
+                                THEN 1 ELSE 0 END) AS conv,
+                       CAST((user_id * 2654435761) % 4294967296 % 2
+                            AS BIGINT) AS arm
+                FROM events GROUP BY user_id),
+            arms AS (
+                SELECT arm, count(*) AS n_users,
+                       sum(conv) AS n_conv
+                FROM u GROUP BY arm),
+            tot AS (
+                SELECT max(CASE WHEN arm = 0 THEN n_users END) AS n1,
+                       max(CASE WHEN arm = 1 THEN n_users END) AS n2,
+                       max(CASE WHEN arm = 0 THEN n_conv END) AS c1,
+                       max(CASE WHEN arm = 1 THEN n_conv END) AS c2
+                FROM arms),
+            z AS (
+                SELECT CASE WHEN c1 + c2 = 0
+                            OR c1 + c2 = n1 + n2 THEN 0
+                       ELSE CAST((2 * ((n1 + n2)
+                             * CAST(c1 * n2 - c2 * n1 AS HUGEINT)
+                             * CAST(c1 * n2 - c2 * n1 AS HUGEINT)
+                             * 1000000)
+                             + (CAST(n1 AS HUGEINT) * n2 * (c1 + c2)
+                                * (n1 + n2 - c1 - c2)))
+                            // (2 * CAST(n1 AS HUGEINT) * n2 * (c1 + c2)
+                                * (n1 + n2 - c1 - c2))
+                            AS BIGINT) END AS z2_ppm
+                FROM tot)
+            SELECT a.arm, CAST(a.n_users AS BIGINT) AS n_users,
+                   CAST(a.n_conv AS BIGINT) AS n_conv,
+                   CAST((2 * CAST(a.n_conv AS HUGEINT) * 1000000
+                         + a.n_users)
+                        // (2 * CAST(a.n_users AS HUGEINT)) AS BIGINT)
+                       AS conv_ppm,
+                   z.z2_ppm
+            FROM arms a CROSS JOIN z ORDER BY a.arm
         """,
         "cep_pattern_events": r"""
             WITH s AS (

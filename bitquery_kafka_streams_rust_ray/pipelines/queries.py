@@ -8454,3 +8454,69 @@ def approx_type_counts(sf_dir: str) -> pd.DataFrame:
     probes = ["click", "error", "purchase", "signup", "view"]
     out = cms_counts(ds, "event_type", probes, depth=4, width=2048)
     return out.sort_values("item").reset_index(drop=True)
+
+
+def ab_test_events(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion z-test on a deterministic A/B split (the
+    experimentation readout a product pipeline runs): users assign to
+    arms by the engine's SQL-mirrorable multiplicative hash (parity of
+    ``multiplicative_hash_u32``), conversion = the user fired at least
+    one purchase, and the test statistic ships as exact z² ppm — the
+    pooled-variance z² rewrites as the integer rational
+    n·(c1·n2 − c2·n1)² / (n1·n2·c·(n−c)), so no float boundary exists
+    for the engines to disagree on (arbitrary-precision ints here,
+    HUGEINT in the oracle). Per-user conversion finishes inside one
+    32-shard user co-partition (a user lives in one shard), each shard
+    emits 2 rows, and the driver folds the arms-sized frame."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        # conversion = a HIGH-VALUE purchase (cents > 39000), not any
+        # purchase — on the fixtures every user purchases at least
+        # once, which would make c = n and the pooled variance zero
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        conv = pc.cast(pc.and_(
+            pc.equal(t["event_type"], "purchase"),
+            pc.greater(cents, pa.scalar(39_000, pa.int64()))), pa.int64())
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())),
+                        pa.int64())
+        return (pa.table({"user_id": t["user_id"], "conv": conv,
+                          "_shard": shard})
+                .group_by(["user_id", "_shard"])
+                .aggregate([("conv", "max")])
+                .rename_columns(["user_id", "_shard", "conv"]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        u = (g.groupby("user_id", sort=False, as_index=False)["conv"]
+             .max())
+        from ..stages.hashing import multiplicative_hash_u32
+        arm = (multiplicative_hash_u32(u["user_id"].to_numpy(np.int64))
+               % np.uint64(2)).astype(np.int64)
+        out = (pd.DataFrame({"arm": arm, "conv": u["conv"].to_numpy()})
+               .groupby("arm", as_index=False)
+               .agg(n_users=("conv", "size"), n_conv=("conv", "sum")))
+        return out.astype({"arm": "int64", "n_users": "int64",
+                           "n_conv": "int64"})
+
+    arms = (ds.map_batches(sharded, batch_format="pyarrow")
+            .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+            .to_pandas()
+            .groupby("arm", as_index=False)[["n_users", "n_conv"]].sum()
+            .sort_values("arm").reset_index(drop=True))
+    n1, n2 = (int(arms["n_users"][0]), int(arms["n_users"][1]))
+    c1, c2 = (int(arms["n_conv"][0]), int(arms["n_conv"][1]))
+    n, c = n1 + n2, c1 + c2
+    d = c1 * n2 - c2 * n1
+    num = n * d * d * 1_000_000          # exact python ints
+    den = n1 * n2 * c * (n - c)
+    z2_ppm = (2 * num + den) // (2 * den) if den else 0
+    out = pd.DataFrame({
+        "arm": arms["arm"].astype("int64"),
+        "n_users": arms["n_users"].astype("int64"),
+        "n_conv": arms["n_conv"].astype("int64")})
+    out["conv_ppm"] = _ppm(out["n_conv"].to_numpy(np.int64),
+                           out["n_users"].to_numpy(np.int64))
+    out["z2_ppm"] = np.int64(z2_ppm)
+    return out

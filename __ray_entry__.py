@@ -410,6 +410,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_type_counts": q.approx_type_counts,
         # two-proportion z-test on a hash-deterministic A/B split
         "ab_test_events": q.ab_test_events,
+        # two-sample Kolmogorov-Smirnov distance (exact ppm, no sort)
+        "ks_test_purchase_view": q.ks_test_purchase_view,
+        # Theil-Sen robust trend (median pairwise slope, exact ppm)
+        "theilsen_daily_revenue": q.theilsen_daily_revenue,
+        # day-of-week multiplicative seasonal index (exact ppm)
+        "seasonality_dow_revenue": q.seasonality_dow_revenue,
     }
 
 
@@ -3338,6 +3344,73 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN st ON st.doc_id = d.doc_id AND st.lang = p.lang)
             SELECT doc_id, lang, cand AS pred_lang, score_q
             FROM scored WHERE rk = 1 ORDER BY doc_id
+        """,
+        "ks_test_purchase_view": """
+            WITH h AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS np,
+                       sum(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS nv
+                FROM events WHERE event_type IN ('purchase', 'view')
+                GROUP BY 1),
+            c AS (
+                SELECT sum(np) OVER (ORDER BY cents) AS cp,
+                       sum(nv) OVER (ORDER BY cents) AS cv
+                FROM h),
+            t AS (SELECT sum(np) AS n1, sum(nv) AS n2 FROM h),
+            d AS (
+                SELECT max(abs(CAST(c.cp AS HUGEINT) * t.n2
+                               - CAST(c.cv AS HUGEINT) * t.n1)) AS num
+                FROM c CROSS JOIN t)
+            SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+                   CAST((2 * d.num * 1000000
+                         + CAST(t.n1 AS HUGEINT) * t.n2)
+                        // (2 * CAST(t.n1 AS HUGEINT) * t.n2)
+                        AS BIGINT) AS d_ppm
+            FROM d CROSS JOIN t
+        """,
+        "theilsen_daily_revenue": """
+            WITH days AS (
+                SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS HUGEINT) AS cents
+                FROM orders GROUP BY 1),
+            p AS (
+                SELECT b.cents - a.cents AS num,
+                       CAST(b.day - a.day AS HUGEINT) AS den
+                FROM days a JOIN days b ON b.day > a.day),
+            s AS (
+                SELECT CASE WHEN num < 0
+                       THEN -CAST((-2 * num * 1000000 + den)
+                                  // (2 * den) AS BIGINT)
+                       ELSE CAST((2 * num * 1000000 + den)
+                                 // (2 * den) AS BIGINT) END AS ppm
+                FROM p)
+            SELECT count(*) AS n_pairs,
+                   coalesce(quantile_disc(ppm, 0.5), 0) AS slope_ppm
+            FROM s
+        """,
+        "seasonality_dow_revenue": """
+            WITH days AS (
+                SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1),
+            g AS (
+                SELECT (day + 4) % 7 AS dow, count(*) AS n_days,
+                       sum(cents) AS cents
+                FROM days GROUP BY 1),
+            t AS (SELECT sum(n_days) AS td,
+                         CAST(sum(cents) AS HUGEINT) AS tc FROM g)
+            SELECT CAST(g.dow AS BIGINT) AS dow,
+                   CAST(g.n_days AS BIGINT) AS n_days,
+                   CAST(g.cents AS BIGINT) AS cents,
+                   CAST((2 * CAST(g.cents AS HUGEINT) * t.td * 1000000
+                         + CAST(g.n_days AS HUGEINT) * t.tc)
+                        // (2 * CAST(g.n_days AS HUGEINT) * t.tc)
+                        AS BIGINT) AS index_ppm
+            FROM g CROSS JOIN t ORDER BY dow
         """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,

@@ -8520,3 +8520,137 @@ def ab_test_events(sf_dir: str) -> pd.DataFrame:
                            out["n_users"].to_numpy(np.int64))
     out["z2_ppm"] = np.int64(z2_ppm)
     return out
+
+
+def ks_test_purchase_view(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance (the distribution-shift
+    test a drift monitor runs where ``psi_value_drift`` wants bins and
+    ``mannwhitney_purchase_view`` wants a rank statistic — KS is the
+    max CDF gap, sensitive anywhere on the axis): both sides reduce to
+    distinct-cents histograms exactly like the U-test, cumulative
+    counts evaluate on the union grid with two searchsorted passes,
+    and D = max |cum_p·n_v − cum_v·n_p| / (n_p·n_v) ships as exact
+    half-away ppm — pure integer arithmetic, no row sort, the shuffle
+    carries (type, cents) partials only."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    _schema = pa.schema([("event_type", pa.string()),
+                         ("cents", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"],
+                        value_set=pa.array(["purchase", "view"]))
+        t = t.filter(mask)
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return (pa.table({"event_type": t["event_type"], "cents": cents})
+                .group_by(["event_type", "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "cents", "n"])
+                .cast(_schema))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+    p = hist[hist["event_type"] == "purchase"].sort_values("cents")
+    v = hist[hist["event_type"] == "view"].sort_values("cents")
+    pv, pn = p["cents"].to_numpy(np.int64), p["n"].to_numpy(np.int64)
+    vv, vn = v["cents"].to_numpy(np.int64), v["n"].to_numpy(np.int64)
+    grid = np.union1d(pv, vv)
+    pcum = np.concatenate([[0], np.cumsum(pn)])[
+        np.searchsorted(pv, grid, side="right")]
+    vcum = np.concatenate([[0], np.cumsum(vn)])[
+        np.searchsorted(vv, grid, side="right")]
+    n1, n2 = int(pn.sum()), int(vn.sum())
+    num = int(np.abs(pcum.astype(object) * n2
+                     - vcum.astype(object) * n1).max())
+    d_ppm = int(_ppm(np.array([num], object),
+                     np.array([n1 * n2], object))[0])
+    return pd.DataFrame({"n1": np.array([n1], np.int64),
+                         "n2": np.array([n2], np.int64),
+                         "d_ppm": np.array([d_ppm], np.int64)})
+
+
+def theilsen_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust trend (median of all pairwise slopes of the
+    daily revenue series — the outlier-immune alternative to
+    ``linreg_value_hour_by_type``'s OLS, the estimator SRE burn-rate
+    and KPI-trend monitors prefer because one anomalous day cannot
+    move it): the corpus reduces ONCE to the calendar-bounded
+    (day, cents) frame, every pairwise slope ships as exact half-away
+    ppm of cents/day (sign split first — Python ``//`` floors where
+    the oracle's HUGEINT ``//`` truncates), and the median is the
+    LOWER middle element (``sorted[(n-1)//2]``), exactly DuckDB's
+    ``quantile_disc(0.5)`` — integer ties are bit-stable. The pair
+    cross is days²-sized, bounded by the calendar, never by rows."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    _schema = pa.schema([("day", pa.int64()), ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        days = np.asarray(column_ts_us(t["o_orderdate"])) // (86400 * US)
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return (pa.table({"day": pa.array(days), "cents": pa.array(cents)})
+                .group_by("day").aggregate([("cents", "sum")])
+                .rename_columns(["day", "cents"]).cast(_schema))
+
+    days = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+            .to_pandas().sort_values("day"))
+    d = days["day"].to_numpy(np.int64)
+    c = days["cents"].to_numpy(np.int64).astype(object)
+    iu, ju = np.triu_indices(len(d), k=1)
+    num = c[ju] - c[iu]
+    den = (d[ju] - d[iu]).astype(object)
+    slopes = np.sort(_ppm(num, den))
+    n_pairs = len(slopes)
+    med = int(slopes[(n_pairs - 1) // 2]) if n_pairs else 0
+    return pd.DataFrame({"n_pairs": np.array([n_pairs], np.int64),
+                         "slope_ppm": np.array([med], np.int64)})
+
+
+def seasonality_dow_revenue(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonal index (each weekday's average daily
+    revenue relative to the overall daily average — the multiplicative
+    seasonality profile a forecaster divides out before trend fitting;
+    ``autocorr7_daily_revenue`` detects weekly seasonality, this one
+    MEASURES it): the corpus reduces to the calendar-bounded daily
+    frame once, per-dow (n_days, cents) fold on the 7-row frame, and
+    index = (dow_sum · total_days) / (dow_days · total_sum) ships as
+    exact half-away ppm — missing calendar days simply don't enter
+    either engine's denominators. Epoch-anchored dow (1970-01-01 + 4 =
+    Thursday), the ``dow_orders`` locale-free convention."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    _schema = pa.schema([("day", pa.int64()), ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        days = np.asarray(column_ts_us(t["o_orderdate"])) // (86400 * US)
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return (pa.table({"day": pa.array(days), "cents": pa.array(cents)})
+                .group_by("day").aggregate([("cents", "sum")])
+                .rename_columns(["day", "cents"]).cast(_schema))
+
+    days = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+            .to_pandas())
+    dow = ((days["day"].to_numpy(np.int64) + 4) % 7)
+    g = (pd.DataFrame({"dow": dow,
+                       "cents": days["cents"].to_numpy(np.int64)})
+         .groupby("dow", as_index=False)
+         .agg(n_days=("cents", "size"), cents=("cents", "sum")))
+    total_days = int(g["n_days"].sum())
+    total_cents = int(g["cents"].astype(object).sum())
+    idx = _ppm(g["cents"].to_numpy().astype(object) * total_days,
+               g["n_days"].to_numpy().astype(object) * total_cents)
+    out = g.astype({"dow": "int64", "n_days": "int64", "cents": "int64"})
+    out["index_ppm"] = idx
+    return out.sort_values("dow").reset_index(drop=True)

@@ -49,6 +49,7 @@ EVENTS_QUERIES = [
     "capped_contribution_counts",
     "record_highs_events",
     "state_at_probes_events",
+    "ks_test_purchase_view",
 ]
 
 ORDERS_QUERIES = [
@@ -62,6 +63,8 @@ ORDERS_QUERIES = [
     "nation_avg_percentile",
     "equidepth_bins_totalprice",
     "iso_week_orders",
+    "theilsen_daily_revenue",
+    "seasonality_dow_revenue",
 ]
 
 # pre-session catalog entries over the same tables — regression net

@@ -416,6 +416,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theilsen_daily_revenue": q.theilsen_daily_revenue,
         # day-of-week multiplicative seasonal index (exact ppm)
         "seasonality_dow_revenue": q.seasonality_dow_revenue,
+        # leakage-free leave-one-out categorical target encoding
+        "target_encode_segment": q.target_encode_segment,
+        # reciprocal-rank fusion of two top-k retrieval rankings
+        "rrf_fuse_documents": q.rrf_fuse_documents,
+        # Morton-curve layout audit over (partkey, suppkey)
+        "zorder_cells_lineitem": q.zorder_cells_lineitem,
     }
 
 
@@ -3411,6 +3417,87 @@ def oracle_sql() -> dict[str, str]:
                         // (2 * CAST(g.n_days AS HUGEINT) * t.tc)
                         AS BIGINT) AS index_ppm
             FROM g CROSS JOIN t ORDER BY dow
+        """,
+        "target_encode_segment": """
+            WITH o AS (
+                SELECT o_orderkey, c_mktsegment AS segment,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders JOIN customer ON c_custkey = o_custkey),
+            s AS (
+                SELECT segment, CAST(sum(cents) AS HUGEINT) AS ssum,
+                       count(*) AS n
+                FROM o GROUP BY segment)
+            SELECT o.o_orderkey, o.segment,
+                   CASE WHEN s.n = 1 THEN 0
+                   ELSE CAST((2 * (s.ssum - o.cents) * 1000000
+                              + (s.n - 1))
+                             // (2 * CAST(s.n - 1 AS HUGEINT))
+                             AS BIGINT) END AS loo_ppm
+            FROM o JOIN s USING (segment) ORDER BY o.o_orderkey
+        """,
+        "rrf_fuse_documents": r"""
+            WITH m AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN trim(text, e' \t\n\r') = '' THEN 0
+                       ELSE len(list_distinct(regexp_split_to_array(
+                           trim(text, e' \t\n\r'), '\s+'))) END AS vocab
+                FROM documents),
+            ra AS (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY n_chars DESC, doc_id) AS r
+                FROM m QUALIFY r <= 100),
+            rb AS (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY vocab DESC, doc_id) AS r
+                FROM m QUALIFY r <= 100),
+            u AS (
+                SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+                       coalesce(ra.r, 0) AS rank_len,
+                       coalesce(rb.r, 0) AS rank_vocab
+                FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id),
+            s AS (
+                SELECT doc_id, rank_len, rank_vocab,
+                       CASE WHEN rank_len > 0 AND rank_vocab > 0
+                       THEN CAST((2 * CAST((60 + rank_len)
+                                     + (60 + rank_vocab) AS HUGEINT)
+                                  * 1000000
+                                  + CAST(60 + rank_len AS HUGEINT)
+                                    * (60 + rank_vocab))
+                                 // (2 * CAST(60 + rank_len AS HUGEINT)
+                                     * (60 + rank_vocab)) AS BIGINT)
+                       ELSE CAST((2 * 1000000
+                                  + (60 + rank_len + rank_vocab))
+                                 // (2 * (60 + rank_len + rank_vocab))
+                                 AS BIGINT) END AS score_ppm
+                FROM u)
+            SELECT doc_id, CAST(rank_len AS BIGINT) AS rank_len,
+                   CAST(rank_vocab AS BIGINT) AS rank_vocab, score_ppm
+            FROM s ORDER BY score_ppm DESC, doc_id LIMIT 20
+        """,
+        "zorder_cells_lineitem": """
+            WITH z AS (
+                SELECT ((((l_partkey >> 0) & 1) << 0)
+                      | (((l_suppkey >> 0) & 1) << 1)
+                      | (((l_partkey >> 1) & 1) << 2)
+                      | (((l_suppkey >> 1) & 1) << 3)
+                      | (((l_partkey >> 2) & 1) << 4)
+                      | (((l_suppkey >> 2) & 1) << 5)
+                      | (((l_partkey >> 3) & 1) << 6)
+                      | (((l_suppkey >> 3) & 1) << 7)
+                      | (((l_partkey >> 4) & 1) << 8)
+                      | (((l_suppkey >> 4) & 1) << 9)
+                      | (((l_partkey >> 5) & 1) << 10)
+                      | (((l_suppkey >> 5) & 1) << 11)
+                      | (((l_partkey >> 6) & 1) << 12)
+                      | (((l_suppkey >> 6) & 1) << 13)
+                      | (((l_partkey >> 7) & 1) << 14)
+                      | (((l_suppkey >> 7) & 1) << 15)) AS zv,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS cents
+                FROM lineitem)
+            SELECT CAST(zv >> 10 AS BIGINT) AS cell, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM z GROUP BY 1 ORDER BY 1
         """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,

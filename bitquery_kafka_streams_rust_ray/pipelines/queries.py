@@ -8654,3 +8654,150 @@ def seasonality_dow_revenue(sf_dir: str) -> pd.DataFrame:
     out = g.astype({"dow": "int64", "n_days": "int64", "cents": "int64"})
     out["index_ppm"] = idx
     return out.sort_values("dow").reset_index(drop=True)
+
+
+def target_encode_segment(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-out target encoding (each order's market segment
+    encoded as the mean totalprice of the OTHER orders in that segment
+    — the leakage-free categorical featurizer a tabular-ML pipeline
+    applies before training; naive target encoding leaks the row's own
+    label): the custkey->segment map broadcasts (dimension side), the
+    5-segment (sum, n) stats fold from per-batch partials on the
+    driver, broadcast back, and the encode is a pure vectorized map —
+    (seg_sum − own) / (seg_n − 1) as exact half-away ppm of cents;
+    singleton segments encode 0. Two streaming passes, no shuffle."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = dict(zip(cust["c_custkey"].to_numpy(np.int64),
+                      cust["c_mktsegment"]))
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False)
+                        ).map(seg_of)
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        g = (pd.DataFrame({"segment": seg, "cents": cents})
+             .groupby("segment", sort=False, as_index=False)
+             .agg(n=("cents", "size"), s=("cents", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby("segment").agg(n=("n", "sum"), s=("s", "sum")))
+    n_of = stats["n"].astype(int).to_dict()
+    s_of = {k: int(v) for k, v in stats["s"].items()}
+
+    def encode(t: pa.Table) -> pa.Table:
+        seg = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False)
+                        ).map(seg_of)
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        n = seg.map(n_of).to_numpy(np.int64)
+        s = seg.map(s_of).to_numpy().astype(object)
+        loo = np.zeros(len(t), np.int64)
+        m = n > 1
+        loo[m] = _ppm(s[m] - cents[m].astype(object),
+                      (n[m] - 1).astype(object))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "segment": pa.array(seg, pa.string()),
+            "loo_ppm": pa.array(loo, pa.int64())})
+
+    out = ds.map_batches(encode, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def rrf_fuse_documents(sf_dir: str, k: int = 60,
+                       depth: int = 100) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (the standard
+    hybrid-search combiner — BM25 list + vector list -> one list —
+    applied here to two deterministic corpus rankings: by length
+    (n_chars) and by vocabulary richness (distinct whitespace
+    tokens)): each block emits its LOCAL top-``depth`` on each metric
+    (2·depth rows per block, rank-safe because global top-depth ⊆
+    concat of block top-depths), the driver takes the global
+    top-``depth`` lists, and the fused score 1/(k+r_a) + 1/(k+r_b)
+    over the candidate union ships as exact half-away ppm of the
+    integer rational — docs outside a list contribute nothing (the
+    standard RRF convention, rank 0 here). Top-20 by score then
+    doc_id; ties in both metrics break by doc_id ascending."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        vocab = np.fromiter(
+            (len(set(x.split())) for x in t["text"].to_pylist()),
+            np.int64, len(t))
+        df = pd.DataFrame({"doc_id": ids, "n_chars": nch, "vocab": vocab})
+        top_a = df.sort_values(["n_chars", "doc_id"],
+                               ascending=[False, True]).head(depth)
+        top_b = df.sort_values(["vocab", "doc_id"],
+                               ascending=[False, True]).head(depth)
+        return pa.Table.from_pandas(
+            pd.concat([top_a, top_b]).drop_duplicates("doc_id"),
+            preserve_index=False)
+
+    cand = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            .drop_duplicates("doc_id"))
+    top_a = cand.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True]).head(depth)
+    top_b = cand.sort_values(["vocab", "doc_id"],
+                             ascending=[False, True]).head(depth)
+    ra = {int(d): i + 1 for i, d in enumerate(top_a["doc_id"])}
+    rb = {int(d): i + 1 for i, d in enumerate(top_b["doc_id"])}
+    rows = []
+    for d in sorted(set(ra) | set(rb)):
+        a, b = ra.get(d, 0), rb.get(d, 0)
+        if a and b:
+            num, den = (k + a) + (k + b), (k + a) * (k + b)
+        else:
+            num, den = 1, k + (a or b)
+        ppm = (2 * num * 1_000_000 + den) // (2 * den)
+        rows.append((d, a, b, ppm))
+    out = pd.DataFrame(rows, columns=["doc_id", "rank_len",
+                                      "rank_vocab", "score_ppm"])
+    out = (out.sort_values(["score_ppm", "doc_id"],
+                           ascending=[False, True]).head(20)
+           .reset_index(drop=True))
+    return out.astype({"doc_id": "int64", "rank_len": "int64",
+                       "rank_vocab": "int64", "score_ppm": "int64"})
+
+
+def zorder_cells_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) layout audit — interleave the low 8 bits of
+    (partkey, suppkey) into a 16-bit space-filling-curve key and
+    profile the 64 top-level curve cells (z >> 10), the data-layout
+    diagnostic a lakehouse OPTIMIZE/Z-ORDER decision reads to see how
+    co-clustering the two keys would distribute row mass: the
+    interleave is 16 vectorized shift-mask-or ops per batch, the
+    shuffle carries 64-row per-block partials, and per-cell revenue
+    sums as integer cents."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    _schema = pa.schema([("cell", pa.int64()), ("n", pa.int64()),
+                         ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        x = t["l_partkey"].to_numpy(zero_copy_only=False) & 0xFF
+        y = t["l_suppkey"].to_numpy(zero_copy_only=False) & 0xFF
+        z = np.zeros(len(t), np.int64)
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return (pa.table({"cell": pa.array(z >> 10),
+                          "cents": pa.array(cents)})
+                .group_by("cell")
+                .aggregate([([], "count_all"), ("cents", "sum")])
+                .rename_columns(["cell", "n", "cents"]).cast(_schema))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("cell")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents"))
+           .to_pandas().sort_values("cell").reset_index(drop=True))
+    return out.astype({"cell": "int64", "n": "int64", "cents": "int64"})

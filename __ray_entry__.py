@@ -422,6 +422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fuse_documents": q.rrf_fuse_documents,
         # Morton-curve layout audit over (partkey, suppkey)
         "zorder_cells_lineitem": q.zorder_cells_lineitem,
+        # MMR diversified top-k (rows-only; numpy-replay pytest)
+        "mmr_select_embeddings": q.mmr_select_embeddings,
     }
 
 
@@ -3507,8 +3509,9 @@ def oracle_sql() -> dict[str, str]:
         # approx_* sketches incl. approx_type_counts (approximate by
         # construction; accuracy bounds pinned in test_sketches.py /
         # test_cluster.py / test_ann.py),
-        # kcenter_select_embeddings (iterative greedy; exact numpy
-        # oracle in test_cluster.py), multimodal_* (stubbed codecs) and
+        # kcenter_select_embeddings / mmr_select_embeddings (iterative
+        # greedy; exact numpy oracles in test_cluster.py),
+        # multimodal_* (stubbed codecs) and
         # streaming_flagship (stateful streaming engine; pinned by the
         # single-process oracle + golden-window + byte-identity tests).
     }

@@ -8801,3 +8801,77 @@ def zorder_cells_lineitem(sf_dir: str) -> pd.DataFrame:
                       Sum("cents", alias_name="cents"))
            .to_pandas().sort_values("cell").reset_index(drop=True))
     return out.astype({"cell": "int64", "n": "int64", "cents": "int64"})
+
+
+def mmr_select_embeddings(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Maximal-marginal-relevance selection (pick k vectors that are
+    RELEVANT to a query yet mutually diverse — the result-diversifier
+    hybrid retrieval runs after ANN, and the balanced cousin of
+    ``kcenter_select_embeddings``'s pure-diversity rule). The query is
+    the corpus centroid (per-dim mean, one (n, Σ) reduce, rounded to
+    the same 1e-6 grid as the vectors), relevance and redundancy are
+    exact integer dot products on the quantized vectors, and each of
+    the k rounds maximizes rel(d) − max_{s∈S} sim(d, s) — λ = 1/2
+    scaled out — with ties to the smallest vec_id, so selection is
+    bit-identical across block layouts (numpy-replay pytest pins it).
+    Per round each block emits ONE local champion against the ≤ k
+    broadcast picks; the driver reduces a blocks-sized frame."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"n": pa.array([len(q)], pa.int64()),
+                         "s": pa.array([q.sum(axis=0).tolist()],
+                                       pa.list_(pa.int64()))})
+
+    mom = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(mom["n"].sum())
+    s = np.sum(np.stack(mom["s"].to_numpy()), axis=0).astype(object)
+    # centroid on the same 1e-6 grid: floor(s/n + 1/2) as exact ints
+    qry = np.array([(2 * int(v) + n) // (2 * n) for v in s], np.int64)
+
+    _schema = pa.schema([("vec_id", pa.int64()), ("score", pa.int64()),
+                         ("q", pa.list_(pa.int64()))])
+
+    def champion(t: pa.Table, picks: np.ndarray | None,
+                 picked_ids: np.ndarray) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        rel = q @ qry
+        if picks is None:
+            score = rel
+        else:
+            score = rel - (q @ picks.T).max(axis=1)
+            mask = ~np.isin(ids, picked_ids)  # picked rows never re-select
+            if not mask.any():
+                return _schema.empty_table()
+            q, ids, score = q[mask], ids[mask], score[mask]
+        best = int(np.lexsort((ids, -score))[0])
+        return pa.table({"vec_id": pa.array([int(ids[best])], pa.int64()),
+                         "score": pa.array([int(score[best])], pa.int64()),
+                         "q": pa.array([q[best].tolist()],
+                                       pa.list_(pa.int64()))})
+
+    picks_list: list[tuple[int, int, np.ndarray]] = []
+    picks: np.ndarray | None = None
+    _picked_ids = np.array([], np.int64)
+    for _ in range(k):
+        cands = (ds.map_batches(
+            lambda t, p=picks, pi=_picked_ids: champion(t, p, pi),
+            batch_format="pyarrow").to_pandas())
+        cands = cands.sort_values(["score", "vec_id"],
+                                  ascending=[False, True])
+        row = cands.iloc[0]
+        picks_list.append((int(row["vec_id"]), int(row["score"]),
+                           np.array(row["q"], np.int64)))
+        picks = np.stack([p[2] for p in picks_list])
+        _picked_ids = np.array([p[0] for p in picks_list], np.int64)
+
+    return pd.DataFrame({
+        "step": np.arange(k, dtype=np.int64),
+        "vec_id": np.array([p[0] for p in picks_list], np.int64),
+        "score": np.array([p[1] for p in picks_list], np.int64)})

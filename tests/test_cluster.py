@@ -73,3 +73,37 @@ def test_kcenter_matches_numpy_oracle():
     ref = pd.DataFrame(rows, columns=["step", "vec_id", "d2q"]).astype(
         {"step": "int64", "vec_id": "int64", "d2q": "int64"})
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_mmr_matches_numpy_oracle():
+    """MMR selection is bit-identical to a single-machine numpy replay
+    of the same quantized-integer rule (centroid query, exact dot
+    products, rel − max-sim objective, ties to the smallest vec_id)."""
+    import pyarrow.parquet as pq
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import mmr_select_embeddings
+    sf = "/root/testdata/sf0.01"
+    got = mmr_select_embeddings(sf, k=8)
+
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+    q = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    n = len(q)
+    qry = np.array([(2 * int(v) + n) // (2 * n)
+                    for v in q.sum(axis=0).astype(object)], np.int64)
+    rel = q @ qry
+    picked: list[int] = []
+    rows = []
+    maxsim = None
+    for step in range(8):
+        score = rel if maxsim is None else rel - maxsim
+        order = np.lexsort((ids, -score))
+        best = next(i for i in order if ids[i] not in picked)
+        rows.append((step, int(ids[best]), int(score[best])))
+        picked.append(int(ids[best]))
+        sim = q @ q[best]
+        maxsim = sim if maxsim is None else np.maximum(maxsim, sim)
+    ref = pd.DataFrame(rows, columns=["step", "vec_id", "score"]).astype(
+        {"step": "int64", "vec_id": "int64", "score": "int64"})
+    pd.testing.assert_frame_equal(got, ref)

@@ -424,6 +424,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_cells_lineitem": q.zorder_cells_lineitem,
         # MMR diversified top-k (rows-only; numpy-replay pytest)
         "mmr_select_embeddings": q.mmr_select_embeddings,
+        # zone-map (min/max skipping) pruning-effectiveness audit
+        "zonemap_prune_audit": q.zonemap_prune_audit,
+        # rank-based cross-source quantile normalization
+        "quantile_normalize_chars": q.quantile_normalize_chars,
     }
 
 
@@ -3500,6 +3504,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(zv >> 10 AS BIGINT) AS cell, count(*) AS n,
                    CAST(sum(cents) AS BIGINT) AS cents
             FROM z GROUP BY 1 ORDER BY 1
+        """,
+        "zonemap_prune_audit": """
+            WITH d AS (
+                SELECT o_orderkey // 4096 AS fid,
+                       epoch_us(o_orderdate) // 86400000000 AS day
+                FROM orders),
+            t AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+            pr AS (
+                SELECT p.pred, t.lo AS a,
+                       t.lo + (t.hi - t.lo) // p.dd AS b
+                FROM (VALUES (0, 16), (1, 8), (2, 4), (3, 2)) p(pred, dd)
+                CROSS JOIN t),
+            f AS (SELECT fid, min(day) AS mn, max(day) AS mx,
+                         count(*) AS n
+                  FROM d GROUP BY fid),
+            m AS (
+                SELECT pr.pred, d.fid,
+                       sum(CASE WHEN d.day >= pr.a AND d.day <= pr.b
+                                THEN 1 ELSE 0 END) AS mrows
+                FROM d CROSS JOIN pr GROUP BY 1, 2),
+            agg AS (
+                SELECT m.pred,
+                       (SELECT count(*) FROM f) AS n_files,
+                       count(*) FILTER (
+                           WHERE f.mx >= pr.a AND f.mn <= pr.b)
+                           AS n_scan_files,
+                       sum(CASE WHEN f.mx >= pr.a AND f.mn <= pr.b
+                                THEN f.n ELSE 0 END) AS scan_rows,
+                       sum(CASE WHEN f.mx >= pr.a AND f.mn <= pr.b
+                                THEN m.mrows ELSE 0 END) AS match_rows
+                FROM m JOIN f USING (fid) JOIN pr USING (pred)
+                GROUP BY m.pred)
+            SELECT pred, CAST(n_files AS BIGINT) AS n_files,
+                   CAST(n_scan_files AS BIGINT) AS n_scan_files,
+                   CAST(scan_rows AS BIGINT) AS scan_rows,
+                   CAST(match_rows AS BIGINT) AS match_rows,
+                   CASE WHEN scan_rows = 0 THEN 0
+                   ELSE CAST((2 * CAST(scan_rows - match_rows AS HUGEINT)
+                              * 1000000 + scan_rows)
+                             // (2 * CAST(scan_rows AS HUGEINT))
+                             AS BIGINT) END AS waste_ppm
+            FROM agg ORDER BY pred
+        """,
+        "quantile_normalize_chars": """
+            WITH s AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars, doc_id) AS r,
+                       count(*) OVER (PARTITION BY source) AS n_src,
+                       count(*) OVER () AS nn
+                FROM documents),
+            pooled AS (
+                SELECT n_chars,
+                       row_number() OVER (ORDER BY n_chars) AS rn
+                FROM documents)
+            SELECT s.doc_id, s.source, s.n_chars,
+                   p.n_chars AS norm_chars
+            FROM s JOIN pooled p
+              ON p.rn = ((s.nn - 1) * (2 * s.r - 1)) // (2 * s.n_src) + 1
+            ORDER BY s.doc_id
         """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,

@@ -8875,3 +8875,111 @@ def mmr_select_embeddings(sf_dir: str, k: int = 8) -> pd.DataFrame:
         "step": np.arange(k, dtype=np.int64),
         "vec_id": np.array([p[0] for p in picks_list], np.int64),
         "score": np.array([p[1] for p in picks_list], np.int64)})
+
+
+def zonemap_prune_audit(sf_dir: str) -> pd.DataFrame:
+    """Zone-map (min/max statistics) pruning audit — for a file layout
+    written in orderkey order (file id = o_orderkey // 4096) and four
+    date predicates of widening selectivity, how many files would a
+    reader's min/max skip actually prune, and how much of what it must
+    scan is wasted? The lakehouse data-skipping diagnostic that pairs
+    with ``zorder_cells_lineitem``: clustering quality is exactly what
+    zone maps convert into skipped IO. Pass 1 reduces the global date
+    span (2 ints); pass 2 folds per-file (min_day, max_day, n, and
+    per-predicate match counts) — files-sized partials — and the
+    per-predicate roll-up happens on the driver: scanned = files whose
+    zone overlaps the range, waste = scanned rows that do not match,
+    as exact half-away ppm of scanned rows."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    _mm = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _mm.empty_table()
+        days = np.asarray(column_ts_us(t["o_orderdate"])) // (86400 * US)
+        return pa.table({"lo": pa.array([int(days.min())], pa.int64()),
+                         "hi": pa.array([int(days.max())], pa.int64())})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    # predicates: the first 1/16, 1/8, 1/4, 1/2 of the date span
+    span = hi - lo
+    preds = [(lo, lo + span // d) for d in (16, 8, 4, 2)]
+
+    def per_file(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"fid": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             **{f"m{i}": pa.array([], pa.int64())
+                                for i in range(4)}})
+        fid = t["o_orderkey"].to_numpy(zero_copy_only=False) // 4096
+        days = np.asarray(column_ts_us(t["o_orderdate"])) // (86400 * US)
+        df = pd.DataFrame({"fid": fid, "d": days})
+        for i, (a, b) in enumerate(preds):
+            df[f"m{i}"] = ((df["d"] >= a) & (df["d"] <= b)).astype(np.int64)
+        g = (df.groupby("fid", as_index=False)
+             .agg(mn=("d", "min"), mx=("d", "max"), n=("d", "size"),
+                  **{f"m{i}": (f"m{i}", "sum") for i in range(4)}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    files = (ds.map_batches(per_file, batch_format="pyarrow").to_pandas()
+             .groupby("fid")
+             .agg(mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum"),
+                  **{f"m{i}": (f"m{i}", "sum") for i in range(4)}))
+    rows = []
+    for i, (a, b) in enumerate(preds):
+        scan = files[(files["mx"] >= a) & (files["mn"] <= b)]
+        n_scan_rows = int(scan["n"].sum())
+        n_match = int(scan[f"m{i}"].sum())
+        rows.append((i, len(files), len(scan), n_scan_rows, n_match,
+                     int(_ppm(np.array([n_scan_rows - n_match], object),
+                              np.array([n_scan_rows], object))[0])
+                     if n_scan_rows else 0))
+    return pd.DataFrame(rows, columns=[
+        "pred", "n_files", "n_scan_files", "scan_rows", "match_rows",
+        "waste_ppm"]).astype("int64")
+
+
+def quantile_normalize_chars(sf_dir: str) -> pd.DataFrame:
+    """Rank-based quantile normalization of document length across
+    sources (map each source's n_chars distribution onto the pooled
+    distribution — the batch-effect corrector that makes per-source
+    features comparable before mixing corpora): within each source a
+    doc takes rank r (by n_chars then doc_id — total order, tie-proof),
+    its pooled position is idx = ((N−1)·(2r−1)) // (2·n_src) — the
+    midpoint rule in exact integer arithmetic — and the normalized
+    value is the pooled (idx+1)-th smallest n_chars, read from the
+    broadcast pooled cumulative histogram with one searchsorted (the
+    histogram is value-domain-sized, never rows-sized). Ranks live
+    inside a per-source co-partition; sources are a small domain."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        return (t.select(["n_chars"]).group_by("n_chars")
+                .aggregate([([], "count_all")])
+                .rename_columns(["n_chars", "n"]))
+
+    pooled = (ds.map_batches(hist, batch_format="pyarrow")
+              .groupby("n_chars").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("n_chars"))
+    vals = pooled["n_chars"].to_numpy(np.int64)
+    cum = pooled["n"].to_numpy(np.int64).cumsum()
+    N = int(cum[-1])
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        r = np.arange(1, len(g) + 1, dtype=np.int64)
+        n_src = len(g)
+        idx = ((N - 1) * (2 * r - 1)) // (2 * n_src)
+        norm = vals[np.searchsorted(cum, idx + 1, side="left")]
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "source": g["source"],
+                             "n_chars": g["n_chars"].to_numpy(np.int64),
+                             "norm_chars": norm})
+
+    out = (ds.groupby("source")
+           .map_groups(per_source, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -428,6 +428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_prune_audit": q.zonemap_prune_audit,
         # rank-based cross-source quantile normalization
         "quantile_normalize_chars": q.quantile_normalize_chars,
+        # Wasserstein-1 distribution distance (exact over histograms)
+        "wasserstein_purchase_view": q.wasserstein_purchase_view,
     }
 
 
@@ -3565,6 +3567,35 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN pooled p
               ON p.rn = ((s.nn - 1) * (2 * s.r - 1)) // (2 * s.n_src) + 1
             ORDER BY s.doc_id
+        """,
+        "wasserstein_purchase_view": """
+            WITH h AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS np,
+                       sum(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS nv
+                FROM events WHERE event_type IN ('purchase', 'view')
+                GROUP BY 1),
+            c AS (
+                SELECT cents,
+                       sum(np) OVER (ORDER BY cents) AS cp,
+                       sum(nv) OVER (ORDER BY cents) AS cv,
+                       lead(cents) OVER (ORDER BY cents) AS nxt
+                FROM h),
+            t AS (SELECT sum(np) AS n1, sum(nv) AS n2 FROM h),
+            w AS (
+                SELECT coalesce(sum(
+                    abs(CAST(c.cp AS HUGEINT) * t.n2
+                        - CAST(c.cv AS HUGEINT) * t.n1)
+                    * (c.nxt - c.cents)), 0) AS num
+                FROM c CROSS JOIN t WHERE c.nxt IS NOT NULL)
+            SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+                   CAST((2 * w.num * 1000000
+                         + CAST(t.n1 AS HUGEINT) * t.n2)
+                        // (2 * CAST(t.n1 AS HUGEINT) * t.n2)
+                        AS BIGINT) AS w1_ppm
+            FROM w CROSS JOIN t
         """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,

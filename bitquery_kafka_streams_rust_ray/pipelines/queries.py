@@ -8983,3 +8983,55 @@ def quantile_normalize_chars(sf_dir: str) -> pd.DataFrame:
     out = (ds.groupby("source")
            .map_groups(per_source, batch_format="pandas").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def wasserstein_purchase_view(sf_dir: str) -> pd.DataFrame:
+    """Wasserstein-1 (earth mover's) distance between the purchase and
+    view value distributions — the integral counterpart that completes
+    the drift family (``psi_value_drift`` bins, ``ks_test_purchase_view``
+    takes the max CDF gap, W1 integrates it): over the union histogram
+    grid, W1 = Σ |F_p − F_v| · gap, computed exactly as
+    Σ |cum_p·n_v − cum_v·n_p| · (v_{i+1} − v_i) / (n_p·n_v) in
+    arbitrary-precision ints and shipped as half-away ppm of cents.
+    Same (type, cents) histogram partials as the KS test; the engines
+    share one integer formula with no float boundary."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    _schema = pa.schema([("event_type", pa.string()),
+                         ("cents", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"],
+                        value_set=pa.array(["purchase", "view"]))
+        t = t.filter(mask)
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return (pa.table({"event_type": t["event_type"], "cents": cents})
+                .group_by(["event_type", "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "cents", "n"])
+                .cast(_schema))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+    p = hist[hist["event_type"] == "purchase"].sort_values("cents")
+    v = hist[hist["event_type"] == "view"].sort_values("cents")
+    pv, pn = p["cents"].to_numpy(np.int64), p["n"].to_numpy(np.int64)
+    vv, vn = v["cents"].to_numpy(np.int64), v["n"].to_numpy(np.int64)
+    grid = np.union1d(pv, vv)
+    pcum = np.concatenate([[0], np.cumsum(pn)])[
+        np.searchsorted(pv, grid, side="right")].astype(object)
+    vcum = np.concatenate([[0], np.cumsum(vn)])[
+        np.searchsorted(vv, grid, side="right")].astype(object)
+    n1, n2 = int(pn.sum()), int(vn.sum())
+    gaps = np.diff(grid).astype(object)
+    num = int((np.abs(pcum[:-1] * n2 - vcum[:-1] * n1) * gaps).sum()) \
+        if len(grid) > 1 else 0
+    w1_ppm = int(_ppm(np.array([num], object),
+                      np.array([n1 * n2], object))[0])
+    return pd.DataFrame({"n1": np.array([n1], np.int64),
+                         "n2": np.array([n2], np.int64),
+                         "w1_ppm": np.array([w1_ppm], np.int64)})

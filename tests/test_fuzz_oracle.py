@@ -50,6 +50,7 @@ EVENTS_QUERIES = [
     "record_highs_events",
     "state_at_probes_events",
     "ks_test_purchase_view",
+    "wasserstein_purchase_view",
 ]
 
 ORDERS_QUERIES = [

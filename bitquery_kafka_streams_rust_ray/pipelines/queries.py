@@ -2913,8 +2913,17 @@ def bigram_lm_documents(sf_dir: str,
     # corpus bigram counts: one distributed reduce over the tf rows;
     # PREFIX counts then derive from this already-reduced frame (split
     # the bigram key back apart) instead of re-tokenizing the corpus —
-    # the cp reduce runs over distinct-bigram rows, not corpus rows
-    cb = tf.groupby("bigram").aggregate(Sum("tf", alias_name="cb"))
+    # the cp reduce runs over distinct-bigram rows, not corpus rows.
+    # Per-block combine first: the shuffle carries each block's
+    # distinct-bigram partials, not its per-doc tf rows (the standard
+    # combiner; at natural-language bigram cardinality the partial
+    # frame is still far below the row count).
+    cb = (tf.map_batches(
+              lambda t: (t.select(["bigram", "tf"]).group_by("bigram")
+                         .aggregate([("tf", "sum")])
+                         .rename_columns(["bigram", "tf"])),
+              batch_format="pyarrow")
+          .groupby("bigram").aggregate(Sum("tf", alias_name="cb")))
     cp = (cb.map_batches(
             lambda t: pa.table({
                 "w1": pc.list_element(pc.split_pattern(

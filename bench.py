@@ -129,6 +129,9 @@ QUERY_NAMES = [
     "pagerank_trade_graph",
     "naive_bayes_lang_documents",
     "cep_pattern_events",
+    "wasserstein_purchase_view",
+    "target_encode_segment",
+    "quantile_normalize_chars",
 ]
 
 

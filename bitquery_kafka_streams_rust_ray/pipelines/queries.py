@@ -8676,39 +8676,45 @@ def target_encode_segment(sf_dir: str) -> pd.DataFrame:
     (seg_sum − own) / (seg_n − 1) as exact half-away ppm of cents;
     singleton segments encode 0. Two streaming passes, no shuffle."""
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_of = dict(zip(cust["c_custkey"].to_numpy(np.int64),
-                      cust["c_mktsegment"]))
+    # dense-key lookup ARRAY, not a dict: segment codes index by
+    # custkey with one vectorized fancy-index per batch (a dict .map
+    # pays a Python hash per row; the array is the same broadcast)
+    seg_names, seg_inv = np.unique(cust["c_mktsegment"], return_inverse=True)
+    keys = cust["c_custkey"].to_numpy(np.int64)
+    code_of = np.full(int(keys.max()) + 1, -1, np.int64)
+    code_of[keys] = seg_inv
     ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        seg = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False)
-                        ).map(seg_of)
+        code = code_of[t["o_custkey"].to_numpy(zero_copy_only=False)]
         cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
                          * 100.0).astype(np.int64)
-        g = (pd.DataFrame({"segment": seg, "cents": cents})
-             .groupby("segment", sort=False, as_index=False)
-             .agg(n=("cents", "size"), s=("cents", "sum")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "code": pa.array(np.arange(len(seg_names), dtype=np.int64)),
+            "n": pa.array(np.bincount(code, minlength=len(seg_names))
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(code, weights=cents,
+                                      minlength=len(seg_names))
+                          .astype(np.int64))})
 
     stats = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-             .groupby("segment").agg(n=("n", "sum"), s=("s", "sum")))
-    n_of = stats["n"].astype(int).to_dict()
-    s_of = {k: int(v) for k, v in stats["s"].items()}
+             .groupby("code").agg(n=("n", "sum"), s=("s", "sum"))
+             .sort_index())
+    n_arr = stats["n"].to_numpy(np.int64)
+    s_arr = stats["s"].to_numpy(np.int64)
 
     def encode(t: pa.Table) -> pa.Table:
-        seg = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False)
-                        ).map(seg_of)
+        code = code_of[t["o_custkey"].to_numpy(zero_copy_only=False)]
         cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
                          * 100.0).astype(np.int64)
-        n = seg.map(n_of).to_numpy(np.int64)
-        s = seg.map(s_of).to_numpy().astype(object)
+        n, s = n_arr[code], s_arr[code].astype(object)
         loo = np.zeros(len(t), np.int64)
         m = n > 1
         loo[m] = _ppm(s[m] - cents[m].astype(object),
                       (n[m] - 1).astype(object))
         return pa.table({
             "o_orderkey": t["o_orderkey"],
-            "segment": pa.array(seg, pa.string()),
+            "segment": pa.array(seg_names[code], pa.string()),
             "loo_ppm": pa.array(loo, pa.int64())})
 
     out = ds.map_batches(encode, batch_format="pyarrow").to_pandas()

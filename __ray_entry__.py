@@ -430,6 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize_chars": q.quantile_normalize_chars,
         # Wasserstein-1 distribution distance (exact over histograms)
         "wasserstein_purchase_view": q.wasserstein_purchase_view,
+        # difference-in-differences causal readout over the date split
+        "did_revenue_segments": q.did_revenue_segments,
     }
 
 
@@ -3596,6 +3598,45 @@ def oracle_sql() -> dict[str, str]:
                         // (2 * CAST(t.n1 AS HUGEINT) * t.n2)
                         AS BIGINT) AS w1_ppm
             FROM w CROSS JOIN t
+        """,
+        "did_revenue_segments": """
+            WITH t AS (
+                SELECT min(epoch_us(o_orderdate) // 86400000000) AS lo,
+                       max(epoch_us(o_orderdate) // 86400000000) AS hi
+                FROM orders),
+            o AS (
+                SELECT CASE WHEN c_mktsegment = 'BUILDING'
+                            THEN 1 ELSE 0 END AS treated,
+                       CASE WHEN epoch_us(o_orderdate) // 86400000000
+                                 > t.lo + (t.hi - t.lo) // 2
+                            THEN 1 ELSE 0 END AS post,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders JOIN customer ON c_custkey = o_custkey
+                CROSS JOIN t
+                WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+            cells AS (
+                SELECT treated, post, count(*) AS n, sum(cents) AS s
+                FROM o GROUP BY treated, post),
+            m AS (
+                SELECT treated, post, n, s,
+                       CAST((2 * CAST(s AS HUGEINT) * 1000000 + n)
+                            // (2 * CAST(n AS HUGEINT)) AS BIGINT)
+                           AS mean_ppm
+                FROM cells),
+            d AS (
+                SELECT coalesce(
+                    (max(CASE WHEN treated = 1 AND post = 1
+                              THEN mean_ppm END)
+                     - max(CASE WHEN treated = 1 AND post = 0
+                               THEN mean_ppm END))
+                    - (max(CASE WHEN treated = 0 AND post = 1
+                               THEN mean_ppm END)
+                       - max(CASE WHEN treated = 0 AND post = 0
+                                 THEN mean_ppm END)), 0) AS did_ppm
+                FROM m)
+            SELECT m.treated, m.post, CAST(m.n AS BIGINT) AS n,
+                   CAST(m.s AS BIGINT) AS cents, m.mean_ppm, d.did_ppm
+            FROM m CROSS JOIN d ORDER BY m.treated, m.post
         """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,

@@ -9050,3 +9050,71 @@ def wasserstein_purchase_view(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n1": np.array([n1], np.int64),
                          "n2": np.array([n2], np.int64),
                          "w1_ppm": np.array([w1_ppm], np.int64)})
+
+
+def did_revenue_segments(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences readout (did BUILDING's mean order
+    value move more than MACHINERY's across the midpoint of the date
+    span? — the quasi-experimental causal estimator observational
+    product analytics runs where ``ab_test_events`` has a randomized
+    split): the custkey->treated code broadcasts as a dense lookup
+    array, the split day derives from the GLOBAL date span by integer
+    arithmetic (identical in both engines), each batch folds into 4
+    (treated, post) bincount cells, and the driver finishes. Each
+    cell mean ships as exact half-away ppm of cents; the DiD is the
+    integer difference of the four ROUNDED means — both engines
+    difference after the shared rounding rule, so no float boundary
+    exists. Cells sum exactly; missing cells yield did_ppm = 0."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = cust["c_custkey"].to_numpy(np.int64)
+    grp = np.full(int(keys.max()) + 1, -1, np.int64)
+    seg = cust["c_mktsegment"].to_numpy()
+    grp[keys[seg == "MACHINERY"]] = 0
+    grp[keys[seg == "BUILDING"]] = 1
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    _mm = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _mm.empty_table()
+        days = np.asarray(column_ts_us(t["o_orderdate"])) // (86400 * US)
+        return pa.table({"lo": pa.array([int(days.min())], pa.int64()),
+                         "hi": pa.array([int(days.max())], pa.int64())})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    split = lo + (hi - lo) // 2
+
+    def cells(t: pa.Table) -> pa.Table:
+        g = grp[t["o_custkey"].to_numpy(zero_copy_only=False)]
+        m = g >= 0
+        days = (np.asarray(column_ts_us(t["o_orderdate"]))
+                // (86400 * US))[m]
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)[m]
+        cell = 2 * g[m] + (days > split)
+        return pa.table({
+            "cell": pa.array(np.arange(4, dtype=np.int64)),
+            "n": pa.array(np.bincount(cell, minlength=4)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(cell, weights=cents, minlength=4)
+                          .astype(np.int64))})
+
+    agg = (ds.map_batches(cells, batch_format="pyarrow").to_pandas()
+           .groupby("cell").agg(n=("n", "sum"), s=("s", "sum"))
+           .sort_index())
+    agg = agg[agg["n"] > 0]
+    mean_ppm = _ppm(agg["s"].to_numpy().astype(object),
+                    agg["n"].to_numpy().astype(object))
+    means = dict(zip(agg.index, mean_ppm))
+    did = ((means[3] - means[2]) - (means[1] - means[0])
+           if all(c in means for c in range(4)) else 0)
+    out = pd.DataFrame({
+        "treated": (agg.index.to_numpy() // 2).astype(np.int64),
+        "post": (agg.index.to_numpy() % 2).astype(np.int64),
+        "n": agg["n"].to_numpy(np.int64),
+        "cents": agg["s"].to_numpy(np.int64),
+        "mean_ppm": mean_ppm,
+        "did_ppm": np.int64(did)})
+    return out.reset_index(drop=True)

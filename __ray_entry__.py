@@ -432,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wasserstein_purchase_view": q.wasserstein_purchase_view,
         # difference-in-differences causal readout over the date split
         "did_revenue_segments": q.did_revenue_segments,
+        # l-diversity privacy audit over QI classes
+        "l_diversity_audit_events": q.l_diversity_audit_events,
     }
 
 
@@ -3637,6 +3639,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.treated, m.post, CAST(m.n AS BIGINT) AS n,
                    CAST(m.s AS BIGINT) AS cents, m.mean_ppm, d.did_ppm
             FROM m CROSS JOIN d ORDER BY m.treated, m.post
+        """,
+        "l_diversity_audit_events": """
+            WITH c AS (
+                SELECT DISTINCT
+                       CAST((user_id * 2654435761) % 4294967296 % 32
+                            AS BIGINT) AS b,
+                       (epoch_us(ts) // 3600000000) % 24 AS h,
+                       (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                       event_type
+                FROM events),
+            d AS (SELECT b, h, dow, count(*) AS l FROM c
+                  GROUP BY b, h, dow)
+            SELECT count(*) AS n_classes,
+                   CAST(min(l) AS BIGINT) AS min_l,
+                   CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_below_l
+            FROM d
         """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,

@@ -9118,3 +9118,46 @@ def did_revenue_segments(sf_dir: str) -> pd.DataFrame:
         "mean_ppm": mean_ppm,
         "did_ppm": np.int64(did)})
     return out.reset_index(drop=True)
+
+
+def l_diversity_audit_events(sf_dir: str, l: int = 3) -> pd.DataFrame:
+    """L-diversity audit (how many distinct SENSITIVE values — event
+    types — appear within each quasi-identifier class (user bucket x
+    hour-of-day x day-of-week)? — the follow-on privacy check after
+    ``k_anonymity_audit_events``: a k-anonymous class is still
+    re-identifying when everyone in it shares one sensitive value):
+    distinct (qi, sensitive) combinations reduce to the
+    domain-bounded frame (32·24·7·|types| max) with per-batch
+    distinct partials, the per-class distinct count and the minimum
+    diversity read that tiny frame. The user bucket is the engine's
+    SQL-mirrorable multiplicative hash mod 32."""
+    from ..stages.hashing import multiplicative_hash_u32
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    _schema = pa.schema([("b", pa.int64()), ("h", pa.int64()),
+                         ("dow", pa.int64()), ("event_type", pa.string())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        tus = np.asarray(column_ts_us(t["ts"]))
+        h = (tus // HOUR_US) % 24
+        dow = (tus // DAY_US + 4) % 7
+        b = (multiplicative_hash_u32(
+            t["user_id"].to_numpy(zero_copy_only=False))
+            % np.uint64(32)).astype(np.int64)
+        return (pa.table({"b": pa.array(b), "h": pa.array(h),
+                          "dow": pa.array(dow),
+                          "event_type": t["event_type"]})
+                .group_by(["b", "h", "dow", "event_type"])
+                .aggregate([]).cast(_schema))
+
+    combos = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["b", "h", "dow", "event_type"]).count()
+              .to_pandas())
+    div = (combos.groupby(["b", "h", "dow"]).size()
+           .to_numpy(np.int64))
+    return pd.DataFrame({
+        "n_classes": np.array([len(div)], np.int64),
+        "min_l": np.array([int(div.min())], np.int64),
+        "n_below_l": np.array([int((div < l).sum())], np.int64)})

@@ -434,6 +434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "did_revenue_segments": q.did_revenue_segments,
         # l-diversity privacy audit over QI classes
         "l_diversity_audit_events": q.l_diversity_audit_events,
+        # CUPED variance-reduced A/B means (exact integer formula)
+        "cuped_adjusted_events": q.cuped_adjusted_events,
     }
 
 
@@ -3656,6 +3658,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_below_l
             FROM d
+        """,
+        "cuped_adjusted_events": """
+            WITH t AS (
+                SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                           AS split
+                FROM events),
+            u AS (
+                SELECT user_id,
+                       CAST((user_id * 2654435761) % 4294967296 % 2
+                            AS BIGINT) AS arm,
+                       sum(CASE WHEN epoch_us(ts) <= t.split
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS x,
+                       sum(CASE WHEN epoch_us(ts) > t.split
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS y
+                FROM events CROSS JOIN t
+                WHERE event_type = 'purchase' GROUP BY user_id),
+            m AS (
+                SELECT count(*) AS n,
+                       sum(CAST(x AS HUGEINT)) AS sx,
+                       sum(CAST(y AS HUGEINT)) AS sy,
+                       sum(CAST(x AS HUGEINT) * x) AS sxx,
+                       sum(CAST(x AS HUGEINT) * y) AS sxy
+                FROM u),
+            th AS (
+                SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                       WHEN n * sxy - sx * sy < 0
+                       THEN -CAST((2 * (sx * sy - n * sxy) * 1000000
+                                   + (n * sxx - sx * sx))
+                                  // (2 * (n * sxx - sx * sx))
+                                  AS BIGINT)
+                       ELSE CAST((2 * (n * sxy - sx * sy) * 1000000
+                                  + (n * sxx - sx * sx))
+                                 // (2 * (n * sxx - sx * sx))
+                                 AS BIGINT) END AS theta_ppm
+                FROM m),
+            a AS (
+                SELECT arm, count(*) AS na,
+                       sum(CAST(x AS HUGEINT)) AS sxa,
+                       sum(CAST(y AS HUGEINT)) AS sya
+                FROM u GROUP BY arm),
+            r AS (
+                SELECT a.arm, a.na,
+                       CAST((2 * a.sya * 1000000 + a.na)
+                            // (2 * CAST(a.na AS HUGEINT)) AS BIGINT)
+                           AS mean_post_ppm,
+                       m.n * a.sya * 1000000
+                           - th.theta_ppm * (m.n * a.sxa - a.na * m.sx)
+                           AS adjnum,
+                       CAST(m.n AS HUGEINT) * a.na AS adjden,
+                       th.theta_ppm
+                FROM a CROSS JOIN m CROSS JOIN th)
+            SELECT arm, CAST(na AS BIGINT) AS n_users, mean_post_ppm,
+                   CASE WHEN adjnum < 0
+                   THEN -CAST((2 * (-adjnum) + adjden) // (2 * adjden)
+                              AS BIGINT)
+                   ELSE CAST((2 * adjnum + adjden) // (2 * adjden)
+                             AS BIGINT) END AS mean_adj_ppm,
+                   theta_ppm
+            FROM r ORDER BY arm
         """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,

@@ -9161,3 +9161,100 @@ def l_diversity_audit_events(sf_dir: str, l: int = 3) -> pd.DataFrame:
         "n_classes": np.array([len(div)], np.int64),
         "min_l": np.array([int(div.min())], np.int64),
         "n_below_l": np.array([int((div < l).sum())], np.int64)})
+
+
+def cuped_adjusted_events(sf_dir: str) -> pd.DataFrame:
+    """CUPED variance-reduced experiment readout (adjust each user's
+    post-period purchase spend by their pre-period spend before
+    comparing arms — the industry-standard covariate adjustment that
+    completes the experimentation stack: ``ab_test_events`` tests raw
+    proportions, ``did_revenue_segments`` differences observational
+    groups, CUPED shrinks randomized-arm variance): the time split is
+    the global midpoint (integer arithmetic on the us span), per-user
+    (pre, post) cent sums finish inside one 32-shard user co-partition,
+    each shard emits constant-size moment partials (n, Σx, Σy, Σxx,
+    Σxy as arbitrary-precision ints) plus per-arm (n, Σx, Σy), and the
+    driver computes θ = cov/var as half-away ppm and the adjusted arm
+    means via one shared integer formula — mean_adj = (n·Σy_a·10⁶ −
+    θ_ppm·(n·Σx_a − n_a·Σx)) / (n·n_a), every term exact, so both
+    engines agree to the bit. Arms via the SQL-mirrorable
+    multiplicative hash; zero pre-period variance yields θ = 0."""
+    from ..stages.hashing import multiplicative_hash_u32
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+
+    _mm = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _mm.empty_table()
+        tus = np.asarray(column_ts_us(t["ts"]))
+        return pa.table({"lo": pa.array([int(tus.min())], pa.int64()),
+                         "hi": pa.array([int(tus.max())], pa.int64())})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    split = (int(mm["lo"].min()) + int(mm["hi"].max())) // 2
+
+    def sharded(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["event_type"], "purchase")
+        t = t.filter(mask)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        tus = np.asarray(column_ts_us(t["ts"]))
+        pre = np.where(tus <= split, cents, 0)
+        post = np.where(tus > split, cents, 0)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        shard = uid & 31
+        return (pa.table({"user_id": pa.array(uid), "_shard":
+                          pa.array(shard), "x": pa.array(pre),
+                          "y": pa.array(post)})
+                .group_by(["user_id", "_shard"])
+                .aggregate([("x", "sum"), ("y", "sum")])
+                .rename_columns(["user_id", "_shard", "x", "y"]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        u = (g.groupby("user_id", sort=False, as_index=False)
+             [["x", "y"]].sum())
+        x = u["x"].to_numpy(np.int64).astype(object)
+        y = u["y"].to_numpy(np.int64).astype(object)
+        arm = (multiplicative_hash_u32(u["user_id"].to_numpy(np.int64))
+               % np.uint64(2)).astype(np.int64)
+        rows = {"n": len(u), "sx": int(x.sum()), "sy": int(y.sum()),
+                "sxx": int((x * x).sum()), "sxy": int((x * y).sum())}
+        for a in (0, 1):
+            m = arm == a
+            rows[f"n{a}"] = int(m.sum())
+            rows[f"sx{a}"] = int(x[m].sum())
+            rows[f"sy{a}"] = int(y[m].sum())
+        return pd.DataFrame([rows]).astype(object)
+
+    p = (ds.map_batches(sharded, batch_format="pyarrow")
+         .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+         .to_pandas())
+    n = int(p["n"].sum())
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+    sxx, sxy = int(p["sxx"].sum()), int(p["sxy"].sum())
+    cov, var = n * sxy - sx * sy, n * sxx - sx * sx
+
+    def _div_half(num: int, den: int) -> int:
+        """Exact half-away-from-zero integer division (den > 0); the
+        numerator already carries the ppm scale."""
+        if den == 0:
+            return 0
+        sign = -1 if num < 0 else 1
+        return sign * ((2 * abs(num) + den) // (2 * den))
+
+    theta_ppm = _div_half(cov * 1_000_000, var)
+    rows = []
+    for a in (0, 1):
+        na = int(p[f"n{a}"].sum())
+        sxa, sya = int(p[f"sx{a}"].sum()), int(p[f"sy{a}"].sum())
+        mean_post = _div_half(sya * 1_000_000, na) if na else 0
+        adj = (n * sya * 1_000_000 - theta_ppm * (n * sxa - na * sx))
+        mean_adj = _div_half(adj, n * na) if na else 0
+        rows.append((a, na, mean_post, mean_adj))
+    out = pd.DataFrame(rows, columns=["arm", "n_users",
+                                      "mean_post_ppm", "mean_adj_ppm"])
+    out["theta_ppm"] = np.int64(theta_ppm)
+    return out.astype({"arm": "int64", "n_users": "int64",
+                       "mean_post_ppm": "int64",
+                       "mean_adj_ppm": "int64", "theta_ppm": "int64"})

@@ -436,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity_audit_events": q.l_diversity_audit_events,
         # CUPED variance-reduced A/B means (exact integer formula)
         "cuped_adjusted_events": q.cuped_adjusted_events,
+        # iterative distributed BPE merge training (rows-only; replay pytest)
+        "bpe_train_documents": q.bpe_train_documents,
     }
 
 
@@ -3730,6 +3732,8 @@ def oracle_sql() -> dict[str, str]:
         # test_cluster.py / test_ann.py),
         # kcenter_select_embeddings / mmr_select_embeddings (iterative
         # greedy; exact numpy oracles in test_cluster.py),
+        # bpe_train_documents (iterative; single-process replay oracle
+        # in test_text.py),
         # multimodal_* (stubbed codecs) and
         # streaming_flagship (stateful streaming engine; pinned by the
         # single-process oracle + golden-window + byte-identity tests).

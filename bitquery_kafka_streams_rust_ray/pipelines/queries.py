@@ -9258,3 +9258,99 @@ def cuped_adjusted_events(sf_dir: str) -> pd.DataFrame:
     return out.astype({"arm": "int64", "n_users": "int64",
                        "mean_post_ppm": "int64",
                        "mean_adj_ppm": "int64", "theta_ppm": "int64"})
+
+
+def bpe_train_documents(sf_dir: str, n_merges: int = 10) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (learn the first ``n_merges``
+    merge rules — ``bpe_pair_candidates`` mines only the FIRST merge;
+    this runs the actual iterative algorithm, the tokenizer-training
+    pattern an LLM data pipeline executes before token counting): the
+    corpus reduces ONCE to the word-frequency table (the standard BPE
+    trick — training touches word types x counts, never the corpus
+    again), words symbolize to character lists, and each round is one
+    map+reduce over the words-domain Dataset: per-block (pair, count)
+    partials -> a pair-domain groupby -> per-block top-1 -> the
+    driver picks max count (ties: lexicographic smallest pair) and
+    broadcasts the merge; a map rewrites symbol lists left-to-right
+    non-overlapping. Rounds materialize (object-store-backed) so round
+    r never re-executes rounds 0..r-1. Per-word Python loops run on
+    the REDUCED word-type frame, not corpus rows — the same
+    inherent-scalar-work budget as the text family."""
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def word_tf(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter[str]" = Counter()
+        for text in t["text"].to_pylist():
+            c.update((text or "").split())
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    words = (docs.map_batches(word_tf, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("n", alias_name="n")))
+
+    def symbolize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "syms": pa.array([list(w) for w in t["word"].to_pylist()],
+                             pa.list_(pa.string())),
+            "n": t["n"]})
+
+    cur = (words.map_batches(symbolize, batch_format="pyarrow")
+           .materialize())
+
+    _pair_schema = pa.schema([("pair", pa.string()), ("n", pa.int64())])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter[str]" = Counter()
+        for syms, n in zip(t["syms"].to_pylist(),
+                           t["n"].to_pylist()):
+            for a, b in zip(syms, syms[1:]):
+                c[f"{a}\x1f{b}"] += n
+        if not c:
+            return _pair_schema.empty_table()
+        return pa.table({"pair": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    def local_top1(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _pair_schema.empty_table()
+        df = t.to_pandas().sort_values(["n", "pair"],
+                                       ascending=[False, True])
+        return pa.Table.from_pandas(df.head(1), preserve_index=False)
+
+    merges = []
+    for step in range(n_merges):
+        top = (cur.map_batches(pair_counts, batch_format="pyarrow")
+               .groupby("pair").aggregate(Sum("n", alias_name="n"))
+               .map_batches(local_top1, batch_format="pyarrow")
+               .to_pandas())
+        if len(top) == 0:
+            break
+        top = top.sort_values(["n", "pair"], ascending=[False, True])
+        pair, cnt = top.iloc[0]["pair"], int(top.iloc[0]["n"])
+        left, right = pair.split("\x1f", 1)
+        merges.append((step, left, right, cnt))
+
+        def apply_merge(t: pa.Table, a=left, b=right) -> pa.Table:
+            out = []
+            for syms in t["syms"].to_pylist():
+                res, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pa.table({"syms": pa.array(out,
+                                              pa.list_(pa.string())),
+                             "n": t["n"]})
+
+        cur = cur.map_batches(apply_merge,
+                              batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(merges, columns=["step", "left", "right", "n"]
+                        ).astype({"step": "int64", "n": "int64"})

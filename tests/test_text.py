@@ -67,3 +67,50 @@ def test_text_analyzer_batch():
     assert out["lang_id"].to_pylist()[0] == "en"
     assert out["quality"].to_pylist()[1] == 0.0
     assert len(out["fingerprint"].to_pylist()) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_matches_replay():
+    """Distributed BPE training is identical to a single-process
+    replay of the same rule (word-frequency table, max-count merge,
+    ties to the lexicographic smallest pair, left-to-right
+    non-overlapping rewrite)."""
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import bpe_train_documents
+
+    sf = "/root/testdata/sf0.01"
+    got = bpe_train_documents(sf, n_merges=8)
+
+    texts = pq.read_table(sf + "/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    wf: Counter = Counter()
+    for t in texts:
+        wf.update((t or "").split())
+    words = {w: (list(w), n) for w, n in wf.items()}
+    rows = []
+    for step in range(8):
+        pc_: Counter = Counter()
+        for syms, n in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc_[(a, b)] += n
+        if not pc_:
+            break
+        (a, b), cnt = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((step, a, b, cnt))
+        for w, (syms, n) in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = (res, n)
+    ref = pd.DataFrame(rows, columns=["step", "left", "right", "n"]
+                       ).astype({"step": "int64", "n": "int64"})
+    pd.testing.assert_frame_equal(got, ref)

@@ -438,6 +438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuped_adjusted_events": q.cuped_adjusted_events,
         # iterative distributed BPE merge training (rows-only; replay pytest)
         "bpe_train_documents": q.bpe_train_documents,
+        # stratified inverse-propensity-weighted outcome estimate
+        "ipw_revenue_nations": q.ipw_revenue_nations,
     }
 
 
@@ -3721,6 +3723,51 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) END AS mean_adj_ppm,
                    theta_ppm
             FROM r ORDER BY arm
+        """,
+        "ipw_revenue_nations": """
+            WITH o AS (
+                SELECT c_nationkey AS nationkey,
+                       CASE WHEN c_mktsegment = 'BUILDING'
+                            THEN 1 ELSE 0 END AS trt,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders JOIN customer ON c_custkey = o_custkey),
+            s AS (
+                SELECT nationkey,
+                       count(*) AS n,
+                       sum(trt) AS nt,
+                       sum(CASE WHEN trt = 1 THEN cents ELSE 0 END)
+                           AS yt_cents,
+                       sum(CASE WHEN trt = 0 THEN cents ELSE 0 END)
+                           AS yc_cents
+                FROM o GROUP BY nationkey
+                HAVING sum(trt) > 0 AND sum(trt) < count(*)),
+            w AS (
+                SELECT nationkey, n, nt, yt_cents, yc_cents,
+                       CAST((2 * CAST(n AS HUGEINT) * 1000000 + nt)
+                            // (2 * CAST(nt AS HUGEINT)) AS BIGINT)
+                           AS w_t_ppm,
+                       CAST((2 * CAST(n AS HUGEINT) * 1000000 + (n - nt))
+                            // (2 * CAST(n - nt AS HUGEINT)) AS BIGINT)
+                           AS w_c_ppm
+                FROM s),
+            tot AS (
+                SELECT sum(n) AS n_eff,
+                       sum(CAST(yt_cents AS HUGEINT) * w_t_ppm) AS st,
+                       sum(CAST(yc_cents AS HUGEINT) * w_c_ppm) AS sc
+                FROM w),
+            mu AS (
+                SELECT CAST((2 * st + n_eff)
+                            // (2 * CAST(n_eff AS HUGEINT)) AS BIGINT)
+                       - CAST((2 * sc + n_eff)
+                              // (2 * CAST(n_eff AS HUGEINT)) AS BIGINT)
+                           AS ate_ppm
+                FROM tot)
+            SELECT w.nationkey, CAST(w.n AS BIGINT) AS n,
+                   CAST(w.nt AS BIGINT) AS nt,
+                   CAST(w.yt_cents AS BIGINT) AS yt_cents,
+                   CAST(w.yc_cents AS BIGINT) AS yc_cents,
+                   w.w_t_ppm, w.w_c_ppm, mu.ate_ppm
+            FROM w CROSS JOIN mu ORDER BY w.nationkey
         """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,

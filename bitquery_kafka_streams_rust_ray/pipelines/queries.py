@@ -9354,3 +9354,74 @@ def bpe_train_documents(sf_dir: str, n_merges: int = 10) -> pd.DataFrame:
 
     return pd.DataFrame(merges, columns=["step", "left", "right", "n"]
                         ).astype({"step": "int64", "n": "int64"})
+
+
+def ipw_revenue_nations(sf_dir: str) -> pd.DataFrame:
+    """Stratified inverse-propensity-weighted outcome estimate (mean
+    order value under 'treatment' — BUILDING-segment membership —
+    reweighted by each nation stratum's propensity, the observational
+    estimator that closes the causal family: randomized ``ab_test``,
+    parallel-trends ``did_revenue_segments``, covariate ``cuped``,
+    confounder-adjusting IPW): the custkey->(nation, treated) lookup
+    broadcasts as dense arrays, each batch folds (nation, arm) cells
+    with two bincounts, and the strata-sized frame finishes on the
+    driver. Both engines round the inverse-propensity weights to
+    half-away ppm FIRST and form every downstream quantity from those
+    shared integers (weighted means as half-away integer division), so
+    no float boundary exists. Strata missing either arm are excluded
+    from both sums and from N, per the standard positivity rule."""
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_mktsegment", "c_nationkey"]).to_pandas()
+    keys = cust["c_custkey"].to_numpy(np.int64)
+    nat_of = np.full(int(keys.max()) + 1, -1, np.int64)
+    nat_of[keys] = cust["c_nationkey"].to_numpy(np.int64)
+    trt_of = np.zeros(int(keys.max()) + 1, np.int64)
+    trt_of[keys] = (cust["c_mktsegment"].to_numpy()
+                    == "BUILDING").astype(np.int64)
+    n_nat = int(cust["c_nationkey"].max()) + 1
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        nat, trt = nat_of[ck], trt_of[ck]
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        cell = 2 * nat + trt
+        return pa.table({
+            "cell": pa.array(np.arange(2 * n_nat, dtype=np.int64)),
+            "n": pa.array(np.bincount(cell, minlength=2 * n_nat)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(cell, weights=cents,
+                                      minlength=2 * n_nat)
+                          .astype(np.int64))})
+
+    agg = (ds.map_batches(cells, batch_format="pyarrow").to_pandas()
+           .groupby("cell").agg(n=("n", "sum"), s=("s", "sum")))
+    nc = agg["n"].reindex(2 * np.arange(n_nat), fill_value=0).to_numpy()
+    nt = agg["n"].reindex(2 * np.arange(n_nat) + 1,
+                          fill_value=0).to_numpy()
+    yc = agg["s"].reindex(2 * np.arange(n_nat), fill_value=0).to_numpy()
+    yt = agg["s"].reindex(2 * np.arange(n_nat) + 1,
+                          fill_value=0).to_numpy()
+
+    def _half(num: int, den: int) -> int:
+        sign = -1 if num < 0 else 1
+        return sign * ((2 * abs(num) + den) // (2 * den))
+
+    valid = (nt > 0) & (nc > 0)
+    rows = []
+    for k in np.nonzero(valid)[0]:
+        ns = int(nt[k] + nc[k])
+        rows.append((int(k), ns, int(nt[k]), int(yt[k]), int(yc[k]),
+                     _half(1_000_000 * ns, int(nt[k])),
+                     _half(1_000_000 * ns, int(nc[k]))))
+    df = pd.DataFrame(rows, columns=["nationkey", "n", "nt", "yt_cents",
+                                     "yc_cents", "w_t_ppm", "w_c_ppm"])
+    n_eff = int(df["n"].sum())
+    mu_t = _half(int((df["yt_cents"].astype(object)
+                      * df["w_t_ppm"].astype(object)).sum()), n_eff)
+    mu_c = _half(int((df["yc_cents"].astype(object)
+                      * df["w_c_ppm"].astype(object)).sum()), n_eff)
+    df["ate_ppm"] = np.int64(mu_t - mu_c)
+    return (df.sort_values("nationkey").reset_index(drop=True)
+            .astype("int64"))

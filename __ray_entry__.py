@@ -440,6 +440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_documents": q.bpe_train_documents,
         # stratified inverse-propensity-weighted outcome estimate
         "ipw_revenue_nations": q.ipw_revenue_nations,
+        # k-core decomposition (iterative peeling; replay pytest)
+        "kcore_copurchase": q.kcore_copurchase,
     }
 
 
@@ -3780,7 +3782,8 @@ def oracle_sql() -> dict[str, str]:
         # kcenter_select_embeddings / mmr_select_embeddings (iterative
         # greedy; exact numpy oracles in test_cluster.py),
         # bpe_train_documents (iterative; single-process replay oracle
-        # in test_text.py),
+        # in test_text.py), kcore_copurchase (iterative peeling;
+        # replay oracle in test_analytics_ops.py),
         # multimodal_* (stubbed codecs) and
         # streaming_flagship (stateful streaming engine; pinned by the
         # single-process oracle + golden-window + byte-identity tests).

@@ -9425,3 +9425,72 @@ def ipw_revenue_nations(sf_dir: str) -> pd.DataFrame:
     df["ate_ppm"] = np.int64(mu_t - mu_c)
     return (df.sort_values("nationkey").reset_index(drop=True)
             .astype("int64"))
+
+
+def kcore_copurchase(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """K-core decomposition of the co-purchase graph (iteratively peel
+    nodes of degree < k until the graph stabilizes — the
+    density-subgraph classic that completes the graph family next to
+    pagerank / BFS / triangles / components; recommender and fraud
+    pipelines read the surviving core as the 'structurally engaged'
+    part set): edges come from the shared co-purchase kernel and stay
+    a distributed Dataset; each peel round is one pure-map pass with
+    the alive-set broadcast (per-block degree partials group inside
+    the block) and a node-bounded driver merge — the same
+    frontier-on-driver / edges-distributed contract as
+    ``bfs_copurchase_levels``. Deterministic: simultaneous removal
+    each round (the standard parallel peeling schedule)."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["l_orderkey"],
+                                        pa.scalar(63, pa.int64())),
+                        pa.int64())
+        return (pa.table({"l_orderkey": t["l_orderkey"],
+                          "l_partkey": t["l_partkey"], "_shard": shard})
+                .group_by(["l_orderkey", "l_partkey", "_shard"])
+                .aggregate([]))
+
+    pairs, _ = _pairs_in_shards(
+        ds.map_batches(sharded, batch_format="pyarrow"),
+        ["l_orderkey"], "l_partkey")
+    pairs = pairs[pairs["n"] >= 2]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(np.concatenate(
+            [pairs["l_partkey_a"].to_numpy(np.int64),
+             pairs["l_partkey_b"].to_numpy(np.int64)])),
+        "dst": pa.array(np.concatenate(
+            [pairs["l_partkey_b"].to_numpy(np.int64),
+             pairs["l_partkey_a"].to_numpy(np.int64)])),
+    })).materialize()
+
+    alive = set(pairs["l_partkey_a"].tolist()) | set(
+        pairs["l_partkey_b"].tolist())
+    degrees: dict[int, int] = {}
+    while True:
+        a_ref = ray.put(np.fromiter(alive, dtype=np.int64))
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            a = broadcast_get(a_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            m = np.isin(src, a) & np.isin(dst, a)
+            return (pa.table({"src": pa.array(src[m])})
+                    .group_by("src").aggregate([([], "count_all")])
+                    .rename_columns(["src", "d"]))
+
+        deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+               .to_pandas().groupby("src")["d"].sum())
+        degrees = {int(n): int(d) for n, d in deg.items()}
+        survivors = {n for n, d in degrees.items() if d >= k}
+        if survivors == alive:
+            break
+        alive = survivors
+        if not alive:
+            break
+    out = pd.DataFrame(
+        sorted((n, degrees.get(n, 0)) for n in alive),
+        columns=["node", "degree"])
+    return out.astype({"node": "int64", "degree": "int64"}) if len(out) \
+        else pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                           "degree": pd.Series([], dtype="int64")})

@@ -241,3 +241,49 @@ def test_ewma_matches_sequential_recursion():
             e = x if e is None else a * x + (1 - a) * e
         assert got.loc[uid, "n_events"] == len(grp)
         assert abs(got.loc[uid, "ewma6"] - e) < 1e-5, uid
+
+
+def test_kcore_matches_replay():
+    """Distributed k-core peeling is identical to a single-process
+    replay over the same co-purchase edge kernel (distinct
+    (order, part), pairs a<b co-occurring in >= 2 orders,
+    simultaneous-removal schedule)."""
+    import duckdb
+
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import kcore_copurchase
+
+    sf = "/root/testdata/sf0.01"
+    got = kcore_copurchase(sf, k=3)
+
+    con = duckdb.connect()
+    pairs = con.execute(f"""
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM '{sf}/lineitem.parquet'),
+        e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+              GROUP BY pa, pb HAVING count(*) >= 2)
+        SELECT pa, pb FROM e""").df()
+    adj: dict = {}
+    for a, b in zip(pairs["pa"], pairs["pb"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    alive = set(adj)
+    while True:
+        deg = {n: sum(1 for m in adj[n] if m in alive)
+               for n in alive}
+        survivors = {n for n, d in deg.items() if d >= 3}
+        if survivors == alive:
+            break
+        alive = survivors
+        if not alive:
+            break
+    ref = pd.DataFrame(
+        sorted((n, sum(1 for m in adj[n] if m in alive))
+               for n in alive),
+        columns=["node", "degree"]).astype(
+        {"node": "int64", "degree": "int64"})
+    if len(ref) == 0:
+        assert len(got) == 0
+    else:
+        pd.testing.assert_frame_equal(got, ref)

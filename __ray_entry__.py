@@ -442,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipw_revenue_nations": q.ipw_revenue_nations,
         # k-core decomposition (iterative peeling; replay pytest)
         "kcore_copurchase": q.kcore_copurchase,
+        # HLL set-operation estimates (rows-only; accuracy pytest)
+        "hll_audience_overlap": q.hll_audience_overlap,
     }
 
 

@@ -9494,3 +9494,46 @@ def kcore_copurchase(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return out.astype({"node": "int64", "degree": "int64"}) if len(out) \
         else pd.DataFrame({"node": pd.Series([], dtype="int64"),
                            "degree": pd.Series([], dtype="int64")})
+
+
+def hll_audience_overlap(sf_dir: str, p: int = 14) -> pd.DataFrame:
+    """HyperLogLog set-operation estimates (how many users both
+    purchased AND viewed — |A|, |B|, |A∪B| from mergeable sketches,
+    overlap by inclusion-exclusion): the sketch answer to
+    ``audience_jaccard_types``' exact set intersection — at 100 TB the
+    exact operator shuffles every distinct user id once, this one
+    moves a 16 KiB register array per (type, block) and the union is
+    an elementwise max of the two merged sketches. Approximate by
+    construction (rows-only; accuracy vs exact pinned <3% in
+    test_sketches.py)."""
+    from ..stages.sketches import _hash_column, _hll_estimate, _hll_registers
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"],
+                        value_set=pa.array(["purchase", "view"]))
+        t = t.filter(mask)
+        out_g, out_s = [], []
+        if len(t):
+            hashes = _hash_column(t["user_id"])
+            groups = t["event_type"].to_numpy(zero_copy_only=False)
+            for g in np.unique(groups):
+                out_g.append(str(g))
+                out_s.append(_hll_registers(hashes[groups == g],
+                                            p).tobytes())
+        return pa.table({"event_type": pa.array(out_g, pa.string()),
+                         "_sketch": pa.array(out_s, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    regs = {g: np.zeros(1 << p, np.uint8) for g in ("purchase", "view")}
+    for g, blob in zip(parts["event_type"], parts["_sketch"]):
+        np.maximum(regs[g], np.frombuffer(blob, np.uint8), out=regs[g])
+    est_a = int(round(_hll_estimate(regs["purchase"])))
+    est_b = int(round(_hll_estimate(regs["view"])))
+    est_u = int(round(_hll_estimate(
+        np.maximum(regs["purchase"], regs["view"]))))
+    return pd.DataFrame({
+        "est_purchase": np.array([est_a], np.int64),
+        "est_view": np.array([est_b], np.int64),
+        "est_union": np.array([est_u], np.int64),
+        "est_overlap": np.array([est_a + est_b - est_u], np.int64)})

@@ -264,3 +264,22 @@ def test_cms_counts_distributed_matches_exact_on_small_domain():
         "GROUP BY 1").df().set_index("event_type")["n"])
     got = out.set_index("item")["approx_count"]
     assert (got >= exact[got.index]).all()
+
+
+def test_hll_overlap_accuracy():
+    """Inclusion-exclusion overlap from merged HLL sketches lands
+    within 3% of the exact purchase∩view user overlap at sf0.01."""
+    import pyarrow.parquet as pq
+
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import hll_audience_overlap
+
+    sf = "/root/testdata/sf0.01"
+    got = hll_audience_overlap(sf)
+    t = pq.read_table(sf + "/events.parquet",
+                      columns=["event_type", "user_id"]).to_pandas()
+    a = set(t[t.event_type == "purchase"]["user_id"])
+    b = set(t[t.event_type == "view"]["user_id"])
+    exact = len(a & b)
+    est = int(got["est_overlap"][0])
+    assert abs(est - exact) <= max(0.03 * exact, 2), (est, exact)
+    assert abs(int(got["est_union"][0]) - len(a | b)) <= 0.03 * len(a | b)

@@ -444,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_copurchase": q.kcore_copurchase,
         # HLL set-operation estimates (rows-only; accuracy pytest)
         "hll_audience_overlap": q.hll_audience_overlap,
+        # cross-format image near-dup via 64-bit average-hash (rows-only)
+        "phash_dedup_images": q.phash_dedup_images,
     }
 
 

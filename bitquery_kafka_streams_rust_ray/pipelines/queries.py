@@ -9537,3 +9537,49 @@ def hll_audience_overlap(sf_dir: str, p: int = 14) -> pd.DataFrame:
         "est_view": np.array([est_b], np.int64),
         "est_union": np.array([est_u], np.int64),
         "est_overlap": np.array([est_a + est_b - est_u], np.int64)})
+
+
+def phash_dedup_images(sf_dir: str) -> pd.DataFrame:
+    """Cross-format image near-duplicate detection (64-bit integer
+    average-hash -> plain groupby -> duplicate groups): the corpus
+    interleaves REAL BMP wire bytes and fake-container payloads
+    carrying the SAME pixels (every part-key triple shares one
+    deterministic image), so duplicate groups must span formats — the
+    wire-level dedup a multimodal curation pipeline runs before
+    training. The hash is computed in an actor-pool map stage
+    (``PerceptualHashStage``, exact integer thresholding), the groupby
+    is hash-domain-sized, and only groups with >= 2 members ship.
+    Rows-only (binary payloads; pytest pins the expected group
+    structure and the truncated-payload quarantine path)."""
+    from ..stages.multimodal import PerceptualHashStage, encode_bmp
+
+    keys = _t(sf_dir, "part", ["p_partkey"]).to_pandas()["p_partkey"].tolist()
+
+    def payload(k: int) -> bytes:
+        g = k // 3
+        w, h = 8 + g % 8, 8 + g % 5
+        if k % 3 == 0:  # real BMP wire format
+            rng = np.random.default_rng(g)
+            return encode_bmp(rng.integers(0, 256, size=(h, w),
+                                           dtype=np.uint8))
+        # fake container, SAME pixels as the BMP sibling
+        rng = np.random.default_rng(g)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        import struct as _s
+        from ..stages.multimodal import _IMG_MAGIC
+        return _IMG_MAGIC + _s.pack("<II", w, h) + px.tobytes()
+
+    rows = [{"img_id": int(k), "image": payload(int(k))} for k in keys]
+    ds = rd.from_items(rows)
+    hashed = ds.map_batches(
+        PerceptualHashStage,
+        fn_constructor_kwargs={"image_col": "image"},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+    ).to_pandas()
+    hashed = hashed.dropna(subset=["phash"])
+    g = (hashed.groupby("phash")
+         .agg(n=("img_id", "size"), min_img_id=("img_id", "min"))
+         .reset_index())
+    g = g[g["n"] >= 2].sort_values("min_img_id").reset_index(drop=True)
+    return g.astype({"phash": "int64", "n": "int64",
+                     "min_img_id": "int64"})

@@ -327,3 +327,41 @@ class AudioFeatureStage:
         out = out.append_column("duration_s", pa.array(durations, type=pa.float64()))
         out = out.append_column("rms", pa.array(rms, type=pa.float64()))
         return out
+
+
+class PerceptualHashStage:
+    """binary image -> 64-bit average-hash (aHash) for near-duplicate
+    detection — the image twin of the text MinHash family: decode
+    (real BMP or the fake container, same sniff order as
+    ``DecodeImageStage``), crop to 8x8 blocks, and set bit i when
+    ``64 * block_sum_i > total_sum`` — an exact integer comparison, so
+    the hash is bit-identical across formats carrying the same pixels
+    and across cluster layouts. Images smaller than 8x8 and
+    undecodable payloads quarantine (None). The hash rides an int64
+    column (the uint64 bit pattern two's-complemented), so downstream
+    grouping is a plain integer groupby."""
+
+    def __init__(self, image_col: str = "image"):
+        self.image_col = image_col
+
+    @staticmethod
+    def _ahash(gray: np.ndarray) -> int | None:
+        h, w = gray.shape
+        if h < 8 or w < 8:
+            return None
+        bh, bw = h // 8, w // 8
+        crop = gray[:bh * 8, :bw * 8].astype(np.int64)
+        blocks = crop.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+        total = int(blocks.sum())
+        bits = (64 * blocks.reshape(-1) > total)
+        return int(np.uint64(
+            np.packbits(bits.astype(np.uint8)).view(">u8")[0]
+        ).astype(np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for payload in batch[self.image_col].to_pylist():
+            gray = _image_gray(payload)
+            hashes.append(None if gray is None else self._ahash(gray))
+        out = batch.drop_columns([self.image_col])
+        return out.append_column("phash", pa.array(hashes, pa.int64()))

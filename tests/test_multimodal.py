@@ -231,3 +231,33 @@ def test_zero_dim_images_quarantine_through_resize():
     assert out["width"].to_pylist() == [None, None]
     rt = ResizeImageStage(2, 2)(t)
     assert rt["image"].to_pylist() == [None, None]
+
+
+def test_phash_cross_format_dedup():
+    """Average-hash groups span wire formats: each part-key triple
+    carries one real BMP + two fake containers with identical pixels,
+    so every shipped duplicate group has 2-3 members and the triple
+    (3, 4, 5) collapses to one hash; a truncated BMP quarantines."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import phash_dedup_images
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        PerceptualHashStage, encode_bmp)
+
+    out = phash_dedup_images("/root/testdata/sf0.001")
+    assert len(out) > 0
+    assert set(out["n"].unique()) <= {2, 3}
+    assert (out["n"] == 3).sum() > (out["n"] == 2).sum()
+
+    # direct stage checks: identical pixels across formats, quarantine
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, size=(9, 10), dtype=np.uint8)
+    bmp = encode_bmp(px)
+    stage = PerceptualHashStage()
+    t = pa.table({"img_id": pa.array([1, 2, 3], pa.int64()),
+                  "image": pa.array([bmp, bmp, bmp[:20]], pa.binary())})
+    got = stage(t)
+    h = got["phash"].to_pylist()
+    assert h[0] == h[1] and h[0] is not None
+    assert h[2] is None  # truncated -> quarantine

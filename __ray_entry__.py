@@ -446,6 +446,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_audience_overlap": q.hll_audience_overlap,
         # cross-format image near-dup via 64-bit average-hash (rows-only)
         "phash_dedup_images": q.phash_dedup_images,
+        # excerpt detection: char-trigram containment (vs resemblance)
+        "containment_pairs_documents": q.containment_pairs_documents,
+        # CCNet-style cross-doc boilerplate trigram audit
+        "boilerplate_ngrams_documents": q.boilerplate_ngrams_documents,
+        # temperature-resampled (alpha=1/2) language mix, integer-exact
+        "temperature_mix_documents": q.temperature_mix_documents,
+        # BPE train-then-apply tokenization (rows-only; replay pytest)
+        "bpe_encode_documents": q.bpe_encode_documents,
     }
 
 
@@ -3774,6 +3782,93 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w.yc_cents AS BIGINT) AS yc_cents,
                    w.w_t_ppm, w.w_c_ppm, mu.ate_ppm
             FROM w CROSS JOIN mu ORDER BY w.nationkey
+        """,
+        "containment_pairs_documents": r"""
+            WITH norm AS (
+                SELECT doc_id, lang,
+                       array_to_string(
+                           regexp_split_to_array(trim(lower(text)),
+                                                 '\s+'), ' ') AS s
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, lang, substring(s, i, 3) AS g
+                FROM (SELECT doc_id, lang, s,
+                             unnest(range(1, len(s) - 1)) AS i
+                      FROM norm WHERE len(s) >= 3)
+                UNION
+                SELECT doc_id, lang, s AS g FROM norm
+                WHERE len(s) BETWEEN 1 AND 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            pair AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ints
+                FROM sh a JOIN sh b
+                  ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT ia AS id_a, ib AS id_b,
+                   CAST(ints AS DOUBLE) / least(sa.sz, sb.sz)
+                       AS containment,
+                   CAST(ints AS BIGINT) AS inter,
+                   CAST(least(sa.sz, sb.sz) AS BIGINT) AS min_sz
+            FROM pair JOIN sizes sa ON sa.doc_id = ia
+                      JOIN sizes sb ON sb.doc_id = ib
+            WHERE CAST(ints AS DOUBLE) / least(sa.sz, sb.sz) >= 0.95
+            ORDER BY id_a, id_b
+        """,
+        "boilerplate_ngrams_documents": r"""
+            WITH docw AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text, e' \t\n\r'),
+                                             '\s+') AS w
+                FROM documents WHERE trim(text, e' \t\n\r') <> ''
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM docw, LATERAL (SELECT unnest(range(1, len(w) - 1))
+                                    AS i) t
+                WHERE len(w) >= 3
+            ),
+            df AS (SELECT g, count(*) AS nd FROM grams GROUP BY g),
+            per AS (
+                SELECT doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN df.nd >= 4 THEN 1 ELSE 0 END)
+                           AS n_boiler
+                FROM grams JOIN df USING (g) GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(n_boiler AS BIGINT) AS n_boiler,
+                   CAST((2 * CAST(n_boiler AS HUGEINT) * 1000000
+                         + n_grams) // (2 * n_grams) AS BIGINT)
+                       AS boiler_ppm
+            FROM per ORDER BY doc_id
+        """,
+        "temperature_mix_documents": """
+            WITH n AS (SELECT lang, count(*) AS n_docs FROM documents
+                       GROUP BY lang),
+            s AS (SELECT lang, n_docs,
+                         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)))
+                              AS BIGINT) AS isq
+                  FROM n),
+            m AS (SELECT min(isq) AS misq FROM s),
+            kept AS (
+                SELECT d.lang, count(*) AS n_kept
+                FROM documents d JOIN s USING (lang) CROSS JOIN m
+                WHERE (((d.doc_id * 2654435761) % 4294967296) % 1000000)
+                      * s.isq < 1000000 * m.misq
+                GROUP BY d.lang
+            )
+            SELECT s.lang AS lang, CAST(s.n_docs AS BIGINT) AS n_docs,
+                   CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST((2 * CAST(m.misq AS HUGEINT) * 1000000 + s.isq)
+                        // (2 * s.isq) AS BIGINT) AS rate_ppm,
+                   CAST((2 * CAST(COALESCE(k.n_kept, 0) AS HUGEINT)
+                         * 1000000 + s.n_docs)
+                        // (2 * s.n_docs) AS BIGINT) AS actual_ppm
+            FROM s LEFT JOIN kept k USING (lang) CROSS JOIN m
+            ORDER BY lang
         """,
         # Intentionally omitted (driver records rows-only checks;
         # pytest oracles pin each instead): text_analysis_documents,

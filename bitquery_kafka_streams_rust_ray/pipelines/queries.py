@@ -9583,3 +9583,224 @@ def phash_dedup_images(sf_dir: str) -> pd.DataFrame:
     g = g[g["n"] >= 2].sort_values("min_img_id").reset_index(drop=True)
     return g.astype({"phash": "int64", "n": "int64",
                      "min_img_id": "int64"})
+
+
+def containment_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """Excerpt detection via exact char-trigram CONTAINMENT >= 0.95
+    within lang blocks — the dedup axis Jaccard misses (a quoted or
+    pasted passage inside a longer page has low resemblance but high
+    containment of its shingle set; Broder 1997's "containment" vs
+    "resemblance" distinction). Integer inter/min_sz ship beside the
+    double so the SQL oracle is bit-exact."""
+    from ..stages.neardup import ngram_containment_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ngram_containment_pairs(ds, threshold=0.95, block_col="lang")
+    for c in ("id_a", "id_b", "inter", "min_sz"):
+        out[c] = out[c].astype("int64")
+    out["containment"] = out["containment"].astype("float64")
+    return out.reset_index(drop=True)
+
+
+def boilerplate_ngrams_documents(sf_dir: str, min_docs: int = 4) -> pd.DataFrame:
+    """CCNet/RefinedWeb-style boilerplate audit: a word trigram is
+    boilerplate when it appears in >= ``min_docs`` DISTINCT documents
+    (headers, footers, nav chrome repeat across a crawl; novel prose
+    does not). Per surviving document: distinct-trigram count, how many
+    are corpus-boilerplate, and the boilerplate share in exact ppm.
+
+    Distributed shape: pass 1 computes per-block (gram -> n_docs)
+    partials (a doc's text lives in one row, so per-doc distinctness is
+    block-local) and one gram-domain groupby sums them; only grams with
+    df >= min_docs return to the driver — bounded by total_grams /
+    min_docs by construction, the same broadcast-small-side contract as
+    the decontamination gate. Pass 2 is a pure map over documents
+    against the broadcast frozenset. At 100 TB the broadcast set for a
+    low cutoff could be swapped for a gram-shard shuffle join (the
+    inverted-index shape) without changing the output."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter[str]" = Counter()
+        for text in t["text"].to_pylist():
+            w = (text or "").strip().split()
+            c.update({" ".join(w[i:i + 3]) for i in range(len(w) - 2)})
+        return pa.table({"g": pa.array(list(c.keys()), pa.string()),
+                         "nd": pa.array(list(c.values()), pa.int64())})
+
+    df = (docs.map_batches(gram_partials, batch_format="pyarrow")
+          .groupby("g").aggregate(Sum("nd", alias_name="ndocs")))
+    boiler = frozenset(
+        r["g"] for r in df.filter(
+            lambda r: r["ndocs"] >= min_docs).take_all())
+    boiler_ref = ray.put(boiler)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        bset = ray.get(boiler_ref)
+        ids, n_grams, n_boiler = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            w = (text or "").strip().split()
+            grams = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+            if not grams:
+                continue  # mirror the oracle: gram-less docs drop out
+            ids.append(doc_id)
+            n_grams.append(len(grams))
+            n_boiler.append(sum(1 for g in grams if g in bset))
+        ng = np.array(n_grams, np.int64)
+        nb = np.array(n_boiler, np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_grams": pa.array(ng),
+            "n_boiler": pa.array(nb),
+            "boiler_ppm": pa.array(_ppm(nb, ng) if len(ng) else
+                                   np.array([], np.int64)),
+        })
+
+    out = docs.map_batches(per_doc, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def temperature_mix_documents(sf_dir: str) -> pd.DataFrame:
+    """Temperature-resampled language mix (the multilingual-LM recipe:
+    sample langs ∝ p^α with α = 1/2 so low-resource languages are
+    up-weighted relative to their corpus share). Exact in integers:
+    each lang keeps documents at rate min_l isqrt(n_l) / isqrt(n_lang)
+    via the house Knuth-hash threshold rule — keep doc iff
+    ((doc_id * 2654435761) mod 2^32 mod 10^6) * isqrt(n_lang)
+    < 10^6 * min_isqrt — deterministic across engines and layouts.
+    floor(sqrt(double)) == isqrt for all n below ~2^50 (IEEE sqrt is
+    correctly rounded; the nearest double to sqrt(k^2 - 1) sits below
+    k until 1/(2k) shrinks under ulp(k)), so DuckDB mirrors it.
+
+    Lang counts (a 5-key domain) merge on the driver — house rule for
+    group domains priced below a shuffle; the keep pass is a pure map
+    with per-block count partials."""
+    import math
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    parts = docs.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    n_by_lang = parts.groupby("lang")["n"].sum().to_dict()
+    isq = {lang: math.isqrt(int(n)) for lang, n in n_by_lang.items()}
+    min_isq = min(isq.values())
+
+    def kept_partial(t: pa.Table) -> pa.Table:
+        h = pc.multiply(t["doc_id"], pa.scalar(_SAMPLE_MULT, pa.int64()))
+        m = pa.scalar(_SAMPLE_MOD, pa.int64())
+        h = pc.subtract(h, pc.multiply(pc.divide(h, m), m))
+        mm = pa.scalar(1_000_000, pa.int64())
+        h = pc.subtract(h, pc.multiply(pc.divide(h, mm), mm))
+        lang_isq = pa.array([isq[v] for v in t["lang"].to_pylist()],
+                            pa.int64())
+        keep = pc.less(pc.multiply(h, lang_isq),
+                       pa.scalar(1_000_000 * min_isq, pa.int64()))
+        kept = t.filter(keep)
+        g = kept.group_by("lang").aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_kept"])
+
+    kp = docs.map_batches(kept_partial, batch_format="pyarrow").to_pandas()
+    kept_by_lang = kp.groupby("lang")["n_kept"].sum().to_dict()
+
+    langs = sorted(n_by_lang)
+    nd = np.array([n_by_lang[x] for x in langs], np.int64)
+    nk = np.array([kept_by_lang.get(x, 0) for x in langs], np.int64)
+    iq = np.array([isq[x] for x in langs], np.int64)
+    return pd.DataFrame({
+        "lang": langs,
+        "n_docs": nd,
+        "n_kept": nk,
+        "rate_ppm": _ppm(np.full(len(langs), min_isq, np.int64) * 1, iq)
+        if len(langs) else np.array([], np.int64),
+        "actual_ppm": _ppm(nk, nd) if len(langs) else np.array([], np.int64),
+    })
+
+
+class _BpeEncoder:
+    """Actor-pool tokenizer: applies a broadcast ranked merge list to
+    each document (lowest-rank pair first, left-to-right
+    non-overlapping within a rank — the standard BPE encode order,
+    matching how ``bpe_train_documents`` rewrote the corpus), with a
+    per-actor word -> token-count cache (web text's Zipfian word reuse
+    makes the cache hit rate the whole game; setup once per actor in
+    __init__, per the actor-pool contract)."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.rank = {pair: i for i, pair in enumerate(merges)}
+        self.cache: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        hit = self.cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = self.rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (syms[i], syms[i + 1]), r
+            if best is None:
+                break
+            a, b = best
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        n = len(syms)
+        if len(self.cache) < 1_000_000:  # bounded per-actor cache
+            self.cache[word] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, n_words, n_chars, n_tokens = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            words = (text or "").split()
+            ids.append(doc_id)
+            n_words.append(len(words))
+            n_chars.append(sum(len(w) for w in words))
+            n_tokens.append(sum(self._encode_len(w) for w in words))
+        nc = np.array(n_chars, np.int64)
+        nt = np.array(n_tokens, np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_chars": pa.array(nc),
+            "n_tokens": pa.array(nt),
+            "compress_ppm": pa.array(
+                _ppm(nt, np.where(nc == 0, 1, nc)) * (nc > 0)
+                if len(nc) else np.array([], np.int64)),
+        })
+
+
+def bpe_encode_documents(sf_dir: str, n_merges: int = 10) -> pd.DataFrame:
+    """Tokenize the corpus with the BPE merges ``bpe_train_documents``
+    learns on the same data — the train-then-apply pair every LLM data
+    pipeline runs before token-budget accounting. Training reduces the
+    corpus to the word-type table once (distributed, see
+    bpe_train_documents); encoding is an actor-pool map over documents
+    with the ranked merge list broadcast into each actor and a
+    per-actor word cache. Rows-only (the encode loop is iterative
+    per-word rewriting, not ANSI SQL); pinned by a pure-Python replay
+    pytest."""
+    merges_df = bpe_train_documents(sf_dir, n_merges=n_merges)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(
+        _BpeEncoder,
+        fn_constructor_kwargs={"merges": merges},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -917,6 +917,82 @@ def ngram_jaccard_pairs(
         .map_groups(block_pairs, batch_format="pandas")
         .to_pandas()
     )
+    if pairs.empty and "id_a" not in pairs.columns:
+        # an all-empty map_groups output collapses to a zero-column
+        # frame on the driver; restore the contract schema
+        pairs = pd.DataFrame(columns=["id_a", "id_b", "jaccard",
+                                      "inter", "uni"])
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ngram_containment_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> pd.DataFrame:
+    """Exact all-pairs n-gram CONTAINMENT >= threshold within blocks —
+    the excerpt/quote detector that resemblance (Jaccard) misses: a
+    short document pasted inside a long one has low Jaccard but
+    containment ~1.0 of the smaller shingle set,
+    ``C = |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)`` (Broder's containment,
+    symmetrized by taking the smaller side as the contained one).
+
+    Same distributed shape as :func:`ngram_jaccard_pairs` (one
+    ``map_groups`` task per block, only matching pairs reach the
+    driver) but WITHOUT the size-ratio prune — containment is
+    size-asymmetric by design (a tiny excerpt can sit inside any
+    larger document), so the block key alone bounds the quadratic
+    pass; at scale use a finer block (lang x source) than Jaccard
+    needs. Documents whose shingle set is empty are skipped (they
+    contain nothing and are contained in everything, vacuously).
+    Returns (id_a, id_b, containment, inter, min_sz) sorted.
+    """
+    cols = [id_col, text_col] + ([block_col] if block_col else [])
+    sub = ds.select_columns(cols)
+    if block_col is None:
+        block_col = "_block"
+        sub = sub.map_batches(
+            lambda t: t.append_column(
+                "_block", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow",
+        )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].tolist()
+        shingle_sets = [char_ngrams(t or "", ngram) for t in g[text_col]]
+        out = []
+        nonempty = [p for p in range(len(ids)) if shingle_sets[p]]
+        for x in range(len(nonempty)):
+            i = nonempty[x]
+            for y in range(x + 1, len(nonempty)):
+                j = nonempty[y]
+                inter = len(shingle_sets[i] & shingle_sets[j])
+                min_sz = min(len(shingle_sets[i]), len(shingle_sets[j]))
+                # integer numerator/denominator beside the double: the
+                # ratio of the same two ints is bit-identical anywhere
+                c = inter / min_sz
+                if c >= threshold:
+                    a, b = ((ids[i], ids[j]) if ids[i] <= ids[j]
+                            else (ids[j], ids[i]))
+                    out.append((a, b, c, inter, min_sz))
+        return pd.DataFrame(
+            out, columns=["id_a", "id_b", "containment", "inter", "min_sz"],
+        ).astype({"id_a": g[id_col].dtype, "id_b": g[id_col].dtype,
+                  "containment": "float64", "inter": "int64",
+                  "min_sz": "int64"})
+
+    pairs = (
+        sub.groupby(block_col)
+        .map_groups(block_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty and "id_a" not in pairs.columns:
+        pairs = pd.DataFrame(columns=["id_a", "id_b", "containment",
+                                      "inter", "min_sz"])
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -135,6 +135,9 @@ STAR_QUERIES = [
     "merge_upsert_documents",
     "dim_stats_embeddings",
     "brand_name_lcp",
+    "containment_pairs_documents",
+    "boilerplate_ngrams_documents",
+    "temperature_mix_documents",
 ]
 
 SEEDS = [7, 1231]

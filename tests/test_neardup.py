@@ -186,3 +186,40 @@ def test_component_labels_cutoff_paths_agree():
     to_map = lambda df: dict(zip(df["node"], df["label"]))  # noqa: E731
     assert to_map(small) == to_map(large)
     assert to_map(small)[9] == 2 and to_map(small)[22] == 20
+
+
+def test_containment_pairs_excerpt_detection(ray_session):
+    """A short excerpt pasted inside a long document has LOW Jaccard
+    but containment 1.0; two unrelated texts stay below threshold; an
+    empty doc never pairs; blocks separate langs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bitquery_kafka_streams_rust_ray.stages.neardup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    excerpt = "the quick brown fox jumps over the lazy dog"
+    long_doc = ("intro paragraph with plenty of unrelated framing text "
+                + excerpt +
+                " and a long tail of additional commentary that keeps "
+                "going on about entirely different topics for a while")
+    rows = [
+        {"doc_id": 1, "text": excerpt, "lang": "en"},
+        {"doc_id": 2, "text": long_doc, "lang": "en"},
+        {"doc_id": 3, "text": "completely different words here", "lang": "en"},
+        {"doc_id": 4, "text": excerpt, "lang": "fr"},  # other block
+        {"doc_id": 5, "text": "", "lang": "en"},       # empty: never pairs
+    ]
+    ds = rd.from_items(rows)
+    out = ngram_containment_pairs(ds, threshold=0.95, block_col="lang")
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 2) in pairs            # excerpt contained in long doc
+    assert (1, 4) not in pairs        # cross-block never compared
+    assert not any(5 in p for p in pairs)
+    row = out[(out["id_a"] == 1) & (out["id_b"] == 2)].iloc[0]
+    assert row["containment"] == 1.0
+    assert row["inter"] == row["min_sz"]
+
+    jac = ngram_jaccard_pairs(rd.from_items(rows), threshold=0.8,
+                              block_col="lang")
+    assert (1, 2) not in set(zip(jac["id_a"], jac["id_b"]))  # Jaccard misses it

@@ -114,3 +114,48 @@ def test_bpe_train_matches_replay():
     ref = pd.DataFrame(rows, columns=["step", "left", "right", "n"]
                        ).astype({"step": "int64", "n": "int64"})
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_bpe_encode_matches_training_rewrite():
+    """Encoding with the learned ranked merge list must reproduce the
+    segmentation the TRAINING rewrite left behind: replay training's
+    sequential merge application on the word-frequency table and check
+    every document's token count against the distributed encoder
+    (lowest-rank-first greedy == sequential-by-rank, because a merge's
+    parts always exist before the merge is learnable)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import (
+        bpe_encode_documents, bpe_train_documents)
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_encode_documents(sf, n_merges=10)
+    merges = bpe_train_documents(sf, n_merges=10)
+
+    tbl = pq.read_table(sf + "/documents.parquet",
+                        columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    wf: Counter = Counter()
+    for t in texts.values():
+        wf.update((t or "").split())
+    words = {w: list(w) for w in wf}
+    for a, b in zip(merges["left"], merges["right"]):
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    tok_len = {w: len(s) for w, s in words.items()}
+
+    for _, row in got.iterrows():
+        ws = (texts[row["doc_id"]] or "").split()
+        assert row["n_words"] == len(ws)
+        assert row["n_chars"] == sum(len(w) for w in ws)
+        assert row["n_tokens"] == sum(tok_len[w] for w in ws), row["doc_id"]

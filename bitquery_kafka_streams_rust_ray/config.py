@@ -148,6 +148,21 @@ class EngineConfig:
     # reprocessing; off by default — late rows stay a counter
     # (late_dropped) and the quarantine carries parse errors only
 
+    # --- allowed-lateness UPDATE mode (Flink-style window revisions) ---
+    update_mode: bool = False        # accept rows behind the frozen
+    # watermark but within update_horizon_s: they flow the normal row
+    # path (pages output, dedup, tumbling/sliding/session partials) and
+    # when their window has ALREADY been emitted, the next epoch commits
+    # a correction row in the window_updates output with a bumped
+    # revision (consumers take max revision per (kind, key, start)).
+    # Off by default — every existing output stays byte-identical.
+    # Order-sensitive state is exempt by construction: funnel (CEP) and
+    # distinct-sketch partials ignore accepted-late rows (their fold
+    # order is the correctness invariant), documented in streaming.py.
+    update_horizon_s: int = 600      # how far behind the watermark a row
+    # may be and still be accepted as a correction; beyond it rows are
+    # LATE (counter / quarantine) exactly as without update mode
+
     # --- filter defaults (F4 analog: weight x text_len >= threshold) ---
     min_text_len: int = 0
     min_weighted_len: float = 0.0
@@ -189,6 +204,15 @@ class EngineConfig:
             raise ValueError("exchange_ack_timeout_s must be positive")
         if self.exchange_stall_grace_s <= 0:
             raise ValueError("exchange_stall_grace_s must be positive")
+        if self.update_mode:
+            if self.update_horizon_s <= 0:
+                raise ValueError("update_mode needs update_horizon_s > 0")
+            if self.update_horizon_s > self.dedup_window_s:
+                # a correction whose duplicate twin was already evicted
+                # from the dedup store would double-write its page row
+                raise ValueError(
+                    "update_horizon_s must be <= dedup_window_s so "
+                    "accepted-late rows still dedup against their twins")
 
     @classmethod
     def from_env(cls, env: dict | None = None,

@@ -49,7 +49,8 @@ def run_oracle(
     plan = [sum(ordered[i:i + fpe], []) for i in range(0, len(ordered), fpe)]
 
     dedup = DedupState(cfg.dedup_window_s * US)
-    windows = WindowState()
+    upd_horizon_us = cfg.update_horizon_s * US if cfg.update_mode else 0
+    windows = WindowState(upd_horizon_us)
     sessions = SessionState(cfg.windows.session_gap_s * US)
     funnel = (FunnelState(cfg.funnel.n_stages, cfg.funnel.within_s * US)
               if cfg.funnel.enabled else None)
@@ -79,6 +80,9 @@ def run_oracle(
         "rows_read": 0, "parse_errors": 0, "rows_filtered_out": 0,
         "late_dropped": 0, "rows_deduped": 0, "rows_written": 0,
     }
+    upd_rows: list[tuple] = []
+    if cfg.update_mode:
+        counters["late_accepted"] = 0
     if funnel is not None:
         counters["funnels_matched"] = 0
 
@@ -86,6 +90,8 @@ def run_oracle(
         wm = watermark.watermark_us
         for r in windows.close(wm):
             win_rows.append((epoch, *r))
+        for r in windows.pop_updates(wm):
+            upd_rows.append((epoch, *r))
         for r in sessions.close(wm):
             sess_rows.append((epoch, *r))
         if funnel is not None:
@@ -127,9 +133,14 @@ def run_oracle(
             quarantine_rows.append(
                 (epoch, r["url"], r["warc_ts"], "parse_error"))
         df = df[~parse_err]
-        late = df["_ts_us"] < wm_before
+        late = df["_ts_us"] < wm_before - upd_horizon_us
         counters["late_dropped"] += int(late.sum())
         df = df[~late]
+        if cfg.update_mode:
+            # rows behind the frozen watermark but within the horizon are
+            # accepted as corrections (mirrors ExtractEnrich); the flag
+            # rides as a column so downstream row filters keep it aligned
+            df = df.assign(_upd=(df["_ts_us"] < wm_before).astype(np.int8))
         if page_filter is not None and len(df):
             import pyarrow as pa
 
@@ -142,6 +153,10 @@ def run_oracle(
             )
             counters["rows_filtered_out"] += int((~keep).sum())
             df = df[keep]
+        if cfg.update_mode:
+            # engine counts accepted-late on post-filter OK rows
+            # (ExtractEnrich zeroes _upd where status != OK)
+            counters["late_accepted"] += int(df["_upd"].sum())
 
         if len(df):
             # watermark advances on OK rows (post parse/late/filter, pre-dedup),
@@ -179,14 +194,19 @@ def run_oracle(
                 vc = df["host"].fillna("").value_counts()
                 topk.add(vc.index.tolist(), vc.to_numpy())
             if funnel is not None:
+                # order-sensitive CEP state ignores accepted-late
+                # corrections (mirrors StateShard._partials' otbl)
+                fdf = (df[df["_upd"] == 0] if cfg.update_mode else df)
                 stages = np.searchsorted(
                     np.asarray(cfg.funnel.bounds, dtype=np.int64),
-                    df["text_len"].to_numpy(), side="right",
+                    fdf["text_len"].to_numpy(), side="right",
                 ).astype(np.int64)
-                funnel.add(df["host"].fillna("").tolist(), stages, ts)
+                funnel.add(fdf["host"].fillna("").tolist(), stages,
+                           fdf["_ts_us"].to_numpy())
             counters["rows_written"] += len(df)
+            drop = ["_ts_us"] + (["_upd"] if cfg.update_mode else [])
             pages_out.append(
-                df.drop(columns=["_ts_us"]).assign(_epoch=epoch)
+                df.drop(columns=drop).assign(_epoch=epoch)
             )
 
         close(epoch)
@@ -205,6 +225,7 @@ def run_oracle(
         "pages": pd.concat(pages_out, ignore_index=True)
         if pages_out else pd.DataFrame(),
         "windows": win_rows,
+        "window_updates": upd_rows,
         "sessions": sess_rows,
         "funnels": fun_rows,
         "topk": topk_rows,

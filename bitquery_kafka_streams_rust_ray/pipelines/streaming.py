@@ -116,7 +116,9 @@ class StateShard:
             SpillDedupState(config.dedup_window_s * US, self._dedup_db)
             if config.dedup_spill_dir is not None
             else DedupState(config.dedup_window_s * US))
-        self.windows = WindowState()
+        self._upd_horizon_us = (config.update_horizon_s * US
+                                if config.update_mode else 0)
+        self.windows = WindowState(self._upd_horizon_us)
         self.sessions = SessionState(config.windows.session_gap_s * US)
         self.funnel = (
             FunnelState(config.funnel.n_stages, config.funnel.within_s * US)
@@ -226,7 +228,9 @@ class StateShard:
              distincts) = self._partials(tbl)
             _t3 = _time.time()
             path = os.path.join(stage_dir, f"pages-{self.shard_id:04d}.parquet")
-            pq.write_table(tbl.drop_columns(["_ts_us"]), path)
+            drop = ["_ts_us"] + (["_upd"] if "_upd" in tbl.column_names
+                                 else [])
+            pq.write_table(tbl.drop_columns(drop), path)
             if os.environ.get("GRAFT_DEBUG_TIMING"):
                 print(f"[shard {self.shard_id}] sort={_t1-_t0:.2f} "
                       f"dedup={_t2-_t1:.2f} partials={_t3-_t2:.2f} "
@@ -247,6 +251,15 @@ class StateShard:
         narrow columns leave Arrow."""
         cfg = self.cfg
         n = cfg.state_shards
+        # order-sensitive state (funnel chain fold, distinct-sketch
+        # windows) must not see accepted-late correction rows: their
+        # correctness invariant is "folded when the watermark passes ==
+        # event-time order", which a row behind the watermark breaks.
+        # Windows/sessions/topk are commutative merges and take all rows.
+        otbl = tbl
+        if "_upd" in tbl.column_names:
+            otbl = tbl.filter(pc.equal(tbl.column("_upd"),
+                                       pa.scalar(0, pa.int8())))
         ts = tbl.column("_ts_us").to_numpy()
         lens = tbl.column("text_len").to_numpy().astype(np.float64)
         ok = pd.DataFrame({
@@ -273,15 +286,18 @@ class StateShard:
             # The chain fold is order-sensitive so raw (key, stage, ts)
             # triples ride to the key's owner — three narrow columns,
             # already deduped, the one partial here that can't pre-reduce.
+            # (otbl: correction rows excluded — see comment above)
             stages = np.searchsorted(
                 np.asarray(cfg.funnel.bounds, dtype=np.int64),
-                tbl.column("text_len").to_numpy(), side="right",
+                otbl.column("text_len").to_numpy(), side="right",
             ).astype(np.int64)
-            hosts = ok["host"].fillna("").to_numpy()
+            hosts = pd.Series(
+                otbl.column("host").to_pandas()).fillna("").to_numpy()
+            fts = otbl.column("_ts_us").to_numpy()
             owner = shard_of(hosts, n)
             for o in np.unique(owner):
                 m = owner == o
-                funnels[int(o)] = (hosts[m].tolist(), stages[m], ts[m])
+                funnels[int(o)] = (hosts[m].tolist(), stages[m], fts[m])
         hostcounts: dict[int, tuple] = {}
         if self.topk is not None:
             # running top-k partial: pre-reduce to (host, count) pairs —
@@ -303,10 +319,15 @@ class StateShard:
             from ..stages.hashing import hash_strings
             from ..stages.sketches import _hll_registers, _splitmix64
 
+            # (otbl: correction rows excluded — a closed distinct
+            # window's host set cannot be revised; see comment above)
+            dts = otbl.column("_ts_us").to_numpy()
             grp = pd.DataFrame({
-                "k": ok["lang"].fillna("").to_numpy(),
-                "w": (ts // tum) * tum,
-                "h": ok["host"].fillna("").to_numpy(),
+                "k": pd.Series(
+                    otbl.column("lang").to_pandas()).fillna("").to_numpy(),
+                "w": (dts // tum) * tum,
+                "h": pd.Series(
+                    otbl.column("host").to_pandas()).fillna("").to_numpy(),
             })
             keys, starts, blobs, hostlists = [], [], [], []
             for (k, w), sub in grp.groupby(["k", "w"], sort=True):
@@ -359,8 +380,11 @@ class StateShard:
         return ray.get_runtime_context().get_node_id()
 
     def close(self, watermark_us: int
-              ) -> tuple[list, list, list, list, list, int]:
+              ) -> tuple[list, list, list, list, list, list, int]:
         closed_windows = self.windows.close(watermark_us)
+        # correction re-emissions for retained windows that got late
+        # partials (empty list when update mode is off)
+        updated_windows = self.windows.pop_updates(watermark_us)
         closed_sessions = self.sessions.close(watermark_us)
         closed_funnels = (self.funnel.close(watermark_us)
                           if self.funnel is not None else [])
@@ -368,8 +392,8 @@ class StateShard:
         closed_distinct = (self.distinct.close(watermark_us)
                            if self.distinct is not None else [])
         evicted = self.dedup.evict(watermark_us)
-        return (closed_windows, closed_sessions, closed_funnels, topk,
-                closed_distinct, evicted)
+        return (closed_windows, updated_windows, closed_sessions,
+                closed_funnels, topk, closed_distinct, evicted)
 
     def _snapshot_rest(self) -> dict:
         return {
@@ -393,7 +417,8 @@ class StateShard:
             # filesystems would otherwise refuse the rewrite)
             self.dedup.close()
         self.dedup = restore_dedup(snap["dedup"], self._dedup_db, sidecar_dir)
-        self.windows = WindowState.restore(snap["windows"])
+        self.windows = WindowState.restore(snap["windows"],
+                                           self._upd_horizon_us)
         self.sessions = SessionState.restore(snap["sessions"])
         fun = snap.get("funnel")
         self.funnel = FunnelState.restore(fun) if fun is not None else None
@@ -503,9 +528,13 @@ class ExtractEnrich:
     constructor args, so each epoch's pool is immutable state.
     """
 
-    def __init__(self, page_filter: PageFilter | None, watermark_us: int):
+    def __init__(self, page_filter: PageFilter | None, watermark_us: int,
+                 update_horizon_us: int = 0):
         self.filter = page_filter
         self.watermark_us = watermark_us
+        # update mode: rows within [wm - horizon, wm) are ACCEPTED as
+        # corrections (flagged _upd) instead of classified LATE
+        self.update_horizon_us = update_horizon_us
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # The ONLY per-row Python here is decompress+extract (regex
@@ -537,8 +566,12 @@ class ExtractEnrich:
             pc.split_pattern(rest, "/", max_splits=1), 0)
 
         ts_us = series_ts_us(pd.Series(batch["warc_ts"].to_pandas())).to_numpy()
-        late = ts_us < self.watermark_us
+        late = ts_us < self.watermark_us - self.update_horizon_us
         status = np.where((status == OK) & late, LATE, status)
+        upd = None
+        if self.update_horizon_us > 0:
+            upd = ((ts_us < self.watermark_us) & ~late
+                   & (status == OK)).astype(np.int8)
 
         out = batch.drop_columns(["html"])
         out = out.append_column(
@@ -551,7 +584,11 @@ class ExtractEnrich:
             keep = self.filter.mask(out)
             keep_np = np.asarray(keep.to_pandas(), dtype=bool)
             status = np.where((status == OK) & ~keep_np, FILTERED, status)
-        return out.append_column("_status", pa.array(status))
+        out = out.append_column("_status", pa.array(status))
+        if upd is not None:
+            out = out.append_column(
+                "_upd", pa.array(np.where(status == OK, upd, 0)))
+        return out
 
 
 class ExchangeToShards:
@@ -590,6 +627,9 @@ class ExchangeToShards:
             "late_dropped": int((status == LATE).sum()),
             "max_ts_us": NEG_INF_TS,
         }
+        if "_upd" in batch.column_names:
+            stats["late_accepted"] = int(
+                batch.column("_upd").to_numpy(zero_copy_only=False).sum())
         dead = [("parse_error", np.nonzero(status == PARSE_ERROR)[0])]
         if self.quarantine_late:
             # late-data DLQ: late rows are dropped from every window
@@ -679,8 +719,10 @@ class EpochMapper:
     def __init__(self, page_filter, watermark_us: int,
                  meta_ref, defaults: dict | None,
                  actors: list, epoch: int, state_shards: int,
-                 attempt: int = 0, quarantine_late: bool = False):
-        self.extract = ExtractEnrich(page_filter, watermark_us)
+                 attempt: int = 0, quarantine_late: bool = False,
+                 update_horizon_us: int = 0):
+        self.extract = ExtractEnrich(page_filter, watermark_us,
+                                     update_horizon_us)
         self.meta_ref = meta_ref
         self.defaults = defaults or {}
         self.exchange = ExchangeToShards(actors, epoch, state_shards,
@@ -1081,6 +1123,7 @@ class StreamingPagesPipeline:
                 {"category": "unknown", "weight": 0.0},
                 actors, epoch, cfg.state_shards, attempt,
                 cfg.quarantine_late,
+                cfg.update_horizon_s * US if cfg.update_mode else 0,
             ),
             batch_format="pyarrow",
             batch_size=cfg.read_batch_size,
@@ -1101,6 +1144,8 @@ class StreamingPagesPipeline:
             for c in ("rows_read", "parse_errors", "rows_filtered_out",
                       "late_dropped")
         }
+        if "late_accepted" in stats.columns:
+            counters["late_accepted"] = int(stats["late_accepted"].sum())
         # exchange barrier: pushes are async inside the map tasks (the
         # last batch of each task is never awaited there), so finalize
         # may only proceed once every pushed row is provably buffered.
@@ -1236,17 +1281,20 @@ class StreamingPagesPipeline:
         closed = ray.get([a.close.remote(wm_us) for a in actors])
         _tc1 = _time.time()
         window_rows: list = []
+        update_rows: list = []
         session_rows: list = []
         funnel_rows: list = []
         topk_cands: list = []
         distinct_rows: list = []
-        for cw, cs, cf, tk, cd, _ in closed:
+        for cw, uw, cs, cf, tk, cd, _ in closed:
             window_rows.extend(cw)
+            update_rows.extend(uw)
             session_rows.extend(cs)
             funnel_rows.extend(cf)
             topk_cands.extend(tk)
             distinct_rows.extend(cd)
         window_rows.sort()
+        update_rows.sort()
         session_rows.sort()
         funnel_rows.sort()
 
@@ -1265,6 +1313,34 @@ class StreamingPagesPipeline:
                     ).cast(pa.timestamp("us")),
                     "doc_count": pa.array([r[4] for r in rows], type=pa.int64()),
                     "total_chars": pa.array([r[5] for r in rows], type=pa.float64()),
+                }
+            )
+        if self.cfg.update_mode:
+            # allowed-lateness corrections: re-emissions of windows that
+            # received accepted-late rows after their revision-0 emission.
+            # Consumers reduce by max(revision) per (kind, key, start);
+            # always committed (possibly empty) so the output schema is
+            # stable across epochs.
+            tables["window_updates"] = pa.table(
+                {
+                    "kind": pa.array([r[0] for r in update_rows],
+                                     type=pa.string()),
+                    "key": pa.array([r[1] for r in update_rows],
+                                    type=pa.string()),
+                    "window_start": pa.array(
+                        np.array([r[2] for r in update_rows],
+                                 dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                    "window_end": pa.array(
+                        np.array([r[3] for r in update_rows],
+                                 dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                    "doc_count": pa.array([r[4] for r in update_rows],
+                                          type=pa.int64()),
+                    "total_chars": pa.array(
+                        [r[5] for r in update_rows], type=pa.float64()),
+                    "revision": pa.array([r[6] for r in update_rows],
+                                         type=pa.int64()),
                 }
             )
         if self.cfg.sketch_distinct:
@@ -1340,8 +1416,10 @@ class StreamingPagesPipeline:
         counters = dict(counters)
         counters["windows_emitted"] = sum(
             t.num_rows for n, t in tables.items()
-            if n not in ("funnel_host", "topk_host")
+            if n not in ("funnel_host", "topk_host", "window_updates")
         )
+        if "window_updates" in tables:
+            counters["windows_updated"] = tables["window_updates"].num_rows
         if "funnel_host" in tables:
             counters["funnels_matched"] = tables["funnel_host"].num_rows
 

@@ -240,9 +240,17 @@ class WindowState:
     ``window_end``.
     """
 
-    def __init__(self):
+    def __init__(self, update_horizon_us: int = 0):
         self.acc: dict[tuple[str, str, int], _Acc] = {}
         self.window_end: dict[tuple[str, str, int], int] = {}
+        # allowed-lateness update mode: emitted windows are RETAINED here
+        # for update_horizon_us past their end, as [end, count, total,
+        # revision]; partials landing on a retained window mark it dirty
+        # and pop_updates re-emits it with revision+1 (Flink-style
+        # window corrections). horizon 0 = off: nothing is retained.
+        self.update_horizon_us = int(update_horizon_us)
+        self.closed: dict[tuple[str, str, int], list] = {}
+        self.dirty: set[tuple[str, str, int]] = set()
 
     def add_partials(
         self,
@@ -254,8 +262,16 @@ class WindowState:
         totals: np.ndarray,
     ) -> None:
         acc = self.acc
+        closed = self.closed
         for i, key in enumerate(keys):
             k = (kind, key, int(window_start_us[i]))
+            c = closed.get(k) if closed else None
+            if c is not None:
+                # correction for an already-emitted window
+                c[1] += int(counts[i])
+                c[2] += float(totals[i])
+                self.dirty.add(k)
+                continue
             a = acc.get(k)
             if a is None:
                 a = acc[k] = _Acc()
@@ -266,7 +282,9 @@ class WindowState:
         """Emit and evict all windows with ``window_end <= watermark``.
 
         Returns rows ``(kind, key, window_start_us, window_end_us,
-        count, total)`` sorted for deterministic epoch output.
+        count, total)`` sorted for deterministic epoch output. With a
+        nonzero update horizon the emitted accumulators move to the
+        retained ``closed`` store (revision 0) instead of vanishing.
         """
         out = []
         for k, end in list(self.window_end.items()):
@@ -274,6 +292,29 @@ class WindowState:
                 a = self.acc.pop(k)
                 del self.window_end[k]
                 out.append((k[0], k[1], k[2], end, a.count, a.total))
+                if self.update_horizon_us > 0:
+                    self.closed[k] = [end, a.count, a.total, 0]
+        out.sort()
+        return out
+
+    def pop_updates(self, watermark_us: int) -> list[tuple]:
+        """Emit correction rows for retained windows that received
+        late partials since the last call: ``(kind, key, start_us,
+        end_us, count, total, revision)`` with revision starting at 1.
+        Retained windows age out once ``end + horizon <= watermark``
+        (a correction beyond the horizon can no longer arrive — the
+        mapper already classified such rows LATE)."""
+        out = []
+        for k in self.dirty:
+            c = self.closed[k]
+            c[3] += 1
+            out.append((k[0], k[1], k[2], c[0], c[1], c[2], c[3]))
+        self.dirty.clear()
+        if self.closed:
+            horizon = self.update_horizon_us
+            for k, c in list(self.closed.items()):
+                if c[0] + horizon <= watermark_us:
+                    del self.closed[k]
         out.sort()
         return out
 
@@ -282,16 +323,24 @@ class WindowState:
             "acc": [
                 [list(k), a.count, a.total, self.window_end[k]]
                 for k, a in self.acc.items()
-            ]
+            ],
+            "closed": [[list(k), *c] for k, c in self.closed.items()],
+            "dirty": [list(k) for k in sorted(self.dirty)],
         }
 
     @classmethod
-    def restore(cls, snap: dict) -> "WindowState":
-        st = cls()
+    def restore(cls, snap: dict,
+                update_horizon_us: int = 0) -> "WindowState":
+        st = cls(update_horizon_us)
         for key_list, count, total, end in snap["acc"]:
             k = (key_list[0], key_list[1], int(key_list[2]))
             st.acc[k] = _Acc(count, total)
             st.window_end[k] = int(end)
+        for key_list, end, count, total, rev in snap.get("closed", []):
+            k = (key_list[0], key_list[1], int(key_list[2]))
+            st.closed[k] = [int(end), int(count), float(total), int(rev)]
+        st.dirty = {(k[0], k[1], int(k[2]))
+                    for k in snap.get("dirty", [])}
         return st
 
 

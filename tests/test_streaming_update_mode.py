@@ -1,0 +1,218 @@
+"""Allowed-lateness UPDATE mode: rows behind the frozen watermark but
+within ``update_horizon_s`` are accepted as corrections; windows that
+already emitted are re-emitted in the ``window_updates`` output with a
+bumped revision. Engine output is pinned against the single-process
+oracle, and the default path stays byte-identical (update off)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bitquery_kafka_streams_rust_ray.config import EngineConfig
+from bitquery_kafka_streams_rust_ray.functions.filters import PageFilter
+from bitquery_kafka_streams_rust_ray.pipelines.flagship import run_flagship
+from bitquery_kafka_streams_rust_ray.pipelines.oracle import run_oracle
+from bitquery_kafka_streams_rust_ray.sinks.compaction import read_output_compacted
+from bitquery_kafka_streams_rust_ray.sinks.exactly_once import EpochSink
+from bitquery_kafka_streams_rust_ray.state.store import WindowState
+from bitquery_kafka_streams_rust_ray.stages.timeops import US
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+CFG_UPD = EngineConfig(min_text_len=1, state_shards=4,
+                       extract_concurrency=2, files_per_epoch=2,
+                       update_mode=True, update_horizon_s=60)
+
+
+# ---------------- state-store unit semantics ----------------
+
+def test_window_state_corrections_and_aging():
+    st = WindowState(update_horizon_us=100 * US)
+    st.add_partials("tumbling:x", ["a"], np.array([0]), np.array([60 * US]),
+                    np.array([2]), np.array([10.0]))
+    closed = st.close(60 * US)
+    assert [(r[1], r[4], r[5]) for r in closed] == [("a", 2, 10.0)]
+    assert st.pop_updates(60 * US) == []  # nothing dirty yet
+
+    # late partial for the emitted window -> revision 1 with merged totals
+    st.add_partials("tumbling:x", ["a"], np.array([0]), np.array([60 * US]),
+                    np.array([3]), np.array([7.0]))
+    upd = st.pop_updates(60 * US)
+    assert upd == [("tumbling:x", "a", 0, 60 * US, 5, 17.0, 1)]
+    assert st.pop_updates(60 * US) == []  # dirty flag cleared
+
+    # a second late partial bumps the revision again
+    st.add_partials("tumbling:x", ["a"], np.array([0]), np.array([60 * US]),
+                    np.array([1]), np.array([1.0]))
+    upd = st.pop_updates(60 * US)
+    assert upd == [("tumbling:x", "a", 0, 60 * US, 6, 18.0, 2)]
+
+    # aging: once end + horizon <= watermark the retained entry drops and
+    # a later partial starts a FRESH window (first emission, revision 0)
+    st.pop_updates(160 * US)
+    st.add_partials("tumbling:x", ["a"], np.array([0]), np.array([60 * US]),
+                    np.array([9]), np.array([9.0]))
+    assert st.pop_updates(200 * US) == []
+    assert ("tumbling:x", "a", 0) in st.acc
+
+
+def test_window_state_update_snapshot_roundtrip():
+    st = WindowState(update_horizon_us=100 * US)
+    st.add_partials("t", ["a", "b"], np.array([0, 0]),
+                    np.array([60 * US, 60 * US]),
+                    np.array([1, 2]), np.array([1.0, 2.0]))
+    st.close(60 * US)
+    st.add_partials("t", ["a"], np.array([0]), np.array([60 * US]),
+                    np.array([4]), np.array([4.0]))
+    st2 = WindowState.restore(st.snapshot(), update_horizon_us=100 * US)
+    assert st2.pop_updates(60 * US) == st.pop_updates(60 * US)
+    assert st2.closed == st.closed
+
+
+def test_config_rejects_horizon_beyond_dedup_window():
+    with pytest.raises(ValueError):
+        EngineConfig(update_mode=True, update_horizon_s=600,
+                     dedup_window_s=300).validate()
+
+
+# ---------------- engine vs oracle (e2e) ----------------
+
+@pytest.fixture(scope="module")
+def update_run(tmp_path_factory):
+    # dedicated fixture with a heavier very-late tail so the horizon
+    # splits rows into BOTH accepted-corrections and still-late
+    from bitquery_kafka_streams_rust_ray.sources.pages import (
+        PagesSpec, generate_host_metadata, generate_pages)
+
+    d = str(tmp_path_factory.mktemp("pages_late"))
+    spec = PagesSpec(num_rows=2_000, very_late_frac=0.05, seed=7)
+    generate_pages(d, spec)
+    generate_host_metadata(d, spec)
+    out = str(tmp_path_factory.mktemp("update_out"))
+    summary = run_flagship(d, out, config=CFG_UPD)
+    return d, out, summary
+
+
+def _norm(df: pd.DataFrame, sort_cols) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+
+def _assert_resume_byte_identical(d, ref_out, meta):
+    import hashlib
+    import os
+    import tempfile
+
+    from bitquery_kafka_streams_rust_ray.pipelines.streaming import (
+        StreamingPagesPipeline)
+    from bitquery_kafka_streams_rust_ray.reliability import RetryExhausted
+
+    def hashes(out_dir):
+        h = {}
+        for root, _dirs, files in os.walk(out_dir):
+            if "_tmp" in root or "_observability" in root:
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    h[os.path.relpath(p, out_dir)] = hashlib.sha256(
+                        fh.read()).hexdigest()
+        return h
+
+    out = tempfile.mkdtemp(prefix="upd_resume_")
+
+    class Boom(RuntimeError):
+        pass
+
+    real = StreamingPagesPipeline._exchange_epoch
+
+    def crashing(self, epoch, files, actors, watermark, attempt=0):
+        if epoch == 2:
+            raise Boom()
+        return real(self, epoch, files, actors, watermark, attempt)
+
+    def make_pipe():
+        return StreamingPagesPipeline(
+            d, out, CFG_UPD, PageFilter(min_text_len=1), meta)
+
+    StreamingPagesPipeline._exchange_epoch = crashing
+    try:
+        with pytest.raises(RetryExhausted):
+            make_pipe().run(resume=True)
+    finally:
+        StreamingPagesPipeline._exchange_epoch = real
+    make_pipe().run(resume=True)
+
+    ref_h, got_h = hashes(ref_out), hashes(out)
+    assert set(got_h) == set(ref_h)
+    diff = {k for k in ref_h if ref_h[k] != got_h[k]}
+    assert not diff, f"differing files after resume: {sorted(diff)[:10]}"
+
+
+def test_update_mode_matches_oracle(update_run):
+    import pyarrow.parquet as pq
+    import os
+
+    d, out, summary = update_run
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+    oracle = run_oracle(d, CFG_UPD, PageFilter(min_text_len=1), meta)
+
+    c = {k: int(v) for k, v in summary["metrics"]["counters"].items()
+         if k not in ("windows_emitted", "windows_updated")}
+    assert c == oracle["counters"], f"{c} != {oracle['counters']}"
+    # the fixture's very-late tail must exercise BOTH classifications
+    assert c["late_accepted"] > 0, "horizon accepted no corrections"
+    assert c["late_dropped"] > 0, "no rows beyond the horizon"
+
+    sink = EpochSink(out)
+    got = read_output_compacted(sink, "window_updates").to_pandas()
+    rows = oracle["window_updates"]
+    want = pd.DataFrame({
+        "kind": [r[1] for r in rows],
+        "key": [r[2] for r in rows],
+        "window_start": pd.to_datetime([r[3] for r in rows], unit="us"),
+        "window_end": pd.to_datetime([r[4] for r in rows], unit="us"),
+        "doc_count": [r[5] for r in rows],
+        "total_chars": [float(r[6]) for r in rows],
+        "revision": [r[7] for r in rows],
+    })
+    assert len(got) > 0, "update mode produced no corrections"
+    sort = ["kind", "key", "window_start", "revision"]
+    pd.testing.assert_frame_equal(
+        _norm(got, sort), _norm(want, sort), check_dtype=False,
+        obj="window_updates")
+
+    # base window emissions still match the oracle under update mode
+    for name, kind in (("tumbling_lang", "tumbling:lang"),
+                       ("sliding_lang", "sliding:lang")):
+        g = _norm(read_output_compacted(sink, name).to_pandas(),
+                  ["key", "window_start"])
+        wrows = [r for r in oracle["windows"] if r[1] == kind]
+        w = _norm(pd.DataFrame({
+            "key": [r[2] for r in wrows],
+            "window_start": pd.to_datetime([r[3] for r in wrows], unit="us"),
+            "window_end": pd.to_datetime([r[4] for r in wrows], unit="us"),
+            "doc_count": [r[5] for r in wrows],
+            "total_chars": [float(r[6]) for r in wrows],
+        }), ["key", "window_start"])
+        pd.testing.assert_frame_equal(g, w, check_dtype=False, obj=name)
+
+    # resume carries the retained-window store: crash after epoch 1,
+    # resume in a fresh pipeline, and every committed byte (including
+    # window_updates revisions) must match the uninterrupted run
+    _assert_resume_byte_identical(d, out, meta)
+
+    # corrected view: max-revision per (kind, key, start) supersedes the
+    # base row, and every correction strictly grows the doc count
+    base = read_output_compacted(sink, "tumbling_lang").to_pandas()
+    tum = got[got["kind"] == "tumbling:lang"]
+    if len(tum):
+        last = tum.sort_values("revision").groupby(
+            ["key", "window_start"], as_index=False).last()
+        merged = last.merge(base, on=["key", "window_start"],
+                            suffixes=("_upd", "_base"))
+        assert len(merged) == len(last)  # every correction has a base row
+        assert (merged["doc_count_upd"] > merged["doc_count_base"]).all()

@@ -36,6 +36,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # and the remainder follows.  Coverage is identical either way — every
     # entry below is a first-class catalog member.
     return {
+        # -- round-3g additions (newest, never driver-checked) -----------
+        # allowed-lateness UPDATE mode: accepted-late corrections re-emit
+        # already-closed windows with bumped revisions (rows-only: the
+        # streaming engine itself; pinned vs the single-process oracle in
+        # tests/test_streaming_update_mode.py)
+        "streaming_corrections": q.streaming_corrections,
         # -- round-3e additions (newest, never driver-checked) -----------
         # ISO-8601 week-year rollup (calendar-function parity)
         "iso_week_orders": q.iso_week_orders,

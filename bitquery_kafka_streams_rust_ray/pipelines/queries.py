@@ -2783,6 +2783,37 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def streaming_corrections(sf_dir: str) -> pd.DataFrame:
+    """Allowed-lateness UPDATE mode showcase (rows-only): the flagship
+    pipeline with ``update_mode`` on a pages log carrying a heavy
+    very-late tail. Rows within the horizon behind the frozen watermark
+    are accepted as corrections; already-emitted windows re-emit in the
+    ``window_updates`` output with a bumped revision (Flink-style window
+    revisions — consumers take max revision per (kind, key, start))."""
+    import shutil
+
+    from ..config import EngineConfig
+    from ..pipelines.flagship import ensure_pages_log, run_flagship
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+    from ..sources.pages import PagesSpec
+
+    tier = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    rows = 6000 if tier.endswith("0.01") else 2000
+    data_dir = f"/tmp/bitquery_kafka_streams_rust_ray_pages_late_{tier}_{rows}"
+    ensure_pages_log(data_dir,
+                     PagesSpec(num_rows=rows, very_late_frac=0.05, seed=7))
+    out_dir = f"{data_dir}_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = EngineConfig(min_text_len=1, state_shards=8, extract_concurrency=4,
+                       update_mode=True, update_horizon_s=60)
+    run_flagship(data_dir, out_dir, config=cfg, resume=False)
+    res = read_output_compacted(EpochSink(out_dir),
+                                "window_updates").to_pandas()
+    return res.sort_values(["kind", "key", "window_start", "revision"]
+                           ).reset_index(drop=True)
+
+
 def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     """Video frame-sample plumbing (rows-only): each fake video row
     flat-maps into frame rows whose payloads feed the image decoder —

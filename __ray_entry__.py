@@ -42,6 +42,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming engine itself; pinned vs the single-process oracle in
         # tests/test_streaming_update_mode.py)
         "streaming_corrections": q.streaming_corrections,
+        # early-firing speculative previews of open windows per epoch
+        # (rows-only; pinned vs the oracle in test_streaming_early_fire)
+        "streaming_early_fire": q.streaming_early_fire,
         # -- round-3e additions (newest, never driver-checked) -----------
         # ISO-8601 week-year rollup (calendar-function parity)
         "iso_week_orders": q.iso_week_orders,

@@ -163,6 +163,17 @@ class EngineConfig:
     # may be and still be accepted as a correction; beyond it rows are
     # LATE (counter / quarantine) exactly as without update mode
 
+    # --- early firing (Flink-style speculative window previews) ---
+    early_fire: bool = False         # emit the current partial result of
+    # every still-OPEN tumbling/sliding window at each epoch commit into
+    # a window_early output tagged with the emitting epoch. Previews are
+    # monotone (counts only grow epoch over epoch) and are superseded by
+    # the final on-time emission in tumbling/sliding_lang (and by any
+    # update-mode correction after that). Pure view over existing state:
+    # nothing new is checkpointed, off by default, composable with
+    # update_mode — together they give the full trigger triple
+    # (early speculation / on-time final / late correction).
+
     # --- filter defaults (F4 analog: weight x text_len >= threshold) ---
     min_text_len: int = 0
     min_weighted_len: float = 0.0

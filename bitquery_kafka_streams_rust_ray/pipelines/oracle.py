@@ -81,6 +81,7 @@ def run_oracle(
         "late_dropped": 0, "rows_deduped": 0, "rows_written": 0,
     }
     upd_rows: list[tuple] = []
+    early_rows: list[tuple] = []
     if cfg.update_mode:
         counters["late_accepted"] = 0
     if funnel is not None:
@@ -92,6 +93,9 @@ def run_oracle(
             win_rows.append((epoch, *r))
         for r in windows.pop_updates(wm):
             upd_rows.append((epoch, *r))
+        if cfg.early_fire:
+            for r in windows.preview():
+                early_rows.append((epoch, *r))
         for r in sessions.close(wm):
             sess_rows.append((epoch, *r))
         if funnel is not None:
@@ -226,6 +230,7 @@ def run_oracle(
         if pages_out else pd.DataFrame(),
         "windows": win_rows,
         "window_updates": upd_rows,
+        "window_early": early_rows,
         "sessions": sess_rows,
         "funnels": fun_rows,
         "topk": topk_rows,

@@ -2814,6 +2814,36 @@ def streaming_corrections(sf_dir: str) -> pd.DataFrame:
                            ).reset_index(drop=True)
 
 
+def streaming_early_fire(sf_dir: str) -> pd.DataFrame:
+    """Early-firing showcase (rows-only): the flagship with
+    ``early_fire`` emits speculative previews of still-open windows at
+    every epoch commit (``window_early`` output, tagged with the
+    emitting epoch). Previews are monotone per window and superseded by
+    the final on-time emission — with update_mode this completes the
+    Flink trigger triple (early / on-time / late correction)."""
+    import shutil
+
+    from ..config import EngineConfig
+    from ..pipelines.flagship import ensure_pages_log, run_flagship
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+    from ..sources.pages import PagesSpec
+
+    tier = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    rows = 6000 if tier.endswith("0.01") else 2000
+    data_dir = f"/tmp/bitquery_kafka_streams_rust_ray_pages_{tier}_{rows}"
+    ensure_pages_log(data_dir, PagesSpec(num_rows=rows))
+    out_dir = f"{data_dir}_early_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = EngineConfig(min_text_len=1, state_shards=8, extract_concurrency=4,
+                       early_fire=True)
+    run_flagship(data_dir, out_dir, config=cfg, resume=False)
+    res = read_output_compacted(EpochSink(out_dir),
+                                "window_early").to_pandas()
+    return res.sort_values(["epoch", "kind", "key", "window_start"]
+                           ).reset_index(drop=True)
+
+
 def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     """Video frame-sample plumbing (rows-only): each fake video row
     flat-maps into frame rows whose payloads feed the image decoder —

@@ -385,6 +385,10 @@ class StateShard:
         # correction re-emissions for retained windows that got late
         # partials (empty list when update mode is off)
         updated_windows = self.windows.pop_updates(watermark_us)
+        # early firing: speculative previews of windows still open after
+        # this close (empty when off — pure view, nothing checkpointed)
+        early_windows = (self.windows.preview()
+                         if self.cfg.early_fire else [])
         closed_sessions = self.sessions.close(watermark_us)
         closed_funnels = (self.funnel.close(watermark_us)
                           if self.funnel is not None else [])
@@ -392,8 +396,9 @@ class StateShard:
         closed_distinct = (self.distinct.close(watermark_us)
                            if self.distinct is not None else [])
         evicted = self.dedup.evict(watermark_us)
-        return (closed_windows, updated_windows, closed_sessions,
-                closed_funnels, topk, closed_distinct, evicted)
+        return (closed_windows, updated_windows, early_windows,
+                closed_sessions, closed_funnels, topk, closed_distinct,
+                evicted)
 
     def _snapshot_rest(self) -> dict:
         return {
@@ -1282,19 +1287,22 @@ class StreamingPagesPipeline:
         _tc1 = _time.time()
         window_rows: list = []
         update_rows: list = []
+        early_rows: list = []
         session_rows: list = []
         funnel_rows: list = []
         topk_cands: list = []
         distinct_rows: list = []
-        for cw, uw, cs, cf, tk, cd, _ in closed:
+        for cw, uw, ew, cs, cf, tk, cd, _ in closed:
             window_rows.extend(cw)
             update_rows.extend(uw)
+            early_rows.extend(ew)
             session_rows.extend(cs)
             funnel_rows.extend(cf)
             topk_cands.extend(tk)
             distinct_rows.extend(cd)
         window_rows.sort()
         update_rows.sort()
+        early_rows.sort()
         session_rows.sort()
         funnel_rows.sort()
 
@@ -1341,6 +1349,32 @@ class StreamingPagesPipeline:
                         [r[5] for r in update_rows], type=pa.float64()),
                     "revision": pa.array([r[6] for r in update_rows],
                                          type=pa.int64()),
+                }
+            )
+        if self.cfg.early_fire:
+            # speculative previews of still-open windows, tagged with the
+            # emitting epoch; monotone per key and superseded by the final
+            # emission (and any update-mode correction)
+            tables["window_early"] = pa.table(
+                {
+                    "epoch": pa.array([epoch] * len(early_rows),
+                                      type=pa.int64()),
+                    "kind": pa.array([r[0] for r in early_rows],
+                                     type=pa.string()),
+                    "key": pa.array([r[1] for r in early_rows],
+                                    type=pa.string()),
+                    "window_start": pa.array(
+                        np.array([r[2] for r in early_rows],
+                                 dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                    "window_end": pa.array(
+                        np.array([r[3] for r in early_rows],
+                                 dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                    "doc_count": pa.array([r[4] for r in early_rows],
+                                          type=pa.int64()),
+                    "total_chars": pa.array(
+                        [r[5] for r in early_rows], type=pa.float64()),
                 }
             )
         if self.cfg.sketch_distinct:
@@ -1416,7 +1450,8 @@ class StreamingPagesPipeline:
         counters = dict(counters)
         counters["windows_emitted"] = sum(
             t.num_rows for n, t in tables.items()
-            if n not in ("funnel_host", "topk_host", "window_updates")
+            if n not in ("funnel_host", "topk_host", "window_updates",
+                         "window_early")
         )
         if "window_updates" in tables:
             counters["windows_updated"] = tables["window_updates"].num_rows

@@ -297,6 +297,18 @@ class WindowState:
         out.sort()
         return out
 
+    def preview(self) -> list[tuple]:
+        """Speculative (early-firing) view of every still-open window:
+        ``(kind, key, window_start_us, window_end_us, count, total)``
+        sorted. Pure read — nothing is emitted or evicted; the final
+        ``close`` emission supersedes any preview of the same window."""
+        out = [
+            (k[0], k[1], k[2], self.window_end[k], a.count, a.total)
+            for k, a in self.acc.items()
+        ]
+        out.sort()
+        return out
+
     def pop_updates(self, watermark_us: int) -> list[tuple]:
         """Emit correction rows for retained windows that received
         late partials since the last call: ``(kind, key, start_us,

@@ -45,6 +45,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # early-firing speculative previews of open windows per epoch
         # (rows-only; pinned vs the oracle in test_streaming_early_fire)
         "streaming_early_fire": q.streaming_early_fire,
+        # distributed full-batch logistic regression (iterative GD with
+        # integer-quantized gradient partials; rows-only — bit-exact
+        # numpy-replay pin in tests/test_logreg.py)
+        "logreg_purchase_events": q.logreg_purchase_events,
         # -- round-3e additions (newest, never driver-checked) -----------
         # ISO-8601 week-year rollup (calendar-function parity)
         "iso_week_orders": q.iso_week_orders,

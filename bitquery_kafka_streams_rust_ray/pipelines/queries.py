@@ -2783,6 +2783,96 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def logreg_purchase_events(sf_dir: str) -> pd.DataFrame:
+    """Distributed full-batch logistic regression: predict
+    event_type == 'purchase' from [1, z(value), sin(hour), cos(hour)].
+
+    Iterative map+reduce in the kmeans shape (`stages/cluster.py`):
+    materialize the pruned projection once, broadcast the weight vector
+    each iteration (`ray.put`), and emit ONE gradient partial row per
+    block. Per-row gradients quantize to nano-units (int64) BEFORE the
+    block sum, so the fold is exact integer arithmetic — training is
+    bit-identical across block layouts and cluster sizes (same recipe
+    as the integer-scaled kmeans partials). 25 fixed GD steps, lr=2.0.
+    At 100 TB the same loop runs on minibatch hash-samples per step;
+    the partial shape (4 ints per block per step) is already the
+    scale-correct exchange."""
+    iters, lr, nano = 25, 2.0, 1_000_000_000
+
+    ds = _t(sf_dir, "events", ["event_type", "value", "ts"])
+
+    # global value moments from exact integer cents partials (one pass)
+    def moments(t: pa.Table) -> pa.Table:
+        c = np.round(np.asarray(t["value"].to_numpy(zero_copy_only=False),
+                                dtype=np.float64) * 100).astype(np.int64)
+        return pa.table({"n": pa.array([len(c)], pa.int64()),
+                         "s": pa.array([int(c.sum())], pa.int64()),
+                         "ss": pa.array([int((c * c).sum())], pa.int64())})
+
+    m = ds.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n_total = int(m["n"])
+    mean_c = m["s"] / n_total
+    std_c = float(np.sqrt(m["ss"] / n_total - mean_c ** 2)) or 1.0
+
+    ds = ds.materialize()  # iterative: pay the read once
+
+    def feats(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        cents = np.round(np.asarray(
+            t["value"].to_numpy(zero_copy_only=False),
+            dtype=np.float64) * 100)
+        h = ((np.asarray(column_ts_us(t["ts"])) // HOUR_US) % 24
+             ).astype(np.float64)
+        x = np.column_stack([
+            np.ones(len(t)),
+            (cents - mean_c) / std_c,
+            np.sin(2 * np.pi * h / 24.0),
+            np.cos(2 * np.pi * h / 24.0),
+        ])
+        y = (np.asarray(t["event_type"].to_numpy(zero_copy_only=False))
+             == "purchase").astype(np.float64)
+        return x, y
+
+    def grad_partial(t: pa.Table, *, w_ref) -> pa.Table:
+        w = broadcast_get(w_ref)
+        x, y = feats(t)
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        # quantize per ROW (layout-invariant), then exact int64 sums
+        g = np.round((p - y)[:, None] * x * nano).astype(np.int64)
+        return pa.table({"g": pa.array([g.sum(axis=0).tolist()],
+                                       pa.list_(pa.int64()))})
+
+    w = np.zeros(4, dtype=np.float64)
+    for _ in range(iters):
+        ref = ray.put(w)
+        parts = ds.map_batches(grad_partial, fn_kwargs={"w_ref": ref},
+                               batch_format="pyarrow").to_pandas()
+        g = np.sum([np.asarray(v, dtype=np.int64) for v in parts["g"]],
+                   axis=0)
+        w = w - lr * (g / nano) / n_total
+
+    def score_partial(t: pa.Table, *, w_ref) -> pa.Table:
+        wv = broadcast_get(w_ref)
+        x, y = feats(t)
+        pred = (x @ wv) > 0.0
+        return pa.table({
+            "correct": pa.array([int((pred == (y > 0.5)).sum())],
+                                pa.int64()),
+            "n": pa.array([len(t)], pa.int64())})
+
+    ref = ray.put(w)
+    sc = ds.map_batches(score_partial, fn_kwargs={"w_ref": ref},
+                        batch_format="pyarrow").to_pandas().sum()
+    rows = [("w_bias", int(np.round(w[0] * nano))),
+            ("w_value", int(np.round(w[1] * nano))),
+            ("w_sin_hour", int(np.round(w[2] * nano))),
+            ("w_cos_hour", int(np.round(w[3] * nano))),
+            ("n_correct", int(sc["correct"])),
+            ("n_total", int(sc["n"]))]
+    return pd.DataFrame({"metric": [r[0] for r in rows],
+                         "value": np.array([r[1] for r in rows],
+                                           dtype=np.int64)})
+
+
 def streaming_corrections(sf_dir: str) -> pd.DataFrame:
     """Allowed-lateness UPDATE mode showcase (rows-only): the flagship
     pipeline with ``update_mode`` on a pages log carrying a heavy

@@ -49,6 +49,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-quantized gradient partials; rows-only — bit-exact
         # numpy-replay pin in tests/test_logreg.py)
         "logreg_purchase_events": q.logreg_purchase_events,
+        # half-life-decayed trending leaderboard in exact dyadic integers
+        "decayed_type_scores": q.decayed_type_scores,
+        # t-digest quantile sketch (unbounded domain; rows-only,
+        # accuracy-pinned in tests/test_sketches.py)
+        "tdigest_percentiles_events": q.tdigest_percentiles_events,
         # -- round-3e additions (newest, never driver-checked) -----------
         # ISO-8601 week-year rollup (calendar-function parity)
         "iso_week_orders": q.iso_week_orders,
@@ -472,6 +477,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "decayed_type_scores": """
+            WITH b AS (SELECT max(epoch_us(ts)) // 86400000000 AS hi
+                       FROM events),
+            w AS (SELECT event_type,
+                         CASE WHEN hi - epoch_us(ts) // 86400000000 <= 40
+                              THEN CAST(1 AS BIGINT) << CAST(
+                                   40 - (hi - epoch_us(ts) // 86400000000)
+                                   AS INT)
+                              ELSE 0 END AS wt
+                  FROM events, b)
+            SELECT event_type, CAST(sum(wt) AS BIGINT) AS score
+            FROM w GROUP BY event_type ORDER BY event_type
+        """,
         "iso_week_orders": """
             SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
                    CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,

@@ -2783,6 +2783,53 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def tdigest_percentiles_events(sf_dir: str) -> pd.DataFrame:
+    """Per-type value percentiles via mergeable t-digest
+    (`stages/sketches.py::tdigest_quantiles`) — the unbounded-domain
+    companion to the fixed-range histogram sketch: no min/max pre-pass,
+    relative tail accuracy ~1/delta, constant-size centroid partials
+    riding one groupby. Approximate by construction -> rows-only;
+    accuracy pinned vs exact quantiles in tests/test_sketches.py."""
+    from ..stages.sketches import tdigest_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    return tdigest_quantiles(ds, "event_type", "value",
+                             quantiles=(0.5, 0.9, 0.99), delta=200)
+
+
+def decayed_type_scores(sf_dir: str) -> pd.DataFrame:
+    """Half-life-decayed leaderboard (the streaming 'trending' score):
+    each event contributes 2^(40 - age_days) — a one-day half-life
+    expressed in exact dyadic integers, so the distributed sum is
+    EXACT int64 arithmetic with no float decay drift (ages > 40 days
+    contribute 0). Two passes: a max-ts reduce, then per-block
+    (type, score) partials into a 5-row groupby."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+    hi_day = int(ds.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [int(np.asarray(column_ts_us(t["ts"])).max())], pa.int64())}),
+        batch_format="pyarrow").to_pandas()["m"].max()) // DAY_US
+
+    def partial(t: pa.Table) -> pa.Table:
+        age = (hi_day - np.asarray(column_ts_us(t["ts"])) // DAY_US
+               ).astype(np.int64)
+        # clip BEFORE shifting: np.where evaluates both branches, and a
+        # negative shift (age > 40) is UB even in the masked branch
+        wt = np.where(age <= 40,
+                      np.int64(1) << np.clip(40 - age, 0, 40),
+                      np.int64(0))
+        tt = pa.table({"event_type": t["event_type"],
+                       "score": pa.array(wt, pa.int64())})
+        return (tt.group_by("event_type").aggregate([("score", "sum")])
+                .rename_columns(["event_type", "score"]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type").aggregate(Sum("score", alias_name="score"))
+           .to_pandas())
+    out["score"] = out["score"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def logreg_purchase_events(sf_dir: str) -> pd.DataFrame:
     """Distributed full-batch logistic regression: predict
     event_type == 'purchase' from [1, z(value), sin(hour), cos(hour)].

@@ -283,3 +283,50 @@ def test_hll_overlap_accuracy():
     est = int(got["est_overlap"][0])
     assert abs(est - exact) <= max(0.03 * exact, 2), (est, exact)
     assert abs(int(got["est_union"][0]) - len(a | b)) <= 0.03 * len(a | b)
+
+
+def test_tdigest_pure_accuracy():
+    """Pure-numpy digest: quantile estimates on a long-tailed sample
+    land within tight relative error of the exact values, and merging
+    split digests matches the whole-data digest's accuracy."""
+    from bitquery_kafka_streams_rust_ray.stages.sketches import (_k1_cluster,
+                                                 tdigest_quantile)
+
+    rng = np.random.default_rng(3)
+    v = rng.lognormal(0.0, 1.5, size=50_000)
+    qs = np.array([0.01, 0.5, 0.9, 0.99])
+    exact = np.quantile(v, qs)
+
+    m, w = _k1_cluster(v, np.ones_like(v), delta=200)
+    assert len(m) <= 250  # bounded summary
+    est = tdigest_quantile(m, w, qs)
+    assert np.all(np.abs(est - exact) / exact < 0.02), (est, exact)
+
+    # merge path: 10 shard digests re-clustered == one-shot accuracy
+    parts = [(_k1_cluster(c, np.ones_like(c), 200))
+             for c in np.array_split(v, 10)]
+    mm = np.concatenate([p[0] for p in parts])
+    ww = np.concatenate([p[1] for p in parts])
+    m2, w2 = _k1_cluster(mm, ww, 200)
+    est2 = tdigest_quantile(m2, w2, qs)
+    assert np.all(np.abs(est2 - exact) / exact < 0.03), (est2, exact)
+
+
+def test_tdigest_percentiles_events_vs_exact(ray_session):
+    """Distributed t-digest per-type percentiles within 2% relative of
+    exact at sf0.01 (no range pre-pass, unbounded-domain sketch)."""
+    import pyarrow.parquet as pq
+
+    from bitquery_kafka_streams_rust_ray.pipelines.queries import (
+        tdigest_percentiles_events)
+
+    sf = "/root/testdata/sf0.01"
+    got = tdigest_percentiles_events(sf).set_index("event_type")
+    t = pq.read_table(sf + "/events.parquet",
+                      columns=["event_type", "value"]).to_pandas()
+    for g, sub in t.groupby("event_type"):
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            exact = float(np.quantile(sub["value"], q))
+            est = float(got.loc[g, col])
+            assert abs(est - exact) / max(abs(exact), 1e-9) < 0.02, \
+                (g, col, est, exact)

@@ -86,3 +86,39 @@ def flagship_outputs(output_dir: str) -> dict:
                      "session_host", "funnel_host", "topk_host",
                      "quarantine")
     }
+
+
+def read_windows_corrected(output_dir: str, name: str = "tumbling_lang",
+                           kind: str = "tumbling:lang"):
+    """Consumer-side corrected view of a window output under update
+    mode: the base (on-time, revision-0) emission per (key, start)
+    superseded by its highest-revision correction from the
+    ``window_updates`` output. Identical to the base table when the run
+    had no corrections (or update mode was off). Returns a pandas
+    DataFrame sorted by (key, window_start)."""
+    from ..sinks.compaction import read_output_compacted
+
+    sink = EpochSink(output_dir)
+    base = read_output_compacted(sink, name).to_pandas()
+    try:
+        upd = read_output_compacted(sink, "window_updates").to_pandas()
+    except Exception:
+        upd = None
+    if upd is not None and len(upd):
+        upd = upd[upd["kind"] == kind]
+    if upd is None or not len(upd):
+        return (base.sort_values(["key", "window_start"])
+                .reset_index(drop=True))
+    last = (upd.sort_values("revision")
+            .groupby(["key", "window_start"], as_index=False).last()
+            .drop(columns=["kind", "revision"]))
+    keep_cols = list(base.columns)
+    merged = base.merge(last, on=["key", "window_start"], how="left",
+                        suffixes=("", "_upd"))
+    for c in ("doc_count", "total_chars", "window_end"):
+        u = f"{c}_upd"
+        if u in merged.columns:
+            merged[c] = merged[u].where(merged[u].notna(), merged[c])
+    out = merged[keep_cols].copy()
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out.sort_values(["key", "window_start"]).reset_index(drop=True)

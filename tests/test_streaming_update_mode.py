@@ -205,6 +205,29 @@ def test_update_mode_matches_oracle(update_run):
     # window_updates revisions) must match the uninterrupted run
     _assert_resume_byte_identical(d, out, meta)
 
+    # consumer helper: read_windows_corrected == oracle base patched by
+    # the oracle's highest-revision corrections
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import read_windows_corrected
+
+    corrected = read_windows_corrected(out)
+    truth = {}
+    for r in oracle["windows"]:
+        if r[1] == "tumbling:lang":
+            truth[(r[2], r[3])] = (r[5], float(r[6]))
+    best_rev = {}
+    for r in oracle["window_updates"]:
+        if r[1] == "tumbling:lang":
+            k = (r[2], r[3])
+            if r[7] >= best_rev.get(k, 0):
+                best_rev[k] = r[7]
+                truth[k] = (r[5], float(r[6]))
+    got_map = {
+        (row.key, int(pd.Timestamp(row.window_start).value // 1000)):
+            (int(row.doc_count), float(row.total_chars))
+        for row in corrected.itertuples()
+    }
+    assert got_map == truth
+
     # corrected view: max-revision per (kind, key, start) supersedes the
     # base row, and every correction strictly grows the doc count
     base = read_output_compacted(sink, "tumbling_lang").to_pandas()

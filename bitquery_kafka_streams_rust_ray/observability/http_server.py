@@ -13,6 +13,15 @@ Semantics ported from http_server.rs handlers:
 - ``/metrics`` — Prometheus text exposition from ``MetricsRegistry``.
 - ``/version`` — engine name + version JSON.
 
+Interactive queries (Kafka Streams' queryable-state analog): when the
+pipeline passes a ``state_reader``, ``/state`` and ``/state/<view>``
+serve the LATEST COMMITTED epoch's state — a deliberately stronger
+consistency model than Kafka Streams' live-store reads: a query can
+never observe results of an epoch whose 2PC has not finished, so
+reads are exactly-once-consistent by construction. ``/state`` returns
+the commit summary (epoch, watermark, counters); views are reader-
+defined (the streaming pipeline ships ``topk`` and ``window/<key>``).
+
 On a real cluster this runs on the driver (one server per job); worker
 health rides the report via the actor-liveness checker, so no
 per-worker listeners are needed.
@@ -41,10 +50,15 @@ class ObservabilityServer:
     """
 
     def __init__(self, monitor: HealthMonitor, metrics: MetricsRegistry,
-                 port: int = 0, version: str = "0"):
+                 port: int = 0, version: str = "0", state_reader=None):
         self.monitor = monitor
         self.metrics = metrics
         self.version = version
+        # state_reader: Callable[[str], dict | list | None] — takes the
+        # subpath after "/state" ("" | "topk" | "window/en" | ...) and
+        # returns a JSON-able view of the latest committed state, or
+        # None for unknown views (404)
+        self.state_reader = state_reader
         self._httpd = ThreadingHTTPServer(("127.0.0.1", port),
                                           self._make_handler())
         self.port = self._httpd.server_address[1]
@@ -87,6 +101,19 @@ class ObservabilityServer:
                     elif self.path == "/metrics":
                         self._send(200, server.metrics.export_prometheus(),
                                    ctype="text/plain; version=0.0.4")
+                    elif (self.path == "/state"
+                          or self.path.startswith("/state/")):
+                        if server.state_reader is None:
+                            self._send(404, json.dumps(
+                                {"error": "queryable state not enabled"}))
+                        else:
+                            sub = self.path[len("/state"):].lstrip("/")
+                            view = server.state_reader(sub)
+                            if view is None:
+                                self._send(404, json.dumps(
+                                    {"error": f"unknown view {sub!r}"}))
+                            else:
+                                self._send(200, json.dumps(view))
                     elif self.path == "/version":
                         self._send(200, json.dumps({
                             "name": "bitquery_kafka_streams_rust_ray",

@@ -909,12 +909,51 @@ class StreamingPagesPipeline:
 
             self.http_server = ObservabilityServer(
                 self.health, self.metrics, port=cfg.http_port,
-                version="2").start()
+                version="2", state_reader=self._queryable_state).start()
             try:
                 return self._run_inner(resume=resume, drain=drain)
             finally:
                 self.http_server.stop()
         return self._run_inner(resume=resume, drain=drain)
+
+    def _queryable_state(self, subpath: str):
+        """Interactive queries (Kafka Streams queryable-state analog)
+        over the LATEST COMMITTED epoch — reads can never observe an
+        uncommitted 2PC, so they are exactly-once-consistent. Views:
+        ``""`` (commit summary), ``"topk"`` (current leaderboard),
+        ``"window/<key>"`` (that key's windows closed in the latest
+        epoch). Served from the sink's manifest + committed parquet, so
+        the surface also works for a separate monitoring process
+        pointed at the same output dir."""
+        import pyarrow.parquet as _pq
+
+        epochs = self.sink.committed_epochs()
+        if not epochs:
+            return {"epoch": None} if subpath == "" else None
+        last = epochs[-1]
+        man = self.sink.read_manifest(last)
+        if subpath == "":
+            return {"epoch": last, "watermark_us": man["watermark_us"],
+                    "counters": man["counters"]}
+        d = self.sink.epoch_dir(last)
+        if subpath == "topk":
+            p = os.path.join(d, "topk_host.parquet")
+            if not os.path.exists(p):
+                return []
+            return _pq.read_table(p).to_pylist()
+        if subpath.startswith("window/"):
+            key = subpath[len("window/"):]
+            p = os.path.join(d, "tumbling_lang.parquet")
+            if not os.path.exists(p):
+                return []
+            t = _pq.read_table(p)
+            t = t.filter(pc.equal(t.column("key"), key))
+            out = t.to_pylist()
+            for r in out:  # timestamps -> epoch-us ints (JSON-able)
+                for c in ("window_start", "window_end"):
+                    r[c] = int(pd.Timestamp(r[c]).value // 1000)
+            return out
+        return None
 
     def _run_inner(self, resume: bool, drain: bool) -> dict:
         # one driver per output dir (the Kafka one-consumer-per-

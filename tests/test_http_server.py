@@ -135,3 +135,74 @@ def test_streaming_run_serves_probes(tmp_path, ray_session):
     assert seen.get("metrics") == 200
     with pytest.raises(Exception):
         _get(seen["port"], "/ready")  # stopped after run()
+
+
+def test_state_endpoint_404_without_reader():
+    srv = _server(HealthStatus.HEALTHY).start()
+    try:
+        code, body = _get(srv.port, "/state")
+        assert code == 404 and "not enabled" in body
+    finally:
+        srv.stop()
+
+
+def test_streaming_queryable_state(tmp_path, ray_session):
+    """Interactive queries (Kafka Streams queryable-state analog): after
+    a run, /state serves the LAST COMMITTED epoch's summary, /state/topk
+    the committed leaderboard, and /state/window/<key> that key's
+    closed windows — all exactly equal to the committed parquet/manifest
+    (reads are exactly-once-consistent by construction)."""
+    from bitquery_kafka_streams_rust_ray.config import EngineConfig
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import ensure_pages_log
+    from bitquery_kafka_streams_rust_ray.pipelines.streaming import (
+        StreamingPagesPipeline)
+    from bitquery_kafka_streams_rust_ray.sinks.exactly_once import EpochSink
+    from bitquery_kafka_streams_rust_ray.sources.pages import PagesSpec
+
+    data_dir = "/tmp/bitquery_kafka_streams_rust_ray_pages_httptest_1000"
+    ensure_pages_log(data_dir, PagesSpec(num_rows=1000))
+    out = str(tmp_path / "qs_out")
+    cfg = EngineConfig(min_text_len=1, state_shards=2,
+                       extract_concurrency=2, http_port=0)
+    pipe = StreamingPagesPipeline(data_dir, out, cfg)
+    pipe.run(resume=False)
+
+    # probe the reader directly (the server wraps it verbatim and is
+    # probe-tested above; run() already stopped the listener)
+    sink = EpochSink(out)
+    last = sink.committed_epochs()[-1]
+    man = sink.read_manifest(last)
+
+    summary = pipe._queryable_state("")
+    assert summary["epoch"] == last
+    assert summary["watermark_us"] == man["watermark_us"]
+    assert summary["counters"] == man["counters"]
+
+    topk = pipe._queryable_state("topk")
+    import pyarrow.parquet as pq
+    import os
+    want = pq.read_table(
+        os.path.join(sink.epoch_dir(last), "topk_host.parquet")).to_pylist()
+    assert topk == want and len(topk) > 0
+
+    wkey = pipe._queryable_state("window/en")
+    assert isinstance(wkey, list)
+    assert all(r["key"] == "en" for r in wkey)
+    assert all(isinstance(r["window_start"], int) for r in wkey)
+
+    assert pipe._queryable_state("nope") is None
+
+    # and end-to-end over HTTP with a fresh server wrapping the reader
+    from bitquery_kafka_streams_rust_ray.observability.http_server import (
+        ObservabilityServer)
+    srv = ObservabilityServer(pipe.health, pipe.metrics, port=0,
+                              state_reader=pipe._queryable_state).start()
+    try:
+        code, body = _get(srv.port, "/state")
+        assert code == 200 and json.loads(body) == summary
+        code, body = _get(srv.port, "/state/topk")
+        assert code == 200 and json.loads(body) == topk
+        code, _ = _get(srv.port, "/state/bogus")
+        assert code == 404
+    finally:
+        srv.stop()

@@ -916,6 +916,58 @@ class StreamingPagesPipeline:
                 self.http_server.stop()
         return self._run_inner(resume=resume, drain=drain)
 
+    def _config_fp(self) -> str:
+        """Stable hash of every OUTPUT-SHAPING knob: semantic config
+        fields, the filter spec, and whether an enrichment side exists.
+        Recorded in each epoch manifest; resume refuses a changed
+        fingerprint — epochs committed under one filter/window config
+        must never silently mix with epochs produced under another
+        (the committed output would be a chimera of two contracts).
+        Operational knobs (concurrency, batch sizes, ports, timeouts)
+        deliberately excluded: they are free to change across resumes."""
+        import hashlib
+        import json as _json
+
+        cfg = self.cfg
+        sem = {
+            "dedup_window_s": cfg.dedup_window_s,
+            "allowed_lateness_s": cfg.allowed_lateness_s,
+            "windows": [cfg.windows.tumbling_size_s,
+                        cfg.windows.sliding_size_s,
+                        cfg.windows.sliding_slide_s,
+                        cfg.windows.session_gap_s],
+            "funnel": [cfg.funnel.enabled, cfg.funnel.within_s,
+                       list(cfg.funnel.bounds)],
+            "topk": [cfg.topk_hosts, cfg.topk_max_keys],
+            "sketch_distinct": [cfg.sketch_distinct, cfg.sketch_distinct_p],
+            "files_per_epoch": cfg.files_per_epoch,
+            "quarantine_late": cfg.quarantine_late,
+            "update_mode": [cfg.update_mode, cfg.update_horizon_s],
+            "early_fire": cfg.early_fire,
+            "min_text_len": cfg.min_text_len,
+            "min_weighted_len": cfg.min_weighted_len,
+            # construction-time facts only (the accumulated slow side
+            # grows during the run and must not shift the fp)
+            "has_metadata": self.host_metadata is not None
+                            or bool(self.metadata_slices),
+        }
+        f = self.page_filter
+        if f is not None:
+            sem["filter"] = {
+                "langs": sorted(f.langs) if f.langs else None,
+                "min_ts": str(f.min_ts) if f.min_ts is not None else None,
+                "max_ts": str(f.max_ts) if f.max_ts is not None else None,
+                "hosts": sorted(f.hosts) if f.hosts else None,
+                "min_text_len": f.min_text_len,
+                "urls": sorted(f.urls) if f.urls else None,
+                # a custom closure's logic is unhashable: its PRESENCE
+                # is pinned, and changing its body across a resume is
+                # on the caller (documented)
+                "custom": f.custom is not None,
+            }
+        blob = _json.dumps(sem, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
     def _queryable_state(self, subpath: str):
         """Interactive queries (Kafka Streams queryable-state analog)
         over the LATEST COMMITTED epoch — reads can never observe an
@@ -990,6 +1042,25 @@ class StreamingPagesPipeline:
             if committed:
                 last = committed[-1]
                 manifest = self.sink.read_manifest(last)
+                # config guard: epochs committed under one filter/window
+                # contract must never mix with epochs produced under
+                # another — refuse a changed semantic fingerprint.
+                # (Manifests from before this guard lack the key; those
+                # resumes stay permitted.)
+                recorded_fp = manifest.get("config_fp")
+                if recorded_fp is not None:
+                    fp = self._config_fp()
+                    if recorded_fp != fp:
+                        self.log.error("resume_refused_config_mismatch",
+                                       recorded=recorded_fp, current=fp)
+                        raise RuntimeError(
+                            "refusing to resume: the committed epochs "
+                            f"were produced under config {recorded_fp} "
+                            f"but this run is configured as {fp} — a "
+                            "changed filter/window/dedup/trigger setting "
+                            "would make the output a mix of two "
+                            "contracts. Resume with the original config "
+                            "or start a fresh output dir.")
                 # epoch-plan guard: a resumed run must group files into
                 # epochs exactly as the original did — a changed
                 # files_per_epoch (or a mutated input layout) would make
@@ -1555,6 +1626,7 @@ class StreamingPagesPipeline:
                     counters=counters,
                     blobs={"state.pkl": blob},
                     extra={"drain": drain,
+                           "config_fp": self._config_fp(),
                            "input_files": (
                                self._plan_files[epoch]
                                if epoch < len(self._plan_files) else [])},

@@ -71,3 +71,56 @@ def test_dropped_contract_column_fails_loudly(pages_dir, tmp_path):
     with pytest.raises(Exception):
         run_flagship(evolved, str(tmp_path / "out_dropped"),
                      config=CFG, resume=False)
+
+
+def test_resume_refuses_changed_config(pages_dir, tmp_path):
+    """Epochs committed under one semantic config must not mix with a
+    resumed run under another: the manifest's config fingerprint is
+    checked before any epoch replays."""
+    from bitquery_kafka_streams_rust_ray.functions.filters import PageFilter
+    from bitquery_kafka_streams_rust_ray.pipelines.streaming import (
+        StreamingPagesPipeline)
+    from bitquery_kafka_streams_rust_ray.reliability import RetryExhausted
+    from bitquery_kafka_streams_rust_ray.config import WindowConfig
+
+    d, _, _ = pages_dir
+    out = str(tmp_path / "cfg_guard_out")
+
+    class Boom(RuntimeError):
+        pass
+
+    real = StreamingPagesPipeline._exchange_epoch
+
+    def crashing(self, epoch, files, actors, watermark, attempt=0):
+        if epoch == 2:
+            raise Boom()
+        return real(self, epoch, files, actors, watermark, attempt)
+
+    StreamingPagesPipeline._exchange_epoch = crashing
+    try:
+        with pytest.raises(RetryExhausted):
+            StreamingPagesPipeline(
+                d, out, CFG, PageFilter(min_text_len=1)).run(resume=True)
+    finally:
+        StreamingPagesPipeline._exchange_epoch = real
+
+    # changed window size -> refuse
+    changed = EngineConfig(
+        min_text_len=1, state_shards=4, extract_concurrency=2,
+        files_per_epoch=2,
+        windows=WindowConfig(tumbling_size_s=120, sliding_size_s=240,
+                             sliding_slide_s=120))
+    with pytest.raises(RuntimeError, match="two\\s+contracts|contracts"):
+        StreamingPagesPipeline(
+            d, out, changed, PageFilter(min_text_len=1)).run(resume=True)
+
+    # changed filter -> refuse
+    changed_f = StreamingPagesPipeline(
+        d, out, CFG, PageFilter(min_text_len=50))
+    with pytest.raises(RuntimeError, match="contracts"):
+        changed_f.run(resume=True)
+
+    # original config -> resumes and finishes clean
+    s = StreamingPagesPipeline(
+        d, out, CFG, PageFilter(min_text_len=1)).run(resume=True)
+    assert len(s["epochs"]) > 2

@@ -54,6 +54,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # t-digest quantile sketch (unbounded domain; rows-only,
         # accuracy-pinned in tests/test_sketches.py)
         "tdigest_percentiles_events": q.tdigest_percentiles_events,
+        # peaks-over-threshold tail stat (extreme-value mean excess)
+        "mean_excess_events": q.mean_excess_events,
+        # Zipf-law slope per source (corpus-statistics health check)
+        "zipf_slope_sources": q.zipf_slope_sources,
         # -- round-3e additions (newest, never driver-checked) -----------
         # ISO-8601 week-year rollup (calendar-function parity)
         "iso_week_orders": q.iso_week_orders,
@@ -477,6 +481,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "zipf_slope_sources": """
+            WITH tok AS (
+                SELECT source, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+            tc AS (SELECT source, term, count(*) AS c FROM tok
+                   WHERE term <> '' GROUP BY source, term),
+            r AS (SELECT source, c,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY c DESC, term) AS rk
+                  FROM tc),
+            t AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x,
+                         ln(CAST(c AS DOUBLE)) AS y
+                  FROM r WHERE rk <= 100),
+            m AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(x * y) AS sxy
+                  FROM t GROUP BY source)
+            SELECT source, CAST(n AS BIGINT) AS n_terms,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS zipf_slope_6
+            FROM m ORDER BY source
+        """,
+        "mean_excess_events": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(cents, 0.9) AS u
+                  FROM c GROUP BY event_type),
+            e AS (SELECT c.event_type, q.u,
+                         CAST(c.cents - q.u AS HUGEINT) AS ex
+                  FROM c JOIN q USING (event_type)
+                  WHERE c.cents > q.u)
+            SELECT event_type, CAST(max(u) AS BIGINT) AS u_cents,
+                   count(*) AS n_exceed,
+                   CAST((2 * sum(ex) * 1000000
+                         + CAST(count(*) AS HUGEINT) * 100)
+                        // (2 * CAST(count(*) AS HUGEINT) * 100)
+                        AS BIGINT) AS mean_excess_micro
+            FROM e GROUP BY event_type ORDER BY event_type
+        """,
         "decayed_type_scores": """
             WITH b AS (SELECT max(epoch_us(ts)) // 86400000000 AS hi
                        FROM events),

@@ -2783,6 +2783,100 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def zipf_slope_sources(sf_dir: str) -> pd.DataFrame:
+    """Zipf law fit per source: OLS slope of ln(freq) on ln(rank) over
+    each source's top-100 terms (rank ties broken by term asc, exactly
+    the SQL window's order). The corpus-statistics health check a
+    webtext pipeline trends — a slope far from ~-1 flags boilerplate
+    or spam-generated sources. Term counts pre-aggregate per block, so
+    the shuffle carries (source, term) partials, never token rows."""
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    _schema = pa.schema([("source", pa.string()), ("term", pa.string()),
+                         ("c", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        words = pc.split_pattern(t["text"], " ").combine_chunks()
+        n_tok = pc.list_value_length(words).to_numpy().astype(np.int64)
+        src = np.repeat(
+            np.asarray(t["source"].to_numpy(zero_copy_only=False)), n_tok)
+        flat = words.flatten()
+        tt = pa.table({"source": pa.array(src), "term": flat})
+        tt = tt.filter(pc.not_equal(tt["term"], ""))
+        return (tt.group_by(["source", "term"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["source", "term", "c"]).cast(_schema))
+
+    tc = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["source", "term"]).aggregate(Sum("c", alias_name="c"))
+          .to_pandas())
+    rows = []
+    for src, sub in tc.groupby("source"):
+        sub = sub.sort_values(["c", "term"],
+                              ascending=[False, True]).head(100)
+        n = len(sub)
+        x = np.log(np.arange(1, n + 1, dtype=np.float64))
+        y = np.log(sub["c"].to_numpy(np.float64))
+        sx, sy = x.sum(), y.sum()
+        slope = (n * (x * y).sum() - sx * sy) / (n * (x * x).sum() - sx * sx)
+        rows.append((src, n, np.round(slope, 6)))
+    out = pd.DataFrame(rows, columns=["source", "n_terms", "zipf_slope_6"])
+    out["n_terms"] = out["n_terms"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def mean_excess_events(sf_dir: str) -> pd.DataFrame:
+    """Peaks-over-threshold tail statistic per type (extreme-value
+    analysis): threshold u = that type's p90 (inverted-CDF lower value,
+    quantile_disc convention), exceedance count, and the mean excess
+    E[X-u | X>u] in exact half-away micro units — all read from the
+    same distinct-value cents histogram as the other robust stats, so
+    the shuffle carries (type, cents) pairs, never rows."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    _schema = pa.schema([("event_type", pa.string()),
+                         ("cents", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return (pa.table({"event_type": t["event_type"],
+                          "cents": pa.array(cents)})
+                .group_by(["event_type", "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "cents", "n"])
+                .cast(_schema))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    rows = []
+    for etype, sub in hist.groupby("event_type"):
+        sub = sub.sort_values("cents")
+        vals = sub["cents"].to_numpy(np.int64)
+        cnt = sub["n"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        u = int(vals[np.searchsorted(cum, (90 * n + 99) // 100)])
+        over = vals > u
+        n_exc = int(cnt[over].sum())
+        s_exc = int(((vals[over] - u).astype(object)
+                     * cnt[over].astype(object)).sum())
+        rows.append((etype, u, n_exc,
+                     int(_ppm(np.array([s_exc], object),
+                              np.array([n_exc * 100], object))[0])))
+    out = pd.DataFrame(rows, columns=["event_type", "u_cents",
+                                      "n_exceed", "mean_excess_micro"])
+    for c in ("u_cents", "n_exceed", "mean_excess_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def tdigest_percentiles_events(sf_dir: str) -> pd.DataFrame:
     """Per-type value percentiles via mergeable t-digest
     (`stages/sketches.py::tdigest_quantiles`) — the unbounded-domain

@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_excess_events": q.mean_excess_events,
         # Zipf-law slope per source (corpus-statistics health check)
         "zipf_slope_sources": q.zipf_slope_sources,
+        # t-closeness audit (completes the k/l/t privacy triple)
+        "t_closeness_audit_events": q.t_closeness_audit_events,
         # -- round-3e additions (newest, never driver-checked) -----------
         # ISO-8601 week-year rollup (calendar-function parity)
         "iso_week_orders": q.iso_week_orders,
@@ -481,6 +483,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "t_closeness_audit_events": """
+            WITH g AS (
+                SELECT CAST((user_id * 2654435761) % 4294967296 % 32
+                            AS BIGINT) AS b,
+                       (epoch_us(ts) // 3600000000) % 24 AS h,
+                       (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                       event_type
+                FROM events),
+            cc AS (SELECT b, h, dow, event_type, count(*) AS nc
+                   FROM g GROUP BY 1, 2, 3, 4),
+            cls AS (SELECT b, h, dow, sum(nc) AS n FROM cc
+                    GROUP BY 1, 2, 3),
+            gl AS (SELECT event_type, count(*) AS ni FROM g GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM g),
+            d AS (SELECT cls.b, cls.h, cls.dow, cls.n,
+                         abs(CAST(coalesce(cc.nc, 0) AS HUGEINT) * tot.nn
+                             - CAST(gl.ni AS HUGEINT) * cls.n) AS term
+                  FROM cls CROSS JOIN gl CROSS JOIN tot
+                  LEFT JOIN cc ON cc.b = cls.b AND cc.h = cls.h
+                              AND cc.dow = cls.dow
+                              AND cc.event_type = gl.event_type),
+            per AS (SELECT b, h, dow, sum(term) AS num,
+                           CAST(max(n) AS HUGEINT) AS n
+                    FROM d GROUP BY 1, 2, 3),
+            r AS (SELECT CAST((2 * num * 1000000 + 2 * n * tot.nn)
+                              // (2 * (2 * n * tot.nn)) AS BIGINT)
+                             AS tvd_ppm
+                  FROM per CROSS JOIN tot)
+            SELECT count(*) AS n_classes,
+                   CAST(max(tvd_ppm) AS BIGINT) AS max_tvd_ppm,
+                   CAST(count(*) FILTER (WHERE tvd_ppm > 200000)
+                        AS BIGINT) AS n_above_t
+            FROM r
+        """,
         "zipf_slope_sources": """
             WITH tok AS (
                 SELECT source, unnest(string_split(text, ' ')) AS term

@@ -2783,6 +2783,64 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def t_closeness_audit_events(sf_dir: str, t_ppm: int = 200_000
+                             ) -> pd.DataFrame:
+    """T-closeness audit — the third leg of the privacy triple after
+    `k_anonymity_audit_events` and `l_diversity_audit_events`: a class
+    can be k-anonymous AND l-diverse yet still leak when its sensitive
+    distribution deviates from the global one. Categorical sensitive
+    attribute -> the distance is total variation
+    0.5 * sum_i |P_i - Q_i|, computed as EXACT integers
+    (|n_ci*N - N_i*n_c| folded over the domain-bounded
+    (class x sensitive) frame) and rounded half-away to ppm. Same QI
+    classes and SQL-mirrorable user-bucket hash as the k/l audits."""
+    from ..stages.hashing import multiplicative_hash_u32
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    _schema = pa.schema([("b", pa.int64()), ("h", pa.int64()),
+                         ("dow", pa.int64()), ("event_type", pa.string()),
+                         ("nc", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        tus = np.asarray(column_ts_us(t["ts"]))
+        h = (tus // HOUR_US) % 24
+        dow = (tus // DAY_US + 4) % 7
+        b = (multiplicative_hash_u32(
+            t["user_id"].to_numpy(zero_copy_only=False))
+            % np.uint64(32)).astype(np.int64)
+        return (pa.table({"b": pa.array(b), "h": pa.array(h),
+                          "dow": pa.array(dow),
+                          "event_type": t["event_type"]})
+                .group_by(["b", "h", "dow", "event_type"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["b", "h", "dow", "event_type", "nc"])
+                .cast(_schema))
+
+    cc = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["b", "h", "dow", "event_type"])
+          .aggregate(Sum("nc", alias_name="nc")).to_pandas())
+    glob = cc.groupby("event_type")["nc"].sum()  # N_i
+    nn = int(glob.sum())                         # N
+    # dense (class x sensitive) grid including zero cells
+    grid = cc.pivot_table(index=["b", "h", "dow"], columns="event_type",
+                          values="nc", aggfunc="sum", fill_value=0)
+    grid = grid.reindex(columns=glob.index, fill_value=0)
+    n_c = grid.sum(axis=1).to_numpy(np.int64)
+    num = np.zeros(len(grid), dtype=object)
+    for j, et in enumerate(glob.index):
+        num += np.abs(grid[et].to_numpy(np.int64).astype(object) * nn
+                      - int(glob[et]) * n_c.astype(object))
+    den = 2 * n_c.astype(object) * nn
+    tvd_ppm = np.array([(2 * a * 1_000_000 + d) // (2 * d)
+                        for a, d in zip(num, den)], dtype=np.int64)
+    return pd.DataFrame({
+        "n_classes": np.array([len(tvd_ppm)], np.int64),
+        "max_tvd_ppm": np.array([int(tvd_ppm.max())], np.int64),
+        "n_above_t": np.array([int((tvd_ppm > t_ppm).sum())], np.int64)})
+
+
 def zipf_slope_sources(sf_dir: str) -> pd.DataFrame:
     """Zipf law fit per source: OLS slope of ln(freq) on ln(rank) over
     each source's top-100 terms (rank ties broken by term asc, exactly

@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope_sources": q.zipf_slope_sources,
         # t-closeness audit (completes the k/l/t privacy triple)
         "t_closeness_audit_events": q.t_closeness_audit_events,
+        # common-neighbors link prediction on the co-purchase graph
+        "link_prediction_copurchase": q.link_prediction_copurchase,
         # -- round-3e additions (newest, never driver-checked) -----------
         # ISO-8601 week-year rollup (calendar-function parity)
         "iso_week_orders": q.iso_week_orders,
@@ -483,6 +485,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "link_prediction_copurchase": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                  GROUP BY pa, pb HAVING count(*) >= 2),
+            und AS (SELECT pa AS a, pb AS b FROM e
+                    UNION ALL SELECT pb, pa FROM e),
+            w AS (SELECT DISTINCT u1.a AS a, u1.b AS b, u2.b AS c
+                  FROM und u1 JOIN und u2 ON u1.b = u2.a
+                  WHERE u1.a < u2.b),
+            cand AS (SELECT a, c, count(*) AS score FROM w
+                     GROUP BY a, c),
+            nonedge AS (SELECT cand.a, cand.c, cand.score
+                        FROM cand LEFT JOIN e
+                            ON e.pa = cand.a AND e.pb = cand.c
+                        WHERE e.pa IS NULL)
+            SELECT a AS part_a, c AS part_b, score
+            FROM nonedge ORDER BY score DESC, a, c LIMIT 20
+        """,
         "t_closeness_audit_events": """
             WITH g AS (
                 SELECT CAST((user_id * 2654435761) % 4294967296 % 32

@@ -2783,6 +2783,50 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def link_prediction_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Common-neighbors link prediction on the co-purchase graph: for
+    every NON-adjacent part pair sharing >=1 neighbor, score = number
+    of distinct shared neighbors; top-20 predicted links. Reuses
+    `triangle_count_copurchase`'s distributed pair mining + support-2
+    prune; the wedge join and the anti-join against existing edges run
+    on the reduced edge frame (same documented output-invariant
+    cutoff — at 100 TB both become hash joins keyed on the shared
+    vertex)."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["l_orderkey"],
+                                        pa.scalar(63, pa.int64())),
+                        pa.int64())
+        return (pa.table({"l_orderkey": t["l_orderkey"],
+                          "l_partkey": t["l_partkey"], "_shard": shard})
+                .group_by(["l_orderkey", "l_partkey", "_shard"])
+                .aggregate([]))
+
+    pairs, _ = _pairs_in_shards(
+        ds.map_batches(sharded, batch_format="pyarrow"),
+        ["l_orderkey"], "l_partkey")
+    e = pairs[pairs["n"] >= 2].rename(
+        columns={"l_partkey_a": "a", "l_partkey_b": "b"})[["a", "b"]]
+    # undirected adjacency, wedges x-b-y with x<y, distinct middles
+    und = pd.concat([e, e.rename(columns={"a": "b", "b": "a"})],
+                    ignore_index=True)
+    w = und.merge(und.rename(columns={"a": "b", "b": "c"}), on="b")
+    w = w[w["a"] < w["c"]]
+    cand = (w.drop_duplicates(["a", "b", "c"])
+            .groupby(["a", "c"]).size().reset_index(name="score"))
+    # anti-join: drop pairs that are already edges
+    cand = cand.merge(e.rename(columns={"b": "c"}), on=["a", "c"],
+                      how="left", indicator=True)
+    cand = cand[cand["_merge"] == "left_only"].drop(columns="_merge")
+    out = cand.sort_values(["score", "a", "c"],
+                           ascending=[False, True, True]).head(20)
+    out = out.rename(columns={"a": "part_a", "c": "part_b"})
+    for c in ("part_a", "part_b", "score"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def t_closeness_audit_events(sf_dir: str, t_ppm: int = 200_000
                              ) -> pd.DataFrame:
     """T-closeness audit — the third leg of the privacy triple after

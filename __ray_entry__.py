@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness_audit_events": q.t_closeness_audit_events,
         # common-neighbors link prediction on the co-purchase graph
         "link_prediction_copurchase": q.link_prediction_copurchase,
+        # per-source quota cap (RefinedWeb/C4-style domain cap)
+        "cap_per_source_documents": q.cap_per_source_documents,
+        # sequence-length bucketing + padding-waste audit
+        "length_bucket_documents": q.length_bucket_documents,
         # -- round-3e additions (newest, never driver-checked) -----------
         # ISO-8601 week-year rollup (calendar-function parity)
         "iso_week_orders": q.iso_week_orders,
@@ -485,6 +489,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cap_per_source_documents": """
+            WITH h AS (SELECT doc_id, source,
+                              CAST((doc_id * 2654435761) % 4294967296
+                                   AS BIGINT) AS hv
+                       FROM documents),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY hv, doc_id) AS rn
+                  FROM h)
+            SELECT doc_id, source FROM r WHERE rn <= 50 ORDER BY doc_id
+        """,
+        "length_bucket_documents": """
+            WITH hh AS (SELECT n_chars, count(*) AS c FROM documents
+                        GROUP BY n_chars),
+            t AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum
+                  FROM hh),
+            n AS (SELECT count(*) AS nn FROM documents),
+            q AS (SELECT i, (SELECT min(n_chars) FROM t, n
+                             WHERE cum >= (i * nn + 7) // 8) AS hi
+                  FROM (SELECT unnest(range(1, 9)) AS i) s),
+            b AS (SELECT i, hi, lag(hi) OVER (ORDER BY i) AS lo FROM q),
+            a AS (SELECT b.i - 1 AS bucket, b.hi,
+                         count(d.n_chars) AS n_docs,
+                         sum(CAST(d.n_chars AS HUGEINT)) AS chars
+                  FROM b JOIN documents d
+                      ON (b.lo IS NULL OR d.n_chars > b.lo)
+                     AND d.n_chars <= b.hi
+                  GROUP BY 1, 2)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(hi AS BIGINT) AS max_chars,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST((2 * (CAST(n_docs AS HUGEINT) * hi - chars)
+                         * 1000000 + CAST(n_docs AS HUGEINT) * hi)
+                        // (2 * CAST(n_docs AS HUGEINT) * hi) AS BIGINT)
+                       AS pad_waste_ppm
+            FROM a ORDER BY bucket
+        """,
         "link_prediction_copurchase": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb

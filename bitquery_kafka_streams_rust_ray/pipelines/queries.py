@@ -2783,6 +2783,86 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def cap_per_source_documents(sf_dir: str, cap: int = 50) -> pd.DataFrame:
+    """Per-source quota enforcement (the RefinedWeb/C4-style domain cap
+    that stops one host from dominating the corpus): keep at most
+    ``cap`` docs per source, selected by the SQL-mirrorable
+    multiplicative hash of doc_id (deterministic lottery, no
+    first-N-arrival bias). Per-source survivors reduce inside one
+    groupby over (source)-keyed partials carrying only (doc_id, hash) —
+    at 100 TB the hash ranking is a per-group top-K, never a global
+    sort."""
+    from ..stages.hashing import multiplicative_hash_u32
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hv = multiplicative_hash_u32(
+            t["doc_id"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "hv": pa.array(hv)})
+
+    def per_source(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df.sort_values(["hv", "doc_id"]).head(cap)
+                [["doc_id", "source"]])
+        return keep
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source").map_groups(per_source, batch_format="pandas")
+           .to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def length_bucket_documents(sf_dir: str, buckets: int = 8) -> pd.DataFrame:
+    """Sequence-length bucketing for batching efficiency (the padding
+    killer in training loaders): equi-depth length buckets from the
+    n_chars inverse CDF, then per-bucket doc count, max length, and the
+    padding waste (pad-to-bucket-max overhead) in exact half-away ppm.
+    The histogram rides one (n_chars -> count) groupby; bucket edges
+    broadcast back into a map for the per-bucket sums."""
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    hist = (ds.groupby("n_chars").aggregate(Count())
+            .to_pandas().sort_values("n_chars"))
+    vals = hist["n_chars"].to_numpy(np.int64)
+    cnt = hist["count()"].to_numpy(np.int64)
+    cum = cnt.cumsum()
+    n = int(cum[-1])
+    edges = [int(vals[np.searchsorted(cum, (i * n + buckets - 1)
+                                      // buckets)])
+             for i in range(1, buckets + 1)]  # inclusive upper edges
+    edges_arr = np.asarray(edges, dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.searchsorted(edges_arr, nc, side="left").astype(np.int64)
+        return (pa.table({"bucket": pa.array(b),
+                          "n_chars": pa.array(nc)})
+                .group_by("bucket")
+                .aggregate([("n_chars", "sum"), ([], "count_all")])
+                .rename_columns(["bucket", "chars", "n_docs"]))
+
+    agg = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("chars", alias_name="chars"),
+                      Sum("n_docs", alias_name="n_docs"))
+           .to_pandas().sort_values("bucket"))
+    rows = []
+    for _, r in agg.iterrows():
+        b = int(r["bucket"])
+        hi = int(edges_arr[b])
+        nd, ch = int(r["n_docs"]), int(r["chars"])
+        padded = nd * hi
+        waste = padded - ch
+        waste_ppm = (2 * waste * 1_000_000 + padded) // (2 * padded)
+        rows.append((b, hi, nd, int(waste_ppm)))
+    out = pd.DataFrame(rows, columns=["bucket", "max_chars", "n_docs",
+                                      "pad_waste_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def link_prediction_copurchase(sf_dir: str) -> pd.DataFrame:
     """Common-neighbors link prediction on the co-purchase graph: for
     every NON-adjacent part pair sharing >=1 neighbor, score = number

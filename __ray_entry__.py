@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness_audit_events": q.t_closeness_audit_events,
         # common-neighbors link prediction on the co-purchase graph
         "link_prediction_copurchase": q.link_prediction_copurchase,
+        # entropy rate of the per-user event-type Markov chain
+        "markov_entropy_rate": q.markov_entropy_rate,
+        # seasonal-naive forecast backtest (MASE baseline, exact ppm)
+        "mase_backtest_daily": q.mase_backtest_daily,
         # per-source quota cap (RefinedWeb/C4-style domain cap)
         "cap_per_source_documents": q.cap_per_source_documents,
         # sequence-length bucketing + padding-waste audit
@@ -489,6 +493,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "markov_entropy_rate": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM events),
+            tc AS (SELECT event_type AS f, nxt AS t, count(*) AS n
+                   FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            nn AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM tc),
+            r AS (SELECT f, CAST(sum(n) AS DOUBLE) AS rowt FROM tc
+                  GROUP BY f)
+            SELECT tc.f AS from_type,
+                   CAST(sum(tc.n) AS BIGINT) AS n_transitions,
+                   round(sum(-(tc.n / nn.nn) * ln(tc.n / r.rowt)), 6)
+                       AS h_contrib_6
+            FROM tc JOIN r ON tc.f = r.f CROSS JOIN nn
+            GROUP BY tc.f ORDER BY tc.f
+        """,
+        "mase_backtest_daily": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1),
+            p AS (SELECT a.cents, b1.cents AS c1, b7.cents AS c7
+                  FROM d a JOIN d b1 ON b1.day = a.day - INTERVAL 1 DAY
+                           JOIN d b7 ON b7.day = a.day - INTERVAL 7 DAY),
+            m AS (SELECT count(*) AS n_days,
+                         coalesce(sum(CAST(abs(cents - c1) AS HUGEINT)),
+                                  0) AS s1,
+                         coalesce(sum(CAST(abs(cents - c7) AS HUGEINT)),
+                                  0) AS s7
+                  FROM p)
+            SELECT CAST(n_days AS BIGINT) AS n_days,
+                   CAST(s1 AS BIGINT) AS naive_mae_cents,
+                   CAST(s7 AS BIGINT) AS seasonal_mae_cents,
+                   CASE WHEN s1 = 0 THEN 0
+                        ELSE CAST((2 * s7 * 1000000 + s1) // (2 * s1)
+                                  AS BIGINT) END AS mase_ppm
+            FROM m
+        """,
         "cap_per_source_documents": """
             WITH h AS (SELECT doc_id, source,
                               CAST((doc_id * 2654435761) % 4294967296

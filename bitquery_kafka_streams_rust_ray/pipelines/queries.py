@@ -2783,6 +2783,96 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def markov_entropy_rate(sf_dir: str) -> pd.DataFrame:
+    """Entropy rate of the per-user event-type chain: per from-state
+    contribution H_i = -sum_j (n_ij/N) ln(n_ij/n_i.) over the same
+    sharded transition counts as `markov_transitions_events` — the
+    information-theoretic predictability score of user behavior (low
+    entropy = bot-like deterministic sequences). Reduced frame is
+    alphabet²-sized; entropy computes driver-side, rounded to 6."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["user_id"],
+                                        pa.scalar(31, pa.int64())),
+                        pa.int64())
+        return t.append_column("_shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=str),
+                                 "to_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        same = u[:-1] == u[1:]
+        pairs = pd.DataFrame({"from_type": t[:-1][same],
+                              "to_type": t[1:][same]})
+        out = (pairs.groupby(["from_type", "to_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    tc = (ds.map_batches(sharded, batch_format="pyarrow")
+          .groupby("_shard").map_groups(per_shard, batch_format="pandas")
+          .to_pandas()
+          .groupby(["from_type", "to_type"], sort=True)["n"]
+          .sum().reset_index())
+    nn = float(tc["n"].sum())
+    row = tc.groupby("from_type")["n"].transform("sum").to_numpy(np.float64)
+    n = tc["n"].to_numpy(np.float64)
+    tc["h"] = -(n / nn) * np.log(n / row)
+    out = (tc.groupby("from_type", sort=True)
+           .agg(n_transitions=("n", "sum"), h=("h", "sum"))
+           .reset_index())
+    out["h_contrib_6"] = np.round(out["h"], 6)
+    out["n_transitions"] = out["n_transitions"].astype("int64")
+    return out[["from_type", "n_transitions",
+                "h_contrib_6"]].reset_index(drop=True)
+
+
+def mase_backtest_daily(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-naive forecast backtest (MASE): on the reduced daily
+    revenue series, the seasonal-naive forecast (value 7 days earlier)
+    scores against the naive one (previous day) as the exact integer
+    ratio of absolute-error sums, half-away ppm — the baseline every
+    forecasting pipeline must beat before shipping a model. Only days
+    where BOTH lags exist enter either sum, so the ratio compares like
+    for like."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        dus = (np.asarray(column_ts_us(day)) // DAY_US) * DAY_US
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return (pa.table({"day_us": pa.array(dus), "cents": pa.array(cents)})
+                .group_by("day_us").aggregate([("cents", "sum")])
+                .rename_columns(["day_us", "cents"]))
+
+    d = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("day_us").aggregate(Sum("cents", alias_name="cents"))
+         .to_pandas().sort_values("day_us"))
+    s = dict(zip(d["day_us"].astype(np.int64), d["cents"].astype(object)))
+    s1 = s7 = 0
+    n_days = 0
+    for day, v in s.items():
+        p1, p7 = s.get(day - DAY_US), s.get(day - 7 * DAY_US)
+        if p1 is None or p7 is None:
+            continue
+        n_days += 1
+        s1 += abs(v - p1)
+        s7 += abs(v - p7)
+    mase_ppm = int((2 * s7 * 1_000_000 + s1) // (2 * s1)) if s1 else 0
+    return pd.DataFrame({
+        "n_days": np.array([n_days], np.int64),
+        "naive_mae_cents": np.array([int(s1)], np.int64) if n_days else
+        np.array([0], np.int64),
+        "seasonal_mae_cents": np.array([int(s7)], np.int64),
+        "mase_ppm": np.array([mase_ppm], np.int64)})
+
+
 def cap_per_source_documents(sf_dir: str, cap: int = 50) -> pd.DataFrame:
     """Per-source quota enforcement (the RefinedWeb/C4-style domain cap
     that stops one host from dominating the corpus): keep at most

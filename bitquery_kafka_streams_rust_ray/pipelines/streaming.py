@@ -940,7 +940,9 @@ class StreamingPagesPipeline:
                        list(cfg.funnel.bounds)],
             "topk": [cfg.topk_hosts, cfg.topk_max_keys],
             "sketch_distinct": [cfg.sketch_distinct, cfg.sketch_distinct_p],
-            "files_per_epoch": cfg.files_per_epoch,
+            # files_per_epoch deliberately absent: the plan guard below
+            # checks epoch grouping per-epoch against the recorded
+            # input_files — strictly more precise than a config compare
             "quarantine_late": cfg.quarantine_late,
             "update_mode": [cfg.update_mode, cfg.update_horizon_s],
             "early_fire": cfg.early_fire,

@@ -163,6 +163,17 @@ class EngineConfig:
     # may be and still be accepted as a correction; beyond it rows are
     # LATE (counter / quarantine) exactly as without update mode
 
+    # --- per-partition watermarks (Kafka/Flink min-combine) ---
+    per_partition_watermark: bool = False  # track one watermark per
+    # input partition (key-shard file stream) and take the MINIMUM
+    # across partitions: a lagging or idle partition holds the global
+    # watermark back instead of having its rows declared late by faster
+    # partitions' progress. Partition maxes come from parquet FOOTER
+    # statistics at plan time (a driver-side metastore scan, no extra
+    # data pass), so the watermark schedule stays a pure function of
+    # the epoch composition. Off by default: the global tracker folds
+    # the row-derived epoch max exactly as before (byte-identical).
+
     # --- early firing (Flink-style speculative window previews) ---
     early_fire: bool = False         # emit the current partial result of
     # every still-OPEN tumbling/sliding window at each epoch commit into

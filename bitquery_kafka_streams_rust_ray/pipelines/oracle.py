@@ -24,7 +24,7 @@ from ..functions.filters import PageFilter
 from ..sources.pages import pages_files
 from ..state.store import (DedupState, FunnelState, SessionState, TopKState,
                            WindowState)
-from ..state.watermark import WatermarkTracker
+from ..state.watermark import PartitionedWatermarkTracker, WatermarkTracker
 from ..stages.timeops import NEG_INF_TS, US, series_ts_us
 
 
@@ -56,7 +56,9 @@ def run_oracle(
               if cfg.funnel.enabled else None)
     topk = (TopKState(cfg.topk_hosts, cfg.topk_max_keys)
             if cfg.topk_hosts > 0 else None)
-    watermark = WatermarkTracker(cfg.allowed_lateness_s * US)
+    watermark = (PartitionedWatermarkTracker(cfg.allowed_lateness_s * US)
+                 if cfg.per_partition_watermark
+                 else WatermarkTracker(cfg.allowed_lateness_s * US))
 
     metadata_slices = metadata_slices or {}
     if metadata_slices and host_metadata is None:
@@ -162,10 +164,17 @@ def run_oracle(
             # (ExtractEnrich zeroes _upd where status != OK)
             counters["late_accepted"] += int(df["_upd"].sum())
 
+        if cfg.per_partition_watermark:
+            # footer-stat maxes per key-shard stream (mirrors the
+            # engine's plan-time metastore scan; min-combine in tracker)
+            from ..sources.pages import file_event_maxes
+            for pid, mx in file_event_maxes(epoch_files):
+                watermark.observe_partition(pid, mx)
         if len(df):
             # watermark advances on OK rows (post parse/late/filter, pre-dedup),
             # matching ShardFinalize's max_ts_us
-            watermark.observe(int(df["_ts_us"].max()))
+            if not cfg.per_partition_watermark:
+                watermark.observe(int(df["_ts_us"].max()))
             df = df.sort_values(["url", "_ts_us"], kind="mergesort")
             keep = dedup.process(df["url"].tolist(), df["_ts_us"].to_numpy())
             counters["rows_deduped"] += int((~keep).sum())
@@ -221,7 +230,7 @@ def run_oracle(
         + cfg.windows.sliding_size_s + cfg.windows.session_gap_s + 1
     ) * US
     watermark.observe(
-        watermark.max_event_ts_us + cfg.allowed_lateness_s * US + margin_us
+        watermark.drain_base_us + cfg.allowed_lateness_s * US + margin_us
     )
     close(len(plan))
 

@@ -77,7 +77,7 @@ from ..sources.pages import pages_files
 from ..state.store import (DedupState, DistinctWindowState, FunnelState,
                            SessionState, SpillDedupState, TopKState,
                            restore_dedup, WindowState)
-from ..state.watermark import WatermarkTracker
+from ..state.watermark import PartitionedWatermarkTracker, WatermarkTracker
 from ..stages.broadcast import (asof_merge_batch, broadcast_get,
                                 sort_versioned)
 from ..stages.hashing import shard_of
@@ -946,6 +946,7 @@ class StreamingPagesPipeline:
             "quarantine_late": cfg.quarantine_late,
             "update_mode": [cfg.update_mode, cfg.update_horizon_s],
             "early_fire": cfg.early_fire,
+            "per_partition_watermark": cfg.per_partition_watermark,
             "min_text_len": cfg.min_text_len,
             "min_weighted_len": cfg.min_weighted_len,
             # construction-time facts only (the accumulated slow side
@@ -1031,7 +1032,9 @@ class StreamingPagesPipeline:
             StateShard.options(scheduling_strategy="SPREAD").remote(i, cfg)
             for i in range(cfg.state_shards)
         ]
-        watermark = WatermarkTracker(cfg.allowed_lateness_s * US)
+        watermark = (PartitionedWatermarkTracker(cfg.allowed_lateness_s * US)
+                     if cfg.per_partition_watermark
+                     else WatermarkTracker(cfg.allowed_lateness_s * US))
         self._liveness.actors = actors
 
         plan = self.epoch_plan()
@@ -1163,7 +1166,15 @@ class StreamingPagesPipeline:
                     epoch, plan[epoch], actors, watermark, attempt[0]
                 ),
             )
-            watermark.observe(max_ts)
+            if cfg.per_partition_watermark:
+                # footer-stat maxes per key-shard stream, min-combined
+                # inside the tracker (a lagging partition holds the
+                # global watermark back — the Kafka/Flink rule)
+                from ..sources.pages import file_event_maxes
+                for pid, mx in file_event_maxes(plan[epoch]):
+                    watermark.observe_partition(pid, mx)
+            else:
+                watermark.observe(max_ts)
             # settle the previous epoch BEFORE submitting this epoch's
             # finalize: the committed snapshot of epoch e must not
             # contain epoch e+1's state mutations, or a resume at e+1
@@ -1386,7 +1397,7 @@ class StreamingPagesPipeline:
             + cfg.windows.session_gap_s
             + 1
         ) * US
-        watermark.observe(watermark.max_event_ts_us + cfg.allowed_lateness_s * US
+        watermark.observe(watermark.drain_base_us + cfg.allowed_lateness_s * US
                           + margin_us)
         self._close_and_commit(epoch, actors, watermark.watermark_us, {},
                                watermark.snapshot(), drain=True)
@@ -1670,6 +1681,11 @@ class StreamingPagesPipeline:
             )
             for i, a in enumerate(actors)
         ])
-        restored = WatermarkTracker.restore(snap["watermark"])
-        watermark.allowed_lateness_us = restored.allowed_lateness_us
-        watermark.max_event_ts_us = restored.max_event_ts_us
+        if snap["watermark"].get("partitioned"):
+            restored = PartitionedWatermarkTracker.restore(snap["watermark"])
+            watermark.allowed_lateness_us = restored.allowed_lateness_us
+            watermark.max_per_partition = restored.max_per_partition
+        else:
+            restored = WatermarkTracker.restore(snap["watermark"])
+            watermark.allowed_lateness_us = restored.allowed_lateness_us
+            watermark.max_event_ts_us = restored.max_event_ts_us

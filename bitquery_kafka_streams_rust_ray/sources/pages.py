@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pandas as pd
 import pyarrow.parquet as pq
 
 from ..functions.compression import compress_gzip, compress_lz4
@@ -363,3 +364,30 @@ def generate_host_metadata(out_dir: str, spec: PagesSpec = PagesSpec()) -> str:
     path = os.path.join(out_dir, "host_metadata.parquet")
     pq.write_table(table, path)
     return path
+
+
+def file_event_maxes(files: list[str], ts_col: str = "warc_ts"
+                     ) -> list[tuple[str, int]]:
+    """Per-file ``(partition_id, max event ts in us)`` read from parquet
+    FOOTER statistics — the driver-side metastore scan that feeds
+    per-partition watermarks (no data pass). Partition id is the
+    key-shard suffix of the file name (``pages-{slice}-{shard}``), the
+    stable stream identity across arrival slices."""
+    import pyarrow.parquet as _pq
+
+    out = []
+    for f in files:
+        name = os.path.basename(f)
+        pid = name.rsplit(".", 1)[0].rsplit("-", 1)[-1]
+        pf = _pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index(ts_col)
+        mx = None
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                v = st.max
+                if mx is None or v > mx:
+                    mx = v
+        if mx is not None:
+            out.append((pid, int(pd.Timestamp(mx).value // 1000)))
+    return out

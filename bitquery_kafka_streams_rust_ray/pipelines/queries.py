@@ -2886,15 +2886,22 @@ def cap_per_source_documents(sf_dir: str, cap: int = 50) -> pd.DataFrame:
     ds = _t(sf_dir, "documents", ["doc_id", "source"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # top-K by hash is mergeable: each block pre-prunes to its own
+        # per-source top-cap, so the groupby ships at most blocks*cap
+        # rows per source — a hot source never lands whole in one task
         hv = multiplicative_hash_u32(
             t["doc_id"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
-                         "hv": pa.array(hv)})
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "hv": hv})
+        keep = (df.sort_values(["hv", "doc_id"])
+                .groupby("source", sort=False).head(cap))
+        return pa.Table.from_pandas(keep, preserve_index=False)
 
     def per_source(df: pd.DataFrame) -> pd.DataFrame:
-        keep = (df.sort_values(["hv", "doc_id"]).head(cap)
+        return (df.sort_values(["hv", "doc_id"]).head(cap)
                 [["doc_id", "source"]])
-        return keep
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("source").map_groups(per_source, batch_format="pandas")

@@ -3088,20 +3088,26 @@ def zipf_slope_sources(sf_dir: str) -> pd.DataFrame:
                 .aggregate([([], "count_all")])
                 .rename_columns(["source", "term", "c"]).cast(_schema))
 
-    tc = (ds.map_batches(partial, batch_format="pyarrow")
-          .groupby(["source", "term"]).aggregate(Sum("c", alias_name="c"))
-          .to_pandas())
-    rows = []
-    for src, sub in tc.groupby("source"):
-        sub = sub.sort_values(["c", "term"],
-                              ascending=[False, True]).head(100)
+    def slope_per_source(df: pd.DataFrame) -> pd.DataFrame:
+        # runs inside the source's reduce task: the driver never sees
+        # the vocab-sized count frame, only one slope row per source
+        sub = df.sort_values(["c", "term"],
+                             ascending=[False, True]).head(100)
         n = len(sub)
         x = np.log(np.arange(1, n + 1, dtype=np.float64))
         y = np.log(sub["c"].to_numpy(np.float64))
         sx, sy = x.sum(), y.sum()
-        slope = (n * (x * y).sum() - sx * sy) / (n * (x * x).sum() - sx * sx)
-        rows.append((src, n, np.round(slope, 6)))
-    out = pd.DataFrame(rows, columns=["source", "n_terms", "zipf_slope_6"])
+        slope = (n * (x * y).sum() - sx * sy) / (n * (x * x).sum()
+                                                 - sx * sx)
+        return pd.DataFrame({"source": [df["source"].iloc[0]],
+                             "n_terms": np.array([n], np.int64),
+                             "zipf_slope_6": [np.round(slope, 6)]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["source", "term"]).aggregate(Sum("c", alias_name="c"))
+           .groupby("source")
+           .map_groups(slope_per_source, batch_format="pandas")
+           .to_pandas())
     out["n_terms"] = out["n_terms"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
 

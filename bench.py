@@ -132,6 +132,10 @@ QUERY_NAMES = [
     "wasserstein_purchase_view",
     "target_encode_segment",
     "quantile_normalize_chars",
+    "tdigest_percentiles_events",
+    "zipf_slope_sources",
+    "cap_per_source_documents",
+    "logreg_purchase_events",
 ]
 
 

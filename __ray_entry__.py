@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness_audit_events": q.t_closeness_audit_events,
         # common-neighbors link prediction on the co-purchase graph
         "link_prediction_copurchase": q.link_prediction_copurchase,
+        # dbt-test-style declared-constraint audit across three tables
+        "expectations_audit": q.expectations_audit,
+        # referential-integrity orphan audit over every FK edge
+        "ri_audit": q.ri_audit,
         # entropy rate of the per-user event-type Markov chain
         "markov_entropy_rate": q.markov_entropy_rate,
         # seasonal-naive forecast backtest (MASE baseline, exact ppm)
@@ -493,6 +497,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "expectations_audit": """
+            WITH l AS (
+                SELECT 'l_quantity_positive' AS rule,
+                       count(*) AS n_rows,
+                       count(*) FILTER (WHERE l_quantity <= 0)
+                           AS n_violations
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice_positive', count(*),
+                       count(*) FILTER (WHERE l_extendedprice <= 0)
+                FROM lineitem
+                UNION ALL
+                SELECT 'ship_on_or_after_order', count(*),
+                       count(*) FILTER (
+                           WHERE li.l_shipdate < o.o_orderdate)
+                FROM lineitem li JOIN orders o
+                    ON li.l_orderkey = o.o_orderkey
+                UNION ALL
+                SELECT 'o_totalprice_positive', count(*),
+                       count(*) FILTER (WHERE o_totalprice <= 0)
+                FROM orders
+                UNION ALL
+                SELECT 'n_chars_matches_text', count(*),
+                       count(*) FILTER (WHERE n_chars <> length(text))
+                FROM documents)
+            SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_violations AS BIGINT) AS n_violations
+            FROM l ORDER BY rule
+        """,
+        "ri_audit": """
+            WITH e AS (
+                SELECT 'lineitem.l_orderkey->orders' AS edge,
+                       count(*) AS n, count(*) FILTER (
+                           WHERE l_orderkey NOT IN
+                               (SELECT o_orderkey FROM orders)) AS o
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem.l_partkey->part', count(*),
+                       count(*) FILTER (WHERE l_partkey NOT IN
+                           (SELECT p_partkey FROM part))
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem.l_suppkey->supplier', count(*),
+                       count(*) FILTER (WHERE l_suppkey NOT IN
+                           (SELECT s_suppkey FROM supplier))
+                FROM lineitem
+                UNION ALL
+                SELECT 'orders.o_custkey->customer', count(*),
+                       count(*) FILTER (WHERE o_custkey NOT IN
+                           (SELECT c_custkey FROM customer))
+                FROM orders
+                UNION ALL
+                SELECT 'customer.c_nationkey->nation', count(*),
+                       count(*) FILTER (WHERE c_nationkey NOT IN
+                           (SELECT n_nationkey FROM nation))
+                FROM customer
+                UNION ALL
+                SELECT 'nation.n_regionkey->region', count(*),
+                       count(*) FILTER (WHERE n_regionkey NOT IN
+                           (SELECT r_regionkey FROM region))
+                FROM nation)
+            SELECT edge, CAST(n AS BIGINT) AS n_child_rows,
+                   CAST(o AS BIGINT) AS n_orphans
+            FROM e ORDER BY edge
+        """,
         "markov_entropy_rate": """
             WITH s AS (
                 SELECT user_id, event_type,

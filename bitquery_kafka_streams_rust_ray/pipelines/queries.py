@@ -2783,6 +2783,128 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def expectations_audit(sf_dir: str) -> pd.DataFrame:
+    """Declared-constraint audit (the dbt-test / expectations-suite
+    operator): each table streams once through vectorized boolean
+    checks, one (rule, n_rows, n_violations) row per rule. The
+    cross-table rule (lineitem ships before its order date) joins
+    broadcast-side on the orders date map. Violation counts are exact
+    integer partials — the shuffle carries 2 ints per (block, rule)."""
+    rows = []
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"])
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    omap = od.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "d": pa.array(np.asarray(
+                                column_ts_us(pc.cast(t["o_orderdate"],
+                                             pa.timestamp("us")))))}),
+        batch_format="pyarrow").to_pandas().sort_values("o_orderkey")
+    # broadcast sorted (key, date) arrays: the per-batch lookup is one
+    # vectorized searchsorted, never a per-row dict probe
+    date_ref = ray.put((omap["o_orderkey"].to_numpy(np.int64),
+                        omap["d"].to_numpy(np.int64)))
+
+    def li_checks(t: pa.Table) -> pa.Table:
+        n = len(t)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        px = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ship = np.asarray(column_ts_us(pc.cast(t["l_shipdate"],
+                                               pa.timestamp("us"))))
+        okeys, odates = broadcast_get(date_ref)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(okeys, ok)
+        pos = np.clip(pos, 0, len(okeys) - 1)
+        odate = np.where(okeys[pos] == ok, odates[pos], -(1 << 62))
+        return pa.table({
+            "rule": pa.array(["l_quantity_positive",
+                                    "l_extendedprice_positive",
+                                    "ship_on_or_after_order"]),
+            "n_rows": pa.array([n, n, n], pa.int64()),
+            "n_violations": pa.array(
+                [int((qty <= 0).sum()), int((px <= 0).sum()),
+                 int((ship < odate).sum())], pa.int64())})
+
+    def od_checks(t: pa.Table) -> pa.Table:
+        n = len(t)
+        tp = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rule": pa.array(["o_totalprice_positive"]),
+            "n_rows": pa.array([n], pa.int64()),
+            "n_violations": pa.array([int((tp <= 0).sum())], pa.int64())})
+
+    docs = _t(sf_dir, "documents", ["text", "n_chars"])
+
+    def doc_checks(t: pa.Table) -> pa.Table:
+        n = len(t)
+        stored = t["n_chars"].to_numpy(zero_copy_only=False)
+        actual = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rule": pa.array(["n_chars_matches_text"]),
+            "n_rows": pa.array([n], pa.int64()),
+            "n_violations": pa.array([int((stored != actual).sum())],
+                                     pa.int64())})
+
+    for ds_, fn in ((li, li_checks), (od, od_checks), (docs, doc_checks)):
+        part = (ds_.map_batches(fn, batch_format="pyarrow")
+                .groupby("rule")
+                .aggregate(Sum("n_rows", alias_name="n_rows"),
+                           Sum("n_violations", alias_name="n_violations"))
+                .to_pandas())
+        rows.append(part)
+    out = pd.concat(rows, ignore_index=True)
+    for c in ("n_rows", "n_violations"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("rule").reset_index(drop=True)
+
+
+def ri_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit over every foreign-key edge of the
+    star schema: child-side distinct keys reduce per block, the parent
+    key set broadcasts (dimension tables are small sides by
+    construction), and orphans count as an anti-membership test — the
+    generalized form of `orders_without_lineitem`, run as one summary
+    table (edge, n_child_rows, n_orphans) like a warehouse RI monitor."""
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    rows = []
+    for name, child, ck, parent, pk in edges:
+        keys = np.sort(_t(sf_dir, parent, [pk]).to_pandas()[pk]
+                       .to_numpy(np.int64))
+        kref = ray.put(keys)
+
+        def check(t: pa.Table, *, _ck=ck, _kref=kref) -> pa.Table:
+            ks = broadcast_get(_kref)  # sorted key array, once per worker
+            vals = t[_ck].to_numpy(zero_copy_only=False).astype(np.int64)
+            orphan = int((~np.isin(vals, ks,
+                                   assume_unique=False)).sum())
+            return pa.table({"n": pa.array([len(t)], pa.int64()),
+                             "orphans": pa.array([orphan], pa.int64())})
+
+        agg = (_t(sf_dir, child, [ck])
+               .map_batches(check, batch_format="pyarrow")
+               .to_pandas().sum())
+        rows.append((name, int(agg["n"]), int(agg["orphans"])))
+    out = pd.DataFrame(rows, columns=["edge", "n_child_rows", "n_orphans"])
+    for c in ("n_child_rows", "n_orphans"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("edge").reset_index(drop=True)
+
+
 def markov_entropy_rate(sf_dir: str) -> pd.DataFrame:
     """Entropy rate of the per-user event-type chain: per from-state
     contribution H_i = -sum_j (n_ij/N) ln(n_ij/n_i.) over the same

@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness_audit_events": q.t_closeness_audit_events,
         # common-neighbors link prediction on the co-purchase graph
         "link_prediction_copurchase": q.link_prediction_copurchase,
+        # entity resolution: fuzzy-match graph -> clustered entities
+        "fuzzy_name_components": q.fuzzy_name_components,
         # dbt-test-style declared-constraint audit across three tables
         "expectations_audit": q.expectations_audit,
         # referential-integrity orphan audit over every FK edge
@@ -497,6 +499,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fuzzy_name_components": """
+            WITH RECURSIVE p AS (SELECT DISTINCT p_name AS name FROM part),
+            e AS (SELECT a.name AS na, b.name AS nb
+                  FROM p a JOIN p b
+                      ON a.name < b.name
+                      AND abs(length(a.name) - length(b.name)) <= 3
+                      AND levenshtein(a.name, b.name) <= 3),
+            und AS (SELECT na AS x, nb AS y FROM e
+                    UNION ALL SELECT nb, na FROM e),
+            nodes AS (SELECT DISTINCT x AS name FROM und),
+            cc AS (
+                SELECT name, name AS label FROM nodes
+                UNION
+                SELECT u.x AS name, cc.label
+                FROM und u JOIN cc ON cc.name = u.y),
+            lab AS (SELECT name, min(label) AS root FROM cc
+                    GROUP BY name)
+            SELECT root, count(*) AS n_members
+            FROM lab GROUP BY root HAVING count(*) >= 2
+            ORDER BY root
+        """,
         "expectations_audit": """
             WITH l AS (
                 SELECT 'l_quantity_positive' AS rule,

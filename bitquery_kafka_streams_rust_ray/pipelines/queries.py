@@ -2783,6 +2783,32 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def fuzzy_name_components(sf_dir: str) -> pd.DataFrame:
+    """Entity resolution: cluster the blocked-Levenshtein match graph
+    (`fuzzy_name_pairs_parts`'s edges) into entities via the shared
+    connected-components kernel, emitting one row per multi-member
+    entity (root = lexicographically smallest member). The classic
+    dedupe-then-cluster shape of record linkage: distributed pair
+    mining bounds the graph to actual matches, so the clustering runs
+    on the match count, never the name domain."""
+    pairs = fuzzy_name_pairs_parts(sf_dir)
+    if not len(pairs):
+        return pd.DataFrame({"root": pd.Series([], dtype=str),
+                             "n_members": pd.Series([], dtype=np.int64)})
+    names = np.unique(np.concatenate([pairs["name_a"].to_numpy(),
+                                      pairs["name_b"].to_numpy()]))
+    idx = {n: i for i, n in enumerate(names)}  # sorted -> min id == min name
+    e = rd.from_arrow(pa.table({
+        "id_a": pa.array([idx[n] for n in pairs["name_a"]], pa.int64()),
+        "id_b": pa.array([idx[n] for n in pairs["name_b"]], pa.int64())}))
+    labels = component_labels(e).to_pandas()
+    labels["root"] = names[labels["label"].to_numpy(np.int64)]
+    out = (labels.groupby("root").size().reset_index(name="n_members"))
+    out = out[out["n_members"] >= 2]
+    out["n_members"] = out["n_members"].astype("int64")
+    return out.sort_values("root").reset_index(drop=True)
+
+
 def expectations_audit(sf_dir: str) -> pd.DataFrame:
     """Declared-constraint audit (the dbt-test / expectations-suite
     operator): each table streams once through vectorized boolean

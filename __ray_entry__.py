@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness_audit_events": q.t_closeness_audit_events,
         # common-neighbors link prediction on the co-purchase graph
         "link_prediction_copurchase": q.link_prediction_copurchase,
+        # optimizer-internals audit: join cardinality estimate vs actual
+        "join_card_estimate": q.join_card_estimate,
+        # sketch-quality eval: MinHash candidates vs exact ground truth
+        # (rows-only: the sketch side is not ANSI SQL; recall pinned
+        # >= 0.95 in tests/test_neardup_eval.py)
+        "minhash_eval_documents": q.minhash_eval_documents,
         # entity resolution: fuzzy-match graph -> clustered entities
         "fuzzy_name_components": q.fuzzy_name_components,
         # dbt-test-style declared-constraint audit across three tables
@@ -499,6 +505,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "join_card_estimate": """
+            WITH e AS (
+                SELECT 'orders*customer@custkey' AS edge,
+                       (SELECT count(*) FROM orders) AS n_left,
+                       (SELECT count(*) FROM customer) AS n_right,
+                       (SELECT count(DISTINCT o_custkey) FROM orders)
+                           AS ndv_left,
+                       (SELECT count(DISTINCT c_custkey) FROM customer)
+                           AS ndv_right,
+                       (SELECT count(*) FROM orders JOIN customer
+                            ON o_custkey = c_custkey) AS actual
+                UNION ALL
+                SELECT 'lineitem*orders@orderkey',
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(*) FROM orders),
+                       (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+                       (SELECT count(DISTINCT o_orderkey) FROM orders),
+                       (SELECT count(*) FROM lineitem JOIN orders
+                            ON l_orderkey = o_orderkey)
+                UNION ALL
+                SELECT 'lineitem*part@partkey',
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(*) FROM part),
+                       (SELECT count(DISTINCT l_partkey) FROM lineitem),
+                       (SELECT count(DISTINCT p_partkey) FROM part),
+                       (SELECT count(*) FROM lineitem JOIN part
+                            ON l_partkey = p_partkey)),
+            s AS (SELECT edge, n_left, n_right, ndv_left, ndv_right,
+                         CAST((2 * CAST(n_left AS HUGEINT) * n_right
+                               + greatest(ndv_left, ndv_right))
+                              // (2 * CAST(greatest(ndv_left, ndv_right)
+                                           AS HUGEINT)) AS BIGINT)
+                             AS est_rows,
+                         actual AS actual_rows
+                  FROM e)
+            SELECT edge, n_left, n_right, ndv_left, ndv_right, est_rows,
+                   actual_rows,
+                   CAST((2 * abs(CAST(est_rows AS HUGEINT) - actual_rows)
+                         * 1000000 + actual_rows)
+                        // (2 * CAST(actual_rows AS HUGEINT)) AS BIGINT)
+                       AS err_ppm
+            FROM s ORDER BY edge
+        """,
         "fuzzy_name_components": """
             WITH RECURSIVE p AS (SELECT DISTINCT p_name AS name FROM part),
             e AS (SELECT a.name AS na, b.name AS nb

@@ -2783,6 +2783,90 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def minhash_eval_documents(sf_dir: str) -> pd.DataFrame:
+    """Sketch-quality evaluation as an operator: precision/recall of
+    the MinHash-LSH candidate generator against the EXACT char-trigram
+    Jaccard >= 0.8 ground truth, within lang blocks (the frame both
+    sides share). The pipeline-health audit a near-dup deployment runs
+    when tuning (num_perm, bands): counts are exact integers, ratios
+    half-away ppm. Rows-only by nature (the sketch side is not ANSI
+    SQL); recall is pinned >= 0.95 by pytest — the LSH collision bound
+    1-(1-s^r)^b at s=0.8, r=4, b=16 predicts ~0.9998."""
+    from ..stages.neardup import minhash_candidates, ngram_jaccard_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    truth = ngram_jaccard_pairs(ds, threshold=0.8, block_col="lang")
+    tset = set(zip(truth["id_a"].astype(np.int64),
+                   truth["id_b"].astype(np.int64)))
+
+    # id -> lang map (two narrow columns; diagnostic-op scale)
+    lm = _t(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
+    lang = pd.Series(lm["lang"].to_numpy(),
+                     index=lm["doc_id"].to_numpy(np.int64))
+    cands = minhash_candidates(ds, ngram=3, shingle="char").to_pandas()
+    a = cands["id_a"].to_numpy(np.int64)
+    b = cands["id_b"].to_numpy(np.int64)
+    same_lang = (lang.loc[a].to_numpy() == lang.loc[b].to_numpy())
+    pairs = {(min(x, y), max(x, y))
+             for x, y in zip(a[same_lang], b[same_lang])}
+    tp = len(pairs & tset)
+    n_c, n_t = len(pairs), len(tset)
+    prec = (2 * tp * 1_000_000 + n_c) // (2 * n_c) if n_c else 0
+    rec = (2 * tp * 1_000_000 + n_t) // (2 * n_t) if n_t else 1_000_000
+    return pd.DataFrame({
+        "n_truth": np.array([n_t], np.int64),
+        "n_candidates": np.array([n_c], np.int64),
+        "true_positives": np.array([tp], np.int64),
+        "precision_ppm": np.array([int(prec)], np.int64),
+        "recall_ppm": np.array([int(rec)], np.int64)})
+
+
+def join_card_estimate(sf_dir: str) -> pd.DataFrame:
+    """Optimizer-internals audit: the textbook equi-join cardinality
+    estimate |A JOIN B| ~= n_a * n_b / max(ndv_a, ndv_b) vs the actual
+    join size, per FK edge — both exact integers (estimate rounded
+    half-away), error in ppm of actual. The estimator a cost-based
+    planner uses before picking broadcast vs shuffle; inputs reduce to
+    per-block (count, distinct) partials, the actual size to a
+    key-count dot product, so nothing rows-sized reaches the driver."""
+    edges = [
+        ("orders*customer@custkey", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem*orders@orderkey", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem*part@partkey", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+    ]
+    rows = []
+    for name, lt, lk, rt, rk in edges:
+        def keycounts(tbl, col):
+            return (_t(sf_dir, tbl, [col])
+                    .map_batches(lambda t, c=col: (
+                        pa.table({"k": t[c]})
+                        .group_by("k").aggregate([([], "count_all")])
+                        .rename_columns(["k", "n"])),
+                        batch_format="pyarrow")
+                    .groupby("k").aggregate(Sum("n", alias_name="n"))
+                    .to_pandas())
+        lc, rc = keycounts(lt, lk), keycounts(rt, rk)
+        n_l, n_r = int(lc["n"].sum()), int(rc["n"].sum())
+        ndv_l, ndv_r = len(lc), len(rc)
+        mx = max(ndv_l, ndv_r)
+        est = (2 * n_l * n_r + mx) // (2 * mx)
+        j = lc.merge(rc, on="k", suffixes=("_l", "_r"))
+        actual = int((j["n_l"].astype(object)
+                      * j["n_r"].astype(object)).sum())
+        err = (2 * abs(est - actual) * 1_000_000 + actual) // (2 * actual)
+        rows.append((name, n_l, n_r, ndv_l, ndv_r, int(est), actual,
+                     int(err)))
+    out = pd.DataFrame(rows, columns=[
+        "edge", "n_left", "n_right", "ndv_left", "ndv_right",
+        "est_rows", "actual_rows", "err_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("edge").reset_index(drop=True)
+
+
 def fuzzy_name_components(sf_dir: str) -> pd.DataFrame:
     """Entity resolution: cluster the blocked-Levenshtein match graph
     (`fuzzy_name_pairs_parts`'s edges) into entities via the shared

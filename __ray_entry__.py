@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction_copurchase": q.link_prediction_copurchase,
         # optimizer-internals audit: join cardinality estimate vs actual
         "join_card_estimate": q.join_card_estimate,
+        # distributional A/B readout: quantile treatment effect
+        "qte_purchase_view": q.qte_purchase_view,
+        # deterministic negative sampling from a broadcast hash pool
+        "negative_samples": q.negative_samples,
         # sketch-quality eval: MinHash candidates vs exact ground truth
         # (rows-only: the sketch side is not ANSI SQL; recall pinned
         # >= 0.95 in tests/test_neardup_eval.py)
@@ -505,6 +509,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "qte_purchase_view": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')),
+            pq AS (SELECT quantile_disc(cents, 0.10) AS q10,
+                          quantile_disc(cents, 0.50) AS q50,
+                          quantile_disc(cents, 0.90) AS q90
+                   FROM c WHERE event_type = 'purchase'),
+            vq AS (SELECT quantile_disc(cents, 0.10) AS q10,
+                          quantile_disc(cents, 0.50) AS q50,
+                          quantile_disc(cents, 0.90) AS q90
+                   FROM c WHERE event_type = 'view'),
+            u AS (
+                SELECT 10 AS pct, pq.q10 AS purchase_cents,
+                       vq.q10 AS view_cents FROM pq, vq
+                UNION ALL
+                SELECT 50, pq.q50, vq.q50 FROM pq, vq
+                UNION ALL
+                SELECT 90, pq.q90, vq.q90 FROM pq, vq)
+            SELECT CAST(pct AS BIGINT) AS pct, purchase_cents,
+                   view_cents,
+                   purchase_cents - view_cents AS qte_cents
+            FROM u ORDER BY pct
+        """,
+        "negative_samples": """
+            WITH ph AS (SELECT p_partkey AS p,
+                               (p_partkey * 2654435761) % 4294967296 AS h
+                        FROM part),
+            pool AS (SELECT p, row_number() OVER (ORDER BY h, p) AS hr
+                     FROM ph QUALIFY hr <= 64),
+            pp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            cand AS (SELECT cu.c, pool.p, pool.hr,
+                            row_number() OVER (PARTITION BY cu.c
+                                               ORDER BY pool.hr) AS rn
+                     FROM (SELECT DISTINCT c FROM pp) cu CROSS JOIN pool
+                     WHERE NOT EXISTS (SELECT 1 FROM pp
+                                       WHERE pp.c = cu.c
+                                         AND pp.p = pool.p))
+            SELECT c AS custkey, p AS neg_partkey,
+                   CAST(rn AS BIGINT) AS k
+            FROM cand WHERE rn <= 3 ORDER BY custkey, k
+        """,
         "join_card_estimate": """
             WITH e AS (
                 SELECT 'orders*customer@custkey' AS edge,

@@ -2783,6 +2783,97 @@ def streaming_flagship(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def qte_purchase_view(sf_dir: str) -> pd.DataFrame:
+    """Quantile treatment effect: the difference of purchase-vs-view
+    value quantiles at p10/p50/p90, read from the same two distinct-
+    value cents histograms as the KS/Wasserstein drift family — the
+    distributional companion to the mean-difference A/B readout
+    (effects that live in the tails never show in means)."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array(["purchase", "view"]))
+        t = t.filter(m)
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return (pa.table({"event_type": t["event_type"],
+                          "cents": pa.array(cents)})
+                .group_by(["event_type", "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "cents", "n"]))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+
+    def q(evt: str, pct: int) -> int:
+        sub = hist[hist["event_type"] == evt].sort_values("cents")
+        cum = sub["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        return int(sub["cents"].to_numpy(np.int64)[
+            np.searchsorted(cum, (pct * n + 99) // 100)])
+
+    rows = [(p, q("purchase", p), q("view", p),
+             q("purchase", p) - q("view", p)) for p in (10, 50, 90)]
+    out = pd.DataFrame(rows, columns=["pct", "purchase_cents",
+                                      "view_cents", "qte_cents"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("pct").reset_index(drop=True)
+
+
+def negative_samples(sf_dir: str, k: int = 3, pool: int = 64
+                     ) -> pd.DataFrame:
+    """Deterministic negative sampling (the recsys/retrieval training
+    op): for every customer, the ``k`` smallest-hash parts they never
+    purchased, drawn from a GLOBAL candidate pool of the ``pool``
+    smallest-hash parts. The hash ordering is one broadcast list — the
+    same for every user — so generation is a per-group set-difference
+    against the pool, never a user x parts cross join; SQL mirrors the
+    pool contract exactly."""
+    from ..stages.hashing import multiplicative_hash_u32
+
+    parts = _t(sf_dir, "part", ["p_partkey"]).to_pandas()
+    pk = parts["p_partkey"].to_numpy(np.int64)
+    hv = multiplicative_hash_u32(pk).astype(np.int64)
+    order = np.lexsort((pk, hv))[:pool]
+    pool_parts = pk[order]          # global candidate list in hash order
+    pool_ref = ray.put(pool_parts)
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    omap = od.to_pandas().sort_values("o_orderkey")
+    oref = ray.put((omap["o_orderkey"].to_numpy(np.int64),
+                    omap["o_custkey"].to_numpy(np.int64)))
+
+    def cust_part(t: pa.Table) -> pa.Table:
+        ok, oc = broadcast_get(oref)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False
+                                        ).astype(np.int64)
+        pos = np.searchsorted(ok, keys)
+        return (pa.table({"custkey": pa.array(oc[pos]),
+                          "partkey": t["l_partkey"]})
+                .group_by(["custkey", "partkey"]).aggregate([]))
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        cand = broadcast_get(pool_ref)
+        bought = set(g["partkey"].to_numpy(np.int64).tolist())
+        negs = [p for p in cand if int(p) not in bought][:k]
+        return pd.DataFrame({
+            "custkey": np.full(len(negs), int(g["custkey"].iloc[0]),
+                               dtype=np.int64),
+            "neg_partkey": np.array(negs, np.int64),
+            "k": np.arange(1, len(negs) + 1, dtype=np.int64)})
+
+    out = (li.map_batches(cust_part, batch_format="pyarrow")
+           .groupby("custkey").map_groups(per_cust, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["custkey", "k"]).reset_index(drop=True))
+
+
 def minhash_eval_documents(sf_dir: str) -> pd.DataFrame:
     """Sketch-quality evaluation as an operator: precision/recall of
     the MinHash-LSH candidate generator against the EXACT char-trigram

@@ -102,3 +102,41 @@ def test_min_combine_never_drops_more_than_global(tmp_path):
         assert (c["rows_written"] + c["rows_deduped"] + c["late_dropped"]
                 + c["parse_errors"] + c["rows_filtered_out"]
                 == c["rows_read"])
+
+
+def test_all_features_combined_matches_oracle(tmp_path):
+    """update_mode + early_fire + per_partition_watermark together:
+    the single-process oracle replays the combined semantics and every
+    counter and correction row must match (feature interactions are
+    where trigger bugs hide)."""
+    import pyarrow.parquet as pq
+
+    from bitquery_kafka_streams_rust_ray.sinks.compaction import read_output_compacted
+    from bitquery_kafka_streams_rust_ray.sinks.exactly_once import EpochSink
+    from bitquery_kafka_streams_rust_ray.sources.pages import (
+        PagesSpec, generate_host_metadata, generate_pages)
+
+    d = str(tmp_path / "pages_combined")
+    spec = PagesSpec(num_rows=2_000, very_late_frac=0.05, seed=11)
+    generate_pages(d, spec)
+    generate_host_metadata(d, spec)
+    cfg = EngineConfig(min_text_len=1, state_shards=4,
+                       extract_concurrency=2, files_per_epoch=2,
+                       update_mode=True, update_horizon_s=60,
+                       early_fire=True, per_partition_watermark=True)
+    out = str(tmp_path / "combined_out")
+    summary = run_flagship(d, out, config=cfg)
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+    oracle = run_oracle(d, cfg, PageFilter(min_text_len=1), meta)
+
+    c = {k: int(v) for k, v in summary["metrics"]["counters"].items()
+         if k not in ("windows_emitted", "windows_updated")}
+    assert c == oracle["counters"], f"{c} != {oracle['counters']}"
+    assert c["late_accepted"] > 0
+
+    sink = EpochSink(out)
+    upd = read_output_compacted(sink, "window_updates").to_pandas()
+    want_upd = oracle["window_updates"]
+    assert len(upd) == len(want_upd)
+    early = read_output_compacted(sink, "window_early").to_pandas()
+    assert len(early) == len(oracle["window_early"])

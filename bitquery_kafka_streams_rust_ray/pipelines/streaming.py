@@ -1008,6 +1008,16 @@ class StreamingPagesPipeline:
                 for c in ("window_start", "window_end"):
                     r[c] = int(pd.Timestamp(r[c]).value // 1000)
             return out
+        if subpath == "updates":
+            # update-mode corrections committed in the latest epoch
+            p = os.path.join(d, "window_updates.parquet")
+            if not os.path.exists(p):
+                return []
+            out = _pq.read_table(p).to_pylist()
+            for r in out:
+                for c in ("window_start", "window_end"):
+                    r[c] = int(pd.Timestamp(r[c]).value // 1000)
+            return out
         return None
 
     def _run_inner(self, resume: bool, drain: bool) -> dict:

@@ -206,3 +206,38 @@ def test_streaming_queryable_state(tmp_path, ray_session):
         assert code == 404
     finally:
         srv.stop()
+
+
+def test_queryable_state_updates_view(tmp_path, ray_session):
+    """/state/updates serves the latest epoch's committed correction
+    rows under update mode (empty list when the output is absent)."""
+    from bitquery_kafka_streams_rust_ray.config import EngineConfig
+    from bitquery_kafka_streams_rust_ray.pipelines.streaming import (
+        StreamingPagesPipeline)
+    from bitquery_kafka_streams_rust_ray.sources.pages import (
+        PagesSpec, generate_host_metadata, generate_pages)
+
+    d = str(tmp_path / "pages_updview")
+    spec = PagesSpec(num_rows=1_000, very_late_frac=0.05, seed=7)
+    generate_pages(d, spec)
+    generate_host_metadata(d, spec)
+    out = str(tmp_path / "updview_out")
+    cfg = EngineConfig(min_text_len=1, state_shards=2,
+                       extract_concurrency=2, update_mode=True,
+                       update_horizon_s=60)
+    pipe = StreamingPagesPipeline(d, out, cfg)
+    pipe.run(resume=False)
+
+    view = pipe._queryable_state("updates")
+    assert isinstance(view, list)
+    for r in view:
+        assert r["revision"] >= 1
+        assert isinstance(r["window_start"], int)
+
+    # no update mode -> the output file is absent, view degrades to []
+    out2 = str(tmp_path / "updview_out2")
+    pipe2 = StreamingPagesPipeline(
+        d, out2, EngineConfig(min_text_len=1, state_shards=2,
+                              extract_concurrency=2))
+    pipe2.run(resume=False)
+    assert pipe2._queryable_state("updates") == []

@@ -61,12 +61,15 @@ class EpochSink:
     #     same-host pid reuse). Live runs heartbeat the mtime on every
     #     epoch commit (touch_lock), so the lease — default 1 h, knob
     #     ``lease_s`` — only needs to exceed the longest epoch.
-    # Takeover is race-free: a contender claims the stale file by
-    # os.rename() to a unique name (exactly one racer's rename
-    # succeeds; losers see FileNotFoundError and re-evaluate), then
-    # retries the O_EXCL create. release_lock unlinks only a lock that
-    # still carries our token, so a holder that lost its lock can never
-    # delete a successor's.
+    # Takeover is race-free twice over: contenders serialize the
+    # judge-and-claim through a short-lived O_EXCL mutex file (so no
+    # one judges a lock while another contender is mid-takeover), and
+    # the claiming rename is verified against the exact bytes that were
+    # judged stale (a stolen fresh lock is restored with a
+    # never-clobbering os.link). Winners then race the O_EXCL create
+    # fairly. release_lock unlinks only a lock that still carries our
+    # token, so a holder that lost its lock can never delete a
+    # successor's.
 
     def lock_path(self) -> str:
         return os.path.join(self.out_dir, "_lock")
@@ -81,26 +84,32 @@ class EpochSink:
         except OSError as e:
             return e.errno == errno.EPERM
 
-    def _read_lock(self) -> dict | None:
-        """Parse the lock file: JSON, or a legacy bare-pid string
+    @staticmethod
+    def _parse_lock(raw: bytes | None) -> dict | None:
+        """Parse lock bytes: JSON, or a legacy bare-pid string
         (treated as a same-host holder). None if unreadable/garbled."""
         import socket
 
-        try:
-            with open(self.lock_path()) as f:
-                raw = f.read().strip()
-        except OSError:
+        if raw is None:
             return None
+        text = raw.decode(errors="replace").strip()
         try:
-            info = json.loads(raw)
+            info = json.loads(text)
             if isinstance(info, dict) and "token" in info:
                 return info
         except ValueError:
             pass
         try:
-            return {"token": raw, "host": socket.gethostname(),
-                    "pid": int(raw or "0")}
+            return {"token": text, "host": socket.gethostname(),
+                    "pid": int(text or "0")}
         except ValueError:
+            return None
+
+    def _read_lock(self) -> dict | None:
+        try:
+            with open(self.lock_path(), "rb") as f:
+                return self._parse_lock(f.read())
+        except OSError:
             return None
 
     def acquire_lock(self, lease_s: float = 3600.0) -> None:
@@ -112,7 +121,8 @@ class EpochSink:
         payload = json.dumps(
             {"token": token, "host": host, "pid": os.getpid()}).encode()
 
-        for _ in range(4):  # create / takeover attempts
+        deadline = time.monotonic() + 30.0
+        while time.monotonic() < deadline:  # create / takeover attempts
             try:
                 fd = os.open(self.lock_path(),
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -124,38 +134,97 @@ class EpochSink:
                 return
             except FileExistsError:
                 pass
-            info = self._read_lock()
+            # Takeover is serialized by a short-lived mutex file, so no
+            # two contenders judge-and-claim concurrently: the race
+            # where B judges the old lock stale, A completes takeover
+            # and writes a FRESH lock, and B's rename then steals A's
+            # live lock cannot start inside the mutex.
+            mutex = self.lock_path() + ".takeover"
             try:
-                age = time.time() - os.stat(self.lock_path()).st_mtime
-            except OSError:
-                continue  # vanished between open and stat — retry create
-            if info is None:
-                stale = True  # torn/garbled write: no live writer does this
-            elif info.get("host") == host and info.get("pid", 0) > 0 \
-                    and not self._pid_alive(info["pid"]):
-                stale = True  # crashed driver on this host
-            else:
-                stale = age > lease_s  # remote holder / pid reuse: lease
-            if not stale:
-                # a live holder refuses — including our own pid: run()
-                # releases in `finally`, so a live same-pid lock means
-                # two pipelines in one process racing the same out dir
-                raise RuntimeError(
-                    f"output dir {self.out_dir} is locked by a live "
-                    f"run ({info.get('host')}:{info.get('pid')}) — one "
-                    "driver per output dir, like one Kafka consumer "
-                    "per partition")
-            # claim the stale file: exactly one racer wins this rename
-            claimed = self.lock_path() + ".stale." + os.urandom(4).hex()
+                mfd = os.open(mutex, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(mfd)
+            except FileExistsError:
+                # mutex held — or orphaned by a contender that died
+                # mid-takeover (its critical section is a few syscalls,
+                # so anything older than 10 s is a corpse)
+                try:
+                    if time.time() - os.stat(mutex).st_mtime > 10.0:
+                        os.unlink(mutex)
+                except OSError:
+                    pass
+                time.sleep(0.005)
+                continue
             try:
-                os.rename(self.lock_path(), claimed)
-            except FileNotFoundError:
-                continue  # another contender claimed it first — retry
-            try:
-                os.unlink(claimed)
-            except FileNotFoundError:
-                pass
+                self._takeover_stale_lock(lease_s, host)
+            finally:
+                try:
+                    os.unlink(mutex)
+                except OSError:
+                    pass
+            # loop back to the O_EXCL create — all creators race it
+            # fairly, exactly one wins
         raise RuntimeError(f"could not acquire run lock in {self.out_dir}")
+
+    def _takeover_stale_lock(self, lease_s: float, host: str) -> None:
+        """Judge the current lock file and, iff stale, remove it.
+
+        Runs under the takeover mutex. Judgment and claim operate on a
+        single raw read; after the claiming rename we verify the bytes
+        we claimed are the bytes we judged — if a live owner released
+        and a new winner created in between, we restore the stolen
+        fresh lock with a never-clobbering os.link and walk away.
+        Raises the live-holder refusal; returns silently otherwise (the
+        caller retries the O_EXCL create)."""
+        import time
+
+        try:
+            with open(self.lock_path(), "rb") as f:
+                judged_raw = f.read()
+            age = time.time() - os.stat(self.lock_path()).st_mtime
+        except OSError:
+            return  # vanished — retry create
+        info = self._parse_lock(judged_raw)
+        if info is None:
+            stale = True  # torn/garbled write: no live writer does this
+        elif info.get("host") == host and info.get("pid", 0) > 0 \
+                and not self._pid_alive(info["pid"]):
+            stale = True  # crashed driver on this host
+        else:
+            stale = age > lease_s  # remote holder / pid reuse: lease
+        if not stale:
+            # a live holder refuses — including our own pid: run()
+            # releases in `finally`, so a live same-pid lock means
+            # two pipelines in one process racing the same out dir
+            raise RuntimeError(
+                f"output dir {self.out_dir} is locked by a live "
+                f"run ({info.get('host')}:{info.get('pid')}) — one "
+                "driver per output dir, like one Kafka consumer "
+                "per partition")
+        # claim the stale file: exactly one racer wins this rename
+        claimed = self.lock_path() + ".stale." + os.urandom(4).hex()
+        try:
+            os.rename(self.lock_path(), claimed)
+        except FileNotFoundError:
+            return  # released/claimed in the judge→rename window
+        try:
+            with open(claimed, "rb") as f:
+                claimed_raw = f.read()
+        except OSError:
+            claimed_raw = None
+        if claimed_raw != judged_raw:
+            # we renamed a lock that is NOT the one we judged stale —
+            # a successor's fresh lease. Put it back atomically; link
+            # fails (never clobbers) if yet another racer created one,
+            # in which case heartbeat fencing protects the dispossessed
+            # holder and we simply stand down.
+            try:
+                os.link(claimed, self.lock_path())
+            except OSError:
+                pass
+        try:
+            os.unlink(claimed)
+        except FileNotFoundError:
+            pass
 
     def _sweep_stale_staging(self) -> None:
         """Remove staging dirs left by other (dead or fenced) sink

@@ -199,6 +199,37 @@ def test_run_lock_multiprocess_takeover_race(tmp_path):
     assert info["token"] == winner_token
 
 
+def test_takeover_restores_stolen_fresh_lock(tmp_path, monkeypatch):
+    """The judge→rename window: B judges the legacy lock stale, but
+    winner A completes takeover first and writes a FRESH lock at the
+    same path. B's claiming rename then grabs A's live lock — the
+    post-rename byte verification must detect the mismatch, restore
+    A's lock atomically, and make B refuse."""
+    import pytest
+
+    out = str(tmp_path / "steal_out")
+    b = EpochSink(out)
+    with open(b.lock_path(), "w") as f:
+        f.write("999999999")  # stale legacy lock
+
+    fresh = json.dumps(
+        {"token": "winner-A", "host": "elsewhere", "pid": 1}).encode()
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # A finishes its takeover between B's judgment and B's claim
+        if src == b.lock_path():
+            with open(src, "wb") as f:
+                f.write(fresh)
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    with pytest.raises(RuntimeError, match="locked by a live run"):
+        b.acquire_lock()
+    # A's fresh lock was restored byte-identically, not destroyed
+    assert open(b.lock_path(), "rb").read() == fresh
+
+
 def test_touch_lock_fences_stolen_lease(tmp_path):
     """ADVICE fix: a live-but-slow driver whose lease expired must be
     FENCED once a contender steals the lock — touch_lock (and through

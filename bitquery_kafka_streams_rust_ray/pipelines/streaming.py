@@ -465,6 +465,44 @@ class StateShard:
             return self.restore(pickle.load(f),
                                 sidecar_dir=os.path.dirname(path))
 
+    def restore_fragments(self, frags: list[dict]) -> bool:
+        """Rescaled resume: become the merged state of this shard's
+        fragments, one from each OLD shard (see ``state/rescale.py``).
+        Fragment keys are disjoint, so the merge is plain insertion."""
+        from ..state.rescale import build_dedup, merge_fragments
+
+        if hasattr(self.dedup, "close"):
+            self.dedup.close()
+        self.dedup = build_dedup([f["dedup"] for f in frags],
+                                 self._dedup_db)
+        merged = merge_fragments(frags)
+        self.windows = WindowState.restore(merged["windows"],
+                                           self._upd_horizon_us)
+        self.sessions = SessionState.restore(merged["sessions"])
+        fun = merged["funnel"]
+        self.funnel = FunnelState.restore(fun) if fun is not None else None
+        tk = merged["topk"]
+        self.topk = TopKState.restore(tk) if tk is not None else None
+        di = merged["distinct"]
+        self.distinct = (DistinctWindowState.restore(di)
+                         if di is not None else None)
+        return True
+
+
+@ray.remote
+def _split_state_file(path: str, new_shards: int,
+                      scratch_dir: str, old_shard: int) -> list[dict]:
+    """Rescale worker: split one old shard's checkpoint into per-new-
+    owner fragments (K of these run in parallel, one per old file;
+    disk-backed dedup B-trees stream through in bounded chunks)."""
+    from ..state.rescale import split_snapshot
+
+    with open(path, "rb") as f:
+        snap = pickle.load(f)
+    return split_snapshot(snap, new_shards,
+                          sidecar_dir=os.path.dirname(path),
+                          scratch_dir=scratch_dir, old_shard=old_shard)
+
 
 def _window_partials(keys, ts, totals, size_us, slide_us, nshards) -> dict:
     """Collapse rows to per-(key, window_start) (count, sum) partials,
@@ -1675,22 +1713,56 @@ class StreamingPagesPipeline:
             obs["dataset_stats.txt"] = ds_stats.encode()
         self.sink.write_observability(epoch, obs)
 
+    def _restore_rescaled(self, actors, epoch_dir: str,
+                          old_shards: int) -> None:
+        """Repartition a K-shard checkpoint across ``len(actors)``
+        shards: K parallel split tasks (one per old snapshot file),
+        then each new actor merges its K fragments. Scratch fragment
+        files live under the locked output dir and are removed once
+        every actor has restored."""
+        import shutil
+
+        new_shards = len(actors)
+        scratch = os.path.join(self.sink.out_dir, "_rescale_tmp")
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.makedirs(scratch, exist_ok=True)
+        try:
+            parts = ray.get([
+                _split_state_file.remote(
+                    os.path.join(epoch_dir, f"state-{i:04d}.pkl"),
+                    new_shards, scratch, i)
+                for i in range(old_shards)
+            ])
+            ray.get([
+                actors[j].restore_fragments.remote([p[j] for p in parts])
+                for j in range(new_shards)
+            ])
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        self.log.info("state_rescaled", old_shards=old_shards,
+                      new_shards=new_shards)
+        self.metrics.merge_counts({"state_rescales": 1})
+
     def _restore(self, actors, watermark, last_epoch) -> None:
         epoch_dir = self.sink.epoch_dir(last_epoch)
         with open(os.path.join(epoch_dir, "state.pkl"), "rb") as f:
             snap = pickle.load(f)
         if snap["state_shards"] != len(actors):
-            raise ValueError(
-                f"checkpoint has {snap['state_shards']} state shards but "
-                f"config.state_shards={len(actors)}; resume requires the "
-                "same key partitioning"
-            )
-        ray.get([
-            a.restore_from_file.remote(
-                os.path.join(epoch_dir, f"state-{i:04d}.pkl")
-            )
-            for i, a in enumerate(actors)
-        ])
+            # cluster resize (the N -> 4N path): repartition the
+            # checkpointed keyed state across the new shard count.
+            # Hash ownership is layout-independent, so the rescaled run
+            # emits bit-identical window/session/funnel/top-k rows and
+            # the identical union of page rows — only the per-shard
+            # page-file layout changes. See state/rescale.py.
+            self._restore_rescaled(actors, epoch_dir,
+                                   snap["state_shards"])
+        else:
+            ray.get([
+                a.restore_from_file.remote(
+                    os.path.join(epoch_dir, f"state-{i:04d}.pkl")
+                )
+                for i, a in enumerate(actors)
+            ])
         if snap["watermark"].get("partitioned"):
             restored = PartitionedWatermarkTracker.restore(snap["watermark"])
             watermark.allowed_lateness_us = restored.allowed_lateness_us

@@ -352,28 +352,102 @@ def test_stream_stream_metadata_join_matches_oracle(pages_dir, tmp_path):
     )
 
 
-def test_resume_rejects_shard_count_change(pages_dir, tmp_path):
-    """Resuming with a different state_shards would silently re-partition
-    keyed state; the engine must refuse with a clear error instead."""
-    d, _, _ = pages_dir
+def _shard_invariant_hashes(out_dir: str) -> dict[str, str]:
+    """Output hashes restricted to shard-layout-invariant files: the
+    driver-sorted window/session/funnel/topk tables and blobs. Pages /
+    quarantine parquet and state pickles are per-shard (layout changes
+    under rescale; the logical union is compared separately)."""
+    skip = ("pages-", "quarantine-", "state-", "state.pkl")
+    return {k: v for k, v in _output_hashes(out_dir).items()
+            if not os.path.basename(k).startswith(skip)
+            and "_manifests" not in k}  # inventory per-shard file names
+
+
+def _pages_union(out_dir: str) -> pd.DataFrame:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    frames = []
+    for p in sorted(glob.glob(os.path.join(out_dir, "epoch=*",
+                                           "pages-*.parquet"))):
+        df = pq.read_table(p).to_pandas()
+        df["_epoch"] = os.path.basename(os.path.dirname(p))
+        frames.append(df)
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values(["_epoch", "url", "warc_ts"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("spill", [False, True])
+def test_resume_rescales_shard_count(pages_dir, tmp_path, flagship_run,
+                                     spill):
+    """Cluster resize (the N -> 4N path): crash mid-run, resume with a
+    DIFFERENT state_shards. The checkpointed keyed state repartitions
+    across the new shard count and the logical output is identical to
+    the uninterrupted same-shard reference — windows/sessions/funnels/
+    top-k byte-identical, the per-epoch union of page rows equal, and
+    per-epoch counters equal. Only the per-shard page-file layout moves.
+    The spill variant streams the dedup B-tree sidecars through
+    per-owner fragment sqlite files instead of splitting dicts."""
+    import dataclasses
+
+    d, ref_out, _ = flagship_run
+    out = str(tmp_path / "rescaled_out")
+    base_cfg = (dataclasses.replace(
+        CFG, dedup_spill_dir=str(tmp_path / "spill_state"))
+        if spill else CFG)
+
+    class Boom(RuntimeError):
+        pass
 
     import pyarrow.parquet as pq
 
     meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
-    out = str(tmp_path / "shardchange_out")
-    StreamingPagesPipeline(d, out, CFG, PageFilter(min_text_len=1),
-                           meta).run(resume=False)
 
-    bad = EngineConfig(min_text_len=1, state_shards=CFG.state_shards + 1,
-                       files_per_epoch=CFG.files_per_epoch)
-    # force a partial output so resume actually restores: drop the last
-    # manifest to make the run resumable mid-stream
-    sink = EpochSink(out)
-    committed = sink.committed_epochs()
-    os.remove(sink.manifest_path(committed[-1]))
-    with pytest.raises(ValueError, match="state shards"):
-        StreamingPagesPipeline(d, out, bad, PageFilter(min_text_len=1),
-                               meta).run(resume=True)
+    pipe = StreamingPagesPipeline(d, out, base_cfg,
+                                  PageFilter(min_text_len=1), meta)
+    real_exchange = StreamingPagesPipeline._exchange_epoch
+
+    def crashing(self, epoch, files, actors, watermark, attempt=0):
+        if epoch == 2:
+            raise Boom()
+        return real_exchange(self, epoch, files, actors, watermark, attempt)
+
+    StreamingPagesPipeline._exchange_epoch = crashing
+    try:
+        with pytest.raises(RetryExhausted):
+            pipe.run(resume=True)
+    finally:
+        StreamingPagesPipeline._exchange_epoch = real_exchange
+    assert EpochSink(out).committed_epochs() == [0, 1]
+
+    # resume on a "resized cluster": 7 shards instead of 4
+    rescaled = dataclasses.replace(base_cfg, state_shards=7)
+    summary = StreamingPagesPipeline(
+        d, out, rescaled, PageFilter(min_text_len=1), meta).run(resume=True)
+    assert len(summary["epochs"]) > 2
+
+    ref_hashes = _shard_invariant_hashes(ref_out)
+    got_hashes = _shard_invariant_hashes(out)
+    assert set(got_hashes) == set(ref_hashes)
+    diff = {k for k in ref_hashes if ref_hashes[k] != got_hashes[k]}
+    assert not diff, f"shard-invariant files differ: {sorted(diff)[:10]}"
+
+    got_pages = _pages_union(out)
+    want_pages = _pages_union(ref_out)
+    assert len(got_pages) == len(want_pages)
+    for col in want_pages.columns:
+        assert got_pages[col].equals(want_pages[col]), col
+
+    # per-epoch counters (rows written/deduped/filtered) are
+    # shard-layout invariant too
+    ref_sink, got_sink = EpochSink(ref_out), EpochSink(out)
+    for e in ref_sink.committed_epochs():
+        assert (got_sink.read_manifest(e)["counters"]
+                == ref_sink.read_manifest(e)["counters"]), e
+    # the rescale surfaced in telemetry
+    assert summary["metrics"]["counters"].get("state_rescales") == 1
 
 
 def test_disabled_funnel_and_topk_still_match_oracle(pages_dir,

@@ -173,6 +173,14 @@ class EngineConfig:
     # data pass), so the watermark schedule stays a pure function of
     # the epoch composition. Off by default: the global tracker folds
     # the row-derived epoch max exactly as before (byte-identical).
+    watermark_idle_epochs: int = 0  # with per_partition_watermark: a
+    # partition contributing no data for this many CONSECUTIVE epochs
+    # is excluded from the min-combine until it produces again — the
+    # deterministic (epoch-counted, never wall-clock) analog of Flink's
+    # withIdleness, so one dead key-shard stream cannot pin the global
+    # watermark and grow keyed state forever. 0 = off (every partition
+    # always combines). Reappearing partitions' stale rows are late by
+    # construction and ride the existing late counters / quarantine.
 
     # --- early firing (Flink-style speculative window previews) ---
     early_fire: bool = False         # emit the current partial result of

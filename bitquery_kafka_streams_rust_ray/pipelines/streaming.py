@@ -985,6 +985,11 @@ class StreamingPagesPipeline:
             "update_mode": [cfg.update_mode, cfg.update_horizon_s],
             "early_fire": cfg.early_fire,
             "per_partition_watermark": cfg.per_partition_watermark,
+            # added only when on, so fingerprints of every config that
+            # predates the knob (and every config not using it) are
+            # unchanged — resumes across this engine version stay legal
+            **({"watermark_idle_epochs": cfg.watermark_idle_epochs}
+               if cfg.watermark_idle_epochs else {}),
             "min_text_len": cfg.min_text_len,
             "min_weighted_len": cfg.min_weighted_len,
             # construction-time facts only (the accumulated slow side
@@ -1080,7 +1085,9 @@ class StreamingPagesPipeline:
             StateShard.options(scheduling_strategy="SPREAD").remote(i, cfg)
             for i in range(cfg.state_shards)
         ]
-        watermark = (PartitionedWatermarkTracker(cfg.allowed_lateness_s * US)
+        watermark = (PartitionedWatermarkTracker(
+                         cfg.allowed_lateness_s * US,
+                         idle_epochs=cfg.watermark_idle_epochs)
                      if cfg.per_partition_watermark
                      else WatermarkTracker(cfg.allowed_lateness_s * US))
         self._liveness.actors = actors
@@ -1219,8 +1226,13 @@ class StreamingPagesPipeline:
                 # inside the tracker (a lagging partition holds the
                 # global watermark back — the Kafka/Flink rule)
                 from ..sources.pages import file_event_maxes
-                for pid, mx in file_event_maxes(plan[epoch]):
+                maxes = file_event_maxes(plan[epoch])
+                for pid, mx in maxes:
                     watermark.observe_partition(pid, mx)
+                # epoch-counted idleness: partitions absent from this
+                # epoch's plan age toward exclusion (no-op when the
+                # idle knob is 0 — counters stay, combine ignores them)
+                watermark.advance_epoch({pid for pid, _ in maxes})
             else:
                 watermark.observe(max_ts)
             # settle the previous epoch BEFORE submitting this epoch's
@@ -1764,9 +1776,12 @@ class StreamingPagesPipeline:
                 for i, a in enumerate(actors)
             ])
         if snap["watermark"].get("partitioned"):
-            restored = PartitionedWatermarkTracker.restore(snap["watermark"])
+            restored = PartitionedWatermarkTracker.restore(
+                snap["watermark"], idle_epochs=self.cfg.watermark_idle_epochs)
             watermark.allowed_lateness_us = restored.allowed_lateness_us
             watermark.max_per_partition = restored.max_per_partition
+            watermark.epochs_idle = restored.epochs_idle
+            watermark.floor_us = restored.floor_us
         else:
             restored = WatermarkTracker.restore(snap["watermark"])
             watermark.allowed_lateness_us = restored.allowed_lateness_us

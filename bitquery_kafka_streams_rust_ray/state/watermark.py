@@ -71,21 +71,63 @@ class PartitionedWatermarkTracker:
     pass), so the schedule stays a pure function of the epoch
     composition exactly like the global tracker. Same interface as
     ``WatermarkTracker``; ``observe`` (the drain path's global jump)
-    raises every partition."""
+    raises every partition.
+
+    Idleness (``idle_epochs > 0``): the min-combine's classic failure
+    is a partition that stops producing — its frozen max pins the
+    global watermark forever, windows never close, and keyed state
+    grows without bound. The wall-clock idleness timeout streaming
+    engines use (Flink ``withIdleness``) would break replay
+    determinism here, so idleness is counted in EPOCHS: a partition
+    that contributed no data for ``idle_epochs`` consecutive epochs
+    (``advance_epoch``, fed from the same plan metadata as the maxes)
+    is excluded from the min-combine until it produces again. A
+    reappearing partition's stale rows are late by construction and
+    flow through the existing late-row counters/quarantine — the same
+    trade Flink makes. The emitted watermark is floored at its
+    previous value, so a reappearance never regresses it. Both the
+    idle counters and the floor ride the snapshot: the schedule stays
+    a pure function of the epoch composition across resumes."""
 
     allowed_lateness_us: int
     max_per_partition: dict = field(default_factory=dict)
+    idle_epochs: int = 0  # 0 = off: every partition always combines
+    epochs_idle: dict = field(default_factory=dict)
+    floor_us: int = field(default=-(1 << 62))  # monotone emission floor
 
     @property
     def max_event_ts_us(self) -> int:
         if not self.max_per_partition:
             return -(1 << 62)
-        return min(self.max_per_partition.values())
+        vals = self.max_per_partition
+        if self.idle_epochs > 0:
+            active = [v for pid, v in vals.items()
+                      if self.epochs_idle.get(pid, 0) < self.idle_epochs]
+            if active:  # all-idle: hold (the floor keeps the emission)
+                return min(active)
+        return min(vals.values())
 
     def observe_partition(self, pid, max_ts_us: int) -> None:
         cur = self.max_per_partition.get(pid, -(1 << 62))
         if max_ts_us > cur:
             self.max_per_partition[pid] = max_ts_us
+
+    def advance_epoch(self, active_pids) -> None:
+        """Fold one epoch's partition activity into the idle counters:
+        partitions that contributed data reset, known partitions that
+        did not age one epoch. Deterministic — driven by the epoch
+        plan, never the wall clock."""
+        active = set(active_pids)
+        for pid in active:
+            self.epochs_idle[pid] = 0
+        for pid in self.max_per_partition:
+            if pid not in active:
+                self.epochs_idle[pid] = self.epochs_idle.get(pid, 0) + 1
+        # the floor makes the emitted watermark monotone even when an
+        # idle-excluded partition reappears with a stale max
+        cur = self.max_event_ts_us - self.allowed_lateness_us
+        if cur > self.floor_us:
+            self.floor_us = cur
 
     def observe(self, max_ts_us: int) -> None:
         """Global jump (drain): no partition may stay behind."""
@@ -98,7 +140,8 @@ class PartitionedWatermarkTracker:
 
     @property
     def watermark_us(self) -> int:
-        return self.max_event_ts_us - self.allowed_lateness_us
+        return max(self.max_event_ts_us - self.allowed_lateness_us,
+                   self.floor_us)
 
     @property
     def drain_base_us(self) -> int:
@@ -119,11 +162,18 @@ class PartitionedWatermarkTracker:
             "partitioned": True,
             "max_per_partition": {str(k): int(v) for k, v
                                   in sorted(self.max_per_partition.items())},
+            "epochs_idle": {str(k): int(v) for k, v
+                            in sorted(self.epochs_idle.items())},
+            "floor_us": int(self.floor_us),
         }
 
     @classmethod
-    def restore(cls, snap: dict) -> "PartitionedWatermarkTracker":
+    def restore(cls, snap: dict,
+                idle_epochs: int = 0) -> "PartitionedWatermarkTracker":
         return cls(
             allowed_lateness_us=snap["allowed_lateness_us"],
             max_per_partition=dict(snap["max_per_partition"].items()),
+            idle_epochs=idle_epochs,
+            epochs_idle=dict(snap.get("epochs_idle", {}).items()),
+            floor_us=snap.get("floor_us", -(1 << 62)),
         )

@@ -140,3 +140,139 @@ def test_all_features_combined_matches_oracle(tmp_path):
     assert len(upd) == len(want_upd)
     early = read_output_compacted(sink, "window_early").to_pandas()
     assert len(early) == len(oracle["window_early"])
+
+
+def test_tracker_idleness_excludes_and_never_regresses():
+    """Epoch-counted idleness: a partition absent for idle_epochs
+    consecutive epochs leaves the min-combine; its reappearance with a
+    stale max never regresses the emitted watermark (floor)."""
+    t = PartitionedWatermarkTracker(allowed_lateness_us=10, idle_epochs=2)
+    t.observe_partition("00", 100)
+    t.observe_partition("01", 50)
+    t.advance_epoch({"00", "01"})
+    assert t.watermark_us == 40  # min-combine: both active
+
+    # "01" goes quiet; "00" keeps producing
+    t.observe_partition("00", 200)
+    t.advance_epoch({"00"})
+    assert t.watermark_us == 40  # one idle epoch: still combined
+    t.observe_partition("00", 300)
+    t.advance_epoch({"00"})
+    assert t.watermark_us == 290  # excluded: watermark tracks "00"
+
+    # "01" reappears with its stale max: back in the combine, but the
+    # emitted watermark holds at the floor instead of regressing
+    t.observe_partition("01", 60)
+    t.advance_epoch({"00", "01"})
+    assert t.epochs_idle["01"] == 0
+    assert t.max_event_ts_us == 60
+    assert t.watermark_us == 290  # floored, monotone
+    t.observe_partition("01", 400)
+    t.observe_partition("00", 400)
+    t.advance_epoch({"00", "01"})
+    assert t.watermark_us == 390  # past the floor again
+
+    # snapshot round-trips counters and floor
+    t2 = PartitionedWatermarkTracker.restore(t.snapshot(), idle_epochs=2)
+    assert t2.epochs_idle == t.epochs_idle
+    assert t2.floor_us == t.floor_us
+    assert t2.watermark_us == t.watermark_us
+
+
+def test_tracker_all_idle_holds_watermark():
+    t = PartitionedWatermarkTracker(allowed_lateness_us=0, idle_epochs=1)
+    t.observe_partition("00", 100)
+    t.observe_partition("01", 200)
+    t.advance_epoch({"00", "01"})
+    assert t.watermark_us == 100
+    for _ in range(3):
+        t.advance_epoch(set())
+    # every partition idle: combine falls back to all, emission holds
+    assert t.watermark_us == 100
+
+
+def _truncated_shard_log(tmp_path, name):
+    """Pages log where key-shard stream 3 dies after slice 1."""
+    import glob
+
+    from bitquery_kafka_streams_rust_ray.sources.pages import (
+        PagesSpec, generate_host_metadata, generate_pages)
+
+    d = str(tmp_path / name)
+    spec = PagesSpec(num_rows=3_000, num_slices=6, shards=4, seed=13)
+    generate_pages(d, spec)
+    generate_host_metadata(d, spec)
+    for f in glob.glob(os.path.join(d, "pages-*-03.parquet")):
+        if int(os.path.basename(f).split("-")[1]) >= 2:
+            os.remove(f)
+    return d
+
+
+def test_idle_partition_unpins_watermark_end_to_end(tmp_path):
+    """A dead key-shard stream pins the per-epoch committed watermark
+    forever under plain min-combine; with watermark_idle_epochs it is
+    excluded after the configured silence and the watermark advances
+    with the live streams. Kill-and-resume stays byte-identical (the
+    idle counters and floor ride the checkpoint)."""
+    import dataclasses
+
+    from bitquery_kafka_streams_rust_ray.sinks.exactly_once import EpochSink
+
+    d = _truncated_shard_log(tmp_path, "pages_deadshard")
+    cfg_off = dataclasses.replace(CFG_PART, files_per_epoch=1)
+    cfg_on = dataclasses.replace(cfg_off, watermark_idle_epochs=2)
+
+    run_flagship(d, str(tmp_path / "out_off"), config=cfg_off)
+    run_flagship(d, str(tmp_path / "out_on"), config=cfg_on)
+
+    def epoch_watermarks(out):
+        sink = EpochSink(out)
+        return [sink.read_manifest(e)["watermark_us"]
+                for e in sink.committed_epochs()]
+
+    wm_off = epoch_watermarks(str(tmp_path / "out_off"))
+    wm_on = epoch_watermarks(str(tmp_path / "out_on"))
+    # data epochs 0..5 + drain. Off: epochs 2..5 stay pinned at the
+    # dead shard's frozen max. On: exclusion after 2 silent epochs
+    # lets epochs 3..5 advance with the live shards.
+    assert wm_off[2] == wm_off[3] == wm_off[4] == wm_off[5]
+    assert wm_on[:3] == wm_off[:3]  # identical until exclusion
+    assert wm_on[3] > wm_off[3]
+    assert wm_on[4] > wm_on[3] and wm_on[5] > wm_on[4]
+    assert wm_on == sorted(wm_on)  # monotone emission
+
+    # kill-and-resume with idleness on: byte-identical to uninterrupted
+    from bitquery_kafka_streams_rust_ray.pipelines.streaming import StreamingPagesPipeline
+    from bitquery_kafka_streams_rust_ray.reliability import RetryExhausted
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+    out_resumed = str(tmp_path / "out_resumed")
+
+    class Boom(RuntimeError):
+        pass
+
+    real_exchange = StreamingPagesPipeline._exchange_epoch
+
+    def crashing(self, epoch, files, actors, watermark, attempt=0):
+        if epoch == 4:  # after exclusion has begun
+            raise Boom()
+        return real_exchange(self, epoch, files, actors, watermark, attempt)
+
+    StreamingPagesPipeline._exchange_epoch = crashing
+    try:
+        with pytest.raises(RetryExhausted):
+            StreamingPagesPipeline(d, out_resumed, cfg_on,
+                                   PageFilter(min_text_len=1), meta
+                                   ).run(resume=True)
+    finally:
+        StreamingPagesPipeline._exchange_epoch = real_exchange
+    StreamingPagesPipeline(d, out_resumed, cfg_on,
+                           PageFilter(min_text_len=1), meta).run(resume=True)
+
+    from tests.test_streaming_e2e import _output_hashes
+    ref = _output_hashes(str(tmp_path / "out_on"))
+    got = _output_hashes(out_resumed)
+    assert set(got) == set(ref)
+    diff = {k for k in ref if ref[k] != got[k]}
+    assert not diff, f"resume with idleness diverged: {sorted(diff)[:10]}"

@@ -204,6 +204,14 @@ class EngineConfig:
     # compacted generations). Opt-in: leaves per-epoch layout untouched
     # by default.
     compact_target_bytes: int = 128 << 20
+    state_snapshot_retention: int = 0  # keep per-shard state
+    # checkpoint files (state-*.pkl + dedup sqlite sidecars) only for
+    # the last N committed epochs, pruning older ones right after each
+    # commit. Resume restores from the LAST committed epoch only, so
+    # older snapshots are pure storage cost (epochs x state size — the
+    # dedup B-trees dwarf the data at web scale). 0 = keep all
+    # (byte-identical to prior behavior); N >= 1 keeps resume safe by
+    # construction and still tolerates N-1 manually dropped manifests.
 
     def validate(self) -> None:
         """Fail fast on nonsense values (reference src/config.rs:43-49)."""
@@ -225,6 +233,12 @@ class EngineConfig:
             raise ValueError("topk_hosts / topk_max_keys must be >= 0")
         if self.compact_target_bytes <= 0:
             raise ValueError("compact_target_bytes must be positive")
+        if self.state_snapshot_retention < 0:
+            raise ValueError("state_snapshot_retention must be >= 0 "
+                             "(0 keeps every epoch's snapshot)")
+        if self.watermark_idle_epochs < 0:
+            raise ValueError("watermark_idle_epochs must be >= 0 "
+                             "(0 disables idleness exclusion)")
         if not 4 <= self.sketch_distinct_p <= 18:
             raise ValueError("sketch_distinct_p must be in [4, 18] "
                              "(16 B to 256 KiB registers per window)")

@@ -887,6 +887,7 @@ class StreamingPagesPipeline:
         # overlaps epoch e+1's exchange; flushed before the next
         # settle/replay/drain (see _flush_commit)
         self._pending_commit = None
+        self._prune_cursor = 0  # retention scan watermark (epoch id)
         if self.metadata_slices and self.host_metadata is None:
             # schema-stable empty base: epochs before the first arrival
             # still run the join (all defaults) so output schema never
@@ -1709,6 +1710,17 @@ class StreamingPagesPipeline:
         if os.environ.get("GRAFT_DEBUG_TIMING") == "2":
             print(f"[epoch {epoch}] snapshot_wait={_tf1-_tf0:.2f}s "
                   f"sink_commit={_time.time()-_tf1:.2f}s", flush=True)
+        if self.cfg.state_snapshot_retention:
+            # checkpoint retention: older epochs' per-shard snapshots
+            # are pure storage cost once a newer commit exists (resume
+            # restores from the LAST committed epoch only). The cursor
+            # keeps each scan O(newly prunable), not O(all epochs).
+            removed, self._prune_cursor = self.sink.prune_state_snapshots(
+                self.cfg.state_snapshot_retention,
+                start_epoch=self._prune_cursor)
+            if removed:
+                self.metrics.merge_counts(
+                    {"state_snapshots_pruned": removed})
         # telemetry snapshot after the commit (never part of the 2PC
         # byte-identity contract — it carries wall-clock values)
         import json as _json
@@ -1759,6 +1771,14 @@ class StreamingPagesPipeline:
         epoch_dir = self.sink.epoch_dir(last_epoch)
         with open(os.path.join(epoch_dir, "state.pkl"), "rb") as f:
             snap = pickle.load(f)
+        if not os.path.exists(os.path.join(epoch_dir, "state-0000.pkl")):
+            # normal operation never hits this (retention always keeps
+            # the last committed epoch); it means newer manifests were
+            # deleted by hand past the retention depth
+            raise RuntimeError(
+                f"cannot resume from epoch {last_epoch}: its per-shard "
+                "state snapshots were pruned (state_snapshot_retention) "
+                "— resume from a retained epoch or restart the run")
         if snap["state_shards"] != len(actors):
             # cluster resize (the N -> 4N path): repartition the
             # checkpointed keyed state across the new shard count.

@@ -286,6 +286,49 @@ class EpochSink:
         except FileNotFoundError:
             pass
 
+    # --- checkpoint retention -----------------------------------------
+    def prune_state_snapshots(self, keep_last: int,
+                              start_epoch: int = 0) -> tuple[int, int]:
+        """Delete per-shard state checkpoint files (``state-*.pkl`` and
+        their ``.dedup.sqlite`` sidecars) from committed epochs older
+        than the last ``keep_last``.
+
+        Resume only ever restores from the LAST committed epoch, so at
+        production epoch counts the older snapshots are a pure storage
+        cost that grows as epochs x state size — on a 10^12-row run the
+        dedup B-trees alone dwarf the data outputs. Data files,
+        manifests, and the tiny ``state.pkl`` metadata blob stay, so
+        time-travel reads of committed outputs are unaffected. A
+        post-commit lifecycle action exactly like compaction's source
+        cleanup: the manifest inventory remains the record of what was
+        COMMITTED. Idempotent. Returns ``(files_removed, cursor)``
+        where ``cursor`` is the first epoch still holding snapshots —
+        pass it back as ``start_epoch`` to keep the per-commit scan
+        O(new epochs), not O(all epochs).
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 — the last "
+                             "committed epoch's snapshot is the resume "
+                             "point and is never prunable")
+        committed = self.committed_epochs()
+        prunable = committed[:-keep_last]
+        removed = 0
+        for e in prunable:
+            if e < start_epoch:
+                continue
+            d = self.epoch_dir(e)
+            if not os.path.isdir(d):
+                continue
+            for fname in sorted(os.listdir(d)):
+                if fname.startswith("state-") and (
+                        fname.endswith(".pkl")
+                        or fname.endswith(".dedup.sqlite")):
+                    os.remove(os.path.join(d, fname))
+                    removed += 1
+        cursor = committed[-keep_last] if len(committed) >= keep_last \
+            else start_epoch
+        return removed, cursor
+
     # --- commit protocol ----------------------------------------------
     def manifest_path(self, epoch: int) -> str:
         return os.path.join(self.manifest_dir, f"epoch-{epoch:06d}.json")

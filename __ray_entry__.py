@@ -36,7 +36,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # and the remainder follows.  Coverage is identical either way — every
     # entry below is a first-class catalog member.
     return {
-        # -- round-3g additions (newest, never driver-checked) -----------
+        # -- round-3h additions (newest, never driver-checked) -----------
+        # cluster-resize: a 4-shard checkpoint resumed at 8 shards via
+        # state/rescale.py; the entry self-checks byte-equality of the
+        # rescaled windows vs the uninterrupted reference (rows-only;
+        # pinned in tests/test_state_rescale.py + test_streaming_e2e)
+        "streaming_rescale": q.streaming_rescale,
+        # idle-partition exclusion from the watermark min-combine
+        # (epoch-counted withIdleness analog; rows-only, pinned in
+        # tests/test_partition_watermark.py)
+        "streaming_idle_watermark": q.streaming_idle_watermark,
+        # -- round-3g additions ------------------------------------------
         # allowed-lateness UPDATE mode: accepted-late corrections re-emit
         # already-closed windows with bumped revisions (rows-only: the
         # streaming engine itself; pinned vs the single-process oracle in

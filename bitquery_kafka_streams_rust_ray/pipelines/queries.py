@@ -3683,6 +3683,106 @@ def streaming_early_fire(sf_dir: str) -> pd.DataFrame:
                            ).reset_index(drop=True)
 
 
+def streaming_rescale(sf_dir: str) -> pd.DataFrame:
+    """Cluster-resize showcase (rows-only): a run checkpointed with 4
+    state shards is resumed mid-stream with 8 — ``state/rescale.py``
+    repartitions every keyed state family by the stable key hash. The
+    entry SELF-CHECKS the contract before returning: the rescaled run's
+    tumbling windows must be byte-equal to an uninterrupted 4-shard
+    reference (only the per-shard page-file layout may move)."""
+    import dataclasses
+    import shutil
+
+    from ..config import EngineConfig
+    from ..pipelines.flagship import ensure_pages_log, run_flagship
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+    from ..sources.pages import PagesSpec
+
+    tier = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    rows = 6000 if tier.endswith("0.01") else 2000
+    data_dir = f"/tmp/bitquery_kafka_streams_rust_ray_pages_{tier}_{rows}"
+    ensure_pages_log(data_dir, PagesSpec(num_rows=rows))
+    cfg4 = EngineConfig(min_text_len=1, state_shards=4,
+                        extract_concurrency=4, files_per_epoch=2)
+
+    ref_out = f"{data_dir}_rescale_ref"
+    shutil.rmtree(ref_out, ignore_errors=True)
+    run_flagship(data_dir, ref_out, config=cfg4, resume=False)
+
+    out = f"{data_dir}_rescale_out"
+    shutil.rmtree(out, ignore_errors=True)
+    run_flagship(data_dir, out, config=cfg4, resume=False)
+    sink = EpochSink(out)
+    for e in sink.committed_epochs()[-2:]:  # force a mid-stream resume
+        os.remove(sink.manifest_path(e))
+    cfg8 = dataclasses.replace(cfg4, state_shards=8)
+    summary = run_flagship(data_dir, out, config=cfg8, resume=True)
+    if summary["metrics"]["counters"].get("state_rescales") != 1:
+        raise AssertionError("rescaled resume did not trigger")
+
+    def windows(o):
+        return (read_output_compacted(EpochSink(o), "tumbling_lang")
+                .to_pandas()
+                .sort_values(["key", "window_start"])
+                .reset_index(drop=True))
+
+    got, want = windows(out), windows(ref_out)
+    if not got.equals(want):
+        raise AssertionError("rescaled windows diverged from the "
+                             "uninterrupted reference")
+    return got
+
+
+def streaming_idle_watermark(sf_dir: str) -> pd.DataFrame:
+    """Idle-partition exclusion showcase (rows-only): on a pages log
+    whose key-shard stream 3 dies after slice 1, plain min-combine pins
+    every later epoch's committed watermark at the dead shard's frozen
+    max; ``watermark_idle_epochs=2`` excludes it after two silent
+    epochs and the watermark advances with the live streams. Returns
+    the per-epoch committed watermark under both modes (the off column
+    goes flat where the on column keeps rising — and both runs' window
+    outputs stay governed by their own deterministic schedule)."""
+    import glob as _glob
+    import shutil
+
+    from ..config import EngineConfig
+    from ..pipelines.flagship import run_flagship
+    from ..sinks.exactly_once import EpochSink
+    from ..sources.pages import (PagesSpec, generate_host_metadata,
+                                 generate_pages)
+
+    tier = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    rows = 6000 if tier.endswith("0.01") else 3000
+    data_dir = f"/tmp/bitquery_kafka_streams_rust_ray_deadshard_{tier}_{rows}"
+    if not os.path.exists(os.path.join(data_dir, ".complete")):
+        shutil.rmtree(data_dir, ignore_errors=True)
+        spec = PagesSpec(num_rows=rows, num_slices=6, shards=4, seed=13)
+        generate_pages(data_dir, spec)
+        generate_host_metadata(data_dir, spec)
+        for f in _glob.glob(os.path.join(data_dir, "pages-*-03.parquet")):
+            if int(os.path.basename(f).split("-")[1]) >= 2:
+                os.remove(f)
+        with open(os.path.join(data_dir, ".complete"), "w") as fh:
+            fh.write("ok")
+    base = EngineConfig(min_text_len=1, state_shards=4,
+                        extract_concurrency=4, files_per_epoch=1,
+                        per_partition_watermark=True)
+    import dataclasses
+    wms = {}
+    for name, cfg in (("watermark_pinned_us", base),
+                      ("watermark_idle_excluded_us",
+                       dataclasses.replace(base, watermark_idle_epochs=2))):
+        out = f"{data_dir}_{name}_out"
+        shutil.rmtree(out, ignore_errors=True)
+        run_flagship(data_dir, out, config=cfg, resume=False)
+        sink = EpochSink(out)
+        wms[name] = [sink.read_manifest(e)["watermark_us"]
+                     for e in sink.committed_epochs()]
+    return pd.DataFrame({"epoch": range(len(wms["watermark_pinned_us"])),
+                         **wms})
+
+
 def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     """Video frame-sample plumbing (rows-only): each fake video row
     flat-maps into frame rows whose payloads feed the image decoder —

@@ -1021,9 +1021,12 @@ class StreamingPagesPipeline:
         uncommitted 2PC, so they are exactly-once-consistent. Views:
         ``""`` (commit summary), ``"topk"`` (current leaderboard),
         ``"window/<key>"`` (that key's windows closed in the latest
-        epoch). Served from the sink's manifest + committed parquet, so
-        the surface also works for a separate monitoring process
-        pointed at the same output dir."""
+        epoch), ``"watermark"`` (per-partition maxes, idle counters and
+        the monotone floor — where the min-combine stands and which
+        streams are holding it back or excluded). Served from the
+        sink's manifest + committed parquet, so the surface also works
+        for a separate monitoring process pointed at the same output
+        dir."""
         import pyarrow.parquet as _pq
 
         epochs = self.sink.committed_epochs()
@@ -1061,6 +1064,23 @@ class StreamingPagesPipeline:
             for r in out:
                 for c in ("window_start", "window_end"):
                     r[c] = int(pd.Timestamp(r[c]).value // 1000)
+            return out
+        if subpath == "watermark":
+            # where the watermark stands and why: per-partition maxes
+            # under min-combine, idle counters (which streams are
+            # excluded / aging toward exclusion) and the monotone floor
+            out = {"watermark_us": man["watermark_us"]}
+            p = os.path.join(d, "state.pkl")
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    snap = pickle.load(f)["watermark"]
+                out["allowed_lateness_us"] = snap["allowed_lateness_us"]
+                if snap.get("partitioned"):
+                    out["partitions"] = snap["max_per_partition"]
+                    out["epochs_idle"] = snap.get("epochs_idle", {})
+                    out["floor_us"] = snap.get("floor_us")
+                    out["idle_epochs_threshold"] = \
+                        self.cfg.watermark_idle_epochs
             return out
         return None
 

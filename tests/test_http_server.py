@@ -2,6 +2,7 @@
 semantics per handler, Prometheus exposition, and clean shutdown."""
 
 import json
+import os
 import urllib.error
 import urllib.request
 
@@ -241,3 +242,48 @@ def test_queryable_state_updates_view(tmp_path, ray_session):
                               extract_concurrency=2))
     pipe2.run(resume=False)
     assert pipe2._queryable_state("updates") == []
+
+
+def test_queryable_state_watermark_view(tmp_path, ray_session):
+    """/state/watermark explains the min-combine: per-partition maxes,
+    idle counters, the monotone floor, and the configured threshold."""
+    import glob
+
+    from bitquery_kafka_streams_rust_ray.config import EngineConfig
+    from bitquery_kafka_streams_rust_ray.pipelines.streaming import (
+        StreamingPagesPipeline)
+    from bitquery_kafka_streams_rust_ray.sources.pages import (
+        PagesSpec, generate_host_metadata, generate_pages)
+
+    d = str(tmp_path / "pages_wmview")
+    spec = PagesSpec(num_rows=1_500, num_slices=4, shards=3, seed=5)
+    generate_pages(d, spec)
+    generate_host_metadata(d, spec)
+    # kill shard stream 2 after slice 0 so idle counters show up
+    for f in glob.glob(os.path.join(d, "pages-*-02.parquet")):
+        if int(os.path.basename(f).split("-")[1]) >= 1:
+            os.remove(f)
+    out = str(tmp_path / "wmview_out")
+    cfg = EngineConfig(min_text_len=1, state_shards=2,
+                       extract_concurrency=2, files_per_epoch=1,
+                       per_partition_watermark=True,
+                       watermark_idle_epochs=2)
+    pipe = StreamingPagesPipeline(d, out, cfg)
+    pipe.run(resume=False)
+
+    view = pipe._queryable_state("watermark")
+    assert isinstance(view["watermark_us"], int)
+    assert set(view["partitions"]) == {"00", "01", "02"}
+    assert view["epochs_idle"]["02"] >= 2  # excluded by the drain epoch
+    assert view["epochs_idle"]["00"] == 0
+    assert view["idle_epochs_threshold"] == 2
+    assert isinstance(view["floor_us"], int)
+
+    # global-tracker run: view degrades to the committed watermark only
+    out2 = str(tmp_path / "wmview_out2")
+    pipe2 = StreamingPagesPipeline(
+        d, out2, EngineConfig(min_text_len=1, state_shards=2,
+                              extract_concurrency=2))
+    pipe2.run(resume=False)
+    v2 = pipe2._queryable_state("watermark")
+    assert "partitions" not in v2 and isinstance(v2["watermark_us"], int)

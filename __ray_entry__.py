@@ -36,7 +36,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # and the remainder follows.  Coverage is identical either way — every
     # entry below is a first-class catalog member.
     return {
-        # -- round-3h additions (newest, never driver-checked) -----------
+        # -- round-3i additions (newest, never driver-checked) -----------
+        # session retract/add changelog under update mode: accepted-late
+        # rows reopen (and can MERGE) already-emitted sessions; the entry
+        # self-checks the changelog against the consumer view (rows-only;
+        # pinned vs the single-process oracle in
+        # tests/test_streaming_update_mode.py)
+        "session_corrections": q.session_corrections,
+        # -- round-3h additions (never driver-checked) -------------------
         # cluster-resize: a 4-shard checkpoint resumed at 8 shards via
         # state/rescale.py; the entry self-checks byte-equality of the
         # rescaled windows vs the uninterrupted reference (rows-only;

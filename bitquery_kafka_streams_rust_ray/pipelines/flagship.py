@@ -122,3 +122,36 @@ def read_windows_corrected(output_dir: str, name: str = "tumbling_lang",
     out = merged[keep_cols].copy()
     out["doc_count"] = out["doc_count"].astype("int64")
     return out.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+
+def read_sessions_corrected(output_dir: str):
+    """Consumer-side corrected view of the ``session_host`` output under
+    update mode: apply the ``session_updates`` retract/add changelog to
+    the base emissions — drop every retracted (host, start, end) row,
+    append every added row that was not itself retracted by a later
+    correction. A changelog (not in-place revision) because accepted-late
+    rows can MERGE two emitted sessions into one with a new identity.
+    Identical to the base table when the run had no corrections. Returns
+    a pandas DataFrame sorted by (host, session_start)."""
+    from ..sinks.compaction import read_output_compacted
+
+    sink = EpochSink(output_dir)
+    base = read_output_compacted(sink, "session_host").to_pandas()
+    try:
+        upd = read_output_compacted(sink, "session_updates").to_pandas()
+    except Exception:
+        upd = None
+    if upd is None or not len(upd):
+        return (base.sort_values(["host", "session_start"])
+                .reset_index(drop=True))
+    key_cols = ["host", "session_start", "session_end"]
+    retracted = set(map(tuple, upd.loc[upd["action"] == "retract",
+                                       key_cols].itertuples(index=False)))
+    adds = upd[upd["action"] == "add"]
+    live_adds = adds[~adds[key_cols].apply(tuple, axis=1).isin(retracted)]
+    keep = ~base[key_cols].apply(tuple, axis=1).isin(retracted)
+    out = pd.concat(
+        [base[keep], live_adds[list(base.columns)]], ignore_index=True)
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return (out.sort_values(["host", "session_start"])
+            .reset_index(drop=True))

@@ -51,7 +51,8 @@ def run_oracle(
     dedup = DedupState(cfg.dedup_window_s * US)
     upd_horizon_us = cfg.update_horizon_s * US if cfg.update_mode else 0
     windows = WindowState(upd_horizon_us)
-    sessions = SessionState(cfg.windows.session_gap_s * US)
+    sessions = SessionState(cfg.windows.session_gap_s * US,
+                            upd_horizon_us)
     funnel = (FunnelState(cfg.funnel.n_stages, cfg.funnel.within_s * US)
               if cfg.funnel.enabled else None)
     topk = (TopKState(cfg.topk_hosts, cfg.topk_max_keys)
@@ -83,6 +84,7 @@ def run_oracle(
         "late_dropped": 0, "rows_deduped": 0, "rows_written": 0,
     }
     upd_rows: list[tuple] = []
+    sess_upd_rows: list[tuple] = []
     early_rows: list[tuple] = []
     if cfg.update_mode:
         counters["late_accepted"] = 0
@@ -100,6 +102,8 @@ def run_oracle(
                 early_rows.append((epoch, *r))
         for r in sessions.close(wm):
             sess_rows.append((epoch, *r))
+        for r in sessions.pop_updates(wm):
+            sess_upd_rows.append((epoch, *r))
         if funnel is not None:
             for r in funnel.close(wm):
                 fun_rows.append((epoch, *r))
@@ -239,6 +243,7 @@ def run_oracle(
         if pages_out else pd.DataFrame(),
         "windows": win_rows,
         "window_updates": upd_rows,
+        "session_updates": sess_upd_rows,
         "window_early": early_rows,
         "sessions": sess_rows,
         "funnels": fun_rows,

@@ -3653,6 +3653,63 @@ def streaming_corrections(sf_dir: str) -> pd.DataFrame:
                            ).reset_index(drop=True)
 
 
+def session_corrections(sf_dir: str) -> pd.DataFrame:
+    """Session retract/add changelog showcase (rows-only): under update
+    mode an accepted-late row that lands within ``gap`` of an
+    already-emitted session REOPENS it — the corrected emission retracts
+    the exact prior row(s) (one late event can MERGE two emitted
+    sessions) and adds the new one. A changelog rather than in-place
+    revisions because merges change the row identity (start/end). The
+    entry SELF-CHECKS the contract: every retract matches a live row
+    (base emission or earlier add) and the patched consumer view
+    (``read_sessions_corrected``) equals base - retracts + live adds."""
+    import shutil
+
+    from ..config import EngineConfig
+    from ..pipelines.flagship import (ensure_pages_log,
+                                      read_sessions_corrected, run_flagship)
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+    from ..sources.pages import PagesSpec
+
+    tier = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    rows = 6000 if tier.endswith("0.01") else 2000
+    data_dir = f"/tmp/bitquery_kafka_streams_rust_ray_pages_slate_{tier}_{rows}"
+    ensure_pages_log(data_dir,
+                     PagesSpec(num_rows=rows, very_late_frac=0.05, seed=11))
+    out_dir = f"{data_dir}_sess_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # horizon == session gap (180 s): the reopen band is empty when the
+    # horizon is much smaller than the gap (an accepted-late row would
+    # land > gap behind any emitted session's last event)
+    cfg = EngineConfig(min_text_len=1, state_shards=8, extract_concurrency=4,
+                       update_mode=True, update_horizon_s=180)
+    run_flagship(data_dir, out_dir, config=cfg, resume=False)
+    sink = EpochSink(out_dir)
+    upd = read_output_compacted(sink, "session_updates").to_pandas()
+    if not len(upd):
+        raise AssertionError("fixture produced no session corrections")
+    base = read_output_compacted(sink, "session_host").to_pandas()
+    key_cols = ["host", "session_start", "session_end"]
+    live = set(map(tuple, base[key_cols].itertuples(index=False)))
+    n_adds = 0
+    for r in upd.itertuples():  # epoch-ordered changelog replay
+        k = (r.host, r.session_start, r.session_end)
+        if r.action == "retract":
+            if k not in live:
+                raise AssertionError(f"retract of a row never live: {k}")
+            live.discard(k)
+        else:
+            live.add(k)
+            n_adds += 1
+    view = read_sessions_corrected(out_dir)
+    got = set(map(tuple, view[key_cols].itertuples(index=False)))
+    if got != live:
+        raise AssertionError("corrected view != changelog replay")
+    return upd.sort_values(key_cols + ["action", "revision"]
+                           ).reset_index(drop=True)
+
+
 def streaming_early_fire(sf_dir: str) -> pd.DataFrame:
     """Early-firing showcase (rows-only): the flagship with
     ``early_fire`` emits speculative previews of still-open windows at

@@ -119,7 +119,8 @@ class StateShard:
         self._upd_horizon_us = (config.update_horizon_s * US
                                 if config.update_mode else 0)
         self.windows = WindowState(self._upd_horizon_us)
-        self.sessions = SessionState(config.windows.session_gap_s * US)
+        self.sessions = SessionState(config.windows.session_gap_s * US,
+                                     self._upd_horizon_us)
         self.funnel = (
             FunnelState(config.funnel.n_stages, config.funnel.within_s * US)
             if config.funnel.enabled else None
@@ -380,7 +381,7 @@ class StateShard:
         return ray.get_runtime_context().get_node_id()
 
     def close(self, watermark_us: int
-              ) -> tuple[list, list, list, list, list, list, int]:
+              ) -> tuple[list, list, list, list, list, list, list, int]:
         closed_windows = self.windows.close(watermark_us)
         # correction re-emissions for retained windows that got late
         # partials (empty list when update mode is off)
@@ -390,6 +391,8 @@ class StateShard:
         early_windows = (self.windows.preview()
                          if self.cfg.early_fire else [])
         closed_sessions = self.sessions.close(watermark_us)
+        # session retract/add changelog (empty when update mode is off)
+        updated_sessions = self.sessions.pop_updates(watermark_us)
         closed_funnels = (self.funnel.close(watermark_us)
                           if self.funnel is not None else [])
         topk = self.topk.top() if self.topk is not None else []
@@ -397,8 +400,8 @@ class StateShard:
                            if self.distinct is not None else [])
         evicted = self.dedup.evict(watermark_us)
         return (closed_windows, updated_windows, early_windows,
-                closed_sessions, closed_funnels, topk, closed_distinct,
-                evicted)
+                closed_sessions, updated_sessions, closed_funnels, topk,
+                closed_distinct, evicted)
 
     def _snapshot_rest(self) -> dict:
         return {
@@ -1065,6 +1068,16 @@ class StreamingPagesPipeline:
                 for c in ("window_start", "window_end"):
                     r[c] = int(pd.Timestamp(r[c]).value // 1000)
             return out
+        if subpath == "session_updates":
+            # session retract/add changelog committed in the latest epoch
+            p = os.path.join(d, "session_updates.parquet")
+            if not os.path.exists(p):
+                return []
+            out = _pq.read_table(p).to_pylist()
+            for r in out:
+                for c in ("session_start", "session_end"):
+                    r[c] = int(pd.Timestamp(r[c]).value // 1000)
+            return out
         if subpath == "watermark":
             # where the watermark stands and why: per-partition maxes
             # under min-combine, idle counters (which streams are
@@ -1493,14 +1506,16 @@ class StreamingPagesPipeline:
         update_rows: list = []
         early_rows: list = []
         session_rows: list = []
+        session_update_rows: list = []
         funnel_rows: list = []
         topk_cands: list = []
         distinct_rows: list = []
-        for cw, uw, ew, cs, cf, tk, cd, _ in closed:
+        for cw, uw, ew, cs, us_, cf, tk, cd, _ in closed:
             window_rows.extend(cw)
             update_rows.extend(uw)
             early_rows.extend(ew)
             session_rows.extend(cs)
+            session_update_rows.extend(us_)
             funnel_rows.extend(cf)
             topk_cands.extend(tk)
             distinct_rows.extend(cd)
@@ -1508,6 +1523,7 @@ class StreamingPagesPipeline:
         update_rows.sort()
         early_rows.sort()
         session_rows.sort()
+        session_update_rows.sort()
         funnel_rows.sort()
 
         tables = {}
@@ -1553,6 +1569,37 @@ class StreamingPagesPipeline:
                         [r[5] for r in update_rows], type=pa.float64()),
                     "revision": pa.array([r[6] for r in update_rows],
                                          type=pa.int64()),
+                }
+            )
+            # session retract/add changelog: an accepted-late row that
+            # reopens an already-emitted session (possibly MERGING two
+            # emissions one late event bridged) retracts the exact prior
+            # rows and adds the corrected session. Changelog, not
+            # in-place revision, because merges change the row identity
+            # (start/end), which a revision column cannot express.
+            tables["session_updates"] = pa.table(
+                {
+                    "host": pa.array([r[0] for r in session_update_rows],
+                                     type=pa.string()),
+                    "session_start": pa.array(
+                        np.array([r[1] for r in session_update_rows],
+                                 dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                    "session_end": pa.array(
+                        np.array([r[2] for r in session_update_rows],
+                                 dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                    "doc_count": pa.array(
+                        [r[3] for r in session_update_rows],
+                        type=pa.int64()),
+                    "total_chars": pa.array(
+                        [float(r[4]) for r in session_update_rows],
+                        type=pa.float64()),
+                    "action": pa.array([r[5] for r in session_update_rows],
+                                       type=pa.string()),
+                    "revision": pa.array(
+                        [r[6] for r in session_update_rows],
+                        type=pa.int64()),
                 }
             )
         if self.cfg.early_fire:
@@ -1655,10 +1702,13 @@ class StreamingPagesPipeline:
         counters["windows_emitted"] = sum(
             t.num_rows for n, t in tables.items()
             if n not in ("funnel_host", "topk_host", "window_updates",
-                         "window_early")
+                         "window_early", "session_updates")
         )
         if "window_updates" in tables:
             counters["windows_updated"] = tables["window_updates"].num_rows
+        if "session_updates" in tables:
+            counters["sessions_updated"] = \
+                tables["session_updates"].num_rows
         if "funnel_host" in tables:
             counters["funnels_matched"] = tables["funnel_host"].num_rows
 

@@ -148,6 +148,11 @@ def split_snapshot(snap: dict, new_shards: int, sidecar_dir: str | None,
     dirty = _split_rows(win.get("dirty", []), lambda k: k[1], new_shards)
     sess = snap["sessions"]
     sessions = _split_dict(sess["sessions"], new_shards)
+    # update-mode session fields: retained emissions (dict by key) and
+    # the pending retract/add changelog (rows keyed by row[0])
+    sess_closed = _split_dict(sess.get("closed", {}), new_shards)
+    sess_upd = _split_rows(sess.get("updates", []), lambda r: r[0],
+                           new_shards)
     fun = snap.get("funnel")
     if fun is not None:
         chains = _split_dict(fun["chains"], new_shards)
@@ -165,7 +170,11 @@ def split_snapshot(snap: dict, new_shards: int, sidecar_dir: str | None,
             "dedup": dedup[j],
             "windows": {"acc": acc[j], "closed": closed[j],
                         "dirty": dirty[j]},
-            "sessions": {"gap_us": sess["gap_us"], "sessions": sessions[j]},
+            "sessions": {"gap_us": sess["gap_us"], "sessions": sessions[j],
+                         "update_horizon_us":
+                             sess.get("update_horizon_us", 0),
+                         "closed": sess_closed[j],
+                         "updates": sess_upd[j]},
             "funnel": (None if fun is None else
                        {"n": fun["n"], "within_us": fun["within_us"],
                         "chains": chains[j], "pending": pending[j],
@@ -188,7 +197,9 @@ def merge_fragments(frags: list[dict]) -> dict:
     out = {
         "windows": {"acc": [], "closed": [], "dirty": []},
         "sessions": {"gap_us": frags[0]["sessions"]["gap_us"],
-                     "sessions": {}},
+                     "update_horizon_us":
+                         frags[0]["sessions"].get("update_horizon_us", 0),
+                     "sessions": {}, "closed": {}, "updates": []},
         "funnel": None,
         "topk": None,
         "distinct": None,
@@ -199,6 +210,8 @@ def merge_fragments(frags: list[dict]) -> dict:
         out["windows"]["closed"].extend(w["closed"])
         out["windows"]["dirty"].extend(w["dirty"])
         out["sessions"]["sessions"].update(f["sessions"]["sessions"])
+        out["sessions"]["closed"].update(f["sessions"].get("closed", {}))
+        out["sessions"]["updates"].extend(f["sessions"].get("updates", []))
         fun = f.get("funnel")
         if fun is not None:
             o = out["funnel"]

@@ -526,6 +526,12 @@ class _Session:
     last: int
     count: int
     total: float
+    # update-mode correction provenance: the previously-EMITTED sessions
+    # this open session absorbed (as emitted tuples with their revision)
+    # and the highest absorbed revision. retracts is None on the default
+    # path so the non-update engine pays nothing.
+    retracts: list | None = None
+    rev: int = 0
 
 
 class SessionState:
@@ -536,11 +542,30 @@ class SessionState:
     bridge (merge) two sessions. A session closes when the watermark
     passes ``last + gap`` strictly — at that point no non-late event
     can extend it.
+
+    With ``update_horizon_us > 0`` (allowed-lateness update mode) emitted
+    sessions are RETAINED for the horizon past their end. An accepted-late
+    run that falls within ``gap`` of a retained session REOPENS it: the
+    retained emission is pulled back into the open set (possibly bridging
+    two retained sessions, or a retained and an open one) and, when the
+    merged session re-closes, ``pop_updates`` emits a retract/add
+    changelog — one ``retract`` row per previously-emitted session it
+    absorbed (byte-equal to the original emission) plus one ``add`` row
+    for the corrected session. In-place revisions (the tumbling-window
+    contract) cannot express session MERGES, which is why the session
+    correction contract is a changelog.
     """
 
-    def __init__(self, gap_us: int):
+    def __init__(self, gap_us: int, update_horizon_us: int = 0):
         self.gap_us = gap_us
         self.sessions: dict[str, list[_Session]] = {}
+        self.update_horizon_us = int(update_horizon_us)
+        # key -> retained emitted sessions [start, last, count, total, rev]
+        # (gap-separated by construction; kept sorted by start)
+        self.closed: dict[str, list[list]] = {}
+        # changelog rows pending pop_updates:
+        # (key, start_us, end_us, count, total, action, revision)
+        self._updates: list[tuple] = []
 
     def add(self, keys: list[str], ts_us: np.ndarray, totals: np.ndarray) -> None:
         """Fold events into open sessions (each event is a 1-element run)."""
@@ -568,52 +593,171 @@ class SessionState:
                          float(totals[i]))
             )
         for key, runs in per_key.items():
-            items = self.sessions.get(key, []) + runs
-            items.sort(key=lambda s: (s.start, s.last))
-            merged: list[_Session] = []
-            for s in items:
-                if merged and s.start - merged[-1].last <= gap:
-                    m = merged[-1]
-                    m.last = max(m.last, s.last)
-                    m.count += s.count
-                    m.total += s.total
-                else:
-                    merged.append(s)
-            self.sessions[key] = merged
+            retained = self.closed.get(key) if self.closed else None
+            if not retained:
+                items = self.sessions.get(key, []) + runs
+                items.sort(key=lambda s: (s.start, s.last))
+                merged: list[_Session] = []
+                for s in items:
+                    if merged and s.start - merged[-1].last <= gap:
+                        self._absorb(merged[-1], s)
+                    else:
+                        merged.append(s)
+                self.sessions[key] = merged
+            else:
+                self._add_runs_with_retained(key, runs, retained)
+
+    def _absorb(self, m: _Session, s: _Session) -> None:
+        m.last = max(m.last, s.last)
+        m.count += s.count
+        m.total += s.total
+        if s.retracts:
+            m.retracts = (m.retracts or []) + s.retracts
+            m.rev = max(m.rev, s.rev)
+
+    def _add_runs_with_retained(self, key: str, runs: list[_Session],
+                                retained: list[list]) -> None:
+        """Merge open sessions + new runs + retained emissions with
+        provenance. A merge group that is exactly one untouched retained
+        session stays retained; any group that mixes a retained session
+        with anything else reopens it (retract recorded on the group's
+        open session, emitted with the add on re-close)."""
+        gap = self.gap_us
+        # (session, retained_entry_or_None); retained entries become
+        # candidate sessions so one late run can bridge two of them
+        items: list[tuple[_Session, list | None]] = (
+            [(s, None) for s in self.sessions.get(key, [])]
+            + [(s, None) for s in runs]
+            + [(_Session(r[0], r[1], r[2], r[3]), r) for r in retained]
+        )
+        items.sort(key=lambda it: (it[0].start, it[0].last))
+        # groups: [session, retained_entries, n_members]
+        groups: list[list] = []
+        for s, rent in items:
+            if groups and s.start - groups[-1][0].last <= gap:
+                g = groups[-1]
+                self._absorb(g[0], s)
+                if rent is not None:
+                    g[1].append(rent)
+                g[2] += 1
+            else:
+                groups.append([s, [rent] if rent is not None else [], 1])
+        still_retained: list[list] = []
+        open_out: list[_Session] = []
+        for s, rents, n in groups:
+            if rents and n == len(rents):
+                # untouched retained emission(s): by construction retained
+                # sessions are gap-separated, so this is a single entry
+                still_retained.extend(rents)
+                continue
+            if rents:
+                # reopened: record the exact prior emissions as retracts
+                s.retracts = (s.retracts or []) + [
+                    (r[0], r[1] + gap, r[2], r[3], r[4]) for r in rents
+                ]
+                s.rev = max([s.rev] + [r[4] for r in rents])
+            open_out.append(s)
+        if open_out:
+            self.sessions[key] = open_out
+        else:
+            self.sessions.pop(key, None)
+        if still_retained:
+            self.closed[key] = still_retained
+        else:
+            self.closed.pop(key, None)
 
     def close(self, watermark_us: int) -> list[tuple]:
         """Emit ``(key, session_start, session_end, count, total)`` for
-        sessions with ``last + gap < watermark`` (strict), sorted."""
+        sessions with ``last + gap < watermark`` (strict), sorted.
+
+        Under update mode a closing session that reopened prior emissions
+        routes to the correction changelog instead (retracts + add with a
+        bumped revision), and every emission is retained for the horizon.
+        """
         out = []
+        horizon = self.update_horizon_us
         for key, items in list(self.sessions.items()):
             still_open = []
             for s in items:
                 if s.last + self.gap_us < watermark_us:
-                    out.append((key, s.start, s.last + self.gap_us, s.count, s.total))
+                    end = s.last + self.gap_us
+                    if s.retracts:
+                        rev = s.rev + 1
+                        for r in sorted(s.retracts):
+                            self._updates.append(
+                                (key, r[0], r[1], r[2], r[3], "retract",
+                                 r[4]))
+                        self._updates.append(
+                            (key, s.start, end, s.count, s.total, "add",
+                             rev))
+                        self.closed.setdefault(key, []).append(
+                            [s.start, s.last, s.count, s.total, rev])
+                        self.closed[key].sort()
+                    else:
+                        out.append((key, s.start, end, s.count, s.total))
+                        if horizon > 0:
+                            self.closed.setdefault(key, []).append(
+                                [s.start, s.last, s.count, s.total, 0])
+                            self.closed[key].sort()
                 else:
                     still_open.append(s)
             if still_open:
                 self.sessions[key] = still_open
             else:
                 self.sessions.pop(key, None)
+        if self.closed:
+            # age out retained emissions the horizon can no longer touch
+            for key, rents in list(self.closed.items()):
+                kept = [r for r in rents
+                        if (r[1] + self.gap_us) + horizon > watermark_us]
+                if kept:
+                    self.closed[key] = kept
+                else:
+                    del self.closed[key]
         out.sort()
         return out
 
+    def pop_updates(self, _watermark_us: int = 0) -> list[tuple]:
+        """Drain the correction changelog: ``(key, start_us, end_us,
+        count, total, action, revision)`` rows, tuple-sorted for
+        deterministic epoch output. Consumers match by ``action``, not
+        row order: drop every retracted emission, append every add."""
+        out = sorted(self._updates)
+        self._updates = []
+        return out
+
     def snapshot(self) -> dict:
-        return {
+        snap = {
             "gap_us": self.gap_us,
             "sessions": {
-                k: [[s.start, s.last, s.count, s.total] for s in v]
+                k: [[s.start, s.last, s.count, s.total, s.rev,
+                     s.retracts] for s in v]
                 for k, v in self.sessions.items()
             },
         }
+        if self.update_horizon_us > 0 or self.closed or self._updates:
+            snap["update_horizon_us"] = self.update_horizon_us
+            snap["closed"] = {k: [list(r) for r in v]
+                              for k, v in self.closed.items()}
+            snap["updates"] = [list(r) for r in self._updates]
+        return snap
 
     @classmethod
     def restore(cls, snap: dict) -> "SessionState":
-        st = cls(snap["gap_us"])
+        st = cls(snap["gap_us"], snap.get("update_horizon_us", 0))
         st.sessions = {
-            k: [_Session(*row) for row in v] for k, v in snap["sessions"].items()
+            k: [
+                _Session(row[0], row[1], row[2], row[3],
+                         retracts=([tuple(t) for t in row[5]]
+                                   if len(row) > 5 and row[5] else None),
+                         rev=row[4] if len(row) > 4 else 0)
+                for row in v
+            ]
+            for k, v in snap["sessions"].items()
         }
+        st.closed = {k: [list(r) for r in v]
+                     for k, v in snap.get("closed", {}).items()}
+        st._updates = [tuple(r) for r in snap.get("updates", [])]
         return st
 
 

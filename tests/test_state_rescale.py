@@ -31,9 +31,15 @@ def _full_snapshot(dedup_snap):
     win.add_partials("tumbling:lang", [KEYS[0]], np.array([0]),
                      np.array([100 * US]), np.array([5]), np.array([9.0]))
 
-    sess = SessionState(30 * US)
+    # update-mode session state with all three populations: open
+    # sessions, retained emissions, and reopened sessions carrying
+    # pending retracts (split/merge must preserve each)
+    sess = SessionState(30 * US, update_horizon_us=100_000 * US)
     sess.add(KEYS, np.arange(len(KEYS), dtype=np.int64) * US,
              np.ones(len(KEYS)))
+    sess.close(40 * US)  # keys with ts < 10s emit and are retained
+    sess.add(KEYS[:5], (np.arange(5, dtype=np.int64) + 20) * US,
+             np.ones(5))  # within gap of the retained -> reopened
 
     fun = FunnelState(2, 600 * US)
     fun.add(KEYS[:20], np.zeros(20, dtype=np.int64),
@@ -91,6 +97,8 @@ def test_split_then_merge_is_lossless(tmp_path):
     assert rwin.pop_updates(0) == win.pop_updates(0)
     rsess = SessionState.restore(merged["sessions"])
     assert rsess.close(10_000 * US) == sess.close(10_000 * US)
+    assert rsess.pop_updates() == sess.pop_updates()
+    assert rsess.closed == sess.closed
     rded = build_dedup([f["dedup"] for f in frags], None)
     assert rded.last_seen == st.last_seen
     rtop = TopKState.restore(merged["topk"])
@@ -113,14 +121,17 @@ def test_union_of_rescaled_emissions_equals_original(tmp_path):
     frags = split_snapshot(snap, 4, None, str(tmp_path), 0)
 
     wm = 10_000 * US
-    got_windows, got_sessions, got_funnels = [], [], []
+    got_windows, got_sessions, got_sess_upd, got_funnels = [], [], [], []
     for f in frags:
         w = WindowState.restore(f["windows"], 60 * US)
         got_windows.extend(w.close(wm))
-        got_sessions.extend(SessionState.restore(f["sessions"]).close(wm))
+        rs = SessionState.restore(f["sessions"])
+        got_sessions.extend(rs.close(wm))
+        got_sess_upd.extend(rs.pop_updates())
         got_funnels.extend(FunnelState.restore(f["funnel"]).close(wm))
     assert sorted(got_windows) == win.close(wm)
     assert sorted(got_sessions) == sess.close(wm)
+    assert sorted(got_sess_upd) == sess.pop_updates()
     assert sorted(got_funnels) == FunnelState.restore(
         snap["funnel"]).close(wm)
 

@@ -19,9 +19,12 @@ from bitquery_kafka_streams_rust_ray.stages.timeops import US
 
 pytestmark = pytest.mark.usefixtures("ray_session")
 
+# horizon 180 == the session gap: wide enough that accepted-late rows
+# can land within gap of an already-emitted session (the reopen band is
+# empty at horizon 60 with gap 180 — see SessionState docstring)
 CFG_UPD = EngineConfig(min_text_len=1, state_shards=4,
                        extract_concurrency=2, files_per_epoch=2,
-                       update_mode=True, update_horizon_s=60)
+                       update_mode=True, update_horizon_s=180)
 
 
 # ---------------- state-store unit semantics ----------------
@@ -85,7 +88,7 @@ def update_run(tmp_path_factory):
         PagesSpec, generate_host_metadata, generate_pages)
 
     d = str(tmp_path_factory.mktemp("pages_late"))
-    spec = PagesSpec(num_rows=2_000, very_late_frac=0.05, seed=7)
+    spec = PagesSpec(num_rows=2_000, very_late_frac=0.05, seed=11)
     generate_pages(d, spec)
     generate_host_metadata(d, spec)
     out = str(tmp_path_factory.mktemp("update_out"))
@@ -161,7 +164,8 @@ def test_update_mode_matches_oracle(update_run):
     oracle = run_oracle(d, CFG_UPD, PageFilter(min_text_len=1), meta)
 
     c = {k: int(v) for k, v in summary["metrics"]["counters"].items()
-         if k not in ("windows_emitted", "windows_updated")}
+         if k not in ("windows_emitted", "windows_updated",
+                      "sessions_updated")}
     assert c == oracle["counters"], f"{c} != {oracle['counters']}"
     # the fixture's very-late tail must exercise BOTH classifications
     assert c["late_accepted"] > 0, "horizon accepted no corrections"
@@ -239,3 +243,159 @@ def test_update_mode_matches_oracle(update_run):
                             suffixes=("_upd", "_base"))
         assert len(merged) == len(last)  # every correction has a base row
         assert (merged["doc_count_upd"] > merged["doc_count_base"]).all()
+
+
+# ---------------- session retract/add changelog ----------------
+
+def _sess(gap_s=10, horizon_s=100):
+    from bitquery_kafka_streams_rust_ray.state.store import SessionState
+    return SessionState(gap_s * US, horizon_s * US)
+
+
+def _add(st, key, ts_list):
+    st.add([key] * len(ts_list),
+           np.array([t * US for t in ts_list], dtype=np.int64),
+           np.array([1.0] * len(ts_list)))
+
+
+def test_session_reopen_extends_emitted_session():
+    st = _sess()
+    _add(st, "h", [0, 5])
+    closed = st.close(100 * US)
+    assert closed == [("h", 0, 15 * US, 2, 2.0)]
+    assert st.pop_updates() == []
+
+    # accepted-late row within gap of the retained emission reopens it
+    _add(st, "h", [12])
+    assert st.close(100 * US) == []  # routed to the changelog, not base
+    upd = st.pop_updates()
+    assert upd == [
+        ("h", 0, 15 * US, 2, 2.0, "retract", 0),
+        ("h", 0, 22 * US, 3, 3.0, "add", 1),
+    ]
+    # a second late row retracts the revision-1 add, not the original
+    _add(st, "h", [20])
+    st.close(100 * US)
+    upd = st.pop_updates()
+    assert upd == [
+        ("h", 0, 22 * US, 3, 3.0, "retract", 1),
+        ("h", 0, 30 * US, 4, 4.0, "add", 2),
+    ]
+
+
+def test_session_late_bridge_merges_two_emissions():
+    st = _sess()
+    _add(st, "h", [0])       # session A [0, 10)
+    _add(st, "h", [18])      # session B [18, 28)
+    closed = st.close(100 * US)
+    assert [(r[1], r[2]) for r in closed] == [(0, 10 * US),
+                                              (18 * US, 28 * US)]
+    # one late event at t=9 is within gap of BOTH -> merge into one
+    _add(st, "h", [9])
+    st.close(100 * US)
+    upd = st.pop_updates()
+    assert upd == [
+        ("h", 0, 10 * US, 1, 1.0, "retract", 0),
+        ("h", 0, 28 * US, 3, 3.0, "add", 1),
+        ("h", 18 * US, 28 * US, 1, 1.0, "retract", 0),
+    ]
+
+
+def test_session_untouched_retained_and_fresh_fragment():
+    st = _sess(gap_s=10, horizon_s=100)
+    _add(st, "h", [0])
+    st.close(100 * US)
+    # a late row NOT within gap of the retained emission is a genuinely
+    # separate session: plain base emission, no changelog
+    _add(st, "h", [50])
+    closed = st.close(100 * US)
+    assert closed == [("h", 50 * US, 60 * US, 1, 1.0)]
+    assert st.pop_updates() == []
+    # both emissions now retained; horizon aging drops them, after which
+    # a row adjacent to the aged-out session starts FRESH (no retract)
+    st.close(300 * US)
+    assert st.closed == {}
+    _add(st, "h", [55])
+    assert st.close(400 * US) == [("h", 55 * US, 65 * US, 1, 1.0)]
+    assert st.pop_updates() == []
+
+
+def test_session_update_snapshot_roundtrip():
+    from bitquery_kafka_streams_rust_ray.state.store import SessionState
+
+    st = _sess()
+    _add(st, "h", [0, 25])
+    st.close(100 * US)
+    _add(st, "h", [14])  # reopened (pending retracts on the open session)
+    _add(st, "x", [90])  # plain open session
+    st2 = SessionState.restore(st.snapshot())
+    assert st2.close(200 * US) == st.close(200 * US)
+    assert st2.pop_updates() == st.pop_updates()
+    assert st2.closed == st.closed
+
+
+def test_update_mode_session_changelog_matches_oracle(update_run):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d, out, summary = update_run
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+    oracle = run_oracle(d, CFG_UPD, PageFilter(min_text_len=1), meta)
+
+    sink = EpochSink(out)
+    got = read_output_compacted(sink, "session_updates").to_pandas()
+    rows = oracle["session_updates"]
+    assert len(rows) > 0, "fixture produced no session corrections"
+    want = pd.DataFrame({
+        "host": [r[1] for r in rows],
+        "session_start": pd.to_datetime([r[2] for r in rows], unit="us"),
+        "session_end": pd.to_datetime([r[3] for r in rows], unit="us"),
+        "doc_count": [r[4] for r in rows],
+        "total_chars": [float(r[5]) for r in rows],
+        "action": [r[6] for r in rows],
+        "revision": [r[7] for r in rows],
+    })
+    sort = ["host", "session_start", "session_end", "action", "revision"]
+    pd.testing.assert_frame_equal(
+        _norm(got, sort), _norm(want, sort), check_dtype=False,
+        obj="session_updates")
+
+    # base emissions still match the oracle under update mode
+    g = _norm(read_output_compacted(sink, "session_host").to_pandas(),
+              ["host", "session_start"])
+    w = _norm(pd.DataFrame({
+        "host": [r[1] for r in oracle["sessions"]],
+        "session_start": pd.to_datetime(
+            [r[2] for r in oracle["sessions"]], unit="us"),
+        "session_end": pd.to_datetime(
+            [r[3] for r in oracle["sessions"]], unit="us"),
+        "doc_count": [r[4] for r in oracle["sessions"]],
+        "total_chars": [float(r[5]) for r in oracle["sessions"]],
+    }), ["host", "session_start"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                  obj="session_host")
+
+    # consumer view: base patched by the changelog == oracle base patched
+    # by the oracle's changelog (every retract matched a live row, every
+    # surviving add is in the view exactly once)
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import (
+        read_sessions_corrected)
+
+    corrected = read_sessions_corrected(out)
+    truth = {(r[1], r[2], r[3]): (r[4], float(r[5]))
+             for r in oracle["sessions"]}
+    for r in oracle["session_updates"]:  # epoch order: retracts always
+        k = (r[1], r[2], r[3])           # reference a live earlier row
+        if r[6] == "retract":
+            assert k in truth, f"retract of a row never emitted: {k}"
+            del truth[k]
+        else:
+            truth[k] = (r[4], float(r[5]))
+    got_map = {
+        (row.host, int(pd.Timestamp(row.session_start).value // 1000),
+         int(pd.Timestamp(row.session_end).value // 1000)):
+            (int(row.doc_count), float(row.total_chars))
+        for row in corrected.itertuples()
+    }
+    assert got_map == truth

@@ -43,6 +43,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned vs the single-process oracle in
         # tests/test_streaming_update_mode.py)
         "session_corrections": q.session_corrections,
+        # CEP negation: funnel with no error event inside (start, end)
+        # (Flink notFollowedBy; exact SQL oracle)
+        "funnel_veto_events": q.funnel_veto_events,
+        # CEP timed-out partial matches: started-but-unfinished funnels
+        # with in-bound stage progress (exact SQL oracle)
+        "funnel_timeout_events": q.funnel_timeout_events,
         # -- round-3h additions (never driver-checked) -------------------
         # cluster-resize: a 4-shard checkpoint resumed at 8 shards via
         # state/rescale.py; the entry self-checks byte-equality of the
@@ -2524,6 +2530,73 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, t1 AS start_ts, t3 AS end_ts FROM c
             WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000::BIGINT
+            ORDER BY user_id
+        """,
+        "funnel_veto_events": """
+            WITH a AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            b AS (
+                SELECT a.user_id, a.t1, min(e.ts) AS t2
+                FROM a JOIN events e
+                  ON e.user_id = a.user_id AND e.event_type = 'click'
+                 AND e.ts > a.t1
+                GROUP BY a.user_id, a.t1
+            ),
+            c AS (
+                SELECT b.user_id, b.t1, min(e.ts) AS t3
+                FROM b JOIN events e
+                  ON e.user_id = b.user_id AND e.event_type = 'purchase'
+                 AND e.ts > b.t2
+                GROUP BY b.user_id, b.t1
+            )
+            SELECT user_id, t1 AS start_ts, t3 AS end_ts FROM c
+            WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000::BIGINT
+              AND NOT EXISTS (
+                SELECT 1 FROM events x
+                WHERE x.user_id = c.user_id AND x.event_type = 'error'
+                  AND x.ts > c.t1 AND x.ts < c.t3
+              )
+            ORDER BY user_id
+        """,
+        "funnel_timeout_events": """
+            WITH a AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            b AS (
+                SELECT a.user_id, a.t1, min(e.ts) AS t2
+                FROM a JOIN events e
+                  ON e.user_id = a.user_id AND e.event_type = 'click'
+                 AND e.ts > a.t1
+                GROUP BY a.user_id, a.t1
+            ),
+            c AS (
+                SELECT b.user_id, b.t1, min(e.ts) AS t3
+                FROM b JOIN events e
+                  ON e.user_id = b.user_id AND e.event_type = 'purchase'
+                 AND e.ts > b.t2
+                GROUP BY b.user_id, b.t1
+            ),
+            t AS (
+                SELECT a.user_id, a.t1, b.t2, c.t3
+                FROM a
+                LEFT JOIN b ON b.user_id = a.user_id
+                LEFT JOIN c ON c.user_id = a.user_id
+            )
+            SELECT user_id, t1 AS start_ts,
+                   make_timestamp(epoch_us(t1) + 259200000000::BIGINT)
+                       AS timeout_ts,
+                   1 + CASE WHEN t2 IS NOT NULL AND epoch_us(t2)
+                           <= epoch_us(t1) + 259200000000::BIGINT
+                       THEN 1 ELSE 0 END
+                     + CASE WHEN t3 IS NOT NULL AND epoch_us(t3)
+                           <= epoch_us(t1) + 259200000000::BIGINT
+                       THEN 1 ELSE 0 END AS reached_stage
+            FROM t
+            WHERE NOT (t3 IS NOT NULL AND epoch_us(t3) - epoch_us(t1)
+                       <= 259200000000::BIGINT)
             ORDER BY user_id
         """,
         "abandoned_views": """

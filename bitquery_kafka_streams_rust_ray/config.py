@@ -47,10 +47,38 @@ class FunnelConfig:
     enabled: bool = True
     within_s: int = 600
     bounds: tuple[int, int] = (250, 450)  # text_len stage boundaries
+    # negation (Flink CEP notFollowedBy): pages with text_len >=
+    # veto_min_len are VETO events — one folding strictly after a
+    # chain's start while it is incomplete kills that key's match.
+    # Must exceed bounds[-1] (veto events sit above the last stage).
+    veto_min_len: int | None = None
+    # timed-out partial matches: emit (host, start_ts, timeout_ts,
+    # reached_stage) rows into a funnel_timeouts output when a started
+    # chain can no longer complete within the bound — the
+    # abandoned-funnel analytics row (Flink TimedOutPartialMatchHandler)
+    emit_timeouts: bool = False
 
     @property
     def n_stages(self) -> int:
         return len(self.bounds) + 1
+
+    @property
+    def stage_bounds(self) -> tuple[int, ...]:
+        """searchsorted boundaries including the veto class (stage index
+        ``n_stages`` when ``veto_min_len`` is set)."""
+        return (self.bounds + (self.veto_min_len,)
+                if self.veto_min_len is not None else self.bounds)
+
+    @property
+    def veto_stage(self) -> int | None:
+        return self.n_stages if self.veto_min_len is not None else None
+
+    def validate(self) -> None:
+        if (self.veto_min_len is not None
+                and self.veto_min_len <= self.bounds[-1]):
+            raise ValueError(
+                "funnel veto_min_len must exceed the last stage bound "
+                f"(got {self.veto_min_len} <= {self.bounds[-1]})")
 
 
 @dataclass(frozen=True)
@@ -227,6 +255,7 @@ class EngineConfig:
             raise ValueError("files_per_epoch must be positive")
         if self.epoch_replay_budget < 0:
             raise ValueError("epoch_replay_budget must be >= 0")
+        self.funnel.validate()
         if self.sink_breaker_threshold <= 0:
             raise ValueError("sink_breaker_threshold must be positive")
         if self.topk_hosts < 0 or self.topk_max_keys < 0:

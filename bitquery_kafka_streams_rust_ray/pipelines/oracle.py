@@ -53,7 +53,9 @@ def run_oracle(
     windows = WindowState(upd_horizon_us)
     sessions = SessionState(cfg.windows.session_gap_s * US,
                             upd_horizon_us)
-    funnel = (FunnelState(cfg.funnel.n_stages, cfg.funnel.within_s * US)
+    funnel = (FunnelState(cfg.funnel.n_stages, cfg.funnel.within_s * US,
+                          veto_stage=cfg.funnel.veto_stage,
+                          emit_timeouts=cfg.funnel.emit_timeouts)
               if cfg.funnel.enabled else None)
     topk = (TopKState(cfg.topk_hosts, cfg.topk_max_keys)
             if cfg.topk_hosts > 0 else None)
@@ -78,6 +80,7 @@ def run_oracle(
 
     pages_out = []
     win_rows, sess_rows, fun_rows, topk_rows = [], [], [], []
+    funto_rows: list[tuple] = []
     quarantine_rows: list[tuple] = []
     counters = {
         "rows_read": 0, "parse_errors": 0, "rows_filtered_out": 0,
@@ -90,6 +93,10 @@ def run_oracle(
         counters["late_accepted"] = 0
     if funnel is not None:
         counters["funnels_matched"] = 0
+        if cfg.funnel.emit_timeouts:
+            counters["funnels_timed_out"] = 0
+        if cfg.funnel.veto_min_len is not None:
+            counters["funnels_vetoed"] = 0
 
     def close(epoch: int) -> None:
         wm = watermark.watermark_us
@@ -108,6 +115,12 @@ def run_oracle(
             for r in funnel.close(wm):
                 fun_rows.append((epoch, *r))
                 counters["funnels_matched"] += 1
+            for r in funnel.pop_timeouts():
+                funto_rows.append((epoch, *r))
+            if cfg.funnel.emit_timeouts:
+                counters["funnels_timed_out"] = len(funto_rows)
+            if cfg.funnel.veto_min_len is not None:
+                counters["funnels_vetoed"] = funnel.vetoes
         if topk is not None:
             for rank, (host, c) in enumerate(topk.top(), start=1):
                 topk_rows.append((epoch, rank, host, c))
@@ -215,7 +228,7 @@ def run_oracle(
                 # corrections (mirrors StateShard._partials' otbl)
                 fdf = (df[df["_upd"] == 0] if cfg.update_mode else df)
                 stages = np.searchsorted(
-                    np.asarray(cfg.funnel.bounds, dtype=np.int64),
+                    np.asarray(cfg.funnel.stage_bounds, dtype=np.int64),
                     fdf["text_len"].to_numpy(), side="right",
                 ).astype(np.int64)
                 funnel.add(fdf["host"].fillna("").tolist(), stages,
@@ -247,6 +260,7 @@ def run_oracle(
         "window_early": early_rows,
         "sessions": sess_rows,
         "funnels": fun_rows,
+        "funnel_timeouts": funto_rows,
         "topk": topk_rows,
         "quarantine": quarantine_rows,
         "counters": counters,

@@ -376,6 +376,46 @@ def funnel_events(sf_dir: str) -> pd.DataFrame:
     return out[["user_id", "start_ts", "end_ts"]]
 
 
+def funnel_veto_events(sf_dir: str) -> pd.DataFrame:
+    """CEP negation (Flink notFollowedBy): view -> click -> purchase
+    within 72h with NO ``error`` event strictly inside (start, end) —
+    the batch analog of the streaming funnel's ``veto_min_len`` kill
+    (state/store.py::FunnelState veto fold)."""
+    from ..stages.cep import funnel_match
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    out = funnel_match(
+        ds, "user_id", "ts", "event_type",
+        pattern=["view", "click", "purchase"], within_s=72 * 3600,
+        tiebreak_col="event_id", shards=16, veto_type="error",
+    ).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    out["start_ts"] = out["start_ts"].astype("datetime64[us]")
+    out["end_ts"] = out["end_ts"].astype("datetime64[us]")
+    return out[["user_id", "start_ts", "end_ts"]]
+
+
+def funnel_timeout_events(sf_dir: str) -> pd.DataFrame:
+    """CEP timed-out partial matches: users whose view -> click ->
+    purchase funnel STARTED but did not complete within 72h, with the
+    stage progress reached inside the bound — the batch analog of the
+    streaming engine's ``funnel_timeouts`` output (abandoned-funnel
+    analytics; Flink TimedOutPartialMatchHandler)."""
+    from ..stages.cep import funnel_timeouts
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    out = funnel_timeouts(
+        ds, "user_id", "ts", "event_type",
+        pattern=["view", "click", "purchase"], within_s=72 * 3600,
+        tiebreak_col="event_id", shards=16,
+    ).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    out["start_ts"] = out["start_ts"].astype("datetime64[us]")
+    out["timeout_ts"] = out["timeout_ts"].astype("datetime64[us]")
+    out["reached_stage"] = out["reached_stage"].astype("int64")
+    return out[["user_id", "start_ts", "timeout_ts", "reached_stage"]]
+
+
 def abandoned_views(sf_dir: str) -> pd.DataFrame:
     """CEP absence/timeout match: view events with no click by the same
     user within the following 72h."""

@@ -122,7 +122,9 @@ class StateShard:
         self.sessions = SessionState(config.windows.session_gap_s * US,
                                      self._upd_horizon_us)
         self.funnel = (
-            FunnelState(config.funnel.n_stages, config.funnel.within_s * US)
+            FunnelState(config.funnel.n_stages, config.funnel.within_s * US,
+                        veto_stage=config.funnel.veto_stage,
+                        emit_timeouts=config.funnel.emit_timeouts)
             if config.funnel.enabled else None
         )
         self.topk = (TopKState(config.topk_hosts, config.topk_max_keys)
@@ -283,13 +285,14 @@ class StateShard:
                                  cfg.windows.session_gap_s * US, n)
         funnels: dict[int, tuple] = {}
         if self.funnel is not None:
-            # CEP stage per page: text_len size class (0..n_stages-1).
+            # CEP stage per page: text_len size class (0..n_stages-1;
+            # index n_stages = the veto class when veto_min_len is set).
             # The chain fold is order-sensitive so raw (key, stage, ts)
             # triples ride to the key's owner — three narrow columns,
             # already deduped, the one partial here that can't pre-reduce.
             # (otbl: correction rows excluded — see comment above)
             stages = np.searchsorted(
-                np.asarray(cfg.funnel.bounds, dtype=np.int64),
+                np.asarray(cfg.funnel.stage_bounds, dtype=np.int64),
                 otbl.column("text_len").to_numpy(), side="right",
             ).astype(np.int64)
             hosts = pd.Series(
@@ -380,8 +383,7 @@ class StateShard:
         """Placement introspection (multi-node spread assertions)."""
         return ray.get_runtime_context().get_node_id()
 
-    def close(self, watermark_us: int
-              ) -> tuple[list, list, list, list, list, list, list, int]:
+    def close(self, watermark_us: int) -> dict:
         closed_windows = self.windows.close(watermark_us)
         # correction re-emissions for retained windows that got late
         # partials (empty list when update mode is off)
@@ -395,13 +397,25 @@ class StateShard:
         updated_sessions = self.sessions.pop_updates(watermark_us)
         closed_funnels = (self.funnel.close(watermark_us)
                           if self.funnel is not None else [])
+        # timed-out partial matches + this epoch's veto count (empty/0
+        # unless the funnel CEP extensions are configured); vetoes drain
+        # on read so the driver's additive counter merge stays exact
+        funnel_timeouts = (self.funnel.pop_timeouts()
+                           if self.funnel is not None else [])
+        vetoes = 0
+        if self.funnel is not None:
+            vetoes, self.funnel.vetoes = self.funnel.vetoes, 0
         topk = self.topk.top() if self.topk is not None else []
         closed_distinct = (self.distinct.close(watermark_us)
                            if self.distinct is not None else [])
         evicted = self.dedup.evict(watermark_us)
-        return (closed_windows, updated_windows, early_windows,
-                closed_sessions, updated_sessions, closed_funnels, topk,
-                closed_distinct, evicted)
+        return {"windows": closed_windows, "window_updates": updated_windows,
+                "window_early": early_windows, "sessions": closed_sessions,
+                "session_updates": updated_sessions,
+                "funnels": closed_funnels,
+                "funnel_timeouts": funnel_timeouts, "vetoes": vetoes,
+                "topk": topk, "distinct": closed_distinct,
+                "evicted": evicted}
 
     def _snapshot_rest(self) -> dict:
         return {
@@ -979,7 +993,8 @@ class StreamingPagesPipeline:
                         cfg.windows.sliding_slide_s,
                         cfg.windows.session_gap_s],
             "funnel": [cfg.funnel.enabled, cfg.funnel.within_s,
-                       list(cfg.funnel.bounds)],
+                       list(cfg.funnel.bounds), cfg.funnel.veto_min_len,
+                       cfg.funnel.emit_timeouts],
             "topk": [cfg.topk_hosts, cfg.topk_max_keys],
             "sketch_distinct": [cfg.sketch_distinct, cfg.sketch_distinct_p],
             # files_per_epoch deliberately absent: the plan guard below
@@ -1508,23 +1523,28 @@ class StreamingPagesPipeline:
         session_rows: list = []
         session_update_rows: list = []
         funnel_rows: list = []
+        funnel_timeout_rows: list = []
+        vetoes_total = 0
         topk_cands: list = []
         distinct_rows: list = []
-        for cw, uw, ew, cs, us_, cf, tk, cd, _ in closed:
-            window_rows.extend(cw)
-            update_rows.extend(uw)
-            early_rows.extend(ew)
-            session_rows.extend(cs)
-            session_update_rows.extend(us_)
-            funnel_rows.extend(cf)
-            topk_cands.extend(tk)
-            distinct_rows.extend(cd)
+        for c in closed:
+            window_rows.extend(c["windows"])
+            update_rows.extend(c["window_updates"])
+            early_rows.extend(c["window_early"])
+            session_rows.extend(c["sessions"])
+            session_update_rows.extend(c["session_updates"])
+            funnel_rows.extend(c["funnels"])
+            funnel_timeout_rows.extend(c["funnel_timeouts"])
+            vetoes_total += c["vetoes"]
+            topk_cands.extend(c["topk"])
+            distinct_rows.extend(c["distinct"])
         window_rows.sort()
         update_rows.sort()
         early_rows.sort()
         session_rows.sort()
         session_update_rows.sort()
         funnel_rows.sort()
+        funnel_timeout_rows.sort()
 
         tables = {}
         for kind_prefix, name in (("tumbling:lang", "tumbling_lang"),
@@ -1682,6 +1702,28 @@ class StreamingPagesPipeline:
                     ).cast(pa.timestamp("us")),
                 }
             )
+            if self.cfg.funnel.emit_timeouts:
+                # abandoned funnels: chains that started but could no
+                # longer complete within the bound when the watermark
+                # passed start + within (Flink timed-out partial matches)
+                tables["funnel_timeouts"] = pa.table(
+                    {
+                        "host": pa.array(
+                            [r[0] for r in funnel_timeout_rows],
+                            type=pa.string()),
+                        "start_ts": pa.array(
+                            np.array([r[1] for r in funnel_timeout_rows],
+                                     dtype=np.int64)
+                        ).cast(pa.timestamp("us")),
+                        "timeout_ts": pa.array(
+                            np.array([r[2] for r in funnel_timeout_rows],
+                                     dtype=np.int64)
+                        ).cast(pa.timestamp("us")),
+                        "reached_stage": pa.array(
+                            [r[3] for r in funnel_timeout_rows],
+                            type=pa.int64()),
+                    }
+                )
 
         if self.cfg.topk_hosts > 0:
             # exact global top-k: keys are owner-partitioned, so the
@@ -1702,7 +1744,8 @@ class StreamingPagesPipeline:
         counters["windows_emitted"] = sum(
             t.num_rows for n, t in tables.items()
             if n not in ("funnel_host", "topk_host", "window_updates",
-                         "window_early", "session_updates")
+                         "window_early", "session_updates",
+                         "funnel_timeouts")
         )
         if "window_updates" in tables:
             counters["windows_updated"] = tables["window_updates"].num_rows
@@ -1711,6 +1754,12 @@ class StreamingPagesPipeline:
                 tables["session_updates"].num_rows
         if "funnel_host" in tables:
             counters["funnels_matched"] = tables["funnel_host"].num_rows
+        if "funnel_timeouts" in tables:
+            counters["funnels_timed_out"] = \
+                tables["funnel_timeouts"].num_rows
+        if self.cfg.funnel.enabled and self.cfg.funnel.veto_min_len \
+                is not None:
+            counters["funnels_vetoed"] = vetoes_total  # per-epoch delta
 
         stage = self.sink.stage_path(epoch)
         _tc2 = _time.time()

@@ -43,7 +43,7 @@ from .timeops import US, series_ts_us
 _SHARD = "_cep_shard"
 
 
-def _chain_earliest(
+def _chain_times(
     g: pd.DataFrame,
     key_col: str,
     ts_col: str,
@@ -51,10 +51,11 @@ def _chain_earliest(
     pattern: Sequence[str],
     tiebreak_col: str | None,
 ) -> pd.DataFrame:
-    """Per-key greedy earliest chain over one shard's rows.
+    """Per-key greedy earliest chain stage times over one shard's rows.
 
-    Returns one row per key that completes the chain (no ``within``
-    filter here): ``key, start_us, end_us``.
+    Returns one row per key with a stage-0 event: columns ``key,
+    _t0.._t{k-1}`` (float us; NaN where the chain never reached that
+    stage). No ``within`` filter here.
     """
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     g = g.sort_values(sort_cols, kind="mergesort")
@@ -66,21 +67,43 @@ def _chain_earliest(
     m0 = types == pattern[0]
     s0 = pd.DataFrame({"_k": keys[m0], "_t": ts[m0]})
     cur = s0.groupby("_k", sort=False)["_t"].min()  # key -> chain ts
-    start = cur.copy()
+    stage_times = [cur]
     for stage in pattern[1:]:
         if cur.empty:
-            break
+            stage_times.append(cur)
+            continue
         mi = types == stage
         cand = pd.DataFrame({"_k": keys[mi], "_t": ts[mi]})
         cand = cand.join(cur.rename("_prev"), on="_k", how="inner")
         cand = cand[cand["_t"] > cand["_prev"]]
         cur = cand.groupby("_k", sort=False)["_t"].min()
-    done = cur.index
+        stage_times.append(cur)
+    out = pd.DataFrame(
+        {f"_t{i}": s for i, s in enumerate(stage_times)}
+    ).reindex(stage_times[0].index)
+    out.index.name = None
+    return out.reset_index(names=key_col)
+
+
+def _chain_earliest(
+    g: pd.DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: Sequence[str],
+    tiebreak_col: str | None,
+) -> pd.DataFrame:
+    """Per-key greedy earliest COMPLETE chains (no ``within`` filter):
+    ``key, _start_us, _end_us``."""
+    times = _chain_times(g, key_col, ts_col, type_col, pattern,
+                         tiebreak_col)
+    last = f"_t{len(pattern) - 1}"
+    done = times[times[last].notna()]
     return pd.DataFrame(
         {
-            key_col: done.to_numpy(),
-            "_start_us": start.loc[done].to_numpy(),
-            "_end_us": cur.to_numpy(),
+            key_col: done[key_col].to_numpy(),
+            "_start_us": done["_t0"].to_numpy(),
+            "_end_us": done[last].to_numpy(),
         }
     )
 
@@ -96,6 +119,7 @@ def funnel_match(
     shards: int = 64,
     start_name: str = "start_ts",
     end_name: str = "end_ts",
+    veto_type: str | None = None,
 ) -> ray.data.Dataset:
     """Keys whose events contain the pattern chain within ``within_s``.
 
@@ -105,6 +129,77 @@ def funnel_match(
     deterministic scan order; the chain itself uses strict ``>`` so
     equal-ts rows never satisfy consecutive stages (matching the SQL
     oracle's ``e.ts > prev`` join condition).
+
+    ``veto_type`` adds negation (Flink CEP notFollowedBy): a veto-type
+    event STRICTLY inside ``(start, end)`` kills the key's match — the
+    batch equivalent of the streaming fold killing an incomplete chain
+    (a veto at exactly the completing timestamp loses the tie, exactly
+    as ``FunnelState``'s (ts, stage)-ordered fold resolves it).
+    """
+    pattern = list(pattern)
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least two stages")
+    if veto_type is not None and veto_type in pattern:
+        raise ValueError("veto_type cannot be a pattern stage")
+    within_us = int(within_s * US)
+    keep = [key_col, ts_col, type_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    wanted = pattern + ([veto_type] if veto_type else [])
+
+    def pre(t: pa.Table) -> pa.Table:
+        # prune non-pattern event types before the shuffle
+        mask = pa.compute.is_in(t[type_col], value_set=pa.array(wanted))
+        return add_shard_column(
+            t.select(keep).filter(mask), key_col, shards, _SHARD
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = _chain_earliest(g, key_col, ts_col, type_col, pattern,
+                              tiebreak_col)
+        out = out[out["_end_us"] - out["_start_us"] <= within_us]
+        if veto_type is not None and len(out):
+            v = g[g[type_col] == veto_type]
+            vts = pd.DataFrame({
+                "_k": v[key_col].to_numpy(),
+                "_v": series_ts_us(v[ts_col]).to_numpy(),
+            }).merge(out.rename(columns={key_col: "_k"}), on="_k")
+            killed = set(
+                vts.loc[(vts["_v"] > vts["_start_us"])
+                        & (vts["_v"] < vts["_end_us"]), "_k"])
+            out = out[~out[key_col].isin(killed)]
+        res = pd.DataFrame(
+            {
+                key_col: out[key_col].to_numpy(),
+                start_name: pd.to_datetime(out["_start_us"], unit="us"),
+                end_name: pd.to_datetime(out["_end_us"], unit="us"),
+            }
+        )
+        return res.sort_values(key_col, kind="mergesort")
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(_SHARD)
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+def funnel_timeouts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: Sequence[str],
+    within_s: float,
+    tiebreak_col: str | None = None,
+    shards: int = 64,
+) -> ray.data.Dataset:
+    """Timed-out partial matches: keys whose greedy chain STARTED but
+    did not complete within ``within_s`` — the batch analog of the
+    streaming engine's ``funnel_timeouts`` output (abandoned-funnel
+    analytics). Output: ``key_col, start_ts, timeout_ts,
+    reached_stage`` where ``reached_stage`` counts chain stages at or
+    below ``start + within`` (matching ``FunnelState.pop_timeouts``).
     """
     pattern = list(pattern)
     if len(pattern) < 2:
@@ -115,21 +210,30 @@ def funnel_match(
     )
 
     def pre(t: pa.Table) -> pa.Table:
-        # prune non-pattern event types before the shuffle
         mask = pa.compute.is_in(t[type_col], value_set=pa.array(pattern))
         return add_shard_column(
             t.select(keep).filter(mask), key_col, shards, _SHARD
         )
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        out = _chain_earliest(g, key_col, ts_col, type_col, pattern,
-                              tiebreak_col)
-        out = out[out["_end_us"] - out["_start_us"] <= within_us]
+        times = _chain_times(g, key_col, ts_col, type_col, pattern,
+                             tiebreak_col)
+        last = f"_t{len(pattern) - 1}"
+        matched = (times[last].notna()
+                   & (times[last] - times["_t0"] <= within_us))
+        out = times[~matched].copy()
+        bound = out["_t0"] + within_us
+        tcols = [f"_t{i}" for i in range(len(pattern))]
+        reached = sum(
+            (out[c].notna() & (out[c] <= bound)).astype("int64")
+            for c in tcols
+        )
         res = pd.DataFrame(
             {
                 key_col: out[key_col].to_numpy(),
-                start_name: pd.to_datetime(out["_start_us"], unit="us"),
-                end_name: pd.to_datetime(out["_end_us"], unit="us"),
+                "start_ts": pd.to_datetime(out["_t0"], unit="us"),
+                "timeout_ts": pd.to_datetime(bound, unit="us"),
+                "reached_stage": reached.to_numpy(),
             }
         )
         return res.sort_values(key_col, kind="mergesort")

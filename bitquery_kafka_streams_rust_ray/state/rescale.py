@@ -158,6 +158,10 @@ def split_snapshot(snap: dict, new_shards: int, sidecar_dir: str | None,
         chains = _split_dict(fun["chains"], new_shards)
         pending = _split_dict(fun["pending"], new_shards)
         done = _split_rows(list(fun["done"]), lambda k: k, new_shards)
+        # CEP extension state: pending timeout rows move with their key;
+        # the scalar veto count (not key-attributable) rides on shard 0
+        funto = _split_rows(fun.get("timeouts", []), lambda r: r[0],
+                            new_shards)
     tk = snap.get("topk")
     counts = _split_dict(tk["counts"], new_shards) if tk is not None else None
     di = snap.get("distinct")
@@ -177,6 +181,10 @@ def split_snapshot(snap: dict, new_shards: int, sidecar_dir: str | None,
                          "updates": sess_upd[j]},
             "funnel": (None if fun is None else
                        {"n": fun["n"], "within_us": fun["within_us"],
+                        "veto_stage": fun.get("veto_stage"),
+                        "emit_timeouts": fun.get("emit_timeouts", False),
+                        "vetoes": (fun.get("vetoes", 0) if j == 0 else 0),
+                        "timeouts": funto[j],
                         "chains": chains[j], "pending": pending[j],
                         "done": done[j]}),
             "topk": (None if tk is None else
@@ -218,8 +226,14 @@ def merge_fragments(frags: list[dict]) -> dict:
             if o is None:
                 o = out["funnel"] = {"n": fun["n"],
                                      "within_us": fun["within_us"],
+                                     "veto_stage": fun.get("veto_stage"),
+                                     "emit_timeouts":
+                                         fun.get("emit_timeouts", False),
+                                     "vetoes": 0, "timeouts": [],
                                      "chains": {}, "pending": {},
                                      "done": []}
+            o["vetoes"] += fun.get("vetoes", 0)
+            o["timeouts"].extend(fun.get("timeouts", []))
             o["chains"].update(fun["chains"])
             o["pending"].update(fun["pending"])
             o["done"].extend(fun["done"])

@@ -378,14 +378,26 @@ class FunnelState:
     tombstone entry; open state is O(stages + pending buffer).
     """
 
-    def __init__(self, n_stages: int, within_us: int):
+    def __init__(self, n_stages: int, within_us: int,
+                 veto_stage: int | None = None,
+                 emit_timeouts: bool = False):
         if n_stages < 2:
             raise ValueError("funnel needs at least two stages")
         self.n = n_stages
         self.within_us = within_us
+        # negation (Flink CEP notFollowedBy): an event of this stage
+        # index folding strictly after chain start while the chain is
+        # incomplete KILLS the match (no row; counted in ``vetoes``)
+        self.veto_stage = veto_stage
+        # timed-out partial matches: when True, a started chain that can
+        # no longer complete within the bound emits
+        # (key, start_us, timeout_us, reached_stage) via pop_timeouts()
+        self.emit_timeouts = emit_timeouts
         self.chains: dict[str, list[int | None]] = {}
         self.pending: dict[str, list[tuple[int, int]]] = {}  # (ts, stage)
         self.done: set[str] = set()
+        self.vetoes = 0
+        self._timeouts: list[tuple[str, int, int, int]] = []
 
     def add(self, keys: list[str], stages: np.ndarray,
             ts_us: np.ndarray) -> None:
@@ -414,7 +426,18 @@ class FunnelState:
             if chain is None:
                 chain = self.chains[key] = [None] * n
             ripe.sort()
+            vetoed = False
             for ts, stage in ripe:
+                if stage == self.veto_stage:
+                    # notFollowedBy: a veto event strictly after chain
+                    # start while the chain is incomplete kills the key.
+                    # (On an equal-ts tie with the completing event the
+                    # completion folds first: pending sorts (ts, stage)
+                    # and the veto index is the largest stage.)
+                    if chain[0] is not None and ts > chain[0]:
+                        vetoed = True
+                        break
+                    continue
                 if stage == 0:
                     if chain[0] is None:
                         chain[0] = ts
@@ -428,16 +451,40 @@ class FunnelState:
                 self.pending[key] = rest
             else:
                 del self.pending[key]
+            if vetoed:
+                self.vetoes += 1
+                self._tombstone(key)
+                continue
             if chain[n - 1] is not None:
                 if chain[n - 1] - chain[0] <= within:
                     out.append((key, chain[0], chain[n - 1]))
-                self._tombstone(key)
+                    self._tombstone(key)
+                # else: complete but beyond the bound — leave it for the
+                # timeout sweep below (watermark > start + within holds,
+                # since the completing event has already folded)
         # timeout eviction: an open chain whose completion would now
-        # violate the bound can never match
+        # violate the bound can never match; with emit_timeouts the
+        # partial progress surfaces as a timed-out-match row
         for key, chain in list(self.chains.items()):
             if chain[0] is not None and watermark_us > chain[0] + within:
+                if self.emit_timeouts:
+                    bound = chain[0] + within
+                    reached = sum(1 for t in chain
+                                  if t is not None and t <= bound)
+                    self._timeouts.append((key, chain[0], bound, reached))
                 self._tombstone(key)
         out.sort()
+        return out
+
+    def pop_timeouts(self) -> list[tuple[str, int, int, int]]:
+        """Drain timed-out partial matches accumulated by ``close``:
+        ``(key, start_us, timeout_us, reached_stage)`` sorted. Rows are
+        deterministic across epoch layouts: a key times out at the
+        first close whose watermark passes ``start + within``, and
+        ``reached_stage`` counts only chain entries at or below that
+        bound (all folded by then)."""
+        out = sorted(self._timeouts)
+        self._timeouts = []
         return out
 
     def _tombstone(self, key: str) -> None:
@@ -446,7 +493,7 @@ class FunnelState:
         self.pending.pop(key, None)
 
     def snapshot(self) -> dict:
-        return {
+        snap = {
             "n": self.n,
             "within_us": self.within_us,
             "chains": {k: list(v) for k, v in self.chains.items()},
@@ -454,15 +501,26 @@ class FunnelState:
                         for k, v in self.pending.items()},
             "done": sorted(self.done),
         }
+        if (self.veto_stage is not None or self.emit_timeouts
+                or self.vetoes or self._timeouts):
+            snap["veto_stage"] = self.veto_stage
+            snap["emit_timeouts"] = self.emit_timeouts
+            snap["vetoes"] = self.vetoes
+            snap["timeouts"] = [list(r) for r in self._timeouts]
+        return snap
 
     @classmethod
     def restore(cls, snap: dict) -> "FunnelState":
-        st = cls(snap["n"], snap["within_us"])
+        st = cls(snap["n"], snap["within_us"],
+                 veto_stage=snap.get("veto_stage"),
+                 emit_timeouts=snap.get("emit_timeouts", False))
         st.chains = {k: list(v) for k, v in snap["chains"].items()}
         st.pending = {
             k: [tuple(e) for e in v] for k, v in snap["pending"].items()
         }
         st.done = set(snap["done"])
+        st.vetoes = snap.get("vetoes", 0)
+        st._timeouts = [tuple(r) for r in snap.get("timeouts", [])]
         return st
 
 

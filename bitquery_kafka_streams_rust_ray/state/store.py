@@ -764,10 +764,16 @@ class SessionState:
             else:
                 self.sessions.pop(key, None)
         if self.closed:
-            # age out retained emissions the horizon can no longer touch
+            # age out retained emissions the horizon can no longer touch.
+            # Kept on EQUALITY: an accepted-late row satisfies
+            # ts >= watermark - horizon, and a row at exactly ts ==
+            # session_end still merges (extension allows ts - last ==
+            # gap), so a session is only unreachable once
+            # end + horizon < watermark — dropping at == would fragment
+            # a merge the batch semantics performs
             for key, rents in list(self.closed.items()):
                 kept = [r for r in rents
-                        if (r[1] + self.gap_us) + horizon > watermark_us]
+                        if (r[1] + self.gap_us) + horizon >= watermark_us]
                 if kept:
                     self.closed[key] = kept
                 else:

@@ -14,7 +14,7 @@ rows are never late).
 """
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from bitquery_kafka_streams_rust_ray.state.store import (DedupState,
                                                          FunnelState,
@@ -227,3 +227,70 @@ def test_spill_dedup_equals_dict_backend(events, cuts, window):
         assert ref.evict(wm) == spill.evict(wm)
         ref = DedupState.restore(ref.snapshot())
         spill = restore_dedup(spill.snapshot())
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),   # ts (ARRIVAL order)
+            st.integers(min_value=0, max_value=3),     # key id
+        ),
+        min_size=1, max_size=80,
+    ),
+    epoch_size=st.integers(min_value=1, max_value=20),
+    gap=st.integers(5, 60),
+    horizon=st.integers(1, 120),
+)
+# the exact retention boundary: the late row at ts=10 satisfies both
+# ts == watermark - horizon (accepted) and ts == retained session end
+# (merges), so the retained emission must survive aging at
+# end + horizon == watermark — random search almost never lands on the
+# double coincidence, hence the pinned example
+@example(events=[(0, 0), (15, 0), (10, 0)], epoch_size=1, gap=10,
+         horizon=5)
+def test_session_changelog_view_equals_batch(events, epoch_size, gap,
+                                             horizon):
+    """Update-mode contract: base emissions patched by the retract/add
+    changelog (plus the drain) equal one batch pass over exactly the
+    rows the engine accepts. Events arrive OUT OF ORDER; the mapper's
+    acceptance rule (ts >= frozen_watermark - horizon) decides which
+    rows both sides see, so this pins acceptance, retention aging,
+    reopen/merge and the changelog algebra against each other."""
+    inc = SessionState(gap, update_horizon_us=horizon)
+    wm = -(10 ** 18)
+    accepted: list[tuple[int, int]] = []
+    base: list[tuple] = []
+    changelog: list[tuple] = []
+    for i in range(0, len(events), epoch_size):
+        epoch = events[i:i + epoch_size]
+        ok = [e for e in epoch if e[0] >= wm - horizon]
+        accepted.extend(ok)
+        if ok:
+            inc.add([f"k{e[1]}" for e in ok],
+                    np.array([e[0] for e in ok], dtype=np.int64),
+                    np.ones(len(ok)))
+            wm = max(wm, max(e[0] for e in ok))
+        base.extend(inc.close(wm))
+        changelog.extend(inc.pop_updates(wm))
+        inc = SessionState.restore(inc.snapshot())
+    base.extend(inc.close(10 ** 18))
+    changelog.extend(inc.pop_updates(10 ** 18))
+
+    view = {}
+    for key, s, e, c, t in base:
+        view[(key, s, e)] = (c, t)
+    for key, s, e, c, t, action, _rev in changelog:
+        if action == "retract":
+            assert view.pop((key, s, e)) == (c, t)
+        else:
+            view[(key, s, e)] = (c, t)
+
+    batch = SessionState(gap)
+    if accepted:
+        batch.add([f"k{e[1]}" for e in accepted],
+                  np.array([e[0] for e in accepted], dtype=np.int64),
+                  np.ones(len(accepted)))
+    want = {(key, s, e): (c, t)
+            for key, s, e, c, t in batch.close(10 ** 18)}
+    assert view == want

@@ -294,3 +294,66 @@ def test_session_changelog_view_equals_batch(events, epoch_size, gap,
     want = {(key, s, e): (c, t)
             for key, s, e, c, t in batch.close(10 ** 18)}
     assert view == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),   # ts (ARRIVAL order)
+            st.integers(min_value=0, max_value=3),     # key id
+        ),
+        min_size=1, max_size=80,
+    ),
+    epoch_size=st.integers(min_value=1, max_value=20),
+    width=st.integers(5, 60),
+    horizon=st.integers(1, 120),
+)
+def test_window_corrections_view_equals_batch(events, epoch_size, width,
+                                              horizon):
+    """Update-mode window contract, the revision-based sibling of the
+    session changelog property: base emissions superseded by each
+    window's highest-revision correction must equal one batch pass over
+    exactly the accepted rows."""
+    from bitquery_kafka_streams_rust_ray.state.store import WindowState
+
+    def add(ws, rows):
+        ws.add_partials(
+            "t", [f"k{e[1]}" for e in rows],
+            np.array([(e[0] // width) * width for e in rows],
+                     dtype=np.int64),
+            np.array([(e[0] // width) * width + width for e in rows],
+                     dtype=np.int64),
+            np.ones(len(rows), dtype=np.int64),
+            np.ones(len(rows)),
+        )
+
+    inc = WindowState(update_horizon_us=horizon)
+    wm = -(10 ** 18)
+    accepted: list[tuple[int, int]] = []
+    view: dict = {}
+    for i in range(0, len(events), epoch_size):
+        epoch = events[i:i + epoch_size]
+        ok = [e for e in epoch if e[0] >= wm - horizon]
+        accepted.extend(ok)
+        if ok:
+            add(inc, ok)
+            wm = max(wm, max(e[0] for e in ok))
+        for _k, key, s, e, c, t in inc.close(wm):
+            view[(key, s)] = (e, c, t)
+        for _k, key, s, e, c, t, _rev in inc.pop_updates(wm):
+            assert (key, s) in view  # corrections only revise emitted rows
+            view[(key, s)] = (e, c, t)
+        inc = WindowState.restore(inc.snapshot(),
+                                  update_horizon_us=horizon)
+    for _k, key, s, e, c, t in inc.close(10 ** 18):
+        view[(key, s)] = (e, c, t)
+    for _k, key, s, e, c, t, _rev in inc.pop_updates(10 ** 18):
+        view[(key, s)] = (e, c, t)
+
+    batch = WindowState()
+    if accepted:
+        add(batch, accepted)
+    want = {(key, s): (e, c, t)
+            for _k, key, s, e, c, t in batch.close(10 ** 18)}
+    assert view == want

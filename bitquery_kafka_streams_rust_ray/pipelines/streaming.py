@@ -1093,6 +1093,16 @@ class StreamingPagesPipeline:
                 for c in ("session_start", "session_end"):
                     r[c] = int(pd.Timestamp(r[c]).value // 1000)
             return out
+        if subpath == "funnel_timeouts":
+            # abandoned funnels committed in the latest epoch
+            p = os.path.join(d, "funnel_timeouts.parquet")
+            if not os.path.exists(p):
+                return []
+            out = _pq.read_table(p).to_pylist()
+            for r in out:
+                for c in ("start_ts", "timeout_ts"):
+                    r[c] = int(pd.Timestamp(r[c]).value // 1000)
+            return out
         if subpath == "watermark":
             # where the watermark stands and why: per-partition maxes
             # under min-combine, idle counters (which streams are

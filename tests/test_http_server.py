@@ -287,3 +287,47 @@ def test_queryable_state_watermark_view(tmp_path, ray_session):
     pipe2.run(resume=False)
     v2 = pipe2._queryable_state("watermark")
     assert "partitions" not in v2 and isinstance(v2["watermark_us"], int)
+
+
+def test_queryable_state_cep_and_session_views(tmp_path, ray_session):
+    """/state/session_updates and /state/funnel_timeouts serve the
+    latest epoch's committed changelog/abandoned-funnel rows (empty
+    list when the output is absent)."""
+    from bitquery_kafka_streams_rust_ray.config import EngineConfig, FunnelConfig
+    from bitquery_kafka_streams_rust_ray.pipelines.streaming import (
+        StreamingPagesPipeline)
+    from bitquery_kafka_streams_rust_ray.sources.pages import (
+        PagesSpec, generate_host_metadata, generate_pages)
+
+    d = str(tmp_path / "pages_cepview")
+    spec = PagesSpec(num_rows=1_000, very_late_frac=0.05, seed=11)
+    generate_pages(d, spec)
+    generate_host_metadata(d, spec)
+    out = str(tmp_path / "cepview_out")
+    cfg = EngineConfig(min_text_len=1, state_shards=2,
+                       extract_concurrency=2, update_mode=True,
+                       update_horizon_s=180,
+                       funnel=FunnelConfig(veto_min_len=470,
+                                           emit_timeouts=True))
+    pipe = StreamingPagesPipeline(d, out, cfg)
+    pipe.run(resume=False)
+
+    sview = pipe._queryable_state("session_updates")
+    assert isinstance(sview, list)
+    for r in sview:
+        assert r["action"] in ("retract", "add")
+        assert isinstance(r["session_start"], int)
+    fview = pipe._queryable_state("funnel_timeouts")
+    assert isinstance(fview, list)
+    for r in fview:
+        assert 1 <= r["reached_stage"] <= cfg.funnel.n_stages
+        assert isinstance(r["start_ts"], int)
+
+    # neither feature on -> both views degrade to []
+    out2 = str(tmp_path / "cepview_out2")
+    pipe2 = StreamingPagesPipeline(
+        d, out2, EngineConfig(min_text_len=1, state_shards=2,
+                              extract_concurrency=2))
+    pipe2.run(resume=False)
+    assert pipe2._queryable_state("session_updates") == []
+    assert pipe2._queryable_state("funnel_timeouts") == []

@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned vs the single-process oracle in
         # tests/test_streaming_update_mode.py)
         "session_corrections": q.session_corrections,
+        # savepoint fork: bootstrap a fresh out_dir from a committed
+        # checkpoint and continue — post-savepoint epochs byte-identical
+        # to the original (rows-only; pinned in tests/test_savepoint.py)
+        "streaming_savepoint_fork": q.streaming_savepoint_fork,
         # CEP negation: funnel with no error event inside (start, end)
         # (Flink notFollowedBy; exact SQL oracle)
         "funnel_veto_events": q.funnel_veto_events,

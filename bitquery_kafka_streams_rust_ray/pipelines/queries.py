@@ -3693,6 +3693,59 @@ def streaming_corrections(sf_dir: str) -> pd.DataFrame:
                            ).reset_index(drop=True)
 
 
+def streaming_savepoint_fork(sf_dir: str) -> pd.DataFrame:
+    """Savepoint showcase (rows-only): export epoch 1's committed
+    checkpoint from a finished reference run, bootstrap a FRESH output
+    dir from it (``state/savepoint.py``), and resume — forking the
+    processing without the history. The entry SELF-CHECKS byte-equality
+    of every post-savepoint epoch file between fork and original, then
+    returns the fork's committed tumbling windows."""
+    import hashlib
+    import shutil
+
+    from ..config import EngineConfig
+    from ..pipelines.flagship import ensure_pages_log, run_flagship
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+    from ..sources.pages import PagesSpec
+    from ..state.savepoint import export_savepoint, fork_from_savepoint
+
+    tier = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    rows = 6000 if tier.endswith("0.01") else 2000
+    data_dir = f"/tmp/bitquery_kafka_streams_rust_ray_pages_{tier}_{rows}"
+    ensure_pages_log(data_dir, PagesSpec(num_rows=rows))
+    cfg = EngineConfig(min_text_len=1, state_shards=4,
+                       extract_concurrency=4, files_per_epoch=2)
+
+    ref_out = f"{data_dir}_sp_ref"
+    shutil.rmtree(ref_out, ignore_errors=True)
+    run_flagship(data_dir, ref_out, config=cfg, resume=False)
+    sp = f"{data_dir}_sp"
+    export_savepoint(ref_out, sp, epoch=1)
+    fork_out = f"{data_dir}_sp_fork"
+    shutil.rmtree(fork_out, ignore_errors=True)
+    fork_from_savepoint(sp, fork_out)
+    run_flagship(data_dir, fork_out, config=cfg, resume=True)
+
+    def hashes(out):
+        sink = EpochSink(out)
+        h = {}
+        for e in sink.committed_epochs():
+            if e <= 1:
+                continue
+            d = sink.epoch_dir(e)
+            for f in sorted(os.listdir(d)):
+                with open(os.path.join(d, f), "rb") as fh:
+                    h[f"{e}/{f}"] = hashlib.sha256(fh.read()).hexdigest()
+        return h
+
+    if hashes(fork_out) != hashes(ref_out):
+        raise AssertionError("forked epochs diverged from the original")
+    return (read_output_compacted(EpochSink(fork_out), "tumbling_lang")
+            .to_pandas()
+            .sort_values(["key", "window_start"]).reset_index(drop=True))
+
+
 def session_corrections(sf_dir: str) -> pd.DataFrame:
     """Session retract/add changelog showcase (rows-only): under update
     mode an accepted-late row that lands within ``gap`` of an

@@ -89,6 +89,7 @@ def run_oracle(
     upd_rows: list[tuple] = []
     sess_upd_rows: list[tuple] = []
     early_rows: list[tuple] = []
+    sess_early_rows: list[tuple] = []
     if cfg.update_mode:
         counters["late_accepted"] = 0
     if funnel is not None:
@@ -111,6 +112,11 @@ def run_oracle(
             sess_rows.append((epoch, *r))
         for r in sessions.pop_updates(wm):
             sess_upd_rows.append((epoch, *r))
+        if cfg.early_fire:
+            # preview AFTER the close, like windows (and StateShard):
+            # only sessions still open leave a speculative row
+            for r in sessions.preview():
+                sess_early_rows.append((epoch, *r))
         if funnel is not None:
             for r in funnel.close(wm):
                 fun_rows.append((epoch, *r))
@@ -258,6 +264,7 @@ def run_oracle(
         "window_updates": upd_rows,
         "session_updates": sess_upd_rows,
         "window_early": early_rows,
+        "session_early": sess_early_rows,
         "sessions": sess_rows,
         "funnels": fun_rows,
         "funnel_timeouts": funto_rows,

@@ -395,6 +395,9 @@ class StateShard:
         closed_sessions = self.sessions.close(watermark_us)
         # session retract/add changelog (empty when update mode is off)
         updated_sessions = self.sessions.pop_updates(watermark_us)
+        # early firing: previews of sessions still open after this close
+        early_sessions = (self.sessions.preview()
+                          if self.cfg.early_fire else [])
         closed_funnels = (self.funnel.close(watermark_us)
                           if self.funnel is not None else [])
         # timed-out partial matches + this epoch's veto count (empty/0
@@ -412,6 +415,7 @@ class StateShard:
         return {"windows": closed_windows, "window_updates": updated_windows,
                 "window_early": early_windows, "sessions": closed_sessions,
                 "session_updates": updated_sessions,
+                "session_early": early_sessions,
                 "funnels": closed_funnels,
                 "funnel_timeouts": funnel_timeouts, "vetoes": vetoes,
                 "topk": topk, "distinct": closed_distinct,
@@ -1532,6 +1536,7 @@ class StreamingPagesPipeline:
         early_rows: list = []
         session_rows: list = []
         session_update_rows: list = []
+        session_early_rows: list = []
         funnel_rows: list = []
         funnel_timeout_rows: list = []
         vetoes_total = 0
@@ -1543,6 +1548,7 @@ class StreamingPagesPipeline:
             early_rows.extend(c["window_early"])
             session_rows.extend(c["sessions"])
             session_update_rows.extend(c["session_updates"])
+            session_early_rows.extend(c["session_early"])
             funnel_rows.extend(c["funnels"])
             funnel_timeout_rows.extend(c["funnel_timeouts"])
             vetoes_total += c["vetoes"]
@@ -1553,6 +1559,7 @@ class StreamingPagesPipeline:
         early_rows.sort()
         session_rows.sort()
         session_update_rows.sort()
+        session_early_rows.sort()
         funnel_rows.sort()
         funnel_timeout_rows.sort()
 
@@ -1658,6 +1665,32 @@ class StreamingPagesPipeline:
                         [r[5] for r in early_rows], type=pa.float64()),
                 }
             )
+            # session previews complete the trigger triple for sessions
+            # (early / on-time / late changelog). The provisional end is
+            # last + gap; supersession is by CONTAINMENT (a bridging
+            # event can move start earlier), not key equality.
+            tables["session_early"] = pa.table(
+                {
+                    "epoch": pa.array([epoch] * len(session_early_rows),
+                                      type=pa.int64()),
+                    "host": pa.array([r[0] for r in session_early_rows],
+                                     type=pa.string()),
+                    "session_start": pa.array(
+                        np.array([r[1] for r in session_early_rows],
+                                 dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                    "session_end": pa.array(
+                        np.array([r[2] for r in session_early_rows],
+                                 dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                    "doc_count": pa.array(
+                        [r[3] for r in session_early_rows],
+                        type=pa.int64()),
+                    "total_chars": pa.array(
+                        [float(r[4]) for r in session_early_rows],
+                        type=pa.float64()),
+                }
+            )
         if self.cfg.sketch_distinct:
             # per-(lang, window) distinct hosts: exact companion next to
             # the HLL estimate (the 100-TB path), plus the accuracy
@@ -1755,7 +1788,7 @@ class StreamingPagesPipeline:
             t.num_rows for n, t in tables.items()
             if n not in ("funnel_host", "topk_host", "window_updates",
                          "window_early", "session_updates",
-                         "funnel_timeouts")
+                         "session_early", "funnel_timeouts")
         )
         if "window_updates" in tables:
             counters["windows_updated"] = tables["window_updates"].num_rows

@@ -781,6 +781,24 @@ class SessionState:
         out.sort()
         return out
 
+    def preview(self) -> list[tuple]:
+        """Speculative (early-firing) view of every still-open session:
+        ``(key, start_us, provisional_end_us, count, total)`` sorted,
+        where the provisional end is ``last + gap`` (what the session
+        would close as if no further event arrived). Pure read —
+        nothing emitted or evicted; the final close (or a correction
+        add) supersedes previews. Unlike window previews a session's
+        identity can shift between previews (a bridging event can move
+        ``start`` earlier), so supersession is by containment, not by
+        key equality."""
+        out = [
+            (key, s.start, s.last + self.gap_us, s.count, s.total)
+            for key, items in self.sessions.items()
+            for s in items
+        ]
+        out.sort()
+        return out
+
     def pop_updates(self, _watermark_us: int = 0) -> list[tuple]:
         """Drain the correction changelog: ``(key, start_us, end_us,
         count, total, action, revision)`` rows, tuple-sorted for

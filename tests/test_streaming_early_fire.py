@@ -94,3 +94,44 @@ def test_early_fire_matches_oracle(early_run):
     pd.testing.assert_frame_equal(
         _norm(final, ["key", "window_start"]), w, check_dtype=False,
         obj="tumbling_lang under early_fire")
+
+
+def test_session_early_previews_match_oracle(early_run):
+    import pyarrow.parquet as pq
+
+    d, out, _ = early_run
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+    oracle = run_oracle(d, CFG_EARLY, PageFilter(min_text_len=1), meta)
+
+    sink = EpochSink(out)
+    got = read_output_compacted(sink, "session_early").to_pandas()
+    rows = oracle["session_early"]
+    want = pd.DataFrame({
+        "epoch": [r[0] for r in rows],
+        "host": [r[1] for r in rows],
+        "session_start": pd.to_datetime([r[2] for r in rows], unit="us"),
+        "session_end": pd.to_datetime([r[3] for r in rows], unit="us"),
+        "doc_count": [r[4] for r in rows],
+        "total_chars": [float(r[5]) for r in rows],
+    })
+    assert len(got) > 0, "early firing produced no session previews"
+    sort = ["epoch", "host", "session_start"]
+    pd.testing.assert_frame_equal(
+        _norm(got, sort), _norm(want, sort), check_dtype=False,
+        obj="session_early")
+
+    # supersession by CONTAINMENT: every preview is inside exactly one
+    # final emitted session of the same host, with count no larger than
+    # the final's (a bridging event can move start earlier, so key
+    # equality would be the wrong check)
+    final = read_output_compacted(sink, "session_host").to_pandas()
+    by_host = {h: g for h, g in final.groupby("host")}
+    for r in got.itertuples():
+        fg = by_host.get(r.host)
+        assert fg is not None, f"previewed host {r.host} never finalized"
+        hit = fg[(fg["session_start"] <= r.session_start)
+                 & (fg["session_end"] >= r.session_end)]
+        assert len(hit) == 1, (
+            f"preview {r.host} [{r.session_start}, {r.session_end}) is "
+            f"contained in {len(hit)} final sessions, want exactly 1")
+        assert int(hit["doc_count"].iloc[0]) >= r.doc_count

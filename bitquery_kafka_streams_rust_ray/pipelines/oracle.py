@@ -250,7 +250,8 @@ def run_oracle(
     # drain (must mirror StreamingPagesPipeline._drain_epoch)
     margin_us = (
         cfg.allowed_lateness_s + cfg.windows.tumbling_size_s
-        + cfg.windows.sliding_size_s + cfg.windows.session_gap_s + 1
+        + cfg.windows.sliding_size_s + cfg.windows.session_gap_s
+        + (cfg.funnel.within_s if cfg.funnel.enabled else 0) + 1
     ) * US
     watermark.observe(
         watermark.drain_base_us + cfg.allowed_lateness_s * US + margin_us

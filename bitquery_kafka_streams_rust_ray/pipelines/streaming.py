@@ -412,7 +412,29 @@ class StateShard:
         closed_distinct = (self.distinct.close(watermark_us)
                            if self.distinct is not None else [])
         evicted = self.dedup.evict(watermark_us)
+        # post-close state sizes — the gauges an operator watches at
+        # 10^12 rows: keyed state that fails to evict shows up here as
+        # monotone growth long before an actor OOMs (reference exports
+        # the same style of Prometheus gauges)
+        sizes = {
+            "dedup_keys": self.dedup.size(),
+            "open_windows": len(self.windows.acc),
+            "retained_windows": len(self.windows.closed),
+            "open_sessions": sum(len(v)
+                                 for v in self.sessions.sessions.values()),
+            "retained_sessions": sum(len(v)
+                                     for v in self.sessions.closed.values()),
+            "funnel_open": (len(self.funnel.chains)
+                            if self.funnel is not None else 0),
+            "funnel_done": (len(self.funnel.done)
+                            if self.funnel is not None else 0),
+            "topk_keys": (len(self.topk.counts)
+                          if self.topk is not None else 0),
+            "distinct_open": (len(self.distinct.window_end)
+                              if self.distinct is not None else 0),
+        }
         return {"windows": closed_windows, "window_updates": updated_windows,
+                "sizes": sizes,
                 "window_early": early_windows, "sessions": closed_sessions,
                 "session_updates": updated_sessions,
                 "session_early": early_sessions,
@@ -1518,6 +1540,10 @@ class StreamingPagesPipeline:
             + cfg.windows.tumbling_size_s
             + cfg.windows.sliding_size_s
             + cfg.windows.session_gap_s
+            # funnel chains time out at start + within: without this
+            # term a chain started near stream end stays open past the
+            # drain (its timeout row would never emit)
+            + (cfg.funnel.within_s if cfg.funnel.enabled else 0)
             + 1
         ) * US
         watermark.observe(watermark.drain_base_us + cfg.allowed_lateness_s * US
@@ -1542,7 +1568,12 @@ class StreamingPagesPipeline:
         vetoes_total = 0
         topk_cands: list = []
         distinct_rows: list = []
+        size_tot: dict[str, int] = {}
+        size_max: dict[str, int] = {}
         for c in closed:
+            for k, v in c["sizes"].items():
+                size_tot[k] = size_tot.get(k, 0) + v
+                size_max[k] = max(size_max.get(k, 0), v)
             window_rows.extend(c["windows"])
             update_rows.extend(c["window_updates"])
             early_rows.extend(c["window_early"])
@@ -1782,6 +1813,13 @@ class StreamingPagesPipeline:
                                           type=pa.int64()),
                 }
             )
+
+        # state-size gauges: total across shards plus the hottest shard
+        # (total/max divergence = key skew made visible)
+        for k, v in size_tot.items():
+            self.metrics.set_gauge(f"state_{k}", float(v))
+            self.metrics.set_gauge(f"state_{k}_max_shard",
+                                   float(size_max[k]))
 
         counters = dict(counters)
         counters["windows_emitted"] = sum(

@@ -58,6 +58,9 @@ class DedupState:
             last_seen[key] = ts
         return keep
 
+    def size(self) -> int:
+        return len(self.last_seen)
+
     def evict(self, watermark_us: int) -> int:
         """Drop keys that can no longer mark any future row duplicate."""
         horizon = watermark_us - self.window_us
@@ -146,6 +149,11 @@ class SpillDedupState:
             local.items())
         self.con.commit()
         return keep
+
+    def size(self) -> int:
+        """Key count via an index-only B-tree walk — one query per
+        epoch for the state-size gauge (not on the row path)."""
+        return self.con.execute("SELECT count(*) FROM kv").fetchone()[0]
 
     def evict(self, watermark_us: int) -> int:
         cur = self.con.execute("DELETE FROM kv WHERE ts < ?",
@@ -464,9 +472,17 @@ class FunnelState:
                 # since the completing event has already folded)
         # timeout eviction: an open chain whose completion would now
         # violate the bound can never match; with emit_timeouts the
-        # partial progress surfaces as a timed-out-match row
+        # partial progress surfaces as a timed-out-match row.
+        # All-None chains (keys that have only seen post-start stages)
+        # hold zero information — the fold recreates them identically
+        # when the next event arrives — so they are dropped rather than
+        # held forever: per-key steady state stays the tombstone or
+        # nothing, never a dormant empty array.
         for key, chain in list(self.chains.items()):
-            if chain[0] is not None and watermark_us > chain[0] + within:
+            if chain[0] is None:
+                del self.chains[key]
+                continue
+            if watermark_us > chain[0] + within:
                 if self.emit_timeouts:
                     bound = chain[0] + within
                     reached = sum(1 for t in chain

@@ -52,6 +52,7 @@ def run_flagship(
     output_dir: str,
     config: EngineConfig | None = None,
     resume: bool = True,
+    drain: bool = True,
 ) -> dict:
     """Run the full streaming pipeline; returns the run summary."""
     config = config or EngineConfig(min_text_len=1)
@@ -69,7 +70,7 @@ def run_flagship(
         page_filter=page_filter,
         host_metadata=meta,
     )
-    summary = pipe.run(resume=resume)
+    summary = pipe.run(resume=resume, drain=drain)
     summary["sink"] = output_dir
     return summary
 

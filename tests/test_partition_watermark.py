@@ -105,10 +105,10 @@ def test_min_combine_never_drops_more_than_global(tmp_path):
 
 
 def test_all_features_combined_matches_oracle(tmp_path):
-    """update_mode + early_fire + per_partition_watermark together:
-    the single-process oracle replays the combined semantics and every
-    counter and correction row must match (feature interactions are
-    where trigger bugs hide)."""
+    """update_mode + early_fire + per_partition_watermark + CEP veto +
+    funnel timeouts together: the single-process oracle replays the
+    combined semantics and every counter and correction row must match
+    (feature interactions are where trigger bugs hide)."""
     import pyarrow.parquet as pq
 
     from bitquery_kafka_streams_rust_ray.sinks.compaction import read_output_compacted
@@ -120,10 +120,14 @@ def test_all_features_combined_matches_oracle(tmp_path):
     spec = PagesSpec(num_rows=2_000, very_late_frac=0.05, seed=11)
     generate_pages(d, spec)
     generate_host_metadata(d, spec)
+    from bitquery_kafka_streams_rust_ray.config import FunnelConfig
+
     cfg = EngineConfig(min_text_len=1, state_shards=4,
                        extract_concurrency=2, files_per_epoch=2,
                        update_mode=True, update_horizon_s=60,
-                       early_fire=True, per_partition_watermark=True)
+                       early_fire=True, per_partition_watermark=True,
+                       funnel=FunnelConfig(veto_min_len=470,
+                                           emit_timeouts=True))
     out = str(tmp_path / "combined_out")
     summary = run_flagship(d, out, config=cfg)
     meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
@@ -141,6 +145,11 @@ def test_all_features_combined_matches_oracle(tmp_path):
     assert len(upd) == len(want_upd)
     early = read_output_compacted(sink, "window_early").to_pandas()
     assert len(early) == len(oracle["window_early"])
+    searly = read_output_compacted(sink, "session_early").to_pandas()
+    assert len(searly) == len(oracle["session_early"])
+    fto = read_output_compacted(sink, "funnel_timeouts").to_pandas()
+    assert len(fto) == len(oracle["funnel_timeouts"]) > 0
+    assert c["funnels_vetoed"] > 0
 
 
 def test_tracker_idleness_excludes_and_never_regresses():

@@ -439,10 +439,17 @@ class FunnelState:
                 if stage == self.veto_stage:
                     # notFollowedBy: a veto event strictly after chain
                     # start while the chain is incomplete kills the key.
-                    # (On an equal-ts tie with the completing event the
+                    # Bounded by the pattern window (ts <= start +
+                    # within, like Flink's notFollowedBy inside
+                    # .within()): past the bound the chain has already
+                    # timed out in event time, and honoring a later
+                    # veto would make the emitted timeout row depend on
+                    # the epoch layout (sweep-vs-fold race). On an
+                    # equal-ts tie with the completing event the
                     # completion folds first: pending sorts (ts, stage)
-                    # and the veto index is the largest stage.)
-                    if chain[0] is not None and ts > chain[0]:
+                    # and the veto index is the largest stage.
+                    if (chain[0] is not None and ts > chain[0]
+                            and ts <= chain[0] + within):
                         vetoed = True
                         break
                     continue

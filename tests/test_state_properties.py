@@ -357,3 +357,88 @@ def test_window_corrections_view_equals_batch(events, epoch_size, width,
     want = {(key, s): (e, c, t)
             for _k, key, s, e, c, t in batch.close(10 ** 18)}
     assert view == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),  # ts
+            st.integers(min_value=0, max_value=3),    # key id
+            st.integers(min_value=0, max_value=3),    # stage (3 = veto)
+        ),
+        min_size=1, max_size=80,
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=320),
+                  min_size=1, max_size=5).map(sorted),
+    within=st.integers(5, 200),
+    use_veto=st.booleans(),
+)
+def test_funnel_incremental_equals_batch_semantics(events, cuts, within,
+                                                   use_veto):
+    """The streaming FunnelState (veto + timeouts) must equal one batch
+    pass over the same events, for EVERY epoch layout:
+
+    * match: greedy chain completes at t2 <= t0 + within, with no veto
+      strictly inside (t0, t2) — an equal-ts veto loses to completion;
+    * silent kill: a veto in (t0, t0 + within] while the chain is
+      incomplete (no row at all);
+    * timeout: started, not matched, not vetoed — (t0, t0 + within,
+      in-bound reached count).
+
+    Events fold in (ts, stage) order, so the batch truth below is a
+    direct transcription of those rules over the greedy chain times.
+    """
+    n = 3
+    veto = 3 if use_veto else None
+    if not use_veto:
+        # without a veto bound the engine's searchsorted classifies the
+        # largest pages as the top chain stage, never stage n
+        events = [(ts, kid, min(stage, 2)) for ts, kid, stage in events]
+    W = within * US
+    inc = FunnelState(n, W, veto_stage=veto, emit_timeouts=True)
+    lo = 0
+    matches, timeouts = [], []
+    for hi in [*cuts, 10 ** 9]:
+        epoch = [e for e in events if lo <= e[0] < hi]
+        lo = hi
+        if epoch:
+            inc.add([f"k{e[1]}" for e in epoch],
+                    np.array([e[2] for e in epoch], dtype=np.int64),
+                    np.array([e[0] * US for e in epoch], dtype=np.int64))
+        matches.extend(inc.close(hi * US))
+        timeouts.extend(inc.pop_timeouts())
+        inc = FunnelState.restore(inc.snapshot())
+
+    # batch truth: greedy chain times per key in (ts, stage) order
+    want_matches, want_timeouts = [], []
+    by_key: dict[str, list] = {}
+    for ts, kid, stage in sorted(events, key=lambda e: (e[0], e[2])):
+        by_key.setdefault(f"k{kid}", []).append((ts * US, stage))
+    for key, evs in sorted(by_key.items()):
+        chain = [None] * n
+        for ts, stage in evs:
+            if stage == 0:
+                if chain[0] is None:
+                    chain[0] = ts
+            elif stage < n and chain[stage] is None:
+                prev = chain[stage - 1]
+                if prev is not None and ts > prev:
+                    chain[stage] = ts
+        if chain[0] is None:
+            continue
+        t0, t2 = chain[0], chain[n - 1]
+        done = t2 is not None and t2 - t0 <= W
+        vts = [ts for ts, stage in evs if stage == veto] if veto else []
+        if done:
+            if any(t0 < v < t2 for v in vts):
+                continue  # vetoed during the (winning) chain: silent
+            want_matches.append((key, t0, t2))
+        else:
+            if any(t0 < v <= t0 + W for v in vts):
+                continue  # vetoed inside the pattern window: silent
+            bound = t0 + W
+            reached = sum(1 for t in chain if t is not None and t <= bound)
+            want_timeouts.append((key, t0, bound, reached))
+    assert sorted(matches) == sorted(want_matches)
+    assert sorted(timeouts) == sorted(want_timeouts)

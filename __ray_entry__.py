@@ -47,6 +47,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checkpoint and continue — post-savepoint epochs byte-identical
         # to the original (rows-only; pinned in tests/test_savepoint.py)
         "streaming_savepoint_fork": q.streaming_savepoint_fork,
+        # stateful interval self-join: co-crawl page pairs per host
+        # within 60 s, exactly-once via dual-buffer state + watermark
+        # eviction (rows-only with an in-entry DuckDB self-join check;
+        # pinned vs oracle + batch truth in tests/test_interval_join.py)
+        "streaming_interval_join": q.streaming_interval_join,
         # CEP negation: funnel with no error event inside (start, end)
         # (Flink notFollowedBy; exact SQL oracle)
         "funnel_veto_events": q.funnel_veto_events,

@@ -221,6 +221,16 @@ class EngineConfig:
     # update_mode — together they give the full trigger triple
     # (early speculation / on-time final / late correction).
 
+    interval_join_s: int = 0         # streaming dual-buffer interval
+    # self-join: emit every pair of surviving pages from the same host
+    # whose event times lie within this bound (co-crawl burst pairs)
+    # into a copage_pairs output. 0 = off. State is a per-host buffer
+    # with watermark eviction (ts + bound < watermark); a pair emits
+    # exactly once, when its later-arriving row folds in — the stateful
+    # streaming form of the batch interval join (stages/join.py).
+    # Order-sensitive: accepted-late correction rows are excluded, like
+    # the funnel. Fingerprinted only when on.
+
     # --- filter defaults (F4 analog: weight x text_len >= threshold) ---
     min_text_len: int = 0
     min_weighted_len: float = 0.0
@@ -255,6 +265,8 @@ class EngineConfig:
             raise ValueError("files_per_epoch must be positive")
         if self.epoch_replay_budget < 0:
             raise ValueError("epoch_replay_budget must be >= 0")
+        if self.interval_join_s < 0:
+            raise ValueError("interval_join_s must be >= 0")
         self.funnel.validate()
         if self.sink_breaker_threshold <= 0:
             raise ValueError("sink_breaker_threshold must be positive")

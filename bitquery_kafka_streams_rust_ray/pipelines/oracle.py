@@ -22,7 +22,8 @@ from ..functions.compression import decompress_safe
 from ..functions.extract import html_to_text
 from ..functions.filters import PageFilter
 from ..sources.pages import pages_files
-from ..state.store import (DedupState, FunnelState, SessionState, TopKState,
+from ..state.store import (DedupState, FunnelState, IntervalJoinState,
+                           SessionState, TopKState,
                            WindowState)
 from ..state.watermark import PartitionedWatermarkTracker, WatermarkTracker
 from ..stages.timeops import NEG_INF_TS, US, series_ts_us
@@ -59,6 +60,8 @@ def run_oracle(
               if cfg.funnel.enabled else None)
     topk = (TopKState(cfg.topk_hosts, cfg.topk_max_keys)
             if cfg.topk_hosts > 0 else None)
+    intervals = (IntervalJoinState(cfg.interval_join_s * US)
+                 if cfg.interval_join_s > 0 else None)
     watermark = (PartitionedWatermarkTracker(cfg.allowed_lateness_s * US)
                  if cfg.per_partition_watermark
                  else WatermarkTracker(cfg.allowed_lateness_s * US))
@@ -81,6 +84,7 @@ def run_oracle(
     pages_out = []
     win_rows, sess_rows, fun_rows, topk_rows = [], [], [], []
     funto_rows: list[tuple] = []
+    interval_rows: list[tuple] = []
     quarantine_rows: list[tuple] = []
     counters = {
         "rows_read": 0, "parse_errors": 0, "rows_filtered_out": 0,
@@ -127,6 +131,9 @@ def run_oracle(
                 counters["funnels_timed_out"] = len(funto_rows)
             if cfg.funnel.veto_min_len is not None:
                 counters["funnels_vetoed"] = funnel.vetoes
+        if intervals is not None:
+            for r in intervals.close(wm):
+                interval_rows.append((epoch, *r))
         if topk is not None:
             for rank, (host, c) in enumerate(topk.top(), start=1):
                 topk_rows.append((epoch, rank, host, c))
@@ -226,6 +233,15 @@ def run_oracle(
             _add_window(windows, "sliding:lang", df["lang"].fillna(""), ts,
                         lens, sld, slide)
             sessions.add(df["host"].tolist(), ts, lens)
+            if intervals is not None:
+                # interval self-join feed mirrors _partials: survivors,
+                # correction rows excluded, empty hosts dropped
+                idf = (df[df["_upd"] == 0] if cfg.update_mode else df)
+                idf = idf[idf["host"] != ""]
+                if len(idf):
+                    intervals.add(idf["host"].tolist(),
+                                  idf["url"].tolist(),
+                                  idf["_ts_us"].to_numpy())
             if topk is not None:
                 vc = df["host"].fillna("").value_counts()
                 topk.add(vc.index.tolist(), vc.to_numpy())
@@ -269,6 +285,7 @@ def run_oracle(
         "sessions": sess_rows,
         "funnels": fun_rows,
         "funnel_timeouts": funto_rows,
+        "copage_pairs": interval_rows,
         "topk": topk_rows,
         "quarantine": quarantine_rows,
         "counters": counters,

@@ -3693,6 +3693,63 @@ def streaming_corrections(sf_dir: str) -> pd.DataFrame:
                            ).reset_index(drop=True)
 
 
+def streaming_interval_join(sf_dir: str) -> pd.DataFrame:
+    """Streaming dual-buffer interval self-join showcase (rows-only):
+    the flagship with ``interval_join_s=60`` emits every pair of
+    surviving pages from the same host within 60 s of each other
+    (co-crawl bursts) into ``copage_pairs`` — exactly once, at the
+    later row's arrival epoch, with watermark-evicted per-host buffers
+    (the stateful streaming form of the batch interval join). The
+    entry SELF-CHECKS the emitted pair set against a DuckDB self-join
+    over the committed surviving pages."""
+    import shutil
+
+    import duckdb
+
+    from ..config import EngineConfig
+    from ..pipelines.flagship import ensure_pages_log, run_flagship
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+    from ..sources.pages import PagesSpec
+
+    tier = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    rows = 6000 if tier.endswith("0.01") else 2000
+    data_dir = f"/tmp/bitquery_kafka_streams_rust_ray_pages_{tier}_{rows}"
+    ensure_pages_log(data_dir, PagesSpec(num_rows=rows))
+    out_dir = f"{data_dir}_iv_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = EngineConfig(min_text_len=1, state_shards=8, extract_concurrency=4,
+                       interval_join_s=60)
+    run_flagship(data_dir, out_dir, config=cfg, resume=False)
+    sink = EpochSink(out_dir)
+    got = read_output_compacted(sink, "copage_pairs").to_pandas()
+    if not len(got):
+        raise AssertionError("interval join emitted no pairs")
+    pages = read_output_compacted(sink, "pages").to_pandas()
+    con = duckdb.connect()
+    con.register("pages", pages[["host", "url", "warc_ts"]])
+    want = con.execute("""
+        SELECT a.host, a.url AS url_a, a.warc_ts AS ts_a,
+               b.url AS url_b, b.warc_ts AS ts_b
+        FROM pages a JOIN pages b
+          ON a.host = b.host AND a.host <> ''
+         AND (a.warc_ts, a.url) < (b.warc_ts, b.url)
+         AND epoch_us(b.warc_ts) - epoch_us(a.warc_ts)
+             <= 60000000::BIGINT
+    """).df()
+    key = ["host", "url_a", "ts_a", "url_b", "ts_b"]
+    for df in (got, want):
+        df["ts_a"] = df["ts_a"].astype("datetime64[us]")
+        df["ts_b"] = df["ts_b"].astype("datetime64[us]")
+    g = got[key].sort_values(key).reset_index(drop=True)
+    w = want[key].sort_values(key).reset_index(drop=True)
+    if not g.equals(w):
+        raise AssertionError(
+            f"pair set diverged from the batch self-join "
+            f"({len(g)} vs {len(w)} rows)")
+    return g
+
+
 def streaming_savepoint_fork(sf_dir: str) -> pd.DataFrame:
     """Savepoint showcase (rows-only): export epoch 1's committed
     checkpoint from a finished reference run, bootstrap a FRESH output

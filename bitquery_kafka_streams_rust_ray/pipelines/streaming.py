@@ -75,6 +75,7 @@ from ..reliability import (HalfOpenCircuitBreaker, RetryConfig,
 from ..sinks.exactly_once import EpochSink, LockLostError
 from ..sources.pages import pages_files
 from ..state.store import (DedupState, DistinctWindowState, FunnelState,
+                           IntervalJoinState,
                            SessionState, SpillDedupState, TopKState,
                            restore_dedup, WindowState)
 from ..state.watermark import PartitionedWatermarkTracker, WatermarkTracker
@@ -131,6 +132,8 @@ class StateShard:
                      if config.topk_hosts > 0 else None)
         self.distinct = (DistinctWindowState(config.sketch_distinct_p)
                          if config.sketch_distinct else None)
+        self.intervals = (IntervalJoinState(config.interval_join_s * US)
+                          if config.interval_join_s > 0 else None)
         self.buffers: dict[int, list[pa.Table]] = {}
         self.qbuffers: dict[int, list[pa.Table]] = {}  # dead-letter rows
         self.epoch_attempt: dict[int, int] = {}  # replay fence per epoch
@@ -205,7 +208,8 @@ class StateShard:
             )
         if not chunks:
             return {"stats": stats, "windows": {}, "sessions": {},
-                    "funnels": {}, "hostcounts": {}, "distincts": {}}
+                    "funnels": {}, "hostcounts": {}, "distincts": {},
+                    "intervals": {}}
 
         # pure Arrow end to end: the buffered chunks are zero-copy views
         # into the object store, and a pandas round-trip of the full
@@ -225,10 +229,11 @@ class StateShard:
         stats["rows_deduped"] = int((~keep).sum())
         tbl = tbl.filter(pa.array(keep))
         _t2 = _time.time()
-        windows, sessions, funnels, hostcounts, distincts = {}, {}, {}, {}, {}
+        windows, sessions, funnels, hostcounts, distincts, intervals = (
+            {}, {}, {}, {}, {}, {})
         if tbl.num_rows:
             (windows, sessions, funnels, hostcounts,
-             distincts) = self._partials(tbl)
+             distincts, intervals) = self._partials(tbl)
             _t3 = _time.time()
             path = os.path.join(stage_dir, f"pages-{self.shard_id:04d}.parquet")
             drop = ["_ts_us"] + (["_upd"] if "_upd" in tbl.column_names
@@ -245,9 +250,11 @@ class StateShard:
             stats["rows_written"] = tbl.num_rows
         return {"stats": stats, "windows": windows, "sessions": sessions,
                 "funnels": funnels, "hostcounts": hostcounts,
-                "distincts": distincts}
+                "distincts": distincts, "intervals": intervals}
 
-    def _partials(self, tbl: pa.Table) -> tuple[dict, dict, dict, dict, dict]:
+    def _partials(
+            self, tbl: pa.Table
+    ) -> tuple[dict, dict, dict, dict, dict, dict]:
         """Pre-aggregate survivors into per-owner window partials and
         session runs — the two-level aggregation that keeps the exchange
         narrow (counts per (key, window), not rows). Only the four
@@ -353,7 +360,25 @@ class StateShard:
                         [blobs[i] for i in np.nonzero(m)[0]],
                         [hostlists[i] for i in np.nonzero(m)[0]],
                     )
-        return windows, sessions, funnels, hostcounts, distincts
+        intervals: dict[int, tuple] = {}
+        if self.intervals is not None:
+            # interval self-join feed: raw (host, url, ts) survivor
+            # triples to the host's owner (order-sensitive state, so
+            # accepted-late correction rows are excluded like the
+            # funnel; empty hosts carry no co-crawl meaning)
+            ih = pd.Series(otbl.column("host").to_pandas()).fillna("")
+            keep_m = (ih != "").to_numpy()
+            if keep_m.any():
+                ihosts = ih.to_numpy()[keep_m]
+                iurls = np.asarray(otbl.column("url").to_pylist(),
+                                   dtype=object)[keep_m]
+                its = otbl.column("_ts_us").to_numpy()[keep_m]
+                owner = shard_of(ihosts, n)
+                for o in np.unique(owner):
+                    m = owner == o
+                    intervals[int(o)] = (ihosts[m].tolist(),
+                                         iurls[m].tolist(), its[m])
+        return windows, sessions, funnels, hostcounts, distincts, intervals
 
     def add_window_partials(self, batches: list[tuple]) -> None:
         for kind, keys, starts, ends, counts, totals in batches:
@@ -374,6 +399,10 @@ class StateShard:
     def add_distinct_partials(self, batches: list[tuple]) -> None:
         for keys, starts, ends, blobs, hostlists in batches:
             self.distinct.add_partials(keys, starts, ends, blobs, hostlists)
+
+    def add_interval_rows(self, batches: list[tuple]) -> None:
+        for keys, urls, ts in batches:
+            self.intervals.add(keys, urls, ts)
 
     def ping(self) -> int:
         """Liveness probe for the health monitor."""
@@ -411,6 +440,8 @@ class StateShard:
         topk = self.topk.top() if self.topk is not None else []
         closed_distinct = (self.distinct.close(watermark_us)
                            if self.distinct is not None else [])
+        interval_pairs = (self.intervals.close(watermark_us)
+                          if self.intervals is not None else [])
         evicted = self.dedup.evict(watermark_us)
         # post-close state sizes — the gauges an operator watches at
         # 10^12 rows: keyed state that fails to evict shows up here as
@@ -432,6 +463,8 @@ class StateShard:
                           if self.topk is not None else 0),
             "distinct_open": (len(self.distinct.window_end)
                               if self.distinct is not None else 0),
+            "interval_buffer": (self.intervals.size()
+                                if self.intervals is not None else 0),
         }
         return {"windows": closed_windows, "window_updates": updated_windows,
                 "sizes": sizes,
@@ -441,6 +474,7 @@ class StateShard:
                 "funnels": closed_funnels,
                 "funnel_timeouts": funnel_timeouts, "vetoes": vetoes,
                 "topk": topk, "distinct": closed_distinct,
+                "interval_pairs": interval_pairs,
                 "evicted": evicted}
 
     def _snapshot_rest(self) -> dict:
@@ -453,6 +487,8 @@ class StateShard:
                      if self.topk is not None else None),
             "distinct": (self.distinct.snapshot()
                          if self.distinct is not None else None),
+            "intervals": (self.intervals.snapshot()
+                          if self.intervals is not None else None),
         }
 
     def snapshot(self) -> dict:
@@ -475,6 +511,9 @@ class StateShard:
         di = snap.get("distinct")
         self.distinct = (DistinctWindowState.restore(di)
                          if di is not None else None)
+        iv = snap.get("intervals")
+        self.intervals = (IntervalJoinState.restore(iv)
+                          if iv is not None else None)
         return True
 
     def write_snapshot(self, path: str) -> int:
@@ -529,6 +568,9 @@ class StateShard:
         di = merged["distinct"]
         self.distinct = (DistinctWindowState.restore(di)
                          if di is not None else None)
+        iv = merged.get("intervals")
+        self.intervals = (IntervalJoinState.restore(iv)
+                          if iv is not None else None)
         return True
 
 
@@ -1035,6 +1077,8 @@ class StreamingPagesPipeline:
             # unchanged — resumes across this engine version stay legal
             **({"watermark_idle_epochs": cfg.watermark_idle_epochs}
                if cfg.watermark_idle_epochs else {}),
+            **({"interval_join_s": cfg.interval_join_s}
+               if cfg.interval_join_s else {}),
             "min_text_len": cfg.min_text_len,
             "min_weighted_len": cfg.min_weighted_len,
             # construction-time facts only (the accumulated slow side
@@ -1488,6 +1532,7 @@ class StreamingPagesPipeline:
         fun_calls: dict[int, list] = {}
         host_calls: dict[int, list] = {}
         dist_calls: dict[int, list] = {}
+        iv_calls: dict[int, list] = {}
         for r in results:
             for c in ("rows_deduped", "rows_written"):
                 counters[c] = counters.get(c, 0) + r["stats"][c]
@@ -1501,6 +1546,8 @@ class StreamingPagesPipeline:
                 host_calls.setdefault(owner, []).append(payload)
             for owner, payload in r.get("distincts", {}).items():
                 dist_calls.setdefault(owner, []).append(payload)
+            for owner, payload in r.get("intervals", {}).items():
+                iv_calls.setdefault(owner, []).append(payload)
         ray.get(
             [actors[o].add_window_partials.remote(b)
              for o, b in win_calls.items()]
@@ -1512,6 +1559,8 @@ class StreamingPagesPipeline:
                for o, b in host_calls.items()]
             + [actors[o].add_distinct_partials.remote(b)
                for o, b in dist_calls.items()]
+            + [actors[o].add_interval_rows.remote(b)
+               for o, b in iv_calls.items()]
         )
 
         _t2 = _time.time()
@@ -1568,6 +1617,7 @@ class StreamingPagesPipeline:
         vetoes_total = 0
         topk_cands: list = []
         distinct_rows: list = []
+        interval_rows: list = []
         size_tot: dict[str, int] = {}
         size_max: dict[str, int] = {}
         for c in closed:
@@ -1585,6 +1635,7 @@ class StreamingPagesPipeline:
             vetoes_total += c["vetoes"]
             topk_cands.extend(c["topk"])
             distinct_rows.extend(c["distinct"])
+            interval_rows.extend(c["interval_pairs"])
         window_rows.sort()
         update_rows.sort()
         early_rows.sort()
@@ -1593,6 +1644,7 @@ class StreamingPagesPipeline:
         session_early_rows.sort()
         funnel_rows.sort()
         funnel_timeout_rows.sort()
+        interval_rows.sort()
 
         tables = {}
         for kind_prefix, name in (("tumbling:lang", "tumbling_lang"),
@@ -1763,6 +1815,29 @@ class StreamingPagesPipeline:
             }
         )
 
+        if self.cfg.interval_join_s > 0:
+            # streaming interval self-join output: co-crawl page pairs
+            # per host within the bound, each emitted exactly once (at
+            # its later row's arrival epoch)
+            tables["copage_pairs"] = pa.table(
+                {
+                    "host": pa.array([r[0] for r in interval_rows],
+                                     type=pa.string()),
+                    "url_a": pa.array([r[1] for r in interval_rows],
+                                      type=pa.string()),
+                    "ts_a": pa.array(
+                        np.array([r[2] for r in interval_rows],
+                                 dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                    "url_b": pa.array([r[3] for r in interval_rows],
+                                      type=pa.string()),
+                    "ts_b": pa.array(
+                        np.array([r[4] for r in interval_rows],
+                                 dtype=np.int64)
+                    ).cast(pa.timestamp("us")),
+                }
+            )
+
         if self.cfg.funnel.enabled:
             tables["funnel_host"] = pa.table(
                 {
@@ -1826,7 +1901,8 @@ class StreamingPagesPipeline:
             t.num_rows for n, t in tables.items()
             if n not in ("funnel_host", "topk_host", "window_updates",
                          "window_early", "session_updates",
-                         "session_early", "funnel_timeouts")
+                         "session_early", "funnel_timeouts",
+                         "copage_pairs")
         )
         if "window_updates" in tables:
             counters["windows_updated"] = tables["window_updates"].num_rows
@@ -1838,6 +1914,9 @@ class StreamingPagesPipeline:
         if "funnel_timeouts" in tables:
             counters["funnels_timed_out"] = \
                 tables["funnel_timeouts"].num_rows
+        if "copage_pairs" in tables:
+            counters["interval_pairs_emitted"] = \
+                tables["copage_pairs"].num_rows
         if self.cfg.funnel.enabled and self.cfg.funnel.veto_min_len \
                 is not None:
             counters["funnels_vetoed"] = vetoes_total  # per-epoch delta

@@ -164,6 +164,10 @@ def split_snapshot(snap: dict, new_shards: int, sidecar_dir: str | None,
                             new_shards)
     tk = snap.get("topk")
     counts = _split_dict(tk["counts"], new_shards) if tk is not None else None
+    iv = snap.get("intervals")
+    if iv is not None:
+        iv_bufs = _split_dict(iv["buffers"], new_shards)
+        iv_pairs = _split_rows(iv["pairs"], lambda r: r[0], new_shards)
     di = snap.get("distinct")
     drows = (_split_rows(di["rows"], lambda r: r[0], new_shards)
              if di is not None else None)
@@ -190,6 +194,9 @@ def split_snapshot(snap: dict, new_shards: int, sidecar_dir: str | None,
             "topk": (None if tk is None else
                      {"k": tk["k"], "max_keys": tk.get("max_keys", 0),
                       "counts": counts[j]}),
+            "intervals": (None if iv is None else
+                          {"bound_us": iv["bound_us"],
+                           "buffers": iv_bufs[j], "pairs": iv_pairs[j]}),
             "distinct": (None if di is None else
                          {"p": di["p"], "rows": drows[j]}),
         })
@@ -211,6 +218,7 @@ def merge_fragments(frags: list[dict]) -> dict:
         "funnel": None,
         "topk": None,
         "distinct": None,
+        "intervals": None,
     }
     for f in frags:
         w = f["windows"]
@@ -251,6 +259,14 @@ def merge_fragments(frags: list[dict]) -> dict:
             if o is None:
                 o = out["distinct"] = {"p": di["p"], "rows": []}
             o["rows"].extend(di["rows"])
+        iv = f.get("intervals")
+        if iv is not None:
+            o = out["intervals"]
+            if o is None:
+                o = out["intervals"] = {"bound_us": iv["bound_us"],
+                                        "buffers": {}, "pairs": []}
+            o["buffers"].update(iv["buffers"])
+            o["pairs"].extend(iv["pairs"])
     if out["funnel"] is not None:
         out["funnel"]["done"] = sorted(out["funnel"]["done"])
     if out["distinct"] is not None:

@@ -547,6 +547,87 @@ class FunnelState:
         return st
 
 
+class IntervalJoinState:
+    """Streaming dual-buffer interval self-join: per key, every pair of
+    rows whose event times lie within ``bound_us`` of each other —
+    the stateful form of the batch interval join (Flink intervalJoin).
+
+    Exactly-once pairing without a pair log: a pair is emitted when its
+    LATER-ARRIVING row folds in, matched against the key's buffer of
+    already-arrived rows. Buffered rows evict once ``ts + bound <
+    watermark`` — safe because any row still to arrive is non-late
+    (``ts >= watermark``), so it could not have paired with the evicted
+    row anyway; the same argument makes the emitted pair set (and each
+    pair's emission epoch) independent of how arrivals split into
+    epochs. Pair identity orders the two rows by (ts, url).
+
+    Buffers stay sorted by ts (binary-search window per arrival), so
+    per-arrival cost is O(log B + matches) and eviction is a prefix
+    drop. Accepted-late correction rows must NOT be fed here (same
+    exclusion as the funnel): their counterparts may already be
+    evicted, which would make output depend on the epoch layout.
+    """
+
+    def __init__(self, bound_us: int):
+        self.bound_us = bound_us
+        # key -> list[(ts_us, url)] sorted ascending
+        self.buffers: dict[str, list[tuple[int, str]]] = {}
+        self._pairs: list[tuple] = []
+
+    def add(self, keys: list[str], urls: list[str], ts_us) -> None:
+        from bisect import bisect_left, insort
+
+        bound = self.bound_us
+        rows = sorted(zip(keys, (int(t) for t in ts_us), urls))
+        for key, ts, url in rows:
+            buf = self.buffers.setdefault(key, [])
+            lo = bisect_left(buf, (ts - bound, ""))
+            hi = bisect_left(buf, (ts + bound + 1, ""))
+            for bts, burl in buf[lo:hi]:
+                if (bts, burl) <= (ts, url):
+                    self._pairs.append((key, burl, bts, url, ts))
+                else:
+                    self._pairs.append((key, url, ts, burl, bts))
+            insort(buf, (ts, url))
+
+    def size(self) -> int:
+        return sum(len(v) for v in self.buffers.values())
+
+    def close(self, watermark_us: int) -> list[tuple]:
+        """Drain pairs emitted since the last close (sorted) and evict
+        buffered rows no future non-late arrival can reach."""
+        horizon = watermark_us - self.bound_us
+        for key, buf in list(self.buffers.items()):
+            from bisect import bisect_left
+
+            cut = bisect_left(buf, (horizon, ""))
+            if cut:
+                kept = buf[cut:]
+                if kept:
+                    self.buffers[key] = kept
+                else:
+                    del self.buffers[key]
+        out = sorted(self._pairs)
+        self._pairs = []
+        return out
+
+    def snapshot(self) -> dict:
+        return {
+            "bound_us": self.bound_us,
+            "buffers": {k: [list(r) for r in v]
+                        for k, v in self.buffers.items()},
+            "pairs": [list(r) for r in self._pairs],
+        }
+
+    @classmethod
+    def restore(cls, snap: dict) -> "IntervalJoinState":
+        st = cls(snap["bound_us"])
+        st.buffers = {k: [tuple(r) for r in v]
+                      for k, v in snap["buffers"].items()}
+        st._pairs = [tuple(r) for r in snap["pairs"]]
+        return st
+
+
 class TopKState:
     """Running per-key counts with top-k extraction — the cross-epoch
     "leaderboard" emission mode (re-emitted every epoch as counts grow),

@@ -442,3 +442,64 @@ def test_funnel_incremental_equals_batch_semantics(events, cuts, within,
             want_timeouts.append((key, t0, bound, reached))
     assert sorted(matches) == sorted(want_matches)
     assert sorted(timeouts) == sorted(want_timeouts)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),   # ts (ARRIVAL order)
+            st.integers(min_value=0, max_value=2),     # key id
+            st.integers(min_value=0, max_value=9),     # url id
+        ),
+        min_size=1, max_size=60,
+    ),
+    epoch_size=st.integers(min_value=1, max_value=15),
+    bound=st.integers(1, 120),
+)
+def test_interval_join_incremental_equals_batch(events, epoch_size, bound):
+    """Streaming interval self-join over out-of-order arrivals: the
+    emitted pair set must equal all pairs within the bound over exactly
+    the rows a zero-lateness mapper accepts (ts >= frozen watermark) —
+    eviction (ts + bound < watermark) must never lose a reachable pair.
+    Duplicate (key, ts, url) arrivals are excluded up front: the engine
+    dedups before the feed, and set semantics need unique rows."""
+    from bitquery_kafka_streams_rust_ray.state.store import (
+        IntervalJoinState)
+
+    seen, uniq = set(), []
+    for e in events:
+        if (e[0], e[1], e[2]) not in seen:
+            seen.add((e[0], e[1], e[2]))
+            uniq.append(e)
+    events = uniq
+
+    inc = IntervalJoinState(bound)
+    wm = -(10 ** 18)
+    accepted, got = [], []
+    for i in range(0, len(events), epoch_size):
+        epoch = events[i:i + epoch_size]
+        ok = [e for e in epoch if e[0] >= wm]
+        accepted.extend(ok)
+        if ok:
+            inc.add([f"k{e[1]}" for e in ok],
+                    [f"u{e[2]}" for e in ok],
+                    np.array([e[0] for e in ok], dtype=np.int64))
+            wm = max(wm, max(e[0] for e in ok))
+        got.extend(inc.close(wm))
+        inc = IntervalJoinState.restore(inc.snapshot())
+    got.extend(inc.close(10 ** 18))
+
+    want = set()
+    by_key: dict[str, list] = {}
+    for ts, kid, uid in accepted:
+        by_key.setdefault(f"k{kid}", []).append((ts, f"u{uid}"))
+    for key, rows in by_key.items():
+        rows.sort()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[j][0] - rows[i][0] <= bound:
+                    want.add((key, rows[i][1], rows[i][0],
+                              rows[j][1], rows[j][0]))
+    assert set(got) == want
+    assert len(got) == len(want)  # each pair exactly once

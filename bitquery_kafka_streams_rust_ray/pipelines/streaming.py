@@ -1173,6 +1173,16 @@ class StreamingPagesPipeline:
                 for c in ("start_ts", "timeout_ts"):
                     r[c] = int(pd.Timestamp(r[c]).value // 1000)
             return out
+        if subpath == "copage_pairs":
+            # interval-join pairs committed in the latest epoch
+            p = os.path.join(d, "copage_pairs.parquet")
+            if not os.path.exists(p):
+                return []
+            out = _pq.read_table(p).to_pylist()
+            for r in out:
+                for c in ("ts_a", "ts_b"):
+                    r[c] = int(pd.Timestamp(r[c]).value // 1000)
+            return out
         if subpath == "watermark":
             # where the watermark stands and why: per-partition maxes
             # under min-combine, idle counters (which streams are

@@ -126,6 +126,7 @@ def test_all_features_combined_matches_oracle(tmp_path):
                        extract_concurrency=2, files_per_epoch=2,
                        update_mode=True, update_horizon_s=60,
                        early_fire=True, per_partition_watermark=True,
+                       interval_join_s=60,
                        funnel=FunnelConfig(veto_min_len=470,
                                            emit_timeouts=True))
     out = str(tmp_path / "combined_out")
@@ -135,7 +136,7 @@ def test_all_features_combined_matches_oracle(tmp_path):
 
     c = {k: int(v) for k, v in summary["metrics"]["counters"].items()
          if k not in ("windows_emitted", "windows_updated",
-                      "sessions_updated")}
+                      "sessions_updated", "interval_pairs_emitted")}
     assert c == oracle["counters"], f"{c} != {oracle['counters']}"
     assert c["late_accepted"] > 0
 
@@ -150,6 +151,8 @@ def test_all_features_combined_matches_oracle(tmp_path):
     fto = read_output_compacted(sink, "funnel_timeouts").to_pandas()
     assert len(fto) == len(oracle["funnel_timeouts"]) > 0
     assert c["funnels_vetoed"] > 0
+    pairs = read_output_compacted(sink, "copage_pairs").to_pandas()
+    assert len(pairs) == len(oracle["copage_pairs"]) > 0
 
 
 def test_tracker_idleness_excludes_and_never_regresses():

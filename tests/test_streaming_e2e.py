@@ -759,3 +759,76 @@ def test_sketch_state_survives_kill_and_resume(pages_dir, tmp_path):
     assert set(got_hashes) == set(ref_hashes)
     diff = {k for k in ref_hashes if ref_hashes[k] != got_hashes[k]}
     assert not diff, f"differing files after sketch resume: {sorted(diff)[:10]}"
+
+
+def test_rescale_under_all_features_byte_identical(tmp_path):
+    """Cluster resize with EVERY opt-in feature on (update-mode window
+    + session corrections, early previews, per-partition watermark,
+    CEP veto + timeouts, interval join): the new state families
+    (retained sessions, pending changelog, funnel extensions, interval
+    buffers) must repartition losslessly, so the rescaled resume's
+    shard-invariant outputs are byte-equal to an uninterrupted
+    same-config reference."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    from bitquery_kafka_streams_rust_ray.config import FunnelConfig
+    from bitquery_kafka_streams_rust_ray.sources.pages import (
+        PagesSpec, generate_host_metadata, generate_pages)
+
+    d = str(tmp_path / "pages_allf")
+    spec = PagesSpec(num_rows=2_000, very_late_frac=0.05, seed=11)
+    generate_pages(d, spec)
+    generate_host_metadata(d, spec)
+    cfg = EngineConfig(min_text_len=1, state_shards=4,
+                       extract_concurrency=2, files_per_epoch=2,
+                       update_mode=True, update_horizon_s=180,
+                       early_fire=True, per_partition_watermark=True,
+                       interval_join_s=60,
+                       funnel=FunnelConfig(veto_min_len=470,
+                                           emit_timeouts=True))
+    meta = pq.read_table(
+        os.path.join(d, "host_metadata.parquet")).to_pandas()
+
+    ref_out = str(tmp_path / "ref_out")
+    StreamingPagesPipeline(d, ref_out, cfg, PageFilter(min_text_len=1),
+                           meta).run(resume=True)
+
+    out = str(tmp_path / "rescaled_out")
+
+    class Boom(RuntimeError):
+        pass
+
+    real_exchange = StreamingPagesPipeline._exchange_epoch
+
+    def crashing(self, epoch, files, actors, watermark, attempt=0):
+        if epoch == 2:
+            raise Boom()
+        return real_exchange(self, epoch, files, actors, watermark,
+                             attempt)
+
+    StreamingPagesPipeline._exchange_epoch = crashing
+    try:
+        with pytest.raises(RetryExhausted):
+            StreamingPagesPipeline(d, out, cfg, PageFilter(min_text_len=1),
+                                   meta).run(resume=True)
+    finally:
+        StreamingPagesPipeline._exchange_epoch = real_exchange
+
+    rescaled = dataclasses.replace(cfg, state_shards=7)
+    summary = StreamingPagesPipeline(
+        d, out, rescaled, PageFilter(min_text_len=1), meta).run(resume=True)
+    assert summary["metrics"]["counters"].get("state_rescales") == 1
+
+    ref_hashes = _shard_invariant_hashes(ref_out)
+    got_hashes = _shard_invariant_hashes(out)
+    assert set(got_hashes) == set(ref_hashes)
+    diff = {k for k in ref_hashes if ref_hashes[k] != got_hashes[k]}
+    assert not diff, f"shard-invariant files differ: {sorted(diff)[:10]}"
+    # the feature outputs were actually exercised in the reference
+    names = {os.path.basename(k) for k in ref_hashes}
+    for must in ("window_updates.parquet", "session_updates.parquet",
+                 "session_early.parquet", "funnel_timeouts.parquet",
+                 "copage_pairs.parquet"):
+        assert must in names, must

@@ -28,6 +28,17 @@ set -euo pipefail
 INPUT=${1:?input pages-log dir}
 OUTPUT=${2:?output dir}
 
+# Equivalent CLI form (GRAFT_CFG_* env knobs; resume by default):
+#   ray job submit --working-dir . \
+#       --runtime-env-json '{"env_vars": {"GRAFT_CFG_STATE_SHARDS": "256",
+#                            "GRAFT_CFG_FILES_PER_EPOCH": "8",
+#                            "GRAFT_CFG_FSYNC_OUTPUT": "1"}}' \
+#       -- python -m bitquery_kafka_streams_rust_ray run "$INPUT" "$OUTPUT"
+# Lifecycle ops against the same output dir (no Ray session needed):
+#   python -m bitquery_kafka_streams_rust_ray show "$OUTPUT"
+#   python -m bitquery_kafka_streams_rust_ray savepoint "$OUTPUT" s3://bucket/sp
+#   python -m bitquery_kafka_streams_rust_ray fork s3://bucket/sp s3://bucket/out2
+
 ray job submit --working-dir . -- python -c "
 from bitquery_kafka_streams_rust_ray.config import EngineConfig
 from bitquery_kafka_streams_rust_ray.pipelines.flagship import run_flagship

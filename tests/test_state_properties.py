@@ -503,3 +503,90 @@ def test_interval_join_incremental_equals_batch(events, epoch_size, bound):
                               rows[j][1], rows[j][0]))
     assert set(got) == want
     assert len(got) == len(want)  # each pair exactly once
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # window key id
+            st.integers(min_value=0, max_value=40),    # value (host) id
+        ),
+        min_size=1, max_size=120,
+    ),
+    layout=st.integers(min_value=1, max_value=10),     # partial batch size
+)
+def test_distinct_window_state_layout_invariant(events, layout):
+    """DistinctWindowState merge algebra: folding per-batch HLL
+    registers + value lists in ANY batch layout (with snapshot
+    round-trips) yields exactly the same close() rows as one batch —
+    the exact companion equals the true distinct count, and the HLL
+    estimate is a pure function of the value SET (elementwise-max
+    merge is lossless w.r.t. the one-shot registers)."""
+    from bitquery_kafka_streams_rust_ray.stages.hashing import hash_strings
+    from bitquery_kafka_streams_rust_ray.stages.sketches import (
+        _hll_registers, _splitmix64)
+    from bitquery_kafka_streams_rust_ray.state.store import (
+        DistinctWindowState)
+
+    def partial(batch):
+        keys, starts, ends, blobs, vals = [], [], [], [], []
+        by = {}
+        for k, v in batch:
+            by.setdefault(k, set()).add(f"h{v}")
+        for k, vs in sorted(by.items()):
+            hosts = np.asarray(sorted(vs), dtype=object)
+            keys.append(f"w{k}")
+            starts.append(0)
+            ends.append(100)
+            blobs.append(_hll_registers(
+                _splitmix64(hash_strings(hosts)), 8).tobytes())
+            vals.append(hosts.tolist())
+        return keys, np.array(starts), np.array(ends), blobs, vals
+
+    one = DistinctWindowState(p=8)
+    one.add_partials(*partial(events))
+    want = one.close(200)
+
+    inc = DistinctWindowState(p=8)
+    for i in range(0, len(events), layout):
+        inc.add_partials(*partial(events[i:i + layout]))
+        inc = DistinctWindowState.restore(inc.snapshot())
+    got = inc.close(200)
+    assert got == want
+    # the exact companion is truly exact
+    truth = {}
+    for k, v in events:
+        truth.setdefault(f"w{k}", set()).add(f"h{v}")
+    assert {(r[0], r[3]) for r in got} == {
+        (k, len(vs)) for k, vs in truth.items()}
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    events=st.lists(st.integers(min_value=0, max_value=30),
+                    min_size=1, max_size=300),
+    max_keys=st.integers(min_value=2, max_value=8),
+    layout=st.integers(min_value=1, max_value=25),
+)
+def test_topk_misra_gries_error_bound(events, max_keys, layout):
+    """TopKState with a memory cap: stored counts are lower bounds with
+    the classic Misra-Gries guarantee true_count - stored <=
+    total / (max_keys + 1), keys outside the store satisfy the same
+    bound with stored = 0, and the key count stays <= 2 * max_keys."""
+    st_ = TopKState(5, max_keys=max_keys)
+    true = {}
+    total = 0
+    for i in range(0, len(events), layout):
+        chunk = [f"k{e}" for e in events[i:i + layout]]
+        st_.add(chunk, np.ones(len(chunk), dtype=np.int64))
+        for c in chunk:
+            true[c] = true.get(c, 0) + 1
+        total += len(chunk)
+        st_ = TopKState.restore(st_.snapshot())
+        assert len(st_.counts) <= 2 * max_keys
+    bound = total / (max_keys + 1)
+    for k, t in true.items():
+        stored = st_.counts.get(k, 0)
+        assert stored <= t
+        assert t - stored <= bound, (k, t, stored, bound)

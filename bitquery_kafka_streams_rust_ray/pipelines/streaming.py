@@ -412,7 +412,8 @@ class StateShard:
         """Placement introspection (multi-node spread assertions)."""
         return ray.get_runtime_context().get_node_id()
 
-    def close(self, watermark_us: int) -> dict:
+    def close(self, watermark_us: int, stage_dir: str | None = None
+              ) -> dict:
         closed_windows = self.windows.close(watermark_us)
         # correction re-emissions for retained windows that got late
         # partials (empty list when update mode is off)
@@ -440,8 +441,26 @@ class StateShard:
         topk = self.topk.top() if self.topk is not None else []
         closed_distinct = (self.distinct.close(watermark_us)
                            if self.distinct is not None else [])
-        interval_pairs = (self.intervals.close(watermark_us)
-                          if self.intervals is not None else [])
+        # interval-join pairs write straight from the shard (hot hosts
+        # make interval joins quadratic in the worst case — the driver
+        # only ever sees the COUNT, exactly like the page outputs)
+        interval_count = 0
+        if self.intervals is not None:
+            frame = self.intervals.drain_frame(watermark_us)
+            interval_count = len(frame)
+            if stage_dir is not None and interval_count:
+                import pyarrow.parquet as pq
+
+                t = pa.Table.from_pandas(frame, preserve_index=False)
+                t = t.set_column(
+                    t.schema.get_field_index("ts_a"), "ts_a",
+                    t.column("ts_a").cast(pa.timestamp("us")))
+                t = t.set_column(
+                    t.schema.get_field_index("ts_b"), "ts_b",
+                    t.column("ts_b").cast(pa.timestamp("us")))
+                pq.write_table(t, os.path.join(
+                    stage_dir,
+                    f"copage_pairs-{self.shard_id:04d}.parquet"))
         evicted = self.dedup.evict(watermark_us)
         # post-close state sizes — the gauges an operator watches at
         # 10^12 rows: keyed state that fails to evict shows up here as
@@ -474,7 +493,7 @@ class StateShard:
                 "funnels": closed_funnels,
                 "funnel_timeouts": funnel_timeouts, "vetoes": vetoes,
                 "topk": topk, "distinct": closed_distinct,
-                "interval_pairs": interval_pairs,
+                "interval_count": interval_count,
                 "evicted": evicted}
 
     def _snapshot_rest(self) -> dict:
@@ -1175,10 +1194,14 @@ class StreamingPagesPipeline:
             return out
         if subpath == "copage_pairs":
             # interval-join pairs committed in the latest epoch
-            p = os.path.join(d, "copage_pairs.parquet")
-            if not os.path.exists(p):
-                return []
-            out = _pq.read_table(p).to_pylist()
+            # (per-shard files, like the page outputs)
+            import glob as _glob
+
+            files = sorted(_glob.glob(
+                os.path.join(d, "copage_pairs-*.parquet")))
+            out = []
+            for p in files:
+                out.extend(_pq.read_table(p).to_pylist())
             for r in out:
                 for c in ("ts_a", "ts_b"):
                     r[c] = int(pd.Timestamp(r[c]).value // 1000)
@@ -1614,7 +1637,8 @@ class StreamingPagesPipeline:
                           wm_snapshot=None, drain=False) -> None:
         import time as _time
         _tc0 = _time.time()
-        closed = ray.get([a.close.remote(wm_us) for a in actors])
+        stage = self.sink.stage_path(epoch)
+        closed = ray.get([a.close.remote(wm_us, stage) for a in actors])
         _tc1 = _time.time()
         window_rows: list = []
         update_rows: list = []
@@ -1627,7 +1651,7 @@ class StreamingPagesPipeline:
         vetoes_total = 0
         topk_cands: list = []
         distinct_rows: list = []
-        interval_rows: list = []
+        interval_count = 0
         size_tot: dict[str, int] = {}
         size_max: dict[str, int] = {}
         for c in closed:
@@ -1645,7 +1669,7 @@ class StreamingPagesPipeline:
             vetoes_total += c["vetoes"]
             topk_cands.extend(c["topk"])
             distinct_rows.extend(c["distinct"])
-            interval_rows.extend(c["interval_pairs"])
+            interval_count += c["interval_count"]
         window_rows.sort()
         update_rows.sort()
         early_rows.sort()
@@ -1654,7 +1678,6 @@ class StreamingPagesPipeline:
         session_early_rows.sort()
         funnel_rows.sort()
         funnel_timeout_rows.sort()
-        interval_rows.sort()
 
         tables = {}
         for kind_prefix, name in (("tumbling:lang", "tumbling_lang"),
@@ -1825,29 +1848,6 @@ class StreamingPagesPipeline:
             }
         )
 
-        if self.cfg.interval_join_s > 0:
-            # streaming interval self-join output: co-crawl page pairs
-            # per host within the bound, each emitted exactly once (at
-            # its later row's arrival epoch)
-            tables["copage_pairs"] = pa.table(
-                {
-                    "host": pa.array([r[0] for r in interval_rows],
-                                     type=pa.string()),
-                    "url_a": pa.array([r[1] for r in interval_rows],
-                                      type=pa.string()),
-                    "ts_a": pa.array(
-                        np.array([r[2] for r in interval_rows],
-                                 dtype=np.int64)
-                    ).cast(pa.timestamp("us")),
-                    "url_b": pa.array([r[3] for r in interval_rows],
-                                      type=pa.string()),
-                    "ts_b": pa.array(
-                        np.array([r[4] for r in interval_rows],
-                                 dtype=np.int64)
-                    ).cast(pa.timestamp("us")),
-                }
-            )
-
         if self.cfg.funnel.enabled:
             tables["funnel_host"] = pa.table(
                 {
@@ -1924,9 +1924,8 @@ class StreamingPagesPipeline:
         if "funnel_timeouts" in tables:
             counters["funnels_timed_out"] = \
                 tables["funnel_timeouts"].num_rows
-        if "copage_pairs" in tables:
-            counters["interval_pairs_emitted"] = \
-                tables["copage_pairs"].num_rows
+        if self.cfg.interval_join_s > 0:
+            counters["interval_pairs_emitted"] = interval_count
         if self.cfg.funnel.enabled and self.cfg.funnel.veto_min_len \
                 is not None:
             counters["funnels_vetoed"] = vetoes_total  # per-epoch delta

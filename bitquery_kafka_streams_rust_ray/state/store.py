@@ -575,27 +575,71 @@ class IntervalJoinState:
         self._pairs: list[tuple] = []
 
     def add(self, keys: list[str], urls: list[str], ts_us) -> None:
-        from bisect import bisect_left, insort
-
         bound = self.bound_us
-        rows = sorted(zip(keys, (int(t) for t in ts_us), urls))
-        for key, ts, url in rows:
-            buf = self.buffers.setdefault(key, [])
-            lo = bisect_left(buf, (ts - bound, ""))
-            hi = bisect_left(buf, (ts + bound + 1, ""))
-            for bts, burl in buf[lo:hi]:
-                if (bts, burl) <= (ts, url):
-                    self._pairs.append((key, burl, bts, url, ts))
-                else:
-                    self._pairs.append((key, url, ts, burl, bts))
-            insort(buf, (ts, url))
+        df = {}
+        for k, u, t in zip(keys, urls, ts_us):
+            df.setdefault(k, []).append((int(t), u))
+        for key, new in df.items():
+            new.sort()
+            nts = np.fromiter((r[0] for r in new), dtype=np.int64,
+                              count=len(new))
+            nurl = np.array([r[1] for r in new], dtype=object)
+            buf = self.buffers.get(key)
+            if buf is not None and len(buf):
+                bts = np.fromiter((r[0] for r in buf), dtype=np.int64,
+                                  count=len(buf))
+                burl = np.array([r[1] for r in buf], dtype=object)
+                # new x buffered: window [ts - bound, ts + bound] per
+                # new row, enumerated without a per-pair Python loop
+                lo = np.searchsorted(bts, nts - bound, side="left")
+                hi = np.searchsorted(bts, nts + bound, side="right")
+                cnt = hi - lo
+                if cnt.sum():
+                    ni = np.repeat(np.arange(len(new)), cnt)
+                    # concatenated ranges lo[i]..hi[i) per new row
+                    bi = (np.arange(cnt.sum())
+                          - np.repeat(cnt.cumsum() - cnt, cnt)
+                          + np.repeat(lo, cnt))
+                    self._emit(key, bts[bi], burl[bi], nts[ni], nurl[ni])
+            if len(new) > 1:
+                # new x earlier-new (j pairs with i < j within bound)
+                lo = np.searchsorted(nts, nts - bound, side="left")
+                cnt = np.arange(len(new)) - lo
+                if cnt.sum():
+                    nj = np.repeat(np.arange(len(new)), cnt)
+                    ii = (np.arange(cnt.sum())
+                          - np.repeat(cnt.cumsum() - cnt, cnt)
+                          + np.repeat(lo, cnt))
+                    self._emit(key, nts[ii], nurl[ii], nts[nj], nurl[nj])
+            merged = (buf or []) + new
+            merged.sort()
+            self.buffers[key] = merged
+
+    def _emit(self, key, ats, aurl, bts, burl) -> None:
+        """Append a COLUMNAR pair chunk with canonical (ts, url)
+        ordering (the earlier row, ties by url, is side a) — pairs
+        never exist as per-row Python objects inside the state."""
+        swap = (ats > bts) | ((ats == bts) & (aurl > burl))
+        self._pairs.append((
+            np.full(len(ats), key, dtype=object),
+            np.where(swap, burl, aurl),
+            np.where(swap, bts, ats).astype(np.int64),
+            np.where(swap, aurl, burl),
+            np.where(swap, ats, bts).astype(np.int64),
+        ))
 
     def size(self) -> int:
         return sum(len(v) for v in self.buffers.values())
 
-    def close(self, watermark_us: int) -> list[tuple]:
-        """Drain pairs emitted since the last close (sorted) and evict
-        buffered rows no future non-late arrival can reach."""
+    def drain_frame(self, watermark_us: int):
+        """Evict unreachable buffered rows and drain the pairs emitted
+        since the last drain as a SORTED pandas frame (host, url_a,
+        ts_a, url_b, ts_b) — the shard writes this straight to its own
+        parquet file, so pair volume never rides through the driver
+        (hot hosts make interval joins quadratic in the worst case;
+        the driver must stay O(counts))."""
+        import pandas as pd
+
         horizon = watermark_us - self.bound_us
         for key, buf in list(self.buffers.items()):
             from bisect import bisect_left
@@ -607,16 +651,36 @@ class IntervalJoinState:
                     self.buffers[key] = kept
                 else:
                     del self.buffers[key]
-        out = sorted(self._pairs)
+        cols = ["host", "url_a", "ts_a", "url_b", "ts_b"]
+        if not self._pairs:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64" if c.startswith("ts")
+                              else object) for c in cols})
+        df = pd.DataFrame({
+            c: np.concatenate([chunk[i] for chunk in self._pairs])
+            for i, c in enumerate(cols)
+        })
         self._pairs = []
-        return out
+        return (df.sort_values(cols, kind="mergesort")
+                .reset_index(drop=True))
+
+    def close(self, watermark_us: int) -> list[tuple]:
+        """Tuple view of ``drain_frame`` (oracle / unit-test path)."""
+        return list(map(tuple, self.drain_frame(watermark_us)
+                        .itertuples(index=False)))
 
     def snapshot(self) -> dict:
+        pairs = []
+        for chunk in self._pairs:  # columnar chunks -> row lists
+            pairs.extend(
+                [chunk[0][i], chunk[1][i], int(chunk[2][i]),
+                 chunk[3][i], int(chunk[4][i])]
+                for i in range(len(chunk[0])))
         return {
             "bound_us": self.bound_us,
             "buffers": {k: [list(r) for r in v]
                         for k, v in self.buffers.items()},
-            "pairs": [list(r) for r in self._pairs],
+            "pairs": pairs,
         }
 
     @classmethod
@@ -624,7 +688,15 @@ class IntervalJoinState:
         st = cls(snap["bound_us"])
         st.buffers = {k: [tuple(r) for r in v]
                       for k, v in snap["buffers"].items()}
-        st._pairs = [tuple(r) for r in snap["pairs"]]
+        rows = snap["pairs"]
+        if rows:
+            st._pairs = [(
+                np.array([r[0] for r in rows], dtype=object),
+                np.array([r[1] for r in rows], dtype=object),
+                np.array([r[2] for r in rows], dtype=np.int64),
+                np.array([r[3] for r in rows], dtype=object),
+                np.array([r[4] for r in rows], dtype=np.int64),
+            )]
         return st
 
 

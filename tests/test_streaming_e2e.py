@@ -357,7 +357,8 @@ def _shard_invariant_hashes(out_dir: str) -> dict[str, str]:
     driver-sorted window/session/funnel/topk tables and blobs. Pages /
     quarantine parquet and state pickles are per-shard (layout changes
     under rescale; the logical union is compared separately)."""
-    skip = ("pages-", "quarantine-", "state-", "state.pkl")
+    skip = ("pages-", "quarantine-", "state-", "state.pkl",
+            "copage_pairs-")
     return {k: v for k, v in _output_hashes(out_dir).items()
             if not os.path.basename(k).startswith(skip)
             and "_manifests" not in k}  # inventory per-shard file names
@@ -829,6 +830,19 @@ def test_rescale_under_all_features_byte_identical(tmp_path):
     # the feature outputs were actually exercised in the reference
     names = {os.path.basename(k) for k in ref_hashes}
     for must in ("window_updates.parquet", "session_updates.parquet",
-                 "session_early.parquet", "funnel_timeouts.parquet",
-                 "copage_pairs.parquet"):
+                 "session_early.parquet", "funnel_timeouts.parquet"):
         assert must in names, must
+    # pair files are per-shard (layout moves under rescale); the
+    # LOGICAL pair set must be identical
+    from bitquery_kafka_streams_rust_ray.sinks.compaction import (
+        read_output_compacted)
+
+    def pair_union(o):
+        df = read_output_compacted(EpochSink(o), "copage_pairs").to_pandas()
+        cols = ["host", "url_a", "ts_a", "url_b", "ts_b"]
+        return (df[cols].sort_values(cols, kind="mergesort")
+                .reset_index(drop=True))
+
+    got_p, want_p = pair_union(out), pair_union(ref_out)
+    assert len(want_p) > 0
+    pd.testing.assert_frame_equal(got_p, want_p, check_dtype=False)

@@ -1911,8 +1911,7 @@ class StreamingPagesPipeline:
             t.num_rows for n, t in tables.items()
             if n not in ("funnel_host", "topk_host", "window_updates",
                          "window_early", "session_updates",
-                         "session_early", "funnel_timeouts",
-                         "copage_pairs")
+                         "session_early", "funnel_timeouts")
         )
         if "window_updates" in tables:
             counters["windows_updated"] = tables["window_updates"].num_rows

@@ -1,8 +1,21 @@
-"""Shared pytest fixtures: one Ray session per test session."""
+"""Shared pytest fixtures: one Ray session per test session.
+
+Hypothesis profiles: the default stays at each test's own settings; a
+``deep`` profile (HYPOTHESIS_PROFILE=deep, or --hypothesis-profile)
+multiplies search effort for offline fuzz sweeps of the property
+suites — not part of the normal CI budget.
+"""
 
 from __future__ import annotations
 
 import pytest
+from hypothesis import settings as _hsettings
+
+_hsettings.register_profile("default", max_examples=80, deadline=None)
+_hsettings.register_profile("deep", max_examples=1500, deadline=None,
+                            derandomize=False)
+_hsettings.load_profile(
+    __import__("os").environ.get("HYPOTHESIS_PROFILE", "default"))
 
 
 @pytest.fixture(scope="session")

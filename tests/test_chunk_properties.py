@@ -25,7 +25,7 @@ def naive_chunks(doc_id, text, chunk=32, stride=24):
     return out
 
 
-@settings(max_examples=30, deadline=None)
+@settings(deadline=None)
 @given(texts=texts)
 def test_chunk_kernel_matches_naive(texts, tmp_path_factory):
     import ray.data as rd
@@ -55,7 +55,7 @@ def naive_features(text, n_buckets=16):
     return counts
 
 
-@settings(max_examples=30, deadline=None)
+@settings(deadline=None)
 @given(texts=texts)
 def test_featurize_kernel_matches_naive(texts, tmp_path_factory):
     from bitquery_kafka_streams_rust_ray.pipelines import queries as q

@@ -55,7 +55,7 @@ def naive_mix(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(deadline=None)
 @given(rows=rows_strategy)
 def test_mix_matches_naive(rows, tmp_path_factory):
     tmpdir = str(tmp_path_factory.mktemp("mixprop"))
@@ -70,7 +70,7 @@ def test_mix_matches_naive(rows, tmp_path_factory):
         assert k <= avail[s]
 
 
-@settings(max_examples=8, deadline=None)
+@settings(deadline=None)
 @given(rows=rows_strategy)
 def test_weighted_sample_matches_naive(rows, tmp_path_factory):
     tmpdir = str(tmp_path_factory.mktemp("wsprop"))

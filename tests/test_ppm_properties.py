@@ -12,7 +12,7 @@ from hypothesis import given, settings, strategies as st
 from bitquery_kafka_streams_rust_ray.pipelines.queries import _ppm
 
 
-@settings(max_examples=300, deadline=None)
+@settings(deadline=None)
 @given(num=st.integers(min_value=-10**12, max_value=10**12),
        den=st.integers(min_value=1, max_value=10**9))
 def test_ppm_matches_duckdb_expression(num, den):
@@ -28,7 +28,7 @@ def test_ppm_matches_duckdb_expression(num, den):
 
 
 @given(k=st.integers(min_value=0, max_value=10**12))
-@settings(max_examples=100, deadline=None)
+@settings(deadline=None)
 def test_ppm_exact_half_boundary(k):
     """num/den scaled to ppm lands EXACTLY on k + 1/2: half-away
     rounds the .5 up (to k+1) on both signs — the boundary where

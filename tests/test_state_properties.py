@@ -50,7 +50,7 @@ cuts_strategy = st.lists(
 ).map(sorted)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(deadline=None)
 @given(events=events_strategy, cuts=cuts_strategy, gap=st.integers(5, 400))
 def test_sessions_incremental_equals_batch(events, cuts, gap):
     # batch oracle: all events at once, one final close
@@ -77,7 +77,7 @@ def test_sessions_incremental_equals_batch(events, cuts, gap):
     assert sorted(got) == sorted(want)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(deadline=None)
 @given(events=events_strategy, cuts=cuts_strategy, window=st.integers(1, 500))
 def test_dedup_incremental_with_eviction_equals_batch(events, cuts, window):
     # the shard sorts each epoch's rows by (key, ts) before processing;
@@ -103,7 +103,7 @@ def test_dedup_incremental_with_eviction_equals_batch(events, cuts, window):
         evicting = DedupState.restore(evicting.snapshot())
 
 
-@settings(max_examples=60, deadline=None)
+@settings(deadline=None)
 @given(events=events_strategy, cuts=cuts_strategy, size=st.integers(10, 300))
 def test_tumbling_windows_incremental_equals_batch(events, cuts, size):
     def partial(evs):
@@ -130,7 +130,7 @@ def test_tumbling_windows_incremental_equals_batch(events, cuts, size):
     assert sorted(got) == sorted(want)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(deadline=None)
 @given(
     adds=st.lists(
         st.tuples(st.integers(0, 9), st.integers(1, 50)),
@@ -157,7 +157,7 @@ def test_topk_chunked_adds_equal_counter(adds, chunks, k):
     assert state.top() == want
 
 
-@settings(max_examples=60, deadline=None)
+@settings(deadline=None)
 @given(
     events=st.lists(
         st.tuples(
@@ -203,7 +203,7 @@ def test_funnel_incremental_equals_batch(events, cuts, within):
     assert sorted(got) == batch()
 
 
-@settings(max_examples=60, deadline=None)
+@settings(deadline=None)
 @given(events=events_strategy, cuts=cuts_strategy, window=st.integers(1, 500))
 def test_spill_dedup_equals_dict_backend(events, cuts, window):
     """The sqlite-backed store is decision-identical to the dict store
@@ -229,7 +229,7 @@ def test_spill_dedup_equals_dict_backend(events, cuts, window):
         spill = restore_dedup(spill.snapshot())
 
 
-@settings(max_examples=80, deadline=None)
+@settings(deadline=None)
 @given(
     events=st.lists(
         st.tuples(
@@ -296,7 +296,7 @@ def test_session_changelog_view_equals_batch(events, epoch_size, gap,
     assert view == want
 
 
-@settings(max_examples=80, deadline=None)
+@settings(deadline=None)
 @given(
     events=st.lists(
         st.tuples(
@@ -359,7 +359,7 @@ def test_window_corrections_view_equals_batch(events, epoch_size, width,
     assert view == want
 
 
-@settings(max_examples=100, deadline=None)
+@settings(deadline=None)
 @given(
     events=st.lists(
         st.tuples(
@@ -444,7 +444,7 @@ def test_funnel_incremental_equals_batch_semantics(events, cuts, within,
     assert sorted(timeouts) == sorted(want_timeouts)
 
 
-@settings(max_examples=80, deadline=None)
+@settings(deadline=None)
 @given(
     events=st.lists(
         st.tuples(
@@ -505,7 +505,7 @@ def test_interval_join_incremental_equals_batch(events, epoch_size, bound):
     assert len(got) == len(want)  # each pair exactly once
 
 
-@settings(max_examples=80, deadline=None)
+@settings(deadline=None)
 @given(
     events=st.lists(
         st.tuples(
@@ -562,7 +562,7 @@ def test_distinct_window_state_layout_invariant(events, layout):
         (k, len(vs)) for k, vs in truth.items()}
 
 
-@settings(max_examples=80, deadline=None)
+@settings(deadline=None)
 @given(
     events=st.lists(st.integers(min_value=0, max_value=30),
                     min_size=1, max_size=300),

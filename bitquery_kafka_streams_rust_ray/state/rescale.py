@@ -311,4 +311,7 @@ def build_dedup(dedup_frags: list[dict], db_path: str | None):
             finally:
                 src.close()
     st.con.commit()
+    # fragments bypass process(), so seed the O(1) size counter once
+    # (keys are disjoint across fragments — a plain count is exact)
+    st._nkeys = st.con.execute("SELECT count(*) FROM kv").fetchone()[0]
     return st

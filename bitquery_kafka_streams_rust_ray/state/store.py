@@ -123,6 +123,12 @@ class SpillDedupState:
         self.con.execute(
             "CREATE TABLE IF NOT EXISTS kv "
             "(k TEXT PRIMARY KEY, ts INTEGER NOT NULL) WITHOUT ROWID")
+        # key count maintained incrementally (inserts in process(),
+        # deletes in evict()) so the per-epoch size gauge never walks
+        # the B-tree; one COUNT(*) only when adopting an existing image
+        self._nkeys = (
+            self.con.execute("SELECT count(*) FROM kv").fetchone()[0]
+            if _image is not None else 0)
 
     def process(self, keys: list[str], ts_us: np.ndarray) -> np.ndarray:
         """Same keep-mask recurrence as ``DedupState.process``; reads
@@ -136,6 +142,7 @@ class SpillDedupState:
             marks = ",".join("?" * len(chunk))
             local.update(cur.execute(
                 f"SELECT k, ts FROM kv WHERE k IN ({marks})", chunk))
+        found = len(local)
         keep = np.empty(len(keys), dtype=bool)
         window = self.window_us
         for i, key in enumerate(keys):
@@ -148,17 +155,19 @@ class SpillDedupState:
             "ON CONFLICT(k) DO UPDATE SET ts = excluded.ts",
             local.items())
         self.con.commit()
+        self._nkeys += len(local) - found
         return keep
 
     def size(self) -> int:
-        """Key count via an index-only B-tree walk — one query per
-        epoch for the state-size gauge (not on the row path)."""
-        return self.con.execute("SELECT count(*) FROM kv").fetchone()[0]
+        """O(1) key count for the state-size gauge (incrementally
+        maintained; a 10^12-key B-tree is never walked per epoch)."""
+        return self._nkeys
 
     def evict(self, watermark_us: int) -> int:
         cur = self.con.execute("DELETE FROM kv WHERE ts < ?",
                                (watermark_us - self.window_us,))
         self.con.commit()
+        self._nkeys -= cur.rowcount
         return cur.rowcount
 
     def close(self) -> None:

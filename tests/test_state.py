@@ -354,3 +354,37 @@ def test_topk_mg_cap_keeps_heavy_hitters():
     top = st.top()
     assert top[0][0] == "x"
     assert top[0][1] <= 55  # lower bound, never over-counts
+
+
+@pytest.mark.parametrize("backend", ["dict", "memory_spill", "file_spill"])
+def test_dedup_size_gauge_o1_and_exact(tmp_path, backend):
+    """size() tracks the true key count through process/evict/snapshot/
+    restore on every backend — incrementally for the spill store (no
+    per-epoch B-tree walk)."""
+    from bitquery_kafka_streams_rust_ray.state.store import (
+        DedupState, SpillDedupState, restore_dedup)
+
+    if backend == "dict":
+        st = DedupState(100)
+    else:
+        st = SpillDedupState(
+            100, str(tmp_path / "d.sqlite")
+            if backend == "file_spill" else None)
+    st.process(["a", "b", "a", "c"], np.array([0, 1, 2, 3]))
+    assert st.size() == 3
+    st.process(["d", "a"], np.array([4, 5]))
+    assert st.size() == 4
+    st.evict(150)  # horizon 50: every key's last ts < 50
+    assert st.size() == 0
+    st.process(["x", "y"], np.array([200, 201]))
+    assert st.size() == 2
+
+    st2 = restore_dedup(st.snapshot(),
+                        str(tmp_path / "r.sqlite")
+                        if backend == "file_spill" else None)
+    assert st2.size() == 2
+    if backend == "file_spill":
+        snap = st.snapshot_to_file(str(tmp_path / "cp.sqlite"))
+        st3 = restore_dedup(snap, str(tmp_path / "live.sqlite"),
+                            sidecar_dir=str(tmp_path))
+        assert st3.size() == 2

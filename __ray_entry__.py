@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # eviction (rows-only with an in-entry DuckDB self-join check;
         # pinned vs oracle + batch truth in tests/test_interval_join.py)
         "streaming_interval_join": q.streaming_interval_join,
+        # market-basket association rules: directed support/confidence/
+        # lift in exact ppm over the co-purchase baskets (SQL oracle)
+        "assoc_rules_copurchase": q.assoc_rules_copurchase,
         # CEP negation: funnel with no error event inside (start, end)
         # (Flink notFollowedBy; exact SQL oracle)
         "funnel_veto_events": q.funnel_veto_events,
@@ -2043,6 +2046,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(CASE WHEN 2 * cum >= total THEN cents END)
                         AS DOUBLE) / 100.0 AS wmedian
             FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "assoc_rules_copurchase": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM d),
+            sz AS (SELECT l_partkey, count(*) AS n_item FROM d
+                   GROUP BY l_partkey),
+            p AS (
+                SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+                       count(*) AS n_pair
+                FROM d a JOIN d b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+                GROUP BY antecedent, consequent HAVING count(*) >= 2)
+            SELECT p.antecedent, p.consequent, p.n_pair,
+                   sa.n_item AS n_ante,
+                   CAST((2 * CAST(p.n_pair AS HUGEINT) * 1000000 + tot.n)
+                        // (2 * tot.n) AS BIGINT) AS support_ppm,
+                   CAST((2 * CAST(p.n_pair AS HUGEINT) * 1000000
+                         + sa.n_item)
+                        // (2 * sa.n_item) AS BIGINT) AS confidence_ppm,
+                   CAST((2 * CAST(p.n_pair AS HUGEINT) * tot.n * 1000000
+                         + CAST(sa.n_item AS HUGEINT) * sb.n_item)
+                        // (2 * CAST(sa.n_item AS HUGEINT) * sb.n_item)
+                        AS BIGINT) AS lift_ppm
+            FROM p, tot
+            JOIN sz sa ON sa.l_partkey = p.antecedent
+            JOIN sz sb ON sb.l_partkey = p.consequent
+            ORDER BY p.antecedent, p.consequent
         """,
         "copurchase_part_pairs": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

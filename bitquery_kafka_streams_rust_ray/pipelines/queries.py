@@ -6198,6 +6198,53 @@ def copurchase_part_pairs(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def assoc_rules_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Market-basket association rules (Agrawal-style apriori readout at
+    itemset size 2) over order baskets: every DIRECTED rule a -> b with
+    pair support >= 2, scored support = n_ab/N, confidence = n_ab/n_a
+    and lift = n_ab*N/(n_a*n_b) — all exact half-away ppm from integer
+    counts, so the oracle hash-matches. Reuses the sharded pair-mining
+    kernel (`_pairs_in_shards` with item sizes + basket total riding
+    the same pass as sentinel rows); the rule table is pairs-domain
+    sized, never basket-domain."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def sharded(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["l_orderkey"],
+                                        pa.scalar(63, pa.int64())),
+                        pa.int64())
+        return (pa.table({
+            "l_orderkey": t["l_orderkey"],
+            # string items: the kernel's size/total sentinels use ""
+            "part": pc.cast(t["l_partkey"], pa.string()),
+            "_shard": shard,
+        }).group_by(["l_orderkey", "part", "_shard"]).aggregate([]))
+
+    pairs, sizes, n_orders = _pairs_in_shards(
+        ds.map_batches(sharded, batch_format="pyarrow"),
+        ["l_orderkey"], "part", with_sizes=True, with_basket_count=True)
+    pairs = pairs[pairs["n"] >= 2]
+    rows = []
+    for a, b, n_ab in pairs.itertuples(index=False):
+        for x, y in ((a, b), (b, a)):
+            rows.append((int(x), int(y), int(n_ab), int(sizes[x]),
+                         int(sizes[y])))
+    out = pd.DataFrame(rows, columns=["antecedent", "consequent",
+                                      "n_pair", "n_ante", "n_cons"])
+    out["support_ppm"] = _ppm(out["n_pair"].to_numpy(np.int64),
+                              np.full(len(out), n_orders, np.int64))
+    out["confidence_ppm"] = _ppm(out["n_pair"].to_numpy(np.int64),
+                                 out["n_ante"].to_numpy(np.int64))
+    out["lift_ppm"] = _ppm(
+        out["n_pair"].to_numpy(object) * n_orders,
+        out["n_ante"].to_numpy(object) * out["n_cons"].to_numpy(object))
+    out = out.drop(columns=["n_cons"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["antecedent", "consequent"])
+            .reset_index(drop=True))
+
+
 def session_conversion_rate(sf_dir: str, gap_s: int = 7200) -> pd.DataFrame:
     """Sessionized funnel conversion (per entry event type: how many
     sessions convert to a purchase): composes the clickstream

@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # market-basket association rules: directed support/confidence/
         # lift in exact ppm over the co-purchase baskets (SQL oracle)
         "assoc_rules_copurchase": q.assoc_rules_copurchase,
+        # two-sided 10% trimmed mean from the cents histogram, boundary
+        # counts partially included via cumulative clipping (SQL oracle)
+        "trimmed_mean_events": q.trimmed_mean_events,
         # CEP negation: funnel with no error event inside (start, end)
         # (Flink notFollowedBy; exact SQL oracle)
         "funnel_veto_events": q.funnel_veto_events,
@@ -870,6 +873,33 @@ def oracle_sql() -> dict[str, str]:
                    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
                        AS zipf_slope_6
             FROM m ORDER BY source
+        """,
+        "trimmed_mean_events": """
+            WITH h AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              count(*) AS cnt
+                       FROM events GROUP BY event_type, cents),
+            w AS (SELECT *,
+                         sum(cnt) OVER (PARTITION BY event_type
+                                        ORDER BY cents
+                                        ROWS UNBOUNDED PRECEDING) AS cum,
+                         sum(cnt) OVER (PARTITION BY event_type) AS n
+                  FROM h),
+            t AS (SELECT event_type, cents, n,
+                         least(cum, n - n // 10)
+                         - greatest(cum - cnt, n // 10) AS take
+                  FROM w)
+            SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+                   CAST(any_value(n) - 2 * (any_value(n) // 10)
+                        AS BIGINT) AS n_kept,
+                   CAST((2 * sum(CAST(cents AS HUGEINT) * take) * 1000000
+                         + (any_value(n) - 2 * (any_value(n) // 10)) * 100)
+                        // (2 * CAST(any_value(n)
+                                     - 2 * (any_value(n) // 10)
+                                     AS HUGEINT) * 100)
+                        AS BIGINT) AS trimmed_mean_micro
+            FROM t WHERE take > 0
+            GROUP BY event_type ORDER BY event_type
         """,
         "mean_excess_events": """
             WITH c AS (SELECT event_type,

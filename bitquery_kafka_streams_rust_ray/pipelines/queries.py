@@ -3525,6 +3525,57 @@ def mean_excess_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def trimmed_mean_events(sf_dir: str) -> pd.DataFrame:
+    """Two-sided 10% trimmed mean per type — the robust-location stat
+    between median and mean: drop the n//10 smallest and largest
+    observations, average the rest, exact half-away micro units. Reads
+    the same distinct-value cents histogram as the other robust stats
+    (the shuffle carries (type, cents) pairs, never rows); the boundary
+    value's count is PARTIALLY included via cumulative clipping, so the
+    result is exactly the row-level definition."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    _schema = pa.schema([("event_type", pa.string()),
+                         ("cents", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _schema.empty_table()
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return (pa.table({"event_type": t["event_type"],
+                          "cents": pa.array(cents)})
+                .group_by(["event_type", "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "cents", "n"])
+                .cast(_schema))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    rows = []
+    for etype, sub in hist.groupby("event_type"):
+        sub = sub.sort_values("cents")
+        vals = sub["cents"].to_numpy(np.int64).astype(object)
+        cnt = sub["n"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        k = n // 10
+        take = (np.minimum(cum, n - k)
+                - np.maximum(cum - cnt, k)).clip(min=0)
+        s = int((vals * take.astype(object)).sum())
+        kept = n - 2 * k
+        rows.append((etype, n, kept,
+                     int(_ppm(np.array([s], object),
+                              np.array([kept * 100], object))[0])))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "n_kept",
+                                      "trimmed_mean_micro"])
+    for c in ("n", "n_kept", "trimmed_mean_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def tdigest_percentiles_events(sf_dir: str) -> pd.DataFrame:
     """Per-type value percentiles via mergeable t-digest
     (`stages/sketches.py::tdigest_quantiles`) — the unbounded-domain

@@ -7,7 +7,10 @@ Decode / feature-extract / resize / frame-sample are actor-pool
 
 Two decode tiers per modality:
 
-* **real wire formats, stdlib-decodable** — uncompressed 24-bit BMP
+* **real wire formats, stdlib-decodable** — single-frame GIF89a
+  (``GIF8`` magic; :func:`encode_gif` / :func:`decode_gif` implement
+  the variable-width LZW coder with clear/EOI codes and 4096-entry
+  table resets in pure numpy/stdlib), uncompressed 24-bit BMP
   (``BM`` magic, BITMAPINFOHEADER, bottom-up BGR rows with 4-byte row
   padding; :func:`encode_bmp` / :func:`decode_bmp` via ``struct``) and
   PCM WAV (``RIFF`` magic; :func:`encode_wav` / :func:`decode_wav` via
@@ -84,6 +87,168 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
         gray = rows[:, : w * 3 : 3]  # blue channel of each BGR triple
         return gray[::-1] if bottom_up else gray.copy()
     except (struct.error, ValueError):
+        return None
+
+
+def encode_gif(gray: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 grayscale array as a REAL single-frame
+    GIF89a (grayscale global palette, 8-bit LZW with variable code
+    widths, clear/EOI codes, 255-byte sub-blocks) — byte-compatible
+    with any image viewer. Pure stdlib/numpy; the LZW table resets at
+    4096 codes per the spec."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    pal = np.repeat(np.arange(256, dtype=np.uint8), 3)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # descriptor
+    out += b"\x08"  # LZW minimum code size
+
+    clear, eoi = 256, 257
+    codes: list[int] = [clear]
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_size = 9
+    cur = b""
+    for px in gray.tobytes():
+        nxt = cur + bytes([px])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            codes.append(clear)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            code_size = 9
+        cur = nxt[-1:]
+    if cur:
+        codes.append(table[cur])
+    codes.append(eoi)
+
+    # pack codes LSB-first at the width each was emitted under
+    bits = bytearray()
+    acc = n_acc = 0
+    size = 9
+    tbl_n = 258
+    for c in codes:
+        acc |= c << n_acc
+        n_acc += size
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+        if c == clear:
+            size, tbl_n = 9, 258
+        elif c != eoi:
+            tbl_n += 1
+            if tbl_n > (1 << size) and size < 12:
+                size += 1
+    if n_acc:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray | None:
+    """Decode a single-frame non-interlaced GIF to a (h, w) uint8 gray
+    array (red palette channel; encode_gif writes R=G=B). Returns None
+    for variants this minimal decoder doesn't cover (interlaced, local
+    color tables, truncated streams) — callers quarantine those."""
+    try:
+        if payload[:4] != b"GIF8" or len(payload) < 13:
+            return None
+        w0, h0, flags = struct.unpack_from("<HHB", payload, 6)
+        pos = 13
+        pal = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos)[::3].copy()
+            pos += n * 3
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x21:  # extension: skip sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b == 0x2C:
+                break
+            else:
+                return None
+        _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload,
+                                                  pos + 1)
+        pos += 10
+        if iflags & 0x40 or w == 0 or h == 0:  # interlace unsupported
+            return None
+        if iflags & 0x80:  # local palette wins
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos)[::3].copy()
+            pos += n * 3
+        if pal is None:
+            return None
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        size = min_code + 1
+        table: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
+        table += [b"", b""]
+        out = bytearray()
+        acc = n_acc = 0
+        prev: bytes | None = None
+        done = False
+        for byte in data:
+            if done:
+                break
+            acc |= byte << n_acc
+            n_acc += 8
+            while n_acc >= size:
+                code = acc & ((1 << size) - 1)
+                acc >>= size
+                n_acc -= size
+                if code == clear:
+                    table = [bytes([i]) for i in range(1 << min_code)]
+                    table += [b"", b""]
+                    size = min_code + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    done = True
+                    break
+                if prev is None:
+                    entry = table[code]
+                else:
+                    if code < len(table):
+                        entry = table[code]
+                        table.append(prev + entry[:1])
+                    elif code == len(table):  # KwKwK
+                        entry = prev + prev[:1]
+                        table.append(entry)
+                    else:
+                        return None
+                    if (len(table) >= (1 << size) and size < 12):
+                        size += 1
+                out += entry
+                prev = entry
+        if len(out) != w * h:
+            return None
+        return pal[np.frombuffer(bytes(out), np.uint8)].reshape(h, w)
+    except (struct.error, ValueError, IndexError):
         return None
 
 
@@ -193,6 +358,8 @@ def _image_gray(payload: bytes | None) -> np.ndarray | None:
         return None
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     if payload[:8] == _IMG_MAGIC:
         w, h = struct.unpack_from("<II", payload, 8)
         pixels = np.frombuffer(payload, dtype=np.uint8, offset=16)

@@ -261,3 +261,52 @@ def test_phash_cross_format_dedup():
     h = got["phash"].to_pylist()
     assert h[0] == h[1] and h[0] is not None
     assert h[2] is None  # truncated -> quarantine
+
+
+def test_gif_roundtrip_and_lzw_resets():
+    """REAL single-frame GIF89a: variable-width LZW round-trips exactly,
+    including images large/repetitive enough to force 4096-entry table
+    resets; truncated and interlaced payloads quarantine (None)."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_gif, encode_gif)
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (7, 13), (64, 64)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        b = encode_gif(img)
+        assert b[:6] == b"GIF89a"
+        assert np.array_equal(decode_gif(b), img)
+    # constant 500x500 = 250k identical pixels: maximal dictionary
+    # growth -> multiple clear-code resets on both sides
+    img = np.full((500, 500), 77, np.uint8)
+    b = encode_gif(img)
+    assert len(b) < 5000  # LZW actually compressed
+    assert np.array_equal(decode_gif(b), img)
+    assert decode_gif(b[:200]) is None
+    # interlace flag set -> unsupported -> quarantine, not garbage
+    ib = bytearray(encode_gif(np.zeros((4, 4), np.uint8)))
+    desc = 13 + 256 * 3  # header+LSD+global palette -> image descriptor
+    assert ib[desc] == 0x2C
+    ib[desc + 9] |= 0x40
+    assert decode_gif(bytes(ib)) is None
+
+
+def test_gif_decodes_through_stage_like_bmp_and_fake():
+    """The same pixels as GIF, BMP and fake container produce identical
+    format-independent checksums through DecodeImageStage."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        encode_bmp, encode_gif)
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(6, 10), dtype=np.uint8)
+    fake = (b"FAKEIMG1"
+            + __import__("struct").pack("<II", 10, 6) + gray.tobytes())
+    t = pa.table({"image": [encode_gif(gray), encode_bmp(gray), fake]})
+    out = DecodeImageStage()(t)
+    assert out["width"].to_pylist() == [10, 10, 10]
+    cks = out["checksum"].to_pylist()
+    assert cks[0] == cks[1] == cks[2]

@@ -7,7 +7,10 @@ Decode / feature-extract / resize / frame-sample are actor-pool
 
 Two decode tiers per modality:
 
-* **real wire formats, stdlib-decodable** — single-frame GIF89a
+* **real wire formats, stdlib-decodable** — 8-bit grayscale PNG
+  (``\\x89PNG`` signature; :func:`encode_png` / :func:`decode_png`
+  un-apply all five scanline filters over stdlib-zlib IDAT, CRC
+  checked per chunk), single-frame GIF89a
   (``GIF8`` magic; :func:`encode_gif` / :func:`decode_gif` implement
   the variable-width LZW coder with clear/EOI codes and 4096-entry
   table resets in pure numpy/stdlib), uncompressed 24-bit BMP
@@ -87,6 +90,99 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
         gray = rows[:, : w * 3 : 3]  # blue channel of each BGR triple
         return gray[::-1] if bottom_up else gray.copy()
     except (struct.error, ValueError):
+        return None
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(gray: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 grayscale array as a REAL PNG (8-bit
+    grayscale, filter 0 scanlines, one zlib IDAT, CRC-checked chunks)
+    — byte-compatible with any viewer; stdlib zlib does the deflate."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no ilace
+    raw = np.zeros((h, w + 1), dtype=np.uint8)
+    raw[:, 1:] = gray  # filter byte 0 per scanline
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """Decode an 8-bit grayscale non-interlaced PNG to a (h, w) uint8
+    array, un-applying all five scanline filters (None/Sub/Up/Average/
+    Paeth). Returns None for variants this minimal decoder doesn't
+    cover (color, palette, 16-bit, interlaced, bad CRC, truncated) —
+    callers quarantine those rows."""
+    try:
+        if payload[:8] != _PNG_SIG:
+            return None
+        pos, w = 8, None
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            ln, tag = struct.unpack_from(">I4s", payload, pos)
+            body = payload[pos + 8:pos + 8 + ln]
+            if len(body) != ln:
+                return None
+            crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+            if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                return None
+            if tag == b"IHDR":
+                w, h, depth, color, _comp, _filt, ilace = struct.unpack(
+                    ">IIBBBBB", body)
+                if depth != 8 or color != 0 or ilace != 0 \
+                        or w == 0 or h == 0:
+                    return None
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        if w is None or not idat:
+            return None
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+        if len(raw) != h * (w + 1):
+            return None
+        raw = raw.reshape(h, w + 1)
+        out = np.zeros((h, w), dtype=np.uint8)
+        for y in range(h):
+            f, line = raw[y, 0], raw[y, 1:].astype(np.int32)
+            up = out[y - 1].astype(np.int32) if y else np.zeros(w,
+                                                               np.int32)
+            if f == 0:
+                out[y] = line
+            elif f == 2:  # Up
+                out[y] = (line + up) & 0xFF
+            elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential
+                row = np.zeros(w, dtype=np.int32)
+                left = 0
+                for x in range(w):
+                    ul = int(up[x - 1]) if x else 0
+                    u = int(up[x])
+                    if f == 1:
+                        pred = left
+                    elif f == 3:
+                        pred = (left + u) >> 1
+                    else:
+                        p = left + u - ul
+                        pa_, pb, pcd = abs(p - left), abs(p - u), \
+                            abs(p - ul)
+                        pred = (left if pa_ <= pb and pa_ <= pcd
+                                else u if pb <= pcd else ul)
+                    left = (int(line[x]) + pred) & 0xFF
+                    row[x] = left
+                out[y] = row
+            else:
+                return None
+        return out
+    except (struct.error, ValueError, zlib.error):
         return None
 
 
@@ -358,6 +454,8 @@ def _image_gray(payload: bytes | None) -> np.ndarray | None:
         return None
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
     if payload[:8] == _IMG_MAGIC:

@@ -310,3 +310,79 @@ def test_gif_decodes_through_stage_like_bmp_and_fake():
     assert out["width"].to_pylist() == [10, 10, 10]
     cks = out["checksum"].to_pylist()
     assert cks[0] == cks[1] == cks[2]
+
+
+def test_png_roundtrip_all_filters_and_crc():
+    """REAL 8-bit grayscale PNG: encode/decode round-trips; a hand-built
+    IDAT cycling ALL FIVE scanline filters (None/Sub/Up/Average/Paeth)
+    decodes to the exact pixels; CRC corruption and truncation
+    quarantine (None)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        _PNG_SIG, _png_chunk, decode_png, encode_png)
+
+    rng = np.random.default_rng(5)
+    for shape in [(1, 1), (3, 5), (40, 60)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        b = encode_png(img)
+        assert b[:8] == _PNG_SIG
+        assert np.array_equal(decode_png(b), img)
+
+    img = (np.add.outer(np.arange(9), np.arange(7)) * 13 % 256
+           ).astype(np.uint8)
+    h, w = img.shape
+    rows = []
+    prev = np.zeros(w, np.int32)
+    for y in range(h):
+        f = y % 5
+        line = img[y].astype(np.int32)
+        enc = np.zeros(w, np.uint8)
+        for x in range(w):
+            ul = int(prev[x - 1]) if x else 0
+            u = int(prev[x])
+            lf = int(img[y, x - 1]) if x else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = lf
+            elif f == 2:
+                pred = u
+            elif f == 3:
+                pred = (lf + u) >> 1
+            else:
+                p = lf + u - ul
+                pa_, pb, pcd = abs(p - lf), abs(p - u), abs(p - ul)
+                pred = (lf if pa_ <= pb and pa_ <= pcd
+                        else u if pb <= pcd else ul)
+            enc[x] = (int(line[x]) - pred) & 0xFF
+        rows.append(bytes([f]) + enc.tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), img)
+
+    bad = bytearray(encode_png(img))
+    bad[40] ^= 0xFF
+    assert decode_png(bytes(bad)) is None
+    assert decode_png(encode_png(img)[:30]) is None
+
+
+def test_png_decodes_through_stage():
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        encode_bmp, encode_png)
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(6, 10), dtype=np.uint8)
+    t = pa.table({"image": [encode_png(gray), encode_bmp(gray)]})
+    out = DecodeImageStage()(t)
+    assert out["width"].to_pylist() == [10, 10]
+    cks = out["checksum"].to_pylist()
+    assert cks[0] == cks[1]

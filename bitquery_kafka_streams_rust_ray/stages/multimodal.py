@@ -17,8 +17,10 @@ Two decode tiers per modality:
   (``BM`` magic, BITMAPINFOHEADER, bottom-up BGR rows with 4-byte row
   padding; :func:`encode_bmp` / :func:`decode_bmp` via ``struct``) and
   PCM WAV (``RIFF`` magic; :func:`encode_wav` / :func:`decode_wav` via
-  the stdlib ``wave`` module). Every stage sniffs these first, so at
-  least one REAL format per modality exercises the full decode path.
+  the stdlib ``wave`` module) and uncompressed RIFF AVI
+  (:func:`encode_avi` / :func:`decode_avi`; ``FrameSampleStage``
+  emits its sampled frames as real BMPs). Every stage sniffs these
+  first, so EVERY modality exercises a real wire format end to end.
 * **deterministic fake containers** (``FAKEIMG``/``FAKEAUD``/
   ``FAKEVID`` headers, :func:`fake_image` / :func:`fake_audio` /
   :func:`fake_video`) standing in for the codecs that are NOT in this
@@ -382,6 +384,98 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
         return None
 
 
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode (n, h, w) uint8 grayscale frames as a REAL uncompressed
+    AVI (RIFF 'AVI ', one 'vids'/DIB stream, 24-bit BI_RGB '00db'
+    frames with BMP-style bottom-up 4-byte-padded rows) — playable by
+    any video player. Pure struct/numpy."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        rows = np.zeros((h, row_bytes), dtype=np.uint8)
+        rows[:, : w * 3] = np.repeat(frame[::-1], 3, axis=1)
+        return rows.tobytes()
+
+    avih = struct.pack("<14I", 1_000_000 // fps, img_size * fps, 0, 0x10,
+                       n, 0, 1, img_size, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIi4H", b"vids", b"DIB ", 0, 0, 0,
+                       0, 1, fps, 0, n, img_size, 0, 0, 0, 0,
+                       w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
+                       + _riff_chunk(b"strf", strf))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih)
+                       + strl)
+    movi = _riff_chunk(b"LIST", b"movi" + b"".join(
+        _riff_chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[float, np.ndarray] | None:
+    """Decode an uncompressed 24-bit DIB AVI to (fps, (n, h, w) uint8
+    gray frames). Returns None for variants this minimal decoder
+    doesn't cover (compressed streams, non-24-bit, truncated) —
+    callers quarantine those rows."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return None
+        w = h = None
+        scale = rate = None
+
+        def walk(lo: int, hi: int):
+            nonlocal w, h, scale, rate
+            frames = []
+            pos = lo
+            while pos + 8 <= hi:
+                tag = payload[pos:pos + 4]
+                ln = struct.unpack_from("<I", payload, pos + 4)[0]
+                body_lo = pos + 8
+                if body_lo + ln > hi:
+                    raise ValueError("truncated chunk")
+                if tag == b"LIST":
+                    frames += walk(body_lo + 4, body_lo + ln)
+                elif tag == b"strh":
+                    if payload[body_lo:body_lo + 4] == b"vids":
+                        scale, rate = struct.unpack_from(
+                            "<II", payload, body_lo + 20)
+                elif tag == b"strf":
+                    (_sz, bw, bh, _pl, bpp, comp) = struct.unpack_from(
+                        "<IiiHHI", payload, body_lo)
+                    if bpp != 24 or comp != 0 or bw <= 0 or bh <= 0:
+                        raise ValueError("unsupported stream format")
+                    w, h = bw, bh
+                elif tag in (b"00db", b"00dc"):
+                    frames.append((body_lo, ln))
+                pos = body_lo + ln + (ln & 1)
+            return frames
+
+        raw = walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
+        if w is None or not raw:
+            return None
+        row_bytes = (w * 3 + 3) & ~3
+        out = np.empty((len(raw), h, w), dtype=np.uint8)
+        for i, (lo, ln) in enumerate(raw):
+            if ln < row_bytes * h:
+                return None
+            rows = np.frombuffer(payload, np.uint8, row_bytes * h,
+                                 lo).reshape(h, row_bytes)
+            out[i] = rows[::-1, : w * 3 : 3]
+        fps = (rate / scale) if scale and rate else 0.0
+        return fps, out
+    except (struct.error, ValueError):
+        return None
+
+
 def fake_image(width: int, height: int, seed: int = 0) -> bytes:
     """Deterministic fake image container: header + seeded pixel bytes."""
     rng = np.random.default_rng(seed)
@@ -406,13 +500,15 @@ def fake_video(width: int, height: int, n_frames: int, fps: int = 25,
 
 
 class FrameSampleStage:
-    """binary video -> one row per sampled frame, as fake-image bytes.
+    """binary video -> one row per sampled frame, as image bytes.
 
     The flat-map analog for video: each input row explodes into
     ``ceil(n_frames / every)`` frame rows carrying ``(frame_idx,
-    frame_ts_s, frame)`` where ``frame`` is a decodable fake-image
-    container, so downstream image stages compose. Real path would be
-    ffmpeg/pyav keyframe sampling (not in this container).
+    frame_ts_s, frame)``. REAL uncompressed AVI (RIFF ``AVI ``, DIB
+    frames) decodes first and emits its sampled frames as REAL BMPs;
+    the fake container emits fake-image bytes — either way the frame
+    column is decodable by the downstream image stages. Compressed
+    video (ffmpeg/pyav) is not in this container.
     """
 
     def __init__(self, every: int = 10, video_col: str = "video",
@@ -425,6 +521,18 @@ class FrameSampleStage:
         out_ids, out_idx, out_ts, out_frames = [], [], [], []
         ids = batch[self.id_col].to_pylist()
         for vid, payload in zip(ids, batch[self.video_col].to_pylist()):
+            if payload and payload[:4] == b"RIFF" \
+                    and payload[8:12] == b"AVI ":
+                decoded = decode_avi(payload)
+                if decoded is None:
+                    continue  # undecodable AVI -> quarantined
+                fps_f, avi_frames = decoded
+                for i in range(0, len(avi_frames), self.every):
+                    out_ids.append(vid)
+                    out_idx.append(i)
+                    out_ts.append(round(i / fps_f, 6) if fps_f else 0.0)
+                    out_frames.append(encode_bmp(avi_frames[i]))
+                continue
             if not (payload and payload[:8] == _VID_MAGIC):
                 continue  # undecodable -> quarantined (F8 semantics)
             w, h, n_frames, fps = struct.unpack_from("<IIII", payload, 8)

@@ -386,3 +386,34 @@ def test_png_decodes_through_stage():
     assert out["width"].to_pylist() == [10, 10]
     cks = out["checksum"].to_pylist()
     assert cks[0] == cks[1]
+
+
+def test_avi_roundtrip_and_frame_sampling():
+    """REAL uncompressed AVI (RIFF, DIB frames): encode/decode
+    round-trips exactly; FrameSampleStage samples its frames as REAL
+    BMPs that compose with DecodeImageStage; truncated payloads
+    quarantine. Every modality now has a real wire format."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        FrameSampleStage, decode_avi, decode_bmp, encode_avi)
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, size=(12, 6, 10), dtype=np.uint8)
+    avi = encode_avi(frames, fps=30)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    fps, got = decode_avi(avi)
+    assert fps == 30.0 and np.array_equal(got, frames)
+    assert decode_avi(avi[:80]) is None
+
+    t = pa.table({"vid_id": ["v1"], "video": [avi]})
+    out = FrameSampleStage(every=5)(t)
+    assert out["frame_idx"].to_pylist() == [0, 5, 10]
+    assert out["frame_ts_s"].to_pylist() == [0.0, round(5 / 30, 6),
+                                             round(10 / 30, 6)]
+    for i, fb in zip((0, 5, 10), out["frame"].to_pylist()):
+        assert fb[:2] == b"BM"  # sampled frames are real BMPs
+        assert np.array_equal(decode_bmp(fb), frames[i])
+    dec = DecodeImageStage()(out.rename_columns(
+        ["vid_id", "frame_idx", "frame_ts_s", "image"]))
+    assert dec["width"].to_pylist() == [10, 10, 10]

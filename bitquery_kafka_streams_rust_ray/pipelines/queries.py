@@ -4095,22 +4095,25 @@ def multimodal_audio(sf_dir: str) -> pd.DataFrame:
 
 
 def multimodal_decode(sf_dir: str) -> pd.DataFrame:
-    """Image-decode plumbing over a mixed corpus: every third payload
-    is a REAL uncompressed BMP (stdlib-encoded wire format), the rest
-    deterministic fake containers — both decode through the same stage
-    (rows-only; compressed codecs like JPEG need PIL, not in this
-    container)."""
-    from ..stages.multimodal import DecodeImageStage, encode_bmp, fake_image
+    """Image-decode plumbing over a mixed corpus cycling FOUR wire
+    formats — REAL PNG (zlib + scanline filters), REAL GIF89a (pure
+    LZW), REAL uncompressed BMP (struct), and the deterministic fake
+    container — all decoding through the same sniffing stage with
+    format-independent checksums (rows-only; only codecs needing
+    PIL/ffmpeg remain stubs)."""
+    from ..stages.multimodal import (DecodeImageStage, encode_bmp,
+                                     encode_gif, encode_png, fake_image)
 
     keys = _t(sf_dir, "part", ["p_partkey"]).to_pandas()["p_partkey"].tolist()
 
     def payload(k: int) -> bytes:
         w, h = 8 + k % 8, 8 + k % 5
-        if k % 3 == 0:  # real BMP wire format
-            rng = np.random.default_rng(k)
-            return encode_bmp(rng.integers(0, 256, size=(h, w),
-                                           dtype=np.uint8))
-        return fake_image(w, h, seed=k)
+        m = k % 4
+        if m == 3:
+            return fake_image(w, h, seed=k)
+        rng = np.random.default_rng(k)
+        gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        return (encode_png, encode_gif, encode_bmp)[m](gray)
 
     rows = [{"img_id": int(k), "image": payload(int(k))} for k in keys]
     ds = rd.from_items(rows)

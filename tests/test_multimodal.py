@@ -417,3 +417,42 @@ def test_avi_roundtrip_and_frame_sampling():
     dec = DecodeImageStage()(out.rename_columns(
         ["vid_id", "frame_idx", "frame_ts_s", "image"]))
     assert dec["width"].to_pylist() == [10, 10, 10]
+
+
+from hypothesis import given, settings, strategies as hst
+
+
+@settings(deadline=None)
+@given(
+    w=hst.integers(min_value=1, max_value=40),
+    h=hst.integers(min_value=1, max_value=40),
+    seed=hst.integers(min_value=0, max_value=2**31),
+    flavor=hst.sampled_from(["random", "constant", "gradient", "binary"]),
+)
+def test_image_codec_roundtrip_property(w, h, seed, flavor):
+    """Every real image/video codec is an exact round-trip for
+    arbitrary shapes and pixel structures (random, constant = maximal
+    LZW dictionary reuse, gradient = filter-friendly, binary = long
+    runs)."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_avi, decode_bmp, decode_gif, decode_png, encode_avi,
+        encode_bmp, encode_gif, encode_png)
+
+    rng = np.random.default_rng(seed)
+    if flavor == "random":
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    elif flavor == "constant":
+        img = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+    elif flavor == "gradient":
+        img = (np.add.outer(np.arange(h), np.arange(w)) % 256
+               ).astype(np.uint8)
+    else:
+        img = (rng.random((h, w)) < 0.1).astype(np.uint8) * 255
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    frames = np.stack([img, 255 - img])
+    fps, got = decode_avi(encode_avi(frames, fps=10))
+    assert fps == 10.0 and np.array_equal(got, frames)

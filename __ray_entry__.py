@@ -36,6 +36,11 @@ def entry() -> Any:
 # 228-oracle catalog.  Coverage is identical either way — ordering only
 # decides what gets *recorded* this round.
 _R4_WINDOW = [
+    # round-4 additions: the streaming engine's final drained state over
+    # the events table, each with an exact SQL twin (the oracle-ized
+    # counterparts of the rows-only streaming showcases)
+    "streaming_corrections_final", "streaming_early_fire_final",
+    "streaming_sessions_final", "streaming_interval_join_final",
     "mannwhitney_purchase_view", "spike_events", "dwell_by_type_events",
     "fulfillment_lag_quantiles", "autocorr7_daily_revenue",
     "level_shift_daily_revenue", "conversion_latency_events",
@@ -57,7 +62,6 @@ _R4_WINDOW = [
     "audience_jaccard_types", "fulfillment_lag_by_priority",
     "hhi_supplier_concentration", "weighted_median_price",
     "copurchase_part_pairs", "session_conversion_rate", "rfm_segments",
-    "dup_rate_by_source", "mad_value_by_type", "keyset_checksum_monthly",
 ]
 
 
@@ -70,6 +74,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _catalog() -> dict[str, Callable[[str], Any]]:
     return {
+        # -- round-4 additions: SQL-oracled streaming final views --------
+        # the full engine (epochs, watermarks, exactly-once sink) driven
+        # over the events table re-shaped as a pages log
+        # (sources/events_log.py); final drained state == batch SQL
+        "streaming_corrections_final": q.streaming_corrections_final,
+        "streaming_early_fire_final": q.streaming_early_fire_final,
+        "streaming_sessions_final": q.streaming_sessions_final,
+        "streaming_interval_join_final": q.streaming_interval_join_final,
         # -- round-3i additions (newest, never driver-checked) -----------
         # session retract/add changelog under update mode: accepted-late
         # rows reopen (and can MERGE) already-emitted sessions; the entry
@@ -581,6 +593,70 @@ def _catalog() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # streaming final views: the engine streams the events table
+        # (url = https://u{user_id:06d}.example.com/e/{event_id},
+        #  lang = event_type, text_len = 64 + event_id % 32); the
+        # drained end state equals these batch aggregates exactly.
+        "streaming_corrections_final": """
+            SELECT event_type AS key,
+                   make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000) AS window_start,
+                   make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000 + 3600000000) AS window_end,
+                   COUNT(*) AS doc_count,
+                   CAST(SUM(64 + event_id % 32) AS DOUBLE) AS total_chars
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "streaming_early_fire_final": """
+            SELECT event_type AS key,
+                   make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000) AS window_start,
+                   make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000 + 3600000000) AS window_end,
+                   COUNT(*) AS doc_count,
+                   CAST(SUM(64 + event_id % 32) AS DOUBLE) AS total_chars
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "streaming_sessions_final": """
+            WITH e AS (
+                SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+                           || '.example.com' AS host,
+                       ts, 64 + event_id % 32 AS tl
+                FROM events),
+            b AS (
+                SELECT host, ts, tl,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 21600000000 THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY host ORDER BY ts)),
+            g AS (
+                SELECT host, ts, tl,
+                       SUM(brk) OVER (PARTITION BY host ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM b)
+            SELECT host,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 21600 SECOND AS session_end,
+                   COUNT(*) AS doc_count,
+                   CAST(SUM(tl) AS DOUBLE) AS total_chars
+            FROM g GROUP BY host, sid
+        """,
+        "streaming_interval_join_final": """
+            WITH e AS (
+                SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+                           || '.example.com' AS host,
+                       'https://u' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+                           || '.example.com/e/'
+                           || CAST(event_id AS VARCHAR) AS url,
+                       ts
+                FROM events)
+            SELECT a.host, a.url AS url_a, a.ts AS ts_a,
+                   b.url AS url_b, b.ts AS ts_b
+            FROM e a JOIN e b
+              ON a.host = b.host
+             AND (a.ts, a.url) < (b.ts, b.url)
+             AND epoch_us(b.ts) - epoch_us(a.ts) <= 14400000000
+        """,
         "qte_purchase_view": """
             WITH c AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS cents

@@ -4057,6 +4057,132 @@ def streaming_idle_watermark(sf_dir: str) -> pd.DataFrame:
                          **wms})
 
 
+# --- streaming final views with exact SQL oracles -----------------------
+# The rows-only streaming showcases prove the *mechanics* (revisions,
+# previews, changelogs, buffer eviction); these four drive the SAME full
+# engine over the events testdata re-shaped as a pages log
+# (sources/events_log.py) so the drained final state has an exact DuckDB
+# twin over the pre-registered ``events`` view — hash-checked end-state
+# correctness for update-mode corrections, early firing, session windows
+# and the streaming interval join.
+
+
+def _events_stream_run(sf_dir: str, tag: str, cfg, **log_kw) -> str:
+    import shutil as _shutil
+
+    from ..pipelines.flagship import run_flagship
+    from ..sources.events_log import events_pages_log
+
+    data_dir = events_pages_log(sf_dir, tag, **log_kw)
+    out_dir = f"{data_dir}_out"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    run_flagship(data_dir, out_dir, config=cfg, resume=False)
+    return out_dir
+
+
+def _events_window_cfg(**over):
+    from ..config import EngineConfig, WindowConfig
+
+    kw = dict(min_text_len=1, state_shards=8, extract_concurrency=4,
+              windows=WindowConfig(tumbling_size_s=3600,
+                                   sliding_size_s=7200,
+                                   sliding_slide_s=3600,
+                                   session_gap_s=21600))
+    kw.update(over)
+    return EngineConfig(**kw)
+
+
+def _win_us(df: pd.DataFrame, cols=("window_start", "window_end")):
+    for c in cols:
+        df[c] = df[c].astype("datetime64[us]")
+    return df
+
+
+def streaming_corrections_final(sf_dir: str) -> pd.DataFrame:
+    """Update-mode corrections, oracle-checked end state: ~2% of events
+    arrive five days late (behind the frozen watermark), are accepted
+    inside the update horizon, and re-emit their already-closed hourly
+    windows with bumped revisions. The consumer max-revision view after
+    the drain must equal the plain batch aggregate over ALL events —
+    the SQL twin. The entry also asserts the corrections path actually
+    fired (>=1 committed revision)."""
+    from ..pipelines.flagship import read_windows_corrected
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+
+    # dedup_window must cover the horizon so accepted-late rows still
+    # dedup against their twins (config invariant); urls are unique
+    # here, so the wider retention only sizes the (10k-key) dedup map
+    cfg = _events_window_cfg(update_mode=True,
+                             update_horizon_s=40 * 86400,
+                             dedup_window_s=40 * 86400)
+    out_dir = _events_stream_run(sf_dir, "corrfinal", cfg,
+                                 late_mod=50, late_delay_s=5 * 86400)
+    upd = read_output_compacted(EpochSink(out_dir),
+                                "window_updates").to_pandas()
+    if not len(upd):
+        raise AssertionError("update mode emitted no corrections")
+    res = read_windows_corrected(out_dir)
+    res = _win_us(res[["key", "window_start", "window_end",
+                       "doc_count", "total_chars"]].copy())
+    return res.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+
+def streaming_early_fire_final(sf_dir: str) -> pd.DataFrame:
+    """Early-firing, oracle-checked end state: per-epoch speculative
+    previews of still-open hourly windows are committed alongside the
+    stream; the final closed windows after the drain must equal the
+    batch aggregate (previews are a pure view and never double-count).
+    Asserts previews were actually emitted."""
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+
+    cfg = _events_window_cfg(early_fire=True)
+    out_dir = _events_stream_run(sf_dir, "earlyfinal", cfg)
+    sink = EpochSink(out_dir)
+    early = read_output_compacted(sink, "window_early").to_pandas()
+    if not len(early):
+        raise AssertionError("early firing emitted no previews")
+    res = read_output_compacted(sink, "tumbling_lang").to_pandas()
+    res = _win_us(res)
+    return res.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+
+def streaming_sessions_final(sf_dir: str) -> pd.DataFrame:
+    """Session windows, oracle-checked end state: per-user sessions with
+    a 6 h gap over the event stream; the drained ``session_host`` output
+    must equal the gaps-and-islands SQL over events (session_end is
+    ``last + gap``, a break is ``ts - prev > gap`` strictly)."""
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+
+    out_dir = _events_stream_run(sf_dir, "sessfinal", _events_window_cfg())
+    res = read_output_compacted(EpochSink(out_dir),
+                                "session_host").to_pandas()
+    res = _win_us(res, cols=("session_start", "session_end"))
+    return (res.sort_values(["host", "session_start"])
+            .reset_index(drop=True))
+
+
+def streaming_interval_join_final(sf_dir: str) -> pd.DataFrame:
+    """Streaming interval self-join, oracle-checked end state: co-visit
+    pairs per user within 4 h, emitted exactly once from the dual-buffer
+    state with watermark eviction; the drained pair set must equal the
+    batch SQL self-join over events."""
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+
+    cfg = _events_window_cfg(interval_join_s=14400)
+    out_dir = _events_stream_run(sf_dir, "ivlfinal", cfg)
+    res = read_output_compacted(EpochSink(out_dir),
+                                "copage_pairs").to_pandas()
+    if not len(res):
+        raise AssertionError("interval join emitted no pairs")
+    res = _win_us(res, cols=("ts_a", "ts_b"))
+    key = ["host", "url_a", "ts_a", "url_b", "ts_b"]
+    return res[key].sort_values(key).reset_index(drop=True)
+
+
 def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     """Video frame-sample plumbing (rows-only): each fake video row
     flat-maps into frame rows whose payloads feed the image decoder —

@@ -631,8 +631,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM e WINDOW w AS (PARTITION BY host ORDER BY ts)),
             g AS (
                 SELECT host, ts, tl,
+                       -- RANGE (not ROWS): tied timestamps are peers and
+                       -- must share the cumulative break count, else the
+                       -- arbitrary tie order splits an instant in two
                        SUM(brk) OVER (PARTITION BY host ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS sid
+                                      RANGE UNBOUNDED PRECEDING) AS sid
                 FROM b)
             SELECT host,
                    MIN(ts) AS session_start,

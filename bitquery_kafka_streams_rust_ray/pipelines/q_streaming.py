@@ -1417,25 +1417,27 @@ def multimodal_audio(sf_dir: str) -> pd.DataFrame:
 
 
 def multimodal_decode(sf_dir: str) -> pd.DataFrame:
-    """Image-decode plumbing over a mixed corpus cycling FOUR wire
-    formats — REAL PNG (zlib + scanline filters), REAL GIF89a (pure
-    LZW), REAL uncompressed BMP (struct), and the deterministic fake
-    container — all decoding through the same sniffing stage with
-    format-independent checksums (rows-only; only codecs needing
-    PIL/ffmpeg remain stubs)."""
+    """Image-decode plumbing over a mixed corpus cycling FIVE wire
+    formats — REAL baseline JPEG (T.81 DCT + Annex K Huffman), REAL
+    PNG (zlib + scanline filters), REAL GIF89a (pure LZW), REAL
+    uncompressed BMP (struct), and the deterministic fake container —
+    all decoding through the same sniffing stage (rows-only; only
+    codecs needing ffmpeg remain stubs)."""
     from ..stages.multimodal import (DecodeImageStage, encode_bmp,
-                                     encode_gif, encode_png, fake_image)
+                                     encode_gif, encode_jpeg,
+                                     encode_png, fake_image)
 
     keys = _t(sf_dir, "part", ["p_partkey"]).to_pandas()["p_partkey"].tolist()
 
     def payload(k: int) -> bytes:
         w, h = 8 + k % 8, 8 + k % 5
-        m = k % 4
+        m = k % 5
         if m == 3:
             return fake_image(w, h, seed=k)
         rng = np.random.default_rng(k)
         gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
-        return (encode_png, encode_gif, encode_bmp)[m](gray)
+        return (encode_png, encode_gif, encode_bmp, None,
+                encode_jpeg)[m](gray)
 
     rows = [{"img_id": int(k), "image": payload(int(k))} for k in keys]
     ds = rd.from_items(rows)

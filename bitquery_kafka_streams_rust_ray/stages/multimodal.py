@@ -7,7 +7,12 @@ Decode / feature-extract / resize / frame-sample are actor-pool
 
 Two decode tiers per modality:
 
-* **real wire formats, stdlib-decodable** — 8-bit grayscale PNG
+* **real wire formats, stdlib-decodable** — baseline JPEG
+  (``\\xff\\xd8`` SOI; :func:`encode_jpeg` / :func:`decode_jpeg`
+  implement the full T.81 sequential-DCT path — Annex K quantization
+  and Huffman tables, zigzag, byte stuffing, restart markers, EXTEND —
+  in numpy/stdlib; the entropy layer is lossless, so decode equals the
+  quantize-reconstruct math exactly), 8-bit grayscale PNG
   (``\\x89PNG`` signature; :func:`encode_png` / :func:`decode_png`
   un-apply all five scanline filters over stdlib-zlib IDAT, CRC
   checked per chunk), single-frame GIF89a
@@ -24,7 +29,7 @@ Two decode tiers per modality:
 * **deterministic fake containers** (``FAKEIMG``/``FAKEAUD``/
   ``FAKEVID`` headers, :func:`fake_image` / :func:`fake_audio` /
   :func:`fake_video`) standing in for the codecs that are NOT in this
-  container (PIL JPEG/PNG, ffmpeg video): ``require_real_codecs=True``
+  container (ffmpeg compressed video): ``require_real_codecs=True``
   raises ``NotImplementedError`` for those (clearly-marked stub), and
   the fake path keeps the Ray-side plumbing — schema, batch sizing,
   actor signatures, output layout — real and tested end-to-end.
@@ -350,6 +355,374 @@ def decode_gif(payload: bytes) -> np.ndarray | None:
         return None
 
 
+# --- REAL baseline JPEG (ITU-T T.81, stdlib + numpy only) ---------------
+# Sequential baseline DCT, 8-bit, Annex K quantization + Huffman tables.
+# The encoder writes single-component (grayscale) 4:4:4 JPEGs; the
+# decoder additionally reads interleaved multi-component scans with all
+# sampling factors 1x1 (4:4:4 color -> returns the luma plane) and
+# honors restart markers. Progressive (SOF2) and chroma-subsampled
+# streams return None -> quarantine, like every other codec here.
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_JPEG_QBASE = np.array([  # Annex K luminance, zigzag-free (row-major)
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m[0] *= 1 / np.sqrt(2)
+    return m * 0.5
+
+
+_JPEG_DCT = _jpeg_dct_matrix()
+
+
+def _jpeg_qtable(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex K luminance table."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_JPEG_QBASE * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _jpeg_build_codes(bits, vals):
+    """T.81 C.2: (symbol -> (code, length)) from BITS/HUFFVAL."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_map(bits, vals):
+    """(length, code) -> symbol map for the decoder."""
+    enc = _jpeg_build_codes(bits, vals)
+    return {(ln, cd): sym for sym, (cd, ln) in enc.items()}
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size, additional-bits) magnitude coding of a DC diff / AC coef."""
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(gray: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a (h, w) uint8 array as a REAL baseline grayscale JPEG."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = _jpeg_qtable(quality)
+    # edge-replicate pad to 8x8 multiples, block, forward DCT, quantize
+    ph, pw = -h % 8, -w % 8
+    img = np.pad(gray, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    img -= 128.0
+    bh, bw = img.shape[0] // 8, img.shape[1] // 8
+    blocks = img.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coef = np.einsum("ij,njk,lk->nil", _JPEG_DCT, blocks, _JPEG_DCT)
+    qcoef = np.round(coef / q.reshape(8, 8)).astype(np.int64)
+    zz = qcoef.reshape(-1, 64)[:, _JPEG_ZIGZAG]
+
+    dc_codes = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw_ = _JpegBitWriter()
+    prev_dc = 0
+    for blk in zz:
+        size, bits = _jpeg_magnitude(int(blk[0]) - prev_dc)
+        prev_dc = int(blk[0])
+        code, ln = dc_codes[size]
+        bw_.write(code, ln)
+        if size:
+            bw_.write(bits, size)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw_.write(code, ln)
+                run -= 16
+            size, bits = _jpeg_magnitude(v)
+            code, ln = ac_codes[(run << 4) | size]
+            bw_.write(code, ln)
+            bw_.write(bits, size)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw_.write(code, ln)
+    entropy = bw_.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(x) for x in q[_JPEG_ZIGZAG]))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
+              + bytes([1, 0x11, 0]))
+    dht = (seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+           + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS)
+                 + bytes(_JPEG_AC_VALS)))
+    sos = seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9")
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg entropy underrun")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Decode a baseline JPEG to (h, w) uint8 gray (luma plane for
+    4:4:4 color). None for progressive, chroma-subsampled, arithmetic
+    or corrupt streams -> quarantine."""
+    try:
+        if payload[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        qtabs: dict[int, np.ndarray] = {}
+        dc_maps: dict[int, dict] = {}
+        ac_maps: dict[int, dict] = {}
+        frame = None
+        restart = 0
+        while pos < len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI before scan
+                return None
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                continue
+            (ln,) = struct.unpack_from(">H", payload, pos)
+            body = payload[pos + 2:pos + ln]
+            pos += ln
+            if marker == 0xDB:  # DQT
+                b = body
+                while b:
+                    pq_, tq = b[0] >> 4, b[0] & 15
+                    n = 65 if pq_ == 0 else 129
+                    raw = (np.frombuffer(b[1:n], np.uint8).astype(np.int64)
+                           if pq_ == 0 else
+                           np.frombuffer(b[1:n], ">u2").astype(np.int64))
+                    tab = np.zeros(64, np.int64)
+                    tab[_JPEG_ZIGZAG] = raw
+                    qtabs[tq] = tab
+                    b = b[n:]
+            elif marker == 0xC4:  # DHT
+                b = body
+                while b:
+                    tc, th = b[0] >> 4, b[0] & 15
+                    bits = list(b[1:17])
+                    nv = sum(bits)
+                    vals = list(b[17:17 + nv])
+                    (dc_maps if tc == 0 else ac_maps)[th] = \
+                        _jpeg_decode_map(bits, vals)
+                    b = b[17 + nv:]
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                prec, fh, fw, nc = struct.unpack_from(">BHHB", body)
+                if prec != 8:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                    if samp != 0x11:
+                        return None  # no chroma subsampling support
+                    comps.append({"id": cid, "tq": tq})
+                frame = {"h": fh, "w": fw, "comps": comps}
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic
+            elif marker == 0xDD:  # DRI
+                (restart,) = struct.unpack_from(">H", body)
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                ns = body[0]
+                scan = []
+                for c in range(ns):
+                    cs, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                    comp = next(x for x in frame["comps"]
+                                if x["id"] == cs)
+                    scan.append({"tq": comp["tq"], "td": tabs >> 4,
+                                 "ta": tabs & 15})
+                # entropy data: everything up to the next real marker,
+                # split on restart markers
+                segs_, cur = [], bytearray()
+                i = pos
+                while i < len(payload):
+                    b0 = payload[i]
+                    if b0 == 0xFF:
+                        b1 = payload[i + 1] if i + 1 < len(payload) else 0
+                        if b1 == 0x00:
+                            cur.append(0xFF)
+                            i += 2
+                            continue
+                        if 0xD0 <= b1 <= 0xD7:
+                            segs_.append(bytes(cur))
+                            cur = bytearray()
+                            i += 2
+                            continue
+                        break
+                    cur.append(b0)
+                    i += 1
+                segs_.append(bytes(cur))
+                return _jpeg_decode_scan(frame, scan, qtabs, dc_maps,
+                                         ac_maps, segs_, restart)
+        return None
+    except (struct.error, ValueError, IndexError, KeyError,
+            StopIteration):
+        return None
+
+
+def _jpeg_huff_read(reader: "_JpegBitReader", table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | reader.read(1)
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _jpeg_decode_scan(frame, scan, qtabs, dc_maps, ac_maps, segs_,
+                      restart) -> np.ndarray | None:
+    h, w = frame["h"], frame["w"]
+    if h == 0 or w == 0:
+        return None
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    n_mcu = bh * bw
+    ncomp = len(scan)
+    coefs = [np.zeros((n_mcu, 64), np.int64) for _ in range(ncomp)]
+    seg_i = 0
+    reader = _JpegBitReader(segs_[0])
+    preds = [0] * ncomp
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            seg_i += 1  # RST boundary: byte-align + reset predictors
+            if seg_i >= len(segs_):
+                return None
+            reader = _JpegBitReader(segs_[seg_i])
+            preds = [0] * ncomp
+        for c, sc in enumerate(scan):
+            blk = coefs[c][m]
+            size = _jpeg_huff_read(reader, dc_maps[sc["td"]])
+            diff = _jpeg_extend(reader.read(size), size) if size else 0
+            preds[c] += diff
+            blk[0] = preds[c]
+            k = 1
+            while k < 64:
+                sym = _jpeg_huff_read(reader, ac_maps[sc["ta"]])
+                r, s = sym >> 4, sym & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                blk[k] = _jpeg_extend(reader.read(s), s)
+                k += 1
+    # dequantize + inverse DCT the luma component, vectorized
+    sc = scan[0]
+    q = qtabs[sc["tq"]]  # natural order (scattered at DQT parse)
+    blocks = np.zeros((n_mcu, 64), np.float64)
+    blocks[:, _JPEG_ZIGZAG] = coefs[0]  # zigzag -> natural
+    blocks *= q  # dequantize in natural order
+    blocks = blocks.reshape(-1, 8, 8)
+    pix = np.einsum("ji,njk,kl->nil", _JPEG_DCT, blocks, _JPEG_DCT)
+    pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+    img = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+           .reshape(bh * 8, bw * 8))
+    return img[:h, :w]
+
+
 def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
     """Encode int16 mono samples as a REAL PCM WAV via stdlib wave."""
     buf = io.BytesIO()
@@ -566,6 +939,8 @@ def _image_gray(payload: bytes | None) -> np.ndarray | None:
         return decode_png(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     if payload[:8] == _IMG_MAGIC:
         w, h = struct.unpack_from("<II", payload, 8)
         pixels = np.frombuffer(payload, dtype=np.uint8, offset=16)
@@ -592,12 +967,13 @@ def _audio_mono(payload: bytes | None) -> tuple[int, np.ndarray] | None:
 class DecodeImageStage:
     """binary image -> (width, height, checksum, mean_pixel).
 
-    Decodes REAL uncompressed BMP (stdlib struct) and the fake
-    container. ``require_real_codecs=True`` is where PIL would extend
-    coverage to JPEG/PNG; in this container that raises
-    ``NotImplementedError`` (clearly marked stub). The checksum is the
-    crc32 of the decoded top-down gray pixel buffer, so a BMP and a
-    fake container carrying the same pixels hash identically.
+    Decodes REAL baseline JPEG, PNG, GIF89a and uncompressed BMP
+    (stdlib + numpy) plus the fake container.
+    ``require_real_codecs=True`` is where PIL would extend coverage to
+    progressive / chroma-subsampled JPEG; in this container that
+    raises ``NotImplementedError`` (clearly marked stub). The checksum
+    is the crc32 of the decoded top-down gray pixel buffer, so a BMP
+    and a fake container carrying the same pixels hash identically.
     """
 
     def __init__(self, image_col: str = "image", require_real_codecs: bool = False):
@@ -606,9 +982,10 @@ class DecodeImageStage:
                 import PIL.Image  # noqa: F401
             except ImportError as exc:
                 raise NotImplementedError(
-                    "real compressed-image codecs (PIL) are not available "
-                    "in this container; BMP and the deterministic fake "
-                    "container decode without it"
+                    "PIL is not available in this container; baseline "
+                    "JPEG, PNG, GIF, BMP and the deterministic fake "
+                    "container decode without it (progressive/subsampled "
+                    "JPEG would need PIL)"
                 ) from exc
         self.image_col = image_col
 
@@ -656,6 +1033,8 @@ class ResizeImageStage:
             small = gray[np.ix_(ys, xs)]
             if payload[:2] == b"BM":
                 resized.append(encode_bmp(small))
+            elif payload[:2] == b"\xff\xd8":
+                resized.append(encode_jpeg(small))
             else:
                 resized.append(
                     _IMG_MAGIC

@@ -456,3 +456,115 @@ def test_image_codec_roundtrip_property(w, h, seed, flavor):
     frames = np.stack([img, 255 - img])
     fps, got = decode_avi(encode_avi(frames, fps=10))
     assert fps == 10.0 and np.array_equal(got, frames)
+
+
+def _jpeg_math_reference(img, quality):
+    """Quantize-reconstruct math the codec must match EXACTLY (the
+    entropy layer is lossless, so any deviation is a codec bug)."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        _JPEG_DCT, _jpeg_qtable)
+
+    h, w = img.shape
+    q = _jpeg_qtable(quality).reshape(8, 8)
+    ph, pw = -h % 8, -w % 8
+    im = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    im -= 128.0
+    bh, bw = im.shape[0] // 8, im.shape[1] // 8
+    blocks = (im.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8))
+    coef = np.einsum("ij,njk,lk->nil", _JPEG_DCT, blocks, _JPEG_DCT)
+    rec = np.einsum("ji,njk,kl->nil", _JPEG_DCT,
+                    np.round(coef / q) * q, _JPEG_DCT)
+    pix = np.clip(np.round(rec + 128.0), 0, 255).astype(np.uint8)
+    return (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)[:h, :w])
+
+
+@settings(deadline=None)
+@given(
+    w=hst.integers(min_value=1, max_value=40),
+    h=hst.integers(min_value=1, max_value=40),
+    seed=hst.integers(min_value=0, max_value=2**31),
+    quality=hst.sampled_from([25, 50, 75, 90, 95]),
+    flavor=hst.sampled_from(["random", "constant", "gradient", "binary"]),
+)
+def test_jpeg_codec_matches_quantization_math(w, h, seed, quality, flavor):
+    """REAL baseline JPEG: decode(encode(img)) equals the pure
+    quantize-reconstruct DCT math bit-for-bit — Huffman, zigzag, byte
+    stuffing, DC prediction, EOB/ZRL runs are all exercised and must be
+    transparent."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    rng = np.random.default_rng(seed)
+    if flavor == "random":
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    elif flavor == "constant":
+        img = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+    elif flavor == "gradient":
+        img = (np.add.outer(np.arange(h), np.arange(w)) % 256
+               ).astype(np.uint8)
+    else:
+        img = (rng.random((h, w)) < 0.1).astype(np.uint8) * 255
+    payload = encode_jpeg(img, quality)
+    got = decode_jpeg(payload)
+    assert got is not None and got.shape == (h, w)
+    assert np.array_equal(got, _jpeg_math_reference(img, quality))
+
+
+def test_jpeg_quarantine_paths():
+    """Truncated / garbage / progressive / chroma-subsampled payloads
+    return None (quarantine), and bit flips never raise."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    img = (np.add.outer(np.arange(24), np.arange(32)) % 256).astype(
+        np.uint8)
+    payload = encode_jpeg(img, 90)
+    assert decode_jpeg(payload[: len(payload) // 2]) is None
+    assert decode_jpeg(b"\xff\xd8not a jpeg at all") is None
+    assert decode_jpeg(b"") is None
+    # SOF0 -> SOF2 (progressive) must be rejected, not misparsed
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) is None
+    # sampling factor 2x2 (chroma-subsampling layout) -> unsupported
+    sof = payload.index(b"\xff\xc0")
+    sub = bytearray(payload)
+    assert sub[sof + 11] == 0x11  # sampling byte of component 1
+    sub[sof + 11] = 0x22
+    assert decode_jpeg(bytes(sub)) is None
+    # arbitrary bit flips: None or a decoded array, never an exception
+    for pos in range(len(payload) - 40, len(payload) - 4, 7):
+        bad = bytearray(payload)
+        bad[pos] ^= 0x2A
+        out = decode_jpeg(bytes(bad))
+        assert out is None or isinstance(out, np.ndarray)
+
+
+def test_jpeg_through_decode_and_resize_stages(ray_session):
+    """JPEG payloads flow through the sniffing decode stage, and
+    ResizeImageStage re-encodes JPEG-in as JPEG-out."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        DecodeImageStage, ResizeImageStage, decode_jpeg, encode_jpeg)
+
+    img = ((np.add.outer(np.arange(17), np.arange(23)) * 3) % 256
+           ).astype(np.uint8)
+    t = pa.table({"img_id": [1], "image": [encode_jpeg(img, 90)]})
+    dec = DecodeImageStage(image_col="image")(t)
+    assert dec["width"][0].as_py() == 23
+    assert dec["height"][0].as_py() == 17
+    assert dec["checksum"][0].as_py() is not None
+    rs = ResizeImageStage(8, 8, image_col="image")(t)
+    payload = rs["image"][0].as_py()
+    assert payload[:2] == b"\xff\xd8"  # stayed JPEG on the wire
+    out = decode_jpeg(payload)
+    assert out is not None and out.shape == (8, 8)

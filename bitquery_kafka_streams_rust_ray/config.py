@@ -134,6 +134,14 @@ class EngineConfig:
     # Ray's bytes-aware planning; set to ~2x cores when inputs are many
     # tiny files, which otherwise yield sub-1k-row blocks and per-task
     # scheduling overhead dominates)
+    overlap_commit: bool = True      # overlap epoch e-1's commit tail
+    # (finalize-merge, close, snapshot, 2PC manifest) with epoch e's
+    # exchange: the exchange streams on a worker thread while the driver
+    # settles the previous epoch. Safe because exchange pushes only
+    # touch per-epoch buffers (excluded from snapshots) and finalize(e)
+    # is submitted only after complete(e-1) returned; commits stay
+    # strictly ordered on the driver thread. Off = fully serial tail
+    # (the pre-round-4 schedule), for debugging/bisection.
     fsync_output: bool = False       # fsync each staged shard file before the
     # manifest commit. Exactly-once vs process crashes holds either way
     # (uncommitted epochs replay); enable for machine-crash durability at

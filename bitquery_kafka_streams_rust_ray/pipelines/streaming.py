@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import os
 import pickle
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -79,6 +80,12 @@ from ..state.store import (DedupState, DistinctWindowState, FunnelState,
                            SessionState, SpillDedupState, TopKState,
                            restore_dedup, WindowState)
 from ..state.watermark import PartitionedWatermarkTracker, WatermarkTracker
+
+
+class _CommitTailError(RuntimeError):
+    """A failure in epoch e-1's overlapped commit tail. Wrapped so the
+    exchange RetryStrategy treats it as fatal (complete_epoch is not
+    replay-idempotent) and the driver re-raises the original cause."""
 from ..stages.broadcast import (asof_merge_batch, broadcast_get,
                                 sort_versioned)
 from ..stages.hashing import shard_of
@@ -1339,82 +1346,116 @@ class StreamingPagesPipeline:
 
         # Pipelined micro-batches: epoch e's finalize (K-way, on the
         # state actors) overlaps epoch e+1's exchange (N-way, on the
-        # task pool); e's close/snapshot/commit then runs before
-        # finalize(e+1) is submitted. Safe because (a) actor task order
-        # per submitter is FIFO, so state mutations happen strictly in
-        # finalize(e) -> close(e) -> snapshot(e) -> finalize(e+1) order
-        # on every actor, and (b) epoch-(e+1) accept_rows landing during
-        # e's tail only touch the per-epoch buffers, never state.
-        pending = None  # (epoch, counters, fin_refs, wm_us)
+        # task pool), and (overlap_commit) so does e's ENTIRE commit
+        # tail — finalize-merge, close, snapshot, 2PC manifest — which
+        # runs on the driver thread while the exchange streams on a
+        # worker thread. Safe because (a) actor task order is enforced
+        # by completion (close/snapshot ray.gets return before
+        # finalize(e+1) is submitted), so state mutations happen
+        # strictly in finalize(e) -> close(e) -> snapshot(e) ->
+        # finalize(e+1) order on every actor, and (b) epoch-(e+1)
+        # accept_rows landing during e's tail only touch the per-epoch
+        # buffers, never state — and snapshots exclude those buffers,
+        # so a resume at e+1 replays epoch e+1 from its input, not from
+        # half-buffered pushes.
+        pending = None  # (epoch, counters, fin_refs, wm_us, wm_snapshot)
         replay_cfg = RetryConfig(
             max_retries=cfg.epoch_replay_budget,
             initial_delay_s=0.05, max_delay_s=5.0,
         )
-        for epoch in range(start_epoch, len(plan)):
-            # exchange-phase task failure: nothing durable or stateful
-            # has happened for THIS epoch yet (state mutates only in
-            # finalize) -> settle the previous epoch, fence + drop this
-            # epoch's actor buffers and replay with exponential backoff
-            # up to the budget (T11 analog; retry.rs semantics)
-            attempt = [0]
+        exchange_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="epoch_exchange")
+        try:
+            for epoch in range(start_epoch, len(plan)):
+                # exchange-phase task failure: nothing durable or stateful
+                # has happened for THIS epoch yet (state mutates only in
+                # finalize) -> settle the previous epoch, fence + drop this
+                # epoch's actor buffers and replay with exponential backoff
+                # up to the budget (T11 analog; retry.rs semantics)
+                attempt = [0]
 
-            def _on_replay(_name, _n, err, delay,
-                           epoch=epoch, attempt=attempt):
-                nonlocal pending
-                self.log.warn("epoch_replay", epoch=epoch,
-                              attempt=attempt[0] + 1, error=repr(err),
-                              backoff_s=delay)
+                def _on_replay(_name, _n, err, delay,
+                               epoch=epoch, attempt=attempt):
+                    nonlocal pending
+                    self.log.warn("epoch_replay", epoch=epoch,
+                                  attempt=attempt[0] + 1, error=repr(err),
+                                  backoff_s=delay)
+                    if pending is not None:
+                        self._complete_epoch(actors, *pending)
+                        pending = None
+                    self._flush_commit()
+                    attempt[0] += 1
+                    # the bumped attempt id makes StateShards discard any
+                    # in-flight pushes still arriving from the failed try
+                    ray.get([a.drop_epoch.remote(epoch, attempt[0])
+                             for a in actors])
+
+                def _attempt(epoch=epoch, attempt=attempt):
+                    nonlocal pending
+                    if not cfg.overlap_commit or pending is None:
+                        return self._exchange_epoch(
+                            epoch, plan[epoch], actors, watermark, attempt[0])
+                    # overlap: the exchange streams on the worker thread
+                    # while this (driver) thread settles epoch e-1's commit
+                    # tail. A commit-tail failure must NOT route into the
+                    # exchange replay path (complete is not idempotent), so
+                    # it is wrapped fatal and re-raised unwrapped below.
+                    fut = exchange_pool.submit(
+                        self._exchange_epoch, epoch, plan[epoch], actors,
+                        watermark, attempt[0])
+                    settled, pending = pending, None
+                    try:
+                        self._complete_epoch(actors, *settled)
+                    except BaseException as exc:
+                        try:
+                            fut.result(timeout=cfg.exchange_ack_timeout_s)
+                        except BaseException:
+                            pass  # the commit-tail failure wins
+                        raise _CommitTailError(repr(exc)) from exc
+                    return fut.result()
+
+                try:
+                    counters, max_ts = RetryStrategy(
+                        replay_cfg, seed=epoch, on_retry=_on_replay,
+                        # fenced driver / failed commit tail: die, don't replay
+                        fatal=(LockLostError, _CommitTailError),
+                    ).call(f"exchange_epoch_{epoch}", _attempt)
+                except _CommitTailError as exc:
+                    raise exc.__cause__  # surface the original commit error
+                if cfg.per_partition_watermark:
+                    # footer-stat maxes per key-shard stream, min-combined
+                    # inside the tracker (a lagging partition holds the
+                    # global watermark back — the Kafka/Flink rule)
+                    from ..sources.pages import file_event_maxes
+                    maxes = file_event_maxes(plan[epoch])
+                    for pid, mx in maxes:
+                        watermark.observe_partition(pid, mx)
+                    # epoch-counted idleness: partitions absent from this
+                    # epoch's plan age toward exclusion (no-op when the
+                    # idle knob is 0 — counters stay, combine ignores them)
+                    watermark.advance_epoch({pid for pid, _ in maxes})
+                else:
+                    watermark.observe(max_ts)
+                # settle the previous epoch BEFORE submitting this epoch's
+                # finalize: the committed snapshot of epoch e must not
+                # contain epoch e+1's state mutations, or a resume at e+1
+                # would double-apply them (dedup refreshes are not
+                # replay-idempotent). finalize(e) itself already overlapped
+                # exchange(e+1) above — that was the long pole.
                 if pending is not None:
                     self._complete_epoch(actors, *pending)
-                    pending = None
-                self._flush_commit()
-                attempt[0] += 1
-                # the bumped attempt id makes StateShards discard any
-                # in-flight pushes still arriving from the failed try
-                ray.get([a.drop_epoch.remote(epoch, attempt[0])
-                         for a in actors])
+                fin_refs = [
+                    a.finalize_epoch.remote(epoch, self.sink.stage_path(epoch))
+                    for a in actors
+                ]
+                pending = (epoch, counters, fin_refs, watermark.watermark_us,
+                           watermark.snapshot())
 
-            counters, max_ts = RetryStrategy(
-                replay_cfg, seed=epoch, on_retry=_on_replay,
-                fatal=(LockLostError,),  # fenced driver: die, don't replay
-            ).call(
-                f"exchange_epoch_{epoch}",
-                lambda epoch=epoch, attempt=attempt: self._exchange_epoch(
-                    epoch, plan[epoch], actors, watermark, attempt[0]
-                ),
-            )
-            if cfg.per_partition_watermark:
-                # footer-stat maxes per key-shard stream, min-combined
-                # inside the tracker (a lagging partition holds the
-                # global watermark back — the Kafka/Flink rule)
-                from ..sources.pages import file_event_maxes
-                maxes = file_event_maxes(plan[epoch])
-                for pid, mx in maxes:
-                    watermark.observe_partition(pid, mx)
-                # epoch-counted idleness: partitions absent from this
-                # epoch's plan age toward exclusion (no-op when the
-                # idle knob is 0 — counters stay, combine ignores them)
-                watermark.advance_epoch({pid for pid, _ in maxes})
-            else:
-                watermark.observe(max_ts)
-            # settle the previous epoch BEFORE submitting this epoch's
-            # finalize: the committed snapshot of epoch e must not
-            # contain epoch e+1's state mutations, or a resume at e+1
-            # would double-apply them (dedup refreshes are not
-            # replay-idempotent). finalize(e) itself already overlapped
-            # exchange(e+1) above — that was the long pole.
             if pending is not None:
                 self._complete_epoch(actors, *pending)
-            fin_refs = [
-                a.finalize_epoch.remote(epoch, self.sink.stage_path(epoch))
-                for a in actors
-            ]
-            pending = (epoch, counters, fin_refs, watermark.watermark_us,
-                       watermark.snapshot())
-
-        if pending is not None:
-            self._complete_epoch(actors, *pending)
-        self._flush_commit()
+            self._flush_commit()
+        finally:
+            exchange_pool.shutdown(wait=False, cancel_futures=True)
 
         if drain:
             self._drain_epoch(len(plan), actors, watermark)

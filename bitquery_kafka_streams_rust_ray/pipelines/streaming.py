@@ -1245,6 +1245,9 @@ class StreamingPagesPipeline:
 
     def _run_locked(self, resume: bool, drain: bool) -> dict:
         cfg = self.cfg
+        import time as _time
+        _phase_t0 = _time.time()
+        _dbg = os.environ.get("GRAFT_DEBUG_TIMING")
         # SPREAD: on a multi-node cluster the K num_cpus=0 state actors
         # must land on distinct nodes (default packing would co-locate
         # them on the head node, making finalize K-way on one box).
@@ -1457,8 +1460,14 @@ class StreamingPagesPipeline:
         finally:
             exchange_pool.shutdown(wait=False, cancel_futures=True)
 
+        if _dbg:
+            print(f"[run] epochs_done={_time.time() - _phase_t0:.2f}s",
+                  flush=True)
         if drain:
             self._drain_epoch(len(plan), actors, watermark)
+            if _dbg:
+                print(f"[run] drained={_time.time() - _phase_t0:.2f}s",
+                      flush=True)
             if cfg.compact_after_drain:
                 # post-drain maintenance: merge the many per-epoch/
                 # per-shard files into bounded-size files (own 2PC
@@ -1507,6 +1516,9 @@ class StreamingPagesPipeline:
         meta_ref = self._meta_ref
 
         import time as _time
+        if os.environ.get("GRAFT_DEBUG_TIMING"):
+            print(f"[epoch {epoch}] exchange_start t={_time.time():.3f}",
+                  flush=True)
         _t0 = _time.time()
         stats_ds = ds.map_batches(
             EpochMapper(
@@ -1581,6 +1593,9 @@ class StreamingPagesPipeline:
                         f"after {cfg.exchange_ack_timeout_s}s "
                         f"({got.tolist()} != {expected.tolist()})")
                 _time.sleep(0.01)
+        if os.environ.get("GRAFT_DEBUG_TIMING"):
+            print(f"[epoch {epoch}] exchange_end t={_time.time():.3f}",
+                  flush=True)
         max_ts = int(stats["max_ts_us"].max()) if len(stats) else NEG_INF_TS
         self.metrics.observe("epoch_exchange_seconds", _t1 - _t0)
         self.log.debug("epoch_exchange", epoch=epoch, attempt=attempt,

@@ -1,0 +1,129 @@
+"""Compaction + snapshot-retention endurance drill (judge item r4/8).
+
+Full flagship over an 8M-row pages log (16 x 500k-row epochs, the
+round-3 endurance protocol) with the storage-maintenance knobs ON:
+
+- ``state_snapshot_retention=2`` — only the last 2 epochs' per-shard
+  state snapshots are kept while the run progresses (a restartable run
+  needs exactly one; 2 gives one of slack), so the state directory
+  must PLATEAU instead of growing with epoch count.
+- ``compact_after_drain=True`` — after the drain commit the
+  per-epoch/per-shard output files are merged into ~128 MB files under
+  a second 2PC manifest.
+
+A sampler thread records (t, files, bytes, state_bytes) every second;
+the report shows the mid-run plateau and the pre->post compaction file
+count collapse, plus wall time / throughput / peak driver RSS for
+comparison against the plain endurance numbers in BASELINE.md.
+
+Usage: python scripts/endurance_drill.py   (repo root; needs ~12 GB in
+/tmp; GRAFT_ENDURANCE_ROWS overrides the size)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import resource
+import shutil
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROWS = int(os.environ.get("GRAFT_ENDURANCE_ROWS", "8000000"))
+
+
+def du(path: str) -> tuple[int, int, int, int]:
+    """(files, bytes, state_files, state_bytes); state = the per-epoch
+    ``state-*.pkl`` / ``*.dedup.sqlite`` snapshot sidecars."""
+    files = total = sfiles = stotal = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            try:
+                sz = os.path.getsize(os.path.join(root, n))
+            except OSError:
+                continue
+            files += 1
+            total += sz
+            if n.startswith("state-") and (n.endswith(".pkl")
+                                           or n.endswith(".sqlite")):
+                sfiles += 1
+                stotal += sz
+    return files, total, sfiles, stotal
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+
+    from bitquery_kafka_streams_rust_ray.pipelines.flagship import (
+        ensure_pages_log, run_flagship)
+    from bitquery_kafka_streams_rust_ray.sources.pages import PagesSpec
+
+    import bench
+
+    data_dir = f"/tmp/bitquery_kafka_streams_rust_ray_endurance_{ROWS}"
+    ensure_pages_log(data_dir, PagesSpec(
+        num_rows=ROWS, num_slices=16, shards=8, span_s=1800,
+        words_per_page=(60, 240)))
+
+    out_dir = data_dir + "_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.environ["GRAFT_PAGES_ROWS"] = str(ROWS)
+    cfg = dataclasses.replace(
+        bench.bench_config(32),
+        files_per_epoch=1,                    # 16 x 500k-row epochs
+        state_snapshot_retention=2,
+        compact_after_drain=True,
+    )
+
+    samples: list[dict] = []
+    stop = threading.Event()
+
+    def sampler() -> None:
+        while not stop.is_set():
+            files, total, sfiles, stotal = du(out_dir)
+            samples.append({"t": round(time.time(), 1), "files": files,
+                            "bytes": total, "state_files": sfiles,
+                            "state_bytes": stotal})
+            stop.wait(1.0)
+
+    th = threading.Thread(target=sampler, daemon=True)
+    th.start()
+    t0 = time.time()
+    summary = run_flagship(data_dir, out_dir, config=cfg, resume=False)
+    dt = time.time() - t0
+    stop.set()
+    th.join(timeout=5)
+
+    files_post, bytes_post, sfiles_post, sbytes_post = du(out_dir)
+    rows_read = summary["metrics"]["counters"].get("rows_read", 0)
+    print(json.dumps({
+        "rows": ROWS,
+        "sec": round(dt, 2),
+        "docs_per_sec": round(rows_read / dt, 1),
+        "driver_rss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
+        "files_peak_mid_run": max(s["files"] for s in samples),
+        "bytes_peak_mid_run": max(s["bytes"] for s in samples),
+        "state_files_peak": max(s["state_files"] for s in samples),
+        "state_bytes_peak": max(s["state_bytes"] for s in samples),
+        "files_post_compaction": files_post,
+        "bytes_post_compaction": bytes_post,
+        "state_files_post": sfiles_post,
+        "state_bytes_post": sbytes_post,
+        "state_snapshots_pruned": summary["metrics"]["counters"].get(
+            "state_snapshots_pruned", 0),
+        "samples_every_5s": samples[::5],
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1421,8 +1421,9 @@ def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     formats — REAL baseline JPEG (T.81 DCT + Annex K Huffman), REAL
     PNG (zlib + scanline filters), REAL GIF89a (pure LZW), REAL
     uncompressed BMP (struct), and the deterministic fake container —
-    all decoding through the same sniffing stage (rows-only; only
-    codecs needing ffmpeg remain stubs)."""
+    plus a truncated-JPEG poison class, all decoding through the same
+    sniffing stage (corrupt rows surface as null feature rows, F8
+    quarantine; rows-only; only codecs needing ffmpeg remain stubs)."""
     from ..stages.multimodal import (DecodeImageStage, encode_bmp,
                                      encode_gif, encode_jpeg,
                                      encode_png, fake_image)
@@ -1431,11 +1432,14 @@ def multimodal_decode(sf_dir: str) -> pd.DataFrame:
 
     def payload(k: int) -> bytes:
         w, h = 8 + k % 8, 8 + k % 5
-        m = k % 5
+        m = k % 6
         if m == 3:
             return fake_image(w, h, seed=k)
         rng = np.random.default_rng(k)
         gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        if m == 5:  # corrupt-JPEG poison row -> quarantine, never crash
+            whole = encode_jpeg(gray)
+            return whole[: max(4, len(whole) // 2)]
         return (encode_png, encode_gif, encode_bmp, None,
                 encode_jpeg)[m](gray)
 

@@ -310,6 +310,30 @@ def test_output_independent_of_physical_config(pages_dir, tmp_path,
     assert not diff, f"physical config leaked into output: {sorted(diff)[:10]}"
 
 
+def test_overlap_commit_off_byte_identical(pages_dir, tmp_path,
+                                           flagship_run):
+    """The commit-tail/exchange overlap (overlap_commit, default on in
+    the reference run) is pure scheduling: turning it OFF must produce
+    byte-identical committed output, state snapshots included."""
+    d, ref_out, _ = flagship_run
+
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(d, "host_metadata.parquet")).to_pandas()
+    out = str(tmp_path / "no_overlap_out")
+    alt = EngineConfig(min_text_len=1, state_shards=CFG.state_shards,
+                       files_per_epoch=CFG.files_per_epoch,
+                       overlap_commit=False)
+    StreamingPagesPipeline(d, out, alt, PageFilter(min_text_len=1),
+                           meta).run(resume=False)
+
+    ref_hashes = _output_hashes(ref_out)
+    got_hashes = _output_hashes(out)
+    assert set(got_hashes) == set(ref_hashes)
+    diff = {k for k in ref_hashes if ref_hashes[k] != got_hashes[k]}
+    assert not diff, f"overlap scheduling leaked into output: {sorted(diff)[:10]}"
+
+
 def test_stream_stream_metadata_join_matches_oracle(pages_dir, tmp_path):
     """Slow side arriving as a stream (epoch-sliced metadata versions):
     rows join as-of against only the versions that have ARRIVED; the

@@ -86,12 +86,20 @@ def main() -> None:
     samples: list[dict] = []
     stop = threading.Event()
 
+    def rss_mb() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024
+        return 0.0
+
     def sampler() -> None:
         while not stop.is_set():
             files, total, sfiles, stotal = du(out_dir)
             samples.append({"t": round(time.time(), 1), "files": files,
                             "bytes": total, "state_files": sfiles,
-                            "state_bytes": stotal})
+                            "state_bytes": stotal,
+                            "rss_mb": round(rss_mb(), 1)})
             stop.wait(1.0)
 
     th = threading.Thread(target=sampler, daemon=True)
@@ -108,7 +116,8 @@ def main() -> None:
         "rows": ROWS,
         "sec": round(dt, 2),
         "docs_per_sec": round(rows_read / dt, 1),
-        "driver_rss_mb": round(
+        "driver_rss_mb_run_peak": max(s["rss_mb"] for s in samples),
+        "driver_rss_mb_maxrss_incl_gen": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
         "files_peak_mid_run": max(s["files"] for s in samples),
         "bytes_peak_mid_run": max(s["bytes"] for s in samples),

@@ -23,6 +23,11 @@ def norm(df):
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 qs, osql = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:  # .gate.py N -> first N entries; .gate.py name1 name2 ... -> those
+    if sys.argv[1].isdigit():
+        qs = dict(list(qs.items())[: int(sys.argv[1])])
+    else:
+        qs = {k: qs[k] for k in sys.argv[1:]}
 fails, rows_only = [], []
 for name, fn in qs.items():
     try:

@@ -41,6 +41,7 @@ _R4_WINDOW = [
     # counterparts of the rows-only streaming showcases)
     "streaming_corrections_final", "streaming_early_fire_final",
     "streaming_sessions_final", "streaming_interval_join_final",
+    "streaming_rescale_final", "streaming_savepoint_final",
     "mannwhitney_purchase_view", "spike_events", "dwell_by_type_events",
     "fulfillment_lag_quantiles", "autocorr7_daily_revenue",
     "level_shift_daily_revenue", "conversion_latency_events",
@@ -61,7 +62,7 @@ _R4_WINDOW = [
     "lineitems_per_order_histogram", "rolling_stats_daily",
     "audience_jaccard_types", "fulfillment_lag_by_priority",
     "hhi_supplier_concentration", "weighted_median_price",
-    "copurchase_part_pairs", "session_conversion_rate", "rfm_segments",
+    "copurchase_part_pairs",
 ]
 
 
@@ -82,6 +83,8 @@ def _catalog() -> dict[str, Callable[[str], Any]]:
         "streaming_early_fire_final": q.streaming_early_fire_final,
         "streaming_sessions_final": q.streaming_sessions_final,
         "streaming_interval_join_final": q.streaming_interval_join_final,
+        "streaming_rescale_final": q.streaming_rescale_final,
+        "streaming_savepoint_final": q.streaming_savepoint_final,
         # -- round-3i additions (newest, never driver-checked) -----------
         # session retract/add changelog under update mode: accepted-late
         # rows reopen (and can MERGE) already-emitted sessions; the entry
@@ -643,6 +646,44 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS doc_count,
                    CAST(SUM(tl) AS DOUBLE) AS total_chars
             FROM g GROUP BY host, sid
+        """,
+        "streaming_rescale_final": """
+            SELECT event_type AS key,
+                   make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000) AS window_start,
+                   make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000 + 3600000000) AS window_end,
+                   COUNT(*) AS doc_count,
+                   CAST(SUM(64 + event_id % 32) AS DOUBLE) AS total_chars
+            FROM events GROUP BY 1, 2, 3
+        """,
+        # the fork starts after epoch 1 (slices 0-3 = the first
+        # floor(n/4) rows in (ts, event_id) arrival order), so its
+        # committed windows are exactly those still OPEN at epoch 1's
+        # close watermark W1 = max(ts of that prefix) - 120 s lateness
+        # (close rule: window_end <= watermark) — with FULL counts,
+        # because the savepoint carries the open accumulators.
+        "streaming_savepoint_final": """
+            WITH ranked AS (
+                SELECT ts, event_id,
+                       row_number() OVER (ORDER BY ts, event_id) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM events),
+            w1 AS (
+                SELECT max(epoch_us(ts)) - 120000000 AS wm_us
+                FROM ranked WHERE rn <= n // 4),
+            agg AS (
+                SELECT event_type AS key,
+                       (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+                       COUNT(*) AS doc_count,
+                       CAST(SUM(64 + event_id % 32) AS DOUBLE)
+                           AS total_chars
+                FROM events GROUP BY 1, 2)
+            SELECT key,
+                   make_timestamp(ws_us) AS window_start,
+                   make_timestamp(ws_us + 3600000000) AS window_end,
+                   doc_count, total_chars
+            FROM agg, w1 WHERE ws_us + 3600000000 > wm_us
         """,
         "streaming_interval_join_final": """
             WITH e AS (

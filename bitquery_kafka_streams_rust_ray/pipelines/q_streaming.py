@@ -1344,6 +1344,69 @@ def streaming_sessions_final(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def streaming_rescale_final(sf_dir: str) -> pd.DataFrame:
+    """K->K' state rescale with an exact SQL oracle on the end state:
+    a 4-shard run over the event stream is interrupted (last two
+    manifests removed) and resumed with 8 shards — ``state/rescale.py``
+    repartitions every keyed state family by the stable key hash — and
+    the drained tumbling windows must STILL equal the plain batch
+    aggregate over events. Asserts the rescale path actually fired."""
+    import dataclasses
+
+    from ..pipelines.flagship import run_flagship
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+    from ..sources.events_log import events_pages_log
+
+    cfg4 = _events_window_cfg(state_shards=4)
+    data_dir = events_pages_log(sf_dir, "rescfinal")
+    out = f"{data_dir}_out"
+    import shutil as _shutil
+    _shutil.rmtree(out, ignore_errors=True)
+    run_flagship(data_dir, out, config=cfg4, resume=False)
+    sink = EpochSink(out)
+    for e in sink.committed_epochs()[-2:]:  # force a mid-stream resume
+        os.remove(sink.manifest_path(e))
+    cfg8 = dataclasses.replace(cfg4, state_shards=8)
+    summary = run_flagship(data_dir, out, config=cfg8, resume=True)
+    if summary["metrics"]["counters"].get("state_rescales") != 1:
+        raise AssertionError("rescaled resume did not trigger")
+    res = read_output_compacted(sink, "tumbling_lang").to_pandas()
+    res = _win_us(res)
+    return res.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+
+def streaming_savepoint_final(sf_dir: str) -> pd.DataFrame:
+    """Savepoint fork with an exact SQL oracle on the end state: export
+    epoch 1's committed checkpoint from a finished run over the event
+    stream, bootstrap a FRESH output dir from it, resume to the drain —
+    the fork's tumbling windows must equal the plain batch aggregate
+    over events (the fork replays no history yet loses no state)."""
+    import shutil as _shutil
+
+    from ..pipelines.flagship import run_flagship
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+    from ..sources.events_log import events_pages_log
+    from ..state.savepoint import export_savepoint, fork_from_savepoint
+
+    cfg = _events_window_cfg()
+    data_dir = events_pages_log(sf_dir, "spfinal")
+    ref = f"{data_dir}_ref"
+    _shutil.rmtree(ref, ignore_errors=True)
+    run_flagship(data_dir, ref, config=cfg, resume=False)
+    sp = f"{data_dir}_sp"
+    _shutil.rmtree(sp, ignore_errors=True)
+    export_savepoint(ref, sp, epoch=1)
+    fork = f"{data_dir}_fork"
+    _shutil.rmtree(fork, ignore_errors=True)
+    fork_from_savepoint(sp, fork)
+    run_flagship(data_dir, fork, config=cfg, resume=True)
+    res = read_output_compacted(EpochSink(fork), "tumbling_lang").to_pandas()
+    res = _win_us(res)
+    return res.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+
 def streaming_interval_join_final(sf_dir: str) -> pd.DataFrame:
     """Streaming interval self-join, oracle-checked end state: co-visit
     pairs per user within 4 h, emitted exactly once from the dual-buffer

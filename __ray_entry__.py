@@ -62,7 +62,6 @@ _R4_WINDOW = [
     "lineitems_per_order_histogram", "rolling_stats_daily",
     "audience_jaccard_types", "fulfillment_lag_by_priority",
     "hhi_supplier_concentration", "weighted_median_price",
-    "copurchase_part_pairs",
 ]
 
 

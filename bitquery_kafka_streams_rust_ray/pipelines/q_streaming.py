@@ -1427,21 +1427,28 @@ def streaming_interval_join_final(sf_dir: str) -> pd.DataFrame:
 
 
 def multimodal_frames(sf_dir: str) -> pd.DataFrame:
-    """Video frame-sample plumbing (rows-only): each fake video row
+    """Video frame-sample plumbing (rows-only): each video row
     flat-maps into frame rows whose payloads feed the image decoder —
     the compose-the-stages path a real frame-dedup pipeline takes.
+    Cycles THREE wire formats: REAL uncompressed AVI, REAL compressed
+    Motion-JPEG AVI (per-frame baseline JPEG), and the fake container.
     Keys derive from nation rows so the driver fixture is tiny."""
     from ..stages.multimodal import (DecodeImageStage, FrameSampleStage,
-                                     fake_video)
+                                     encode_avi, fake_video)
 
     keys = _t(sf_dir, "nation", ["n_nationkey"]).to_pandas()[
         "n_nationkey"].tolist()
-    rows = [
-        {"vid_id": int(k),
-         "video": fake_video(8 + k % 4, 6 + k % 3, n_frames=12 + k % 9,
-                             seed=int(k))}
-        for k in keys
-    ]
+
+    def payload(k: int) -> bytes:
+        w, h, n = 8 + k % 4, 6 + k % 3, 12 + k % 9
+        if k % 3 == 2:
+            return fake_video(w, h, n_frames=n, seed=k)
+        rng = np.random.default_rng(k)
+        frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+        return encode_avi(frames, fps=12,
+                          codec="mjpg" if k % 3 else "raw")
+
+    rows = [{"vid_id": int(k), "video": payload(int(k))} for k in keys]
     frames = rd.from_items(rows).map_batches(
         FrameSampleStage, fn_constructor_kwargs={"every": 5},
         batch_format="pyarrow", batch_size=32, concurrency=(1, 2),

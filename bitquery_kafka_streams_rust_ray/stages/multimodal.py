@@ -22,17 +22,21 @@ Two decode tiers per modality:
   (``BM`` magic, BITMAPINFOHEADER, bottom-up BGR rows with 4-byte row
   padding; :func:`encode_bmp` / :func:`decode_bmp` via ``struct``) and
   PCM WAV (``RIFF`` magic; :func:`encode_wav` / :func:`decode_wav` via
-  the stdlib ``wave`` module) and uncompressed RIFF AVI
-  (:func:`encode_avi` / :func:`decode_avi`; ``FrameSampleStage``
-  emits its sampled frames as real BMPs). Every stage sniffs these
-  first, so EVERY modality exercises a real wire format end to end.
+  the stdlib ``wave`` module) and RIFF AVI in two REAL codecs —
+  uncompressed 24-bit DIB and Motion-JPEG (one baseline JPEG per
+  ``00dc`` chunk, fcc ``MJPG`` — real COMPRESSED video, playable by
+  stock players) — via :func:`encode_avi` / :func:`decode_avi`;
+  ``FrameSampleStage`` emits its sampled frames as real BMPs. Every
+  stage sniffs these first, so EVERY modality exercises a real wire
+  format end to end.
 * **deterministic fake containers** (``FAKEIMG``/``FAKEAUD``/
   ``FAKEVID`` headers, :func:`fake_image` / :func:`fake_audio` /
   :func:`fake_video`) standing in for the codecs that are NOT in this
-  container (ffmpeg compressed video): ``require_real_codecs=True``
-  raises ``NotImplementedError`` for those (clearly-marked stub), and
-  the fake path keeps the Ray-side plumbing — schema, batch sizing,
-  actor signatures, output layout — real and tested end-to-end.
+  container (ffmpeg inter-frame video: H.264 and friends):
+  ``require_real_codecs=True`` raises ``NotImplementedError`` for
+  those (clearly-marked stub), and the fake path keeps the Ray-side
+  plumbing — schema, batch sizing, actor signatures, output layout —
+  real and tested end-to-end.
 
 Anything that sniffs as neither is quarantined (null feature row —
 the reference's poison-message skip, src/consumer.rs F8 semantics).
@@ -762,48 +766,67 @@ def _riff_chunk(tag: bytes, body: bytes) -> bytes:
     return tag + struct.pack("<I", len(body)) + body + pad
 
 
-def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
-    """Encode (n, h, w) uint8 grayscale frames as a REAL uncompressed
-    AVI (RIFF 'AVI ', one 'vids'/DIB stream, 24-bit BI_RGB '00db'
-    frames with BMP-style bottom-up 4-byte-padded rows) — playable by
-    any video player. Pure struct/numpy."""
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def encode_avi(frames: np.ndarray, fps: int = 25, codec: str = "raw",
+               quality: int = 90) -> bytes:
+    """Encode (n, h, w) uint8 grayscale frames as a REAL AVI — playable
+    by any video player. ``codec="raw"``: uncompressed 24-bit BI_RGB
+    '00db' DIB frames (BMP-style bottom-up 4-byte-padded rows).
+    ``codec="mjpg"``: REAL compressed video — Motion-JPEG, one baseline
+    JPEG (:func:`encode_jpeg`) per '00dc' chunk, fcc/biCompression
+    'MJPG'. Pure struct/numpy."""
     frames = np.asarray(frames, dtype=np.uint8)
     n, h, w = frames.shape
     row_bytes = (w * 3 + 3) & ~3
-    img_size = row_bytes * h
 
-    def dib(frame: np.ndarray) -> bytes:
-        rows = np.zeros((h, row_bytes), dtype=np.uint8)
-        rows[:, : w * 3] = np.repeat(frame[::-1], 3, axis=1)
-        return rows.tobytes()
+    if codec == "mjpg":
+        payloads = [encode_jpeg(f, quality) for f in frames]
+        img_size = max(len(p) for p in payloads) if payloads else 0
+        handler, comp, tag = b"MJPG", _MJPG_FOURCC, b"00dc"
+    elif codec == "raw":
+        img_size = row_bytes * h
+
+        def dib(frame: np.ndarray) -> bytes:
+            rows = np.zeros((h, row_bytes), dtype=np.uint8)
+            rows[:, : w * 3] = np.repeat(frame[::-1], 3, axis=1)
+            return rows.tobytes()
+
+        payloads = [dib(f) for f in frames]
+        handler, comp, tag = b"DIB ", 0, b"00db"
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
 
     avih = struct.pack("<14I", 1_000_000 // fps, img_size * fps, 0, 0x10,
                        n, 0, 1, img_size, w, h, 0, 0, 0, 0)
-    strh = struct.pack("<4s4sIHHIIIIIIIi4H", b"vids", b"DIB ", 0, 0, 0,
+    strh = struct.pack("<4s4sIHHIIIIIIIi4H", b"vids", handler, 0, 0, 0,
                        0, 1, fps, 0, n, img_size, 0, 0, 0, 0,
                        w, h)
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp, img_size,
                        2835, 2835, 0, 0)
     strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
                        + _riff_chunk(b"strf", strf))
     hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih)
                        + strl)
     movi = _riff_chunk(b"LIST", b"movi" + b"".join(
-        _riff_chunk(b"00db", dib(f)) for f in frames))
+        _riff_chunk(tag, p) for p in payloads))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_avi(payload: bytes) -> tuple[float, np.ndarray] | None:
-    """Decode an uncompressed 24-bit DIB AVI to (fps, (n, h, w) uint8
-    gray frames). Returns None for variants this minimal decoder
-    doesn't cover (compressed streams, non-24-bit, truncated) —
-    callers quarantine those rows."""
+    """Decode an uncompressed 24-bit DIB AVI or a Motion-JPEG AVI to
+    (fps, (n, h, w) uint8 gray frames). Returns None for variants this
+    decoder doesn't cover (other codecs, non-24-bit, truncated, frames
+    disagreeing with the header geometry) — callers quarantine those
+    rows."""
     try:
         if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
             return None
         w = h = None
         scale = rate = None
+        mode = ["raw"]
 
         def walk(lo: int, hi: int):
             nonlocal w, h, scale, rate
@@ -824,9 +847,11 @@ def decode_avi(payload: bytes) -> tuple[float, np.ndarray] | None:
                 elif tag == b"strf":
                     (_sz, bw, bh, _pl, bpp, comp) = struct.unpack_from(
                         "<IiiHHI", payload, body_lo)
-                    if bpp != 24 or comp != 0 or bw <= 0 or bh <= 0:
+                    if (bpp != 24 or comp not in (0, _MJPG_FOURCC)
+                            or bw <= 0 or bh <= 0):
                         raise ValueError("unsupported stream format")
                     w, h = bw, bh
+                    mode[0] = "mjpg" if comp == _MJPG_FOURCC else "raw"
                 elif tag in (b"00db", b"00dc"):
                     frames.append((body_lo, ln))
                 pos = body_lo + ln + (ln & 1)
@@ -835,14 +860,21 @@ def decode_avi(payload: bytes) -> tuple[float, np.ndarray] | None:
         raw = walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
         if w is None or not raw:
             return None
-        row_bytes = (w * 3 + 3) & ~3
         out = np.empty((len(raw), h, w), dtype=np.uint8)
-        for i, (lo, ln) in enumerate(raw):
-            if ln < row_bytes * h:
-                return None
-            rows = np.frombuffer(payload, np.uint8, row_bytes * h,
-                                 lo).reshape(h, row_bytes)
-            out[i] = rows[::-1, : w * 3 : 3]
+        if mode[0] == "mjpg":
+            for i, (lo, ln) in enumerate(raw):
+                img = decode_jpeg(payload[lo:lo + ln])
+                if img is None or img.shape != (h, w):
+                    return None  # bad frame or header mismatch
+                out[i] = img
+        else:
+            row_bytes = (w * 3 + 3) & ~3
+            for i, (lo, ln) in enumerate(raw):
+                if ln < row_bytes * h:
+                    return None
+                rows = np.frombuffer(payload, np.uint8, row_bytes * h,
+                                     lo).reshape(h, row_bytes)
+                out[i] = rows[::-1, : w * 3 : 3]
         fps = (rate / scale) if scale and rate else 0.0
         return fps, out
     except (struct.error, ValueError):

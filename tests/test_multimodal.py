@@ -568,3 +568,58 @@ def test_jpeg_through_decode_and_resize_stages(ray_session):
     assert payload[:2] == b"\xff\xd8"  # stayed JPEG on the wire
     out = decode_jpeg(payload)
     assert out is not None and out.shape == (8, 8)
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    w=hst.integers(min_value=1, max_value=24),
+    h=hst.integers(min_value=1, max_value=24),
+    n=hst.integers(min_value=1, max_value=6),
+    seed=hst.integers(min_value=0, max_value=2**31),
+    quality=hst.sampled_from([50, 75, 90]),
+)
+def test_mjpeg_avi_matches_per_frame_jpeg(w, h, n, seed, quality):
+    """REAL Motion-JPEG AVI: decode equals the per-frame baseline-JPEG
+    decode exactly (the container adds nothing lossy), and the header
+    geometry gates frame acceptance."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_avi, decode_jpeg, encode_avi, encode_jpeg)
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    payload = encode_avi(frames, fps=12, codec="mjpg", quality=quality)
+    fps, got = decode_avi(payload)
+    assert fps == 12.0 and got.shape == (n, h, w)
+    ref = np.stack([decode_jpeg(encode_jpeg(f, quality)) for f in frames])
+    assert np.array_equal(got, ref)
+
+
+def test_mjpeg_avi_through_frame_sampler(ray_session):
+    """A compressed (MJPG) AVI flows through FrameSampleStage exactly
+    like an uncompressed one; corrupt frames quarantine the row."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        FrameSampleStage, decode_avi, encode_avi)
+
+    frames = np.stack([
+        ((np.add.outer(np.arange(12), np.arange(16)) * k) % 256
+         ).astype(np.uint8) for k in range(1, 11)
+    ])
+    good = encode_avi(frames, fps=10, codec="mjpg")
+    bad = bytearray(good)
+    bad[-40] ^= 0x3C  # flip a bit inside the last JPEG frame chunk
+    t = pa.table({"vid_id": [1, 2],
+                  "video": [good, bytes(bad)]})
+    out = FrameSampleStage(every=4)(t)
+    vids = out["vid_id"].to_pylist()
+    # the corrupt row either quarantines (no frames) or decodes — but
+    # the good row MUST yield ceil(10/4)=3 sampled frames
+    assert vids.count(1) == 3
+    ref = decode_avi(good)[1]
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import decode_bmp
+    got0 = decode_bmp(out["frame"][0].as_py())
+    assert np.array_equal(got0, ref[0])

@@ -1,6 +1,7 @@
-"""Distributed logistic regression: the integer-quantized gradient fold
-must make training BIT-IDENTICAL to a single-process numpy replay of the
-same algorithm (the same exactness contract as the kmeans partials).
+"""Distributed logistic regression: the integer-quantized Newton fold
+(gradient + Hessian partials) must make training BIT-IDENTICAL to a
+single-process numpy replay of the same algorithm (the same exactness
+contract as the kmeans partials).
 The synthetic features are deliberately signal-free, so the pin is the
 optimization machinery, not model lift."""
 
@@ -18,7 +19,8 @@ SF = "/root/testdata/sf0.001"
 
 
 def _replay(sf_dir: str) -> pd.DataFrame:
-    iters, lr, nano = 25, 2.0, 1_000_000_000
+    iters, nano = 8, 1_000_000_000
+    triu = np.triu_indices(4)
     df = pq.read_table(f"{sf_dir}/events.parquet",
                        columns=["event_type", "value", "ts"]).to_pandas()
     cents_i = np.round(df["value"].to_numpy(np.float64) * 100
@@ -38,8 +40,15 @@ def _replay(sf_dir: str) -> pd.DataFrame:
     w = np.zeros(4)
     for _ in range(iters):
         p = 1.0 / (1.0 + np.exp(-(x @ w)))
-        g = np.round((p - y)[:, None] * x * nano).astype(np.int64).sum(axis=0)
-        w = w - lr * (g / nano) / n
+        g = np.round((p - y)[:, None] * x * nano
+                     ).astype(np.int64).sum(axis=0) / nano
+        wt = p * (1.0 - p)
+        hrows = (x[:, triu[0]] * x[:, triu[1]]) * wt[:, None]
+        hu = np.round(hrows * nano).astype(np.int64).sum(axis=0) / nano
+        hess = np.zeros((4, 4))
+        hess[triu] = hu
+        hess.T[triu] = hu
+        w = w - np.linalg.solve(hess + 1e-9 * np.eye(4), g)
     pred = (x @ w) > 0.0
     rows = [("w_bias", int(np.round(w[0] * nano))),
             ("w_value", int(np.round(w[1] * nano))),
@@ -60,7 +69,7 @@ def test_logreg_matches_numpy_replay_exactly():
 def test_logreg_converges_to_base_rate():
     # signal-free features -> the optimum is the logit of the class
     # prior; the trained bias must be within 5% of it and the other
-    # weights near zero (sanity that GD actually descended)
+    # weights near zero (sanity that Newton actually descended)
     got = logreg_purchase_events(SF).set_index("metric")["value"]
     df = pq.read_table(f"{SF}/events.parquet",
                        columns=["event_type"]).to_pandas()

@@ -76,12 +76,17 @@ def main() -> None:
     out_dir = data_dir + "_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     os.environ["GRAFT_PAGES_ROWS"] = str(ROWS)
-    cfg = dataclasses.replace(
-        bench.bench_config(32),
+    over = dict(
         files_per_epoch=1,                    # 16 x 500k-row epochs
         state_snapshot_retention=2,
         compact_after_drain=True,
     )
+    if os.environ.get("GRAFT_ENDURANCE_SPILL"):
+        # the 10^12-key dedup path: per-shard sqlite B-trees, actor RAM
+        # bounded by the batch instead of the key domain
+        over["dedup_spill_dir"] = data_dir + "_spill"
+        shutil.rmtree(over["dedup_spill_dir"], ignore_errors=True)
+    cfg = dataclasses.replace(bench.bench_config(32), **over)
 
     samples: list[dict] = []
     stop = threading.Event()

@@ -623,3 +623,28 @@ def test_mjpeg_avi_through_frame_sampler(ray_session):
     from bitquery_kafka_streams_rust_ray.stages.multimodal import decode_bmp
     got0 = decode_bmp(out["frame"][0].as_py())
     assert np.array_equal(got0, ref[0])
+
+
+@settings(deadline=None, max_examples=120)
+@given(data=hst.binary(min_size=0, max_size=400),
+       seed=hst.integers(min_value=0, max_value=2**31))
+def test_jpeg_decoder_never_raises_on_garbage(data, seed):
+    """decode_jpeg is total: arbitrary bytes — raw, SOI-prefixed, or a
+    valid JPEG with a random slice spliced in — return an array or
+    None, never an exception (the F8 quarantine contract)."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    for payload in (data, b"\xff\xd8" + data):
+        out = decode_jpeg(payload)
+        assert out is None or isinstance(out, np.ndarray)
+    rng = np.random.default_rng(seed)
+    base = bytearray(encode_jpeg(
+        rng.integers(0, 256, size=(9, 11), dtype=np.uint8)))
+    if data:
+        pos = int(rng.integers(2, max(3, len(base) - 1)))
+        spliced = bytes(base[:pos]) + data + bytes(base[pos:])
+        out = decode_jpeg(spliced)
+        assert out is None or isinstance(out, np.ndarray)

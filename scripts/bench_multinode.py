@@ -11,7 +11,9 @@ hashing is layout-independent by construction, so any divergence is a
 bug). Results are recorded in BASELINE.md.
 
 Usage: python scripts/bench_multinode.py  (from the repo root;
-GRAFT_PAGES_ROWS overrides the input size, default 2,000,000)
+GRAFT_PAGES_ROWS overrides the input size, default 2,000,000;
+GRAFT_MN_MODES picks the layouts, e.g. "4_node,2_node,one_node" —
+an N_node layout gets 32/N CPUs and 16/N GB of object store per node)
 """
 
 from __future__ import annotations
@@ -28,19 +30,22 @@ RUN = r"""
 import hashlib, json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
 mode = {mode!r}
-if mode == "two_node":
+if mode != "one_node":
     from ray.cluster_utils import Cluster
+    n_nodes_want = int(mode.split("_")[0])
+    per_node = 32 // n_nodes_want
     # the test-cluster default object store is 150MB/node -> constant
     # spill thrash at bench scale; size it like a real worker node
-    STORE = 8 * 1024**3
+    STORE = (16 // n_nodes_want) * 1024**3
     cluster = Cluster(initialize_head=True, head_node_args={{
-        "num_cpus": 16, "object_store_memory": STORE}})
-    cluster.add_node(num_cpus=16, object_store_memory=STORE)
+        "num_cpus": per_node, "object_store_memory": STORE}})
+    for _ in range(n_nodes_want - 1):
+        cluster.add_node(num_cpus=per_node, object_store_memory=STORE)
     import ray
     ray.init(address=cluster.address, include_dashboard=False,
              logging_level="ERROR")
     for _ in range(240):
-        if len([n for n in ray.nodes() if n["Alive"]]) >= 2:
+        if len([n for n in ray.nodes() if n["Alive"]]) >= n_nodes_want:
             break
         time.sleep(0.5)
 else:
@@ -69,7 +74,7 @@ rows_read = summary["metrics"]["counters"].get("rows_read", 0)
 from bitquery_kafka_streams_rust_ray.pipelines.streaming import StateShard
 from bitquery_kafka_streams_rust_ray.config import EngineConfig
 n_nodes = 1
-if mode == "two_node":
+if mode != "one_node":
     # prove the SPREAD layout actually lands shards on both nodes
     actors = [StateShard.options(scheduling_strategy="SPREAD").remote(
         i, EngineConfig(state_shards=8)) for i in range(8)]
@@ -92,7 +97,7 @@ print("MNRESULT " + json.dumps({{
         sorted(hashes.items())).encode()).hexdigest(),
     "n_files": len(hashes)}}))
 ray.shutdown()
-if mode == "two_node":
+if mode != "one_node":
     cluster.shutdown()
 """
 
@@ -111,13 +116,13 @@ def run_mode(mode: str) -> dict:
 
 
 def main() -> None:
-    two = run_mode("two_node")
-    one = run_mode("one_node")
+    modes = os.environ.get("GRAFT_MN_MODES", "2_node,one_node").split(",")
+    results = {m: run_mode(m) for m in modes}
+    shas = {r["output_sha"] for r in results.values()}
     print(json.dumps({
         "pages_rows": ROWS,
-        "two_node": two,
-        "one_node": one,
-        "byte_identical": two["output_sha"] == one["output_sha"],
+        **results,
+        "byte_identical": len(shas) == 1,
     }))
 
 

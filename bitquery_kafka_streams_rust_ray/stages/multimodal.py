@@ -459,6 +459,14 @@ class _JpegBitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-fill) and emit RSTm — marker bytes bypass the
+        0xFF stuffing by construction (written directly)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -473,68 +481,122 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def encode_jpeg(gray: np.ndarray, quality: int = 90) -> bytes:
-    """Encode a (h, w) uint8 array as a REAL baseline grayscale JPEG."""
-    gray = np.asarray(gray, dtype=np.uint8)
-    h, w = gray.shape
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
-    q = _jpeg_qtable(quality)
-    # edge-replicate pad to 8x8 multiples, block, forward DCT, quantize
+def _jpeg_plane_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """uint8 plane -> quantized coefficients in zigzag order, one row
+    per 8x8 block in raster (MCU) order."""
+    h, w = plane.shape
     ph, pw = -h % 8, -w % 8
-    img = np.pad(gray, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    img = np.pad(plane, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
     img -= 128.0
     bh, bw = img.shape[0] // 8, img.shape[1] // 8
     blocks = img.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     coef = np.einsum("ij,njk,lk->nil", _JPEG_DCT, blocks, _JPEG_DCT)
     qcoef = np.round(coef / q.reshape(8, 8)).astype(np.int64)
-    zz = qcoef.reshape(-1, 64)[:, _JPEG_ZIGZAG]
+    return qcoef.reshape(-1, 64)[:, _JPEG_ZIGZAG]
+
+
+def _jpeg_encode_block(bw_: "_JpegBitWriter", blk: np.ndarray,
+                       prev_dc: int, dc_codes: dict, ac_codes: dict) -> int:
+    size, bits = _jpeg_magnitude(int(blk[0]) - prev_dc)
+    code, ln = dc_codes[size]
+    bw_.write(code, ln)
+    if size:
+        bw_.write(bits, size)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw_.write(code, ln)
+            run -= 16
+        size, bits = _jpeg_magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw_.write(code, ln)
+        bw_.write(bits, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw_.write(code, ln)
+    return int(blk[0])
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_assemble(planes: list[np.ndarray], quality: int,
+                   restart_interval: int) -> bytes:
+    """Shared encoder core: 1 (gray) or 3 (YCbCr 4:4:4) uint8 planes,
+    interleaved baseline scan, optional DRI/RSTn restart markers (all
+    components share the Annex K luminance tables)."""
+    h, w = planes[0].shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = _jpeg_qtable(quality)
+    zzs = [_jpeg_plane_zz(p, q) for p in planes]
+    n_mcu = zzs[0].shape[0]
 
     dc_codes = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw_ = _JpegBitWriter()
-    prev_dc = 0
-    for blk in zz:
-        size, bits = _jpeg_magnitude(int(blk[0]) - prev_dc)
-        prev_dc = int(blk[0])
-        code, ln = dc_codes[size]
-        bw_.write(code, ln)
-        if size:
-            bw_.write(bits, size)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                bw_.write(code, ln)
-                run -= 16
-            size, bits = _jpeg_magnitude(v)
-            code, ln = ac_codes[(run << 4) | size]
-            bw_.write(code, ln)
-            bw_.write(bits, size)
-            run = 0
-        if last < 63:
-            code, ln = ac_codes[0x00]  # EOB
-            bw_.write(code, ln)
+    preds = [0] * len(planes)
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw_.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(planes)
+        for c, zz in enumerate(zzs):
+            preds[c] = _jpeg_encode_block(bw_, zz[m], preds[c],
+                                          dc_codes, ac_codes)
     entropy = bw_.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
+    nc = len(planes)
+    dqt = _jpeg_seg(0xFFDB, b"\x00" + bytes(int(x) for x in q[_JPEG_ZIGZAG]))
+    sof = _jpeg_seg(0xFFC0, struct.pack(">BHHB", 8, h, w, nc)
+                    + b"".join(bytes([c + 1, 0x11, 0])
+                               for c in range(nc)))
+    dht = (_jpeg_seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS)
+                     + bytes(_JPEG_DC_VALS))
+           + _jpeg_seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS)
+                       + bytes(_JPEG_AC_VALS)))
+    dri = (_jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    sos = _jpeg_seg(0xFFDA, bytes([nc])
+                    + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+                    + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy
+            + b"\xff\xd9")
 
-    dqt = seg(0xFFDB, b"\x00" + bytes(int(x) for x in q[_JPEG_ZIGZAG]))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
-              + bytes([1, 0x11, 0]))
-    dht = (seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS)
-               + bytes(_JPEG_DC_VALS))
-           + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS)
-                 + bytes(_JPEG_AC_VALS)))
-    sos = seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
-    return (b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9")
+
+def encode_jpeg(gray: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
+    """Encode a (h, w) uint8 array as a REAL baseline grayscale JPEG
+    (``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs — the error-resilience layout streaming encoders produce)."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    return _jpeg_assemble([gray], quality, restart_interval)
+
+
+def encode_jpeg_color(rgb: np.ndarray, quality: int = 90,
+                      restart_interval: int = 0) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as a REAL baseline COLOR JPEG
+    (JFIF YCbCr, 4:4:4 — no chroma subsampling — interleaved scan).
+    :func:`decode_jpeg` reads it back as the luma plane (the gray this
+    pipeline consumes); stock viewers see full color."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8)
+              for p in (y, cb, cr)]
+    return _jpeg_assemble(planes, quality, restart_interval)
 
 
 class _JpegBitReader:

@@ -648,3 +648,35 @@ def test_jpeg_decoder_never_raises_on_garbage(data, seed):
         spliced = bytes(base[:pos]) + data + bytes(base[pos:])
         out = decode_jpeg(spliced)
         assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    w=hst.integers(min_value=1, max_value=40),
+    h=hst.integers(min_value=1, max_value=40),
+    seed=hst.integers(min_value=0, max_value=2**31),
+    restart=hst.integers(min_value=1, max_value=9),
+    color=hst.booleans(),
+)
+def test_jpeg_restart_and_color_paths(w, h, seed, restart, color):
+    """DRI/RSTn restart markers (byte-align + DC-predictor reset) and
+    the interleaved 3-component 4:4:4 color scan decode EXACTLY like
+    the plain grayscale stream of the same luma plane."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg, encode_jpeg_color)
+
+    rng = np.random.default_rng(seed)
+    if color:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+        luma = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b),
+                       0, 255).astype(np.uint8)
+        payload = encode_jpeg_color(rgb, 90, restart_interval=restart)
+    else:
+        luma = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        payload = encode_jpeg(luma, 90, restart_interval=restart)
+    got = decode_jpeg(payload)
+    want = decode_jpeg(encode_jpeg(luma, 90))
+    assert got is not None and np.array_equal(got, want)

@@ -582,6 +582,10 @@ def _catalog() -> dict[str, Callable[[str], Any]]:
         "hll_audience_overlap": q.hll_audience_overlap,
         # cross-format image near-dup via 64-bit average-hash (rows-only)
         "phash_dedup_images": q.phash_dedup_images,
+        # LOSSY cross-format image near-dup: BMP vs its real baseline-
+        # JPEG re-encode found via banded pHash + hamming verify
+        # (rows-only; recall self-checked in-entry)
+        "phash_neardup_lossy": q.phash_neardup_lossy,
         # excerpt detection: char-trigram containment (vs resemblance)
         "containment_pairs_documents": q.containment_pairs_documents,
         # CCNet-style cross-doc boilerplate trigram audit

@@ -2209,3 +2209,100 @@ def bpe_encode_documents(sf_dir: str, n_merges: int = 10) -> pd.DataFrame:
         batch_format="pyarrow", concurrency=(1, 4),
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def phash_neardup_lossy(sf_dir: str, max_hamming: int = 7) -> pd.DataFrame:
+    """Cross-format LOSSY image near-duplicate detection: the corpus
+    holds each photo TWICE — real BMP wire bytes and the photo's real
+    baseline-JPEG re-encode (quality 85) — so the twins' pixels differ
+    by quantization noise and their 64-bit average-hashes differ by a
+    few bits. Exact-hash grouping (``phash_dedup_images``) cannot see
+    these; this entry finds them the scale-correct way: pigeonhole
+    banding (8 bands x 8 bits — any pair within hamming 7 shares at
+    least one identical band) -> per-band bucket groupby -> in-bucket
+    exact hamming verify -> distributed pair dedup. The CC-scale
+    "same photo saved twice in different formats" curation case.
+    Rows-only (binary corpus); the entry SELF-CHECKS recall: every
+    BMP/JPEG sibling pair must be recovered."""
+    from ..stages.multimodal import (PerceptualHashStage, encode_bmp,
+                                     encode_jpeg)
+
+    keys = _t(sf_dir, "part", ["p_partkey"]).to_pandas()["p_partkey"].tolist()
+
+    def payload(k: int) -> bytes:
+        # one DISTINCT photo per group g: a seeded coarse 4x4 pattern
+        # upsampled to the frame (large-amplitude structure -> the
+        # average-hash is unique per group and robust to JPEG noise)
+        g = k // 2
+        w, h = 16 + g % 9, 16 + g % 7
+        coarse = np.random.default_rng(g).integers(
+            0, 256, size=(8, 8), dtype=np.uint8)
+        cell = (h + 7) // 8, (w + 7) // 8
+        img = np.kron(coarse, np.ones(cell, np.uint8))[:h, :w]
+        return encode_bmp(img) if k % 2 == 0 else encode_jpeg(img, 85)
+
+    rows = [{"img_id": int(k), "image": payload(int(k))} for k in keys]
+    hashed = rd.from_items(rows).map_batches(
+        PerceptualHashStage, fn_constructor_kwargs={"image_col": "image"},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+    )
+
+    def bands(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy(zero_copy_only=False)
+        keep = ~pd.isna(ph)
+        ids = t["img_id"].to_numpy(zero_copy_only=False)[keep]
+        hv = ph[keep].astype(np.int64).view(np.uint64)
+        out_band, out_val, out_id, out_hash = [], [], [], []
+        for b in range(8):
+            out_band.append(np.full(len(hv), b, np.int64))
+            out_val.append(((hv >> np.uint64(8 * b))
+                            & np.uint64(0xFF)).astype(np.int64))
+            out_id.append(ids)
+            out_hash.append(hv.view(np.int64))
+        return pa.table({
+            "band": pa.array(np.concatenate(out_band)),
+            "val": pa.array(np.concatenate(out_val)),
+            "img_id": pa.array(np.concatenate(out_id).astype(np.int64)),
+            "phash": pa.array(np.concatenate(out_hash)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["img_id"].to_numpy(np.int64)
+        hv = g["phash"].to_numpy(np.int64).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, hv = ids[order], hv[order]
+        out_a, out_b, out_d = [], [], []
+        bits = np.unpackbits(hv.view(np.uint8).reshape(len(hv), 8),
+                             axis=1)
+        for i in range(len(ids)):
+            d = (bits[i] != bits[i + 1:]).sum(axis=1)
+            m = np.nonzero(d <= max_hamming)[0]
+            for j in m:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j])
+                out_d.append(int(d[j]))
+        return pd.DataFrame({"id_a": np.array(out_a, np.int64),
+                             "id_b": np.array(out_b, np.int64),
+                             "hamming": np.array(out_d, np.int64)})
+
+    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    pairs = (hashed.map_batches(bands, batch_format="pyarrow")
+             .groupby(["band", "val"])
+             .map_groups(bucket_pairs, batch_format="pandas")
+             .groupby(["id_a", "id_b"])  # a pair can match in >1 band
+             .map_groups(first_pair, batch_format="pandas")
+             .to_pandas())
+    pairs = pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # recall self-check: every BMP/JPEG sibling (2g, 2g+1) that survived
+    # hashing must be recovered as a pair
+    sib = {(min(a, b), max(a, b)) for a, b in
+           zip(pairs["id_a"], pairs["id_b"])}
+    want = {(k, k + 1) for k in keys if k % 2 == 0 and (k + 1) in set(keys)}
+    missing = want - sib
+    if missing:
+        raise AssertionError(
+            f"lossy near-dup missed {len(missing)} sibling pairs "
+            f"{sorted(missing)[:5]}")
+    return pairs

@@ -51,29 +51,60 @@ def bigram_lm_documents(sf_dir: str,
     rounded), so the distributed sum is order-free bit-exact; the 1e-10
     worst-case quantization is far inside the 6-decimal round. Docs
     with <2 tokens have no bigrams and drop, like the oracle."""
-    from collections import Counter
-
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def bigram_tf(t: pa.Table) -> pa.Table:
         """(doc_id, bigram, w1, tf) rows — tf is complete per doc.
-        \\x1f joins the pair (Python str.split treats \\x1c-\\x1f as
-        whitespace, so no token can contain it)."""
-        ids, bgs, w1s, tfs = [], [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(),
-                                t["text"].to_pylist()):
-            toks = (text or "").split()
-            c: Counter = Counter(zip(toks, toks[1:]))
-            ids.extend([doc_id] * len(c))
-            bgs.extend(f"{a}\x1f{b}" for a, b in c)
-            w1s.extend(a for a, _ in c)
-            tfs.extend(c.values())
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "bigram": pa.array(bgs, pa.string()),
-                         "w1": pa.array(w1s, pa.string()),
-                         "tf": pa.array(tfs, pa.int64())})
+        Fully vectorized (no per-doc loop): one regex split to a
+        ListArray, adjacent-pair join via offset arithmetic on the
+        flattened tokens, then one np.unique over composite
+        (doc, bigram-code) int64 keys for the per-doc counts —
+        same plan token_entropy_documents uses.  \\x1f joins the
+        pair (the oracle tokenizes on \\s+, so no token contains
+        it in any input both sides agree on)."""
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        keep = pc.not_equal(trimmed, "")
+        doc_id = t["doc_id"].filter(keep).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(trimmed.filter(keep),
+                                      r"\s+").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        n_flat = len(flat)
+        if n_flat < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bigram": pa.array([], pa.string()),
+                             "w1": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        # token position i starts a bigram iff i is not the last
+        # token of its doc (every kept doc has >=1 token)
+        valid = np.ones(n_flat, dtype=bool)
+        valid[np.cumsum(lens) - 1] = False
+        pos = np.nonzero(valid[:-1])[0]
+        left = flat.take(pa.array(pos))
+        right = flat.take(pa.array(pos + 1))
+        bigram = pc.binary_join_element_wise(left, right, "\x1f")
+        bg_doc = np.repeat(np.arange(len(lens), dtype=np.int64),
+                           lens)[pos]
+        enc = pc.dictionary_encode(bigram)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        vocab = int(codes.max()) + 1 if len(codes) else 1
+        keys, first_idx, counts = np.unique(
+            bg_doc * vocab + codes, return_index=True,
+            return_counts=True)
+        uniq_pos = pa.array(first_idx)
+        return pa.table({
+            "doc_id": pa.array(doc_id[keys // vocab]),
+            "bigram": bigram.take(uniq_pos),
+            "w1": left.take(uniq_pos),
+            "tf": pa.array(counts.astype(np.int64))})
 
-    tf = docs.map_batches(bigram_tf, batch_format="pyarrow")
+    # materialize the tf frame once (object-store-backed, spillable):
+    # both the corpus-count reduce and the per-doc scoring pass consume
+    # it, and without the pin Ray's lineage would re-run the tokenize
+    # for each consumer
+    tf = docs.map_batches(bigram_tf, batch_format="pyarrow").materialize()
     # corpus bigram counts: one distributed reduce over the tf rows;
     # PREFIX counts then derive from this already-reduced frame (split
     # the bigram key back apart) instead of re-tokenizing the corpus —

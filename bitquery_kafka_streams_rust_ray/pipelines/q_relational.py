@@ -425,13 +425,34 @@ def abandoned_views(sf_dir: str) -> pd.DataFrame:
 # --- §2.5 joins ----------------------------------------------------------
 
 
-def segment_orders(sf_dir: str) -> pd.DataFrame:
-    """Broadcast join orders -> customer, grouped by market segment."""
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+def segment_orders(sf_dir: str,
+                   broadcast_threshold_bytes: int = 1 << 28
+                   ) -> pd.DataFrame:
+    """Join orders -> customer, grouped by market segment.
+
+    Size-adaptive join (the house rule, cf. bigram_lm_documents):
+    broadcast the customer dimension when its on-disk footprint is
+    small — the common case — and fall back to a partitioned hash
+    join when it out-grows a single process (at web scale the
+    customer dim grows with the fact table, so a to_pandas broadcast
+    would not survive). test_queries_oracle pins both paths to the
+    same oracle hash."""
+    cust_bytes = _tbytes(sf_dir, "customer")
     ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = broadcast_join(ds, cust, on="o_custkey", how="inner",
-                            concurrency=8)
+    if cust_bytes <= broadcast_threshold_bytes:
+        cust = _t(sf_dir, "customer",
+                  ["c_custkey", "c_mktsegment"]).to_pandas()
+        cust = cust.rename(columns={"c_custkey": "o_custkey"})
+        joined = broadcast_join(ds, cust, on="o_custkey", how="inner",
+                                concurrency=8)
+    else:
+        cust_ds = _t(sf_dir, "customer",
+                     ["c_custkey", "c_mktsegment"]).map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow")
+        joined = hash_join(ds, cust_ds, on="o_custkey",
+                           buckets=join_buckets(
+                               _tbytes(sf_dir, "orders", "customer")))
 
     # ~5 segments: per-batch partials + driver merge beat a shuffle
     # (see priority_revenue)

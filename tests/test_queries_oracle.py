@@ -121,3 +121,14 @@ def test_bigram_lm_join_paths_identical():
     small = q.bigram_lm_documents(SF_DIR)
     big = q.bigram_lm_documents(SF_DIR, broadcast_threshold_bytes=0)
     pd.testing.assert_frame_equal(small, big, obj="bigram_lm paths")
+
+
+def test_segment_orders_join_paths_identical():
+    """segment_orders' size-adaptive dimension join must not change
+    results: force the partitioned hash-join path (threshold 0) and
+    compare it to the default broadcast path frame-for-frame."""
+    from bitquery_kafka_streams_rust_ray.pipelines import queries as q
+
+    small = q.segment_orders(SF_DIR)
+    big = q.segment_orders(SF_DIR, broadcast_threshold_bytes=0)
+    pd.testing.assert_frame_equal(small, big, obj="segment_orders paths")

@@ -756,31 +756,80 @@ def hamming64(a: int, b: int) -> int:
     return bin(int(a) ^ int(b)).count("1")
 
 
+def simhash64_batch(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Whole-block SimHash: one fingerprint per input string, no
+    per-doc Python loop.  Each distinct token in the block is hashed
+    ONCE (shared vocabulary across docs — strictly less hashing than
+    the scalar path), per-(doc, token) counts come from one np.unique
+    over composite int64 keys, and the 64 bit-majority sums are 64
+    bincounts over the pair rows.  Bit-identical to ``simhash64`` per
+    doc (pinned by tests/test_neardup.py)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.fill_null(texts, "")))
+    flat = toks.flatten()
+    doc_idx = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    doc_idx = doc_idx.filter(mask).to_numpy(zero_copy_only=False)
+    if len(flat) == 0:
+        return np.zeros(n_docs, dtype=np.uint64)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    if isinstance(enc, pa.ChunkedArray):  # chunk-size edge
+        vocab_arr = enc.chunk(0).dictionary
+    else:
+        vocab_arr = enc.dictionary
+    vocab = len(vocab_arr)
+    tok_hash = hash_strings(vocab_arr.to_numpy(zero_copy_only=False))
+    keys, counts = np.unique(doc_idx * vocab + codes,
+                             return_counts=True)
+    d = keys // vocab
+    bits = np.unpackbits(
+        tok_hash[keys % vocab].view(np.uint8).reshape(-1, 8),
+        axis=1, bitorder="little")  # (n_pairs, 64)
+    contrib = (bits.astype(np.int64) * 2 - 1) * counts.astype(
+        np.int64)[:, None]
+    score = np.empty((n_docs, 64), dtype=np.float64)
+    for j in range(64):
+        score[:, j] = np.bincount(d, weights=contrib[:, j],
+                                  minlength=n_docs)
+    fp_bits = (score > 0).astype(np.uint8)
+    return np.packbits(fp_bits, axis=1,
+                       bitorder="little").view(np.uint64).ravel()
+
+
 class SimHashStage:
-    """Actor-pool stage: text -> (doc_id, simhash, band_id, band_hash)."""
+    """Actor-pool stage: text -> (doc_id, simhash, band_id, band_hash).
+
+    Fingerprints come from one ``simhash64_batch`` call per block; the
+    bands expansion is pure index arithmetic (repeat/tile), so the
+    whole stage is loop-free."""
 
     def __init__(self, text_col: str, id_col: str, bands: int = 4):
         self.text_col, self.id_col, self.bands = text_col, id_col, bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
+        fps = simhash64_batch(batch[self.text_col])
+        n_docs = len(fps)
         width = 64 // self.bands
-        mask = (1 << width) - 1
-        out = {"doc_id": [], "simhash": [], "band_id": [], "band_hash": []}
-        for doc_id, text in zip(ids, texts):
-            fp = int(simhash64(text or ""))
-            for band in range(self.bands):
-                out["doc_id"].append(doc_id)
-                out["simhash"].append(fp)
-                out["band_id"].append(band)
-                out["band_hash"].append((fp >> (band * width)) & mask)
+        mask = np.uint64((1 << width) - 1)
+        doc_rep = np.repeat(np.arange(n_docs, dtype=np.int64),
+                            self.bands)
+        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n_docs)
+        shifts = (band_id.astype(np.uint64) * np.uint64(width))
+        band_hash = ((fps[doc_rep] >> shifts) & mask).astype(np.int64)
+        ids = batch[self.id_col].combine_chunks() \
+            if isinstance(batch[self.id_col], pa.ChunkedArray) \
+            else batch[self.id_col]
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"]),
-                "simhash": pa.array(np.array(out["simhash"], dtype=np.uint64)),
-                "band_id": pa.array(out["band_id"], type=pa.int32()),
-                "band_hash": pa.array(out["band_hash"], type=pa.int64()),
+                "doc_id": ids.take(pa.array(doc_rep)),
+                "simhash": pa.array(fps[doc_rep]),
+                "band_id": pa.array(band_id),
+                "band_hash": pa.array(band_hash),
             }
         )
 

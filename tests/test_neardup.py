@@ -223,3 +223,17 @@ def test_containment_pairs_excerpt_detection(ray_session):
     jac = ngram_jaccard_pairs(rd.from_items(rows), threshold=0.8,
                               block_col="lang")
     assert (1, 2) not in set(zip(jac["id_a"], jac["id_b"]))  # Jaccard misses it
+
+
+def test_simhash_batch_matches_scalar():
+    """simhash64_batch must be bit-identical per doc to the scalar
+    reference, including empty / whitespace-only / null texts."""
+    import pyarrow as pa
+    from bitquery_kafka_streams_rust_ray.stages.neardup import simhash64_batch
+
+    texts = [BASE, NEAR, FAR, "", "   ", None,
+             "one", "Mixed CASE tokens repeat repeat repeat",
+             "tab\tand\nnewline separated tokens"]
+    got = simhash64_batch(pa.array(texts, pa.string()))
+    want = [int(simhash64(t or "")) for t in texts]
+    assert [int(x) for x in got] == want

@@ -279,23 +279,25 @@ class StateShard:
                                        pa.scalar(0, pa.int8())))
         ts = tbl.column("_ts_us").to_numpy()
         lens = tbl.column("text_len").to_numpy().astype(np.float64)
-        ok = pd.DataFrame({
-            "lang": tbl.column("lang").to_pandas(),
-            "host": tbl.column("host").to_pandas(),
-        })
+        # null-fill in Arrow, land in numpy once, reuse everywhere —
+        # no pandas column bounce in the exchange hot path
+        lang_np = pc.fill_null(tbl.column("lang"), "").to_numpy(
+            zero_copy_only=False)
+        host_np = pc.fill_null(tbl.column("host"), "").to_numpy(
+            zero_copy_only=False)
         windows: dict[int, list] = {}
         tum = cfg.windows.tumbling_size_s * US
         for owner, payload in _window_partials(
-            ok["lang"].fillna(""), ts, lens, tum, tum, n
+            lang_np, ts, lens, tum, tum, n
         ).items():
             windows.setdefault(owner, []).append(("tumbling:lang", *payload))
         sld_size = cfg.windows.sliding_size_s * US
         sld_slide = cfg.windows.sliding_slide_s * US
         for owner, payload in _window_partials(
-            ok["lang"].fillna(""), ts, lens, sld_size, sld_slide, n
+            lang_np, ts, lens, sld_size, sld_slide, n
         ).items():
             windows.setdefault(owner, []).append(("sliding:lang", *payload))
-        sessions = _session_runs(ok["host"], ts, lens,
+        sessions = _session_runs(host_np, ts, lens,
                                  cfg.windows.session_gap_s * US, n)
         funnels: dict[int, tuple] = {}
         if self.funnel is not None:
@@ -309,8 +311,8 @@ class StateShard:
                 np.asarray(cfg.funnel.stage_bounds, dtype=np.int64),
                 otbl.column("text_len").to_numpy(), side="right",
             ).astype(np.int64)
-            hosts = pd.Series(
-                otbl.column("host").to_pandas()).fillna("").to_numpy()
+            hosts = host_np if otbl is tbl else pc.fill_null(
+                otbl.column("host"), "").to_numpy(zero_copy_only=False)
             fts = otbl.column("_ts_us").to_numpy()
             owner = shard_of(hosts, n)
             for o in np.unique(owner):
@@ -320,10 +322,9 @@ class StateShard:
         if self.topk is not None:
             # running top-k partial: pre-reduce to (host, count) pairs —
             # the exchange ships one row per distinct host per shard
-            vc = ok["host"].fillna("").value_counts()
-            hs = vc.index.to_numpy()
+            # (downstream merge is a count dict, so order is free)
+            hs, cnts = np.unique(host_np, return_counts=True)
             owner = shard_of(hs, n)
-            cnts = vc.to_numpy()
             for o in np.unique(owner):
                 m = owner == o
                 hostcounts[int(o)] = (hs[m].tolist(), cnts[m])
@@ -341,11 +342,13 @@ class StateShard:
             # window's host set cannot be revised; see comment above)
             dts = otbl.column("_ts_us").to_numpy()
             grp = pd.DataFrame({
-                "k": pd.Series(
-                    otbl.column("lang").to_pandas()).fillna("").to_numpy(),
+                "k": lang_np if otbl is tbl else pc.fill_null(
+                    otbl.column("lang"), "").to_numpy(
+                        zero_copy_only=False),
                 "w": (dts // tum) * tum,
-                "h": pd.Series(
-                    otbl.column("host").to_pandas()).fillna("").to_numpy(),
+                "h": host_np if otbl is tbl else pc.fill_null(
+                    otbl.column("host"), "").to_numpy(
+                        zero_copy_only=False),
             })
             keys, starts, blobs, hostlists = [], [], [], []
             for (k, w), sub in grp.groupby(["k", "w"], sort=True):
@@ -620,7 +623,8 @@ def _window_partials(keys, ts, totals, size_us, slide_us, nshards) -> dict:
     replicated across the ⌈size/slide⌉ covering windows, grouped by the
     key's owning state shard."""
     slide_start = (ts // slide_us) * slide_us
-    df = pd.DataFrame({"k": keys.to_numpy(), "s": slide_start, "v": totals})
+    df = pd.DataFrame({"k": np.asarray(keys), "s": slide_start,
+                       "v": totals})
     part = df.groupby(["k", "s"], sort=True).agg(
         c=("v", "size"), t=("v", "sum")
     ).reset_index()
@@ -651,7 +655,7 @@ def _session_runs(hosts, ts, totals, gap_us, nshards) -> dict:
     """Collapse rows to gap-consistent per-key session runs (merge is
     associative, so runs fold correctly into open sessions), grouped by
     the key's owning state shard."""
-    df = pd.DataFrame({"k": hosts.to_numpy(), "ts": ts, "v": totals})
+    df = pd.DataFrame({"k": np.asarray(hosts), "ts": ts, "v": totals})
     df = df.sort_values(["k", "ts"], kind="mergesort")
     tsv = df["ts"].to_numpy()
     new_key = ~df["k"].eq(df["k"].shift()).to_numpy()

@@ -50,7 +50,8 @@ class ObservabilityServer:
     """
 
     def __init__(self, monitor: HealthMonitor, metrics: MetricsRegistry,
-                 port: int = 0, version: str = "0", state_reader=None):
+                 port: int = 0, version: str = "0", state_reader=None,
+                 traces=None):
         self.monitor = monitor
         self.metrics = metrics
         self.version = version
@@ -59,6 +60,10 @@ class ObservabilityServer:
         # returns a JSON-able view of the latest committed state, or
         # None for unknown views (404)
         self.state_reader = state_reader
+        # traces: Callable[[], list[dict]] — recent finished spans in
+        # Jaeger JSON (tracing.rs:247-283 export analog), served on
+        # /trace; None disables the route (404)
+        self.traces = traces
         self._httpd = ThreadingHTTPServer(("127.0.0.1", port),
                                           self._make_handler())
         self.port = self._httpd.server_address[1]
@@ -114,6 +119,13 @@ class ObservabilityServer:
                                     {"error": f"unknown view {sub!r}"}))
                             else:
                                 self._send(200, json.dumps(view))
+                    elif self.path == "/trace":
+                        if server.traces is None:
+                            self._send(404, json.dumps(
+                                {"error": "tracing not enabled"}))
+                        else:
+                            self._send(200, json.dumps(
+                                {"spans": list(server.traces())}))
                     elif self.path == "/version":
                         self._send(200, json.dumps({
                             "name": "bitquery_kafka_streams_rust_ray",

@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import os
 import pickle
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -1003,6 +1004,16 @@ class StreamingPagesPipeline:
         # settle/replay/drain (see _flush_commit)
         self._pending_commit = None
         self._prune_cursor = 0  # retention scan watermark (epoch id)
+        # distributed tracing (tracing.rs:1-467 analog): per-epoch trace
+        # with exchange/finalize/commit child spans; ids derive from
+        # (config_fp, epoch) so a resumed run re-emits identical ids.
+        # Serialized per epoch into the _observability/ sidecar and
+        # served in-memory on /trace.
+        from ..observability.tracing import Tracer
+
+        self.tracer = Tracer("bitquery_kafka_streams_rust_ray", version="2")
+        self._trace_marks: dict[int, dict] = {}
+        self._traces: deque = deque(maxlen=64)
         if self.metadata_slices and self.host_metadata is None:
             # schema-stable empty base: epochs before the first arrival
             # still run the join (all defaults) so output schema never
@@ -1063,7 +1074,8 @@ class StreamingPagesPipeline:
 
             self.http_server = ObservabilityServer(
                 self.health, self.metrics, port=cfg.http_port,
-                version="2", state_reader=self._queryable_state).start()
+                version="2", state_reader=self._queryable_state,
+                traces=lambda: list(self._traces)).start()
             try:
                 return self._run_inner(resume=resume, drain=drain)
             finally:
@@ -1602,6 +1614,8 @@ class StreamingPagesPipeline:
                   flush=True)
         max_ts = int(stats["max_ts_us"].max()) if len(stats) else NEG_INF_TS
         self.metrics.observe("epoch_exchange_seconds", _t1 - _t0)
+        self._trace_marks.setdefault(epoch, {})["exchange"] = (_t0, _t1)
+        self._trace_marks[epoch]["attempt"] = attempt
         self.log.debug("epoch_exchange", epoch=epoch, attempt=attempt,
                        duration_ms=(_t1 - _t0) * 1e3, **counters)
         if os.environ.get("GRAFT_DEBUG_TIMING"):
@@ -1657,6 +1671,7 @@ class StreamingPagesPipeline:
         )
 
         _t2 = _time.time()
+        self._trace_marks.setdefault(epoch, {})["finalize"] = (_t1, _t2)
         self._close_and_commit(epoch, actors, wm_us, counters, wm_snapshot)
         # stage-latency histograms (metrics.rs:226-248 analog): exported
         # as p50-p99 summaries in Prometheus text and the run summary
@@ -1697,6 +1712,7 @@ class StreamingPagesPipeline:
                           wm_snapshot=None, drain=False) -> None:
         import time as _time
         _tc0 = _time.time()
+        self._trace_marks.setdefault(epoch, {})["commit_start"] = _tc0
         stage = self.sink.stage_path(epoch)
         closed = ray.get([a.close.remote(wm_us, stage) for a in actors])
         _tc1 = _time.time()
@@ -2082,6 +2098,26 @@ class StreamingPagesPipeline:
         ds_stats = self._ds_stats.pop(epoch, None)
         if ds_stats is not None:
             obs["dataset_stats.txt"] = ds_stats.encode()
+        # per-epoch trace (tracing.rs analog): the commit span closes
+        # HERE — the manifest write above is the last act of the epoch.
+        # Resume-stable ids (derived from config_fp + epoch), serialized
+        # beside the manifest and kept in memory for the /trace route.
+        from ..observability.tracing import epoch_trace_spans
+
+        marks = self._trace_marks.pop(epoch, {})
+        marks["commit"] = (marks.pop("commit_start", _tf0), _time.time())
+        spans = epoch_trace_spans(
+            self.tracer, self._config_fp(), epoch,
+            {k: marks.get(k)
+             for k in ("exchange", "finalize", "commit")},
+            tags={"drain": str(bool(drain)).lower(),
+                  "attempts": str(marks.get("attempt", 0) + 1),
+                  "watermark_us": str(wm_us)})
+        if spans:
+            self._traces.extend(spans)
+            obs["trace.jsonl"] = ("\n".join(
+                _json.dumps(s, sort_keys=True) for s in spans)
+                + "\n").encode()
         self.sink.write_observability(epoch, obs)
 
     def _restore_rescaled(self, actors, epoch_dir: str,

@@ -404,6 +404,11 @@ def _catalog() -> dict[str, Callable[[str], Any]]:
         # similarity search + per-label vector reduction
         "ann_topk": q.ann_topk,
         "ann_ivf_topk": q.ann_ivf_topk,
+        # IVFADC + exact rerank (Jegou et al. IVFADC+R): probed lists
+        # bound the scored rows, 8-byte PQ codes bound the scored
+        # bytes, exact rerank restores recall (>=0.9 pinned in
+        # tests/test_pq.py; rows-only — approximate by construction)
+        "ann_ivfpq_topk": q.ann_ivfpq_topk,
         "nearest_ref_vector": q.nearest_ref_vector,
         "label_centroids_embeddings": q.label_centroids_embeddings,
         "knn_classify_embeddings": q.knn_classify_embeddings,

@@ -87,6 +87,30 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "vec_id", "rank"]]
 
 
+def ann_ivfpq_topk(sf_dir: str) -> pd.DataFrame:
+    """IVFADC + exact rerank cosine top-10 (the memory-scale path of
+    ann_ivf_topk: inverted lists bound probing, 8-byte PQ codes bound
+    the scored bytes, exact rerank restores recall — Jegou et al.
+    IVFADC+R; rows-only, approximate by construction). Recall@10 vs
+    brute force pinned >= 0.9 (measured 0.95+) by
+    tests/test_pq.py::test_ivfpq_recall_and_exact_scores."""
+    from ..stages.pq import ivfpq_topk_rerank
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        semi_join(ds, [0, 1, 2, 3, 4], "vec_id")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    out = ivfpq_topk_rerank(ds, queries, k=10, nlist=16, nprobe=12,
+                            m=8, ksub=256)
+    qids = qdf["vec_id"].tolist()
+    out["query_id"] = out["query_id"].map(lambda i: qids[i]).astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["query_id", "vec_id", "rank"]]
+
+
 def nearest_ref_vector(sf_dir: str) -> pd.DataFrame:
     """Broadcast similarity join (the transposed-broadcast ANN
     direction): every vector outside the reference set (vec_id >= 50)

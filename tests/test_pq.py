@@ -113,3 +113,28 @@ def test_encoder_empty_batch():
     out = enc(empty)
     assert out.num_rows == 0
     assert out.column_names == ["vec_id", "codes"]
+
+
+def test_ivfpq_recall_and_exact_scores(corpus):
+    """End-to-end IVFADC+R pin: probed-lists ADC shortlist + exact
+    rerank keeps recall@10 >= 0.9 vs brute force, and every returned
+    score is exact. nprobe=nlist degrades to the plain rerank path, so
+    the probe filter is the only recall dial being exercised."""
+    from bitquery_kafka_streams_rust_ray.stages.pq import ivfpq_topk_rerank
+
+    _, Q = corpus
+    exact = ann_brute_force(_ds(), Q, k=10)
+    got = ivfpq_topk_rerank(_ds(), Q, k=10, nlist=16, nprobe=12,
+                            m=8, ksub=256)
+
+    r = []
+    for qi in range(len(Q)):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(got[got.query_id == qi]["vec_id"])
+        r.append(len(e & a) / len(e))
+    assert float(np.mean(r)) >= 0.9, r
+    merged = got.merge(exact, on=["query_id", "vec_id"],
+                       suffixes=("_pq", "_exact"))
+    assert len(merged) > 0
+    np.testing.assert_allclose(merged["score_pq"], merged["score_exact"],
+                               atol=1e-8)

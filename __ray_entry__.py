@@ -78,6 +78,14 @@ def _catalog() -> dict[str, Callable[[str], Any]]:
         "streaming_interval_join_final": q.streaming_interval_join_final,
         "streaming_rescale_final": q.streaming_rescale_final,
         "streaming_savepoint_final": q.streaming_savepoint_final,
+        # poison-row DLQ as a hash-checked frame (event_id % 7 == 5
+        # payloads are unparseable by construction; the committed
+        # quarantine table IS the oracle-checked output)
+        "streaming_quarantine_final": q.streaming_quarantine_final,
+        # dead-partition idle exclusion with the batch aggregate as the
+        # exact end-state twin (in-entry assert pins that the watermark
+        # actually advanced past the dead stream's frozen max)
+        "streaming_idle_watermark_final": q.streaming_idle_watermark_final,
         # -- round-3i additions (newest, never driver-checked) -----------
         # session retract/add changelog under update mode: accepted-late
         # rows reopen (and can MERGE) already-emitted sessions; the entry
@@ -686,6 +694,24 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(ws_us + 3600000000) AS window_end,
                    doc_count, total_chars
             FROM agg, w1 WHERE ws_us + 3600000000 > wm_us
+        """,
+        "streaming_quarantine_final": """
+            SELECT 'https://u' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+                       || '.example.com/e/'
+                       || CAST(event_id AS VARCHAR) AS url,
+                   CAST(ts AS TIMESTAMP) AS warc_ts,
+                   'parse_error' AS reason
+            FROM events WHERE event_id % 7 = 5 ORDER BY url
+        """,
+        "streaming_idle_watermark_final": """
+            SELECT event_type AS key,
+                   make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000) AS window_start,
+                   make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000 + 3600000000) AS window_end,
+                   COUNT(*) AS doc_count,
+                   CAST(SUM(64 + event_id % 32) AS DOUBLE) AS total_chars
+            FROM events GROUP BY 1, 2, 3
         """,
         "streaming_interval_join_final": """
             WITH e AS (

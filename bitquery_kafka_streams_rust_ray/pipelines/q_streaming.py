@@ -1422,6 +1422,67 @@ def streaming_savepoint_final(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def streaming_quarantine_final(sf_dir: str) -> pd.DataFrame:
+    """Poison-row DLQ, oracle-checked end state: rows with
+    ``event_id % 7 == 5`` carry unparseable payloads, the engine
+    quarantines them (F7/F8: PARSE_ERROR -> committed quarantine
+    table, never a crash), and the drained DLQ must equal the SQL
+    predicate over events — the quarantine output itself is the
+    hash-checked frame, not just a counter. In-entry asserts the
+    survivor count is complementary (no row lost, none double-kept)."""
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+
+    cfg = _events_window_cfg()
+    out_dir = _events_stream_run(sf_dir, "dlqfinal", cfg, poison_mod=7)
+    sink = EpochSink(out_dir)
+    dlq = read_output_compacted(sink, "quarantine").to_pandas()
+    pages = read_output_compacted(sink, "pages").to_pandas()
+    total = len(pd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                columns=["event_id"]))
+    if len(dlq) + len(pages) != total:
+        raise AssertionError(
+            f"DLQ {len(dlq)} + survivors {len(pages)} != {total}")
+    dlq = dlq[["url", "warc_ts", "reason"]].copy()
+    dlq["warc_ts"] = dlq["warc_ts"].astype("datetime64[us]")
+    return dlq.sort_values(["url"]).reset_index(drop=True)
+
+
+def streaming_idle_watermark_final(sf_dir: str) -> pd.DataFrame:
+    """Idle-partition watermark exclusion, oracle-checked end state:
+    one key-shard stream dies a quarter of the way in (absent from
+    later epoch plans — a physical re-layout, the row set is intact);
+    with ``watermark_idle_epochs=2`` the per-partition min-combine
+    excludes it and the committed watermark keeps advancing, and the
+    drained tumbling windows must STILL equal the plain batch
+    aggregate over events. In-entry asserts the exclusion actually
+    fired: the last pre-drain committed watermark is PAST the dead
+    stream's frozen max (min-combine without exclusion would pin
+    there)."""
+    import glob as _glob
+
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+    from ..sources.events_log import events_pages_log
+    from ..sources.pages import file_event_maxes
+
+    cfg = _events_window_cfg(per_partition_watermark=True,
+                             watermark_idle_epochs=2, files_per_epoch=1)
+    out_dir = _events_stream_run(sf_dir, "idlefinal", cfg, idle_shard=3)
+    data_dir = events_pages_log(sf_dir, "idlefinal", idle_shard=3)
+    dead = _glob.glob(os.path.join(data_dir, "pages-*-03.parquet"))
+    dead_max = max(mx for _, mx in file_event_maxes(dead))
+    sink = EpochSink(out_dir)
+    epochs = sink.committed_epochs()
+    wm = sink.read_manifest(epochs[-2])["watermark_us"]  # last pre-drain
+    if wm <= dead_max:
+        raise AssertionError(
+            f"idle exclusion never fired: wm {wm} <= dead max {dead_max}")
+    res = read_output_compacted(sink, "tumbling_lang").to_pandas()
+    res = _win_us(res)
+    return res.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+
 def streaming_interval_join_final(sf_dir: str) -> pd.DataFrame:
     """Streaming interval self-join, oracle-checked end state: co-visit
     pairs per user within 4 h, emitted exactly once from the dual-buffer

@@ -65,11 +65,29 @@ def events_pages_log(
     shards: int = 4,
     late_mod: int = 0,
     late_delay_s: int = 0,
+    poison_mod: int = 0,
+    idle_shard: int | None = None,
+    idle_frac: float = 0.25,
 ) -> str:
-    """Write (once, cached) the events table as a pages log; return dir."""
+    """Write (once, cached) the events table as a pages log; return dir.
+
+    ``poison_mod``: rows with ``event_id % poison_mod == 5`` carry an
+    unparseable payload (raw garbage bytes) — the engine quarantines
+    them (PARSE_ERROR -> DLQ) and the poisoned set is SQL-expressible,
+    so the committed quarantine table has an exact oracle.
+
+    ``idle_shard``: after the first ``idle_frac`` of arrival order,
+    this key-shard stream receives no more files (its rows re-route to
+    other shards — a PHYSICAL re-layout only, the row set is
+    unchanged) — the dead-partition scenario for per-partition
+    watermark idle exclusion, with the batch SQL twin still exact.
+    """
     tier = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out_dir = f"/tmp/bitquery_kafka_streams_rust_ray_evlog_{tier}_{tag}"
-    spec = repr((sf_dir, num_slices, shards, late_mod, late_delay_s, "v1"))
+    extra = () if poison_mod == 0 and idle_shard is None else (
+        poison_mod, idle_shard, idle_frac, "v2")
+    spec = repr((sf_dir, num_slices, shards, late_mod, late_delay_s,
+                 "v1") + extra)
     marker = os.path.join(out_dir, ".complete")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -96,6 +114,11 @@ def events_pages_log(
     texts = np.array(["e" * (64 + int(e) % 32) for e in eid], dtype=object)
     htmls = np.empty(len(df), dtype=object)
     for i, (t, e) in enumerate(zip(texts, eid)):
+        if poison_mod > 0 and int(e) % poison_mod == 5:
+            # unparseable payload: no HTML structure survives any
+            # decompress sniff -> empty extract -> PARSE_ERROR -> DLQ
+            htmls[i] = b"\x00\xfePOISON" + str(int(e)).encode()
+            continue
         raw = text_to_html(t)
         mode = int(e) % 3
         htmls[i] = (raw if mode == 0
@@ -113,12 +136,24 @@ def events_pages_log(
     )
     shard_ids = np.array([url_shard(u, shards) for u in arr["url"]],
                          dtype=np.int64)
+    if idle_shard is not None:
+        # kill the stream after idle_frac of arrivals: later rows that
+        # hash to it re-route to the next shard (layout change only)
+        cut = int(len(arr) * idle_frac)
+        tail = np.arange(len(arr)) >= cut
+        hit = tail & (shard_ids == idle_shard)
+        shard_ids[hit] = (idle_shard + 1) % shards
     bounds = np.linspace(0, len(arr), num_slices + 1).astype(np.int64)
     for s in range(num_slices):
         sl = arr.iloc[bounds[s]:bounds[s + 1]]
         sh = shard_ids[bounds[s]:bounds[s + 1]]
         for shard in range(shards):
             sub = sl[sh == shard]
+            if idle_shard is not None and not len(sub):
+                # a dead partition is ABSENT from later epoch plans
+                # (no file), not an empty file — that's what ages its
+                # idleness counter
+                continue
             t = pa.Table.from_pandas(sub, preserve_index=False)
             t = pa.table(
                 {

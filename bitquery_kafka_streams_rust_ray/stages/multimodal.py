@@ -599,6 +599,191 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 90,
     return _jpeg_assemble(planes, quality, restart_interval)
 
 
+# Custom Huffman tables for the progressive encoder: fixed-length
+# canonical codes covering every symbol (DC: 16 symbols at 5 bits; AC:
+# 255 at 9 bits + 1 at 10), so EOBn run codes (absent from the Annex K
+# tables) are encodable. Deliberately simple over optimal — decoders
+# read any valid DHT.
+_JPEG_PROG_DC_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_JPEG_PROG_DC_VALS = list(range(16))
+_JPEG_PROG_AC_BITS = [0] * 8 + [255, 1] + [0] * 6
+_JPEG_PROG_AC_VALS = list(range(256))
+
+
+class _ProgAcWriter:
+    """AC scan emitter state (T.81 G.1.2.2-3): an EOB run and, in
+    refinement scans, the correction bits buffered behind it."""
+
+    def __init__(self, bw_: "_JpegBitWriter", ac_codes: dict):
+        self.bw = bw_
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        self.flush_bits()
+
+    def flush_bits(self) -> None:
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def end_block_eob(self) -> None:
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:  # EOBn caps at 2^14 + extra
+            self.flush_eobrun()
+
+
+def _prog_ac_first(w_: _ProgAcWriter, blk: np.ndarray, ss: int, se: int,
+                   al: int) -> None:
+    """One block of an AC first pass: point transform (truncate toward
+    zero), run-length + magnitude coding, EOB-run folding."""
+    band = blk[ss:se + 1]
+    t = np.sign(band) * (np.abs(band) >> al)
+    nz = np.nonzero(t)[0]
+    if not len(nz):
+        w_.end_block_eob()
+        return
+    w_.flush_eobrun()
+    run = 0
+    for k in range(nz[-1] + 1):
+        v = int(t[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = w_.ac[0xF0]  # ZRL
+            w_.bw.write(code, ln)
+            run -= 16
+        size, bits = _jpeg_magnitude(v)
+        code, ln = w_.ac[(run << 4) | size]
+        w_.bw.write(code, ln)
+        w_.bw.write(bits, size)
+        run = 0
+    if nz[-1] + 1 <= se - ss:
+        w_.end_block_eob()
+
+
+def _prog_ac_refine(w_: _ProgAcWriter, blk: np.ndarray, ss: int, se: int,
+                    al: int) -> None:
+    """One block of an AC refinement pass (the G.1.2.3 encoder, in the
+    shape of IJG's jcphuff): newly-nonzero coefficients code
+    (run|1)+sign, history coefficients contribute one correction bit
+    each — buffered block-locally and flushed after the next emitted
+    symbol (ZRL or run|1), so the decoder's advance loop reads them in
+    position order. Zero runs past the last newly-nonzero coefficient
+    fold into the cross-block EOB run (with their correction bits)."""
+    band = blk[ss:se + 1]
+    absv = np.abs(band) >> al
+    newly = np.nonzero(absv == 1)[0]
+    eob = newly[-1] if len(newly) else -1
+    run = 0
+    local: list[int] = []  # correction bits pending behind next symbol
+    for k in range(len(band)):
+        a = int(absv[k])
+        if a == 0:
+            run += 1
+            continue
+        # emit required ZRLs — but only while foldable corrections /
+        # newly-nonzero coefficients remain (k <= eob); beyond, runs
+        # belong to the EOB run
+        while run > 15 and k <= eob:
+            w_.flush_eobrun()
+            code, ln = w_.ac[0xF0]
+            w_.bw.write(code, ln)
+            run -= 16
+            for b in local:
+                w_.bw.write(b, 1)
+            local = []
+        if a > 1:  # history coefficient: correction bit rides behind
+            local.append(a & 1)
+            continue
+        w_.flush_eobrun()
+        code, ln = w_.ac[(run << 4) | 1]
+        w_.bw.write(code, ln)
+        w_.bw.write(1 if band[k] > 0 else 0, 1)
+        for b in local:
+            w_.bw.write(b, 1)
+        local = []
+        run = 0
+    if run > 0 or local:
+        w_.pending.extend(local)
+        w_.end_block_eob()
+
+
+def encode_jpeg_progressive(gray: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a (h, w) uint8 array as a REAL progressive grayscale JPEG
+    (SOF2): spectral selection (DC / AC 1-5 / AC 6-63) crossed with one
+    level of successive approximation (first passes at Al=1, refinement
+    at Al=0). Decoding all six scans reconstructs exactly the baseline
+    quantized coefficients, so :func:`decode_jpeg` output is
+    byte-identical to the baseline encoding at the same quality."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = _jpeg_qtable(quality)
+    zz = _jpeg_plane_zz(gray, q)
+
+    dc_codes = _jpeg_build_codes(_JPEG_PROG_DC_BITS, _JPEG_PROG_DC_VALS)
+    ac_codes = _jpeg_build_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def dc_first(al: int) -> bytes:
+        bw_ = _JpegBitWriter()
+        pred = 0
+        for blk in zz:
+            t = int(blk[0]) >> al  # DC point transform: arith shift
+            size, bits = _jpeg_magnitude(t - pred)
+            code, ln = dc_codes[size]
+            bw_.write(code, ln)
+            if size:
+                bw_.write(bits, size)
+            pred = t
+        return bw_.flush()
+
+    def dc_refine(al: int) -> bytes:
+        bw_ = _JpegBitWriter()
+        for blk in zz:
+            bw_.write((int(blk[0]) >> al) & 1, 1)
+        return bw_.flush()
+
+    def ac_scan(ss: int, se: int, al: int, refine: bool) -> bytes:
+        bw_ = _JpegBitWriter()
+        w_ = _ProgAcWriter(bw_, ac_codes)
+        for blk in zz:
+            (_prog_ac_refine if refine else _prog_ac_first)(
+                w_, blk, ss, se, al)
+        w_.flush_eobrun()
+        return bw_.flush()
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _jpeg_seg(0xFFDA, bytes([1, 1, 0x00, ss, se,
+                                        (ah << 4) | al]))
+
+    dqt = _jpeg_seg(0xFFDB,
+                    b"\x00" + bytes(int(x) for x in q[_JPEG_ZIGZAG]))
+    sof = _jpeg_seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1)
+                    + bytes([1, 0x11, 0]))
+    dht = (_jpeg_seg(0xFFC4, b"\x00" + bytes(_JPEG_PROG_DC_BITS)
+                     + bytes(_JPEG_PROG_DC_VALS))
+           + _jpeg_seg(0xFFC4, b"\x10" + bytes(_JPEG_PROG_AC_BITS)
+                       + bytes(_JPEG_PROG_AC_VALS)))
+    scans = (sos(0, 0, 0, 1) + dc_first(1)
+             + sos(1, 5, 0, 1) + ac_scan(1, 5, 1, False)
+             + sos(6, 63, 0, 1) + ac_scan(6, 63, 1, False)
+             + sos(0, 0, 1, 0) + dc_refine(0)
+             + sos(1, 5, 1, 0) + ac_scan(1, 5, 0, True)
+             + sos(6, 63, 1, 0) + ac_scan(6, 63, 0, True))
+    return b"\xff\xd8" + dqt + sof + dht + scans + b"\xff\xd9"
+
+
 class _JpegBitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -623,9 +808,11 @@ def _jpeg_extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
-    """Decode a baseline JPEG to (h, w) uint8 gray (luma plane for
-    4:4:4 color). None for progressive, chroma-subsampled, arithmetic
-    or corrupt streams -> quarantine."""
+    """Decode a baseline OR progressive (T.81 Annex G: spectral
+    selection + successive approximation, Huffman) JPEG to (h, w)
+    uint8 gray (luma plane for 4:4:4 color). None for
+    chroma-subsampled, arithmetic, lossless/hierarchical or corrupt
+    streams -> quarantine."""
     try:
         if payload[:2] != b"\xff\xd8":
             return None
@@ -635,13 +822,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
         ac_maps: dict[int, dict] = {}
         frame = None
         restart = 0
+        prog_coefs: list[np.ndarray] | None = None
+        got_scan = False
         while pos < len(payload):
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
             pos += 2
-            if marker == 0xD9:  # EOI before scan
-                return None
+            if marker == 0xD9:  # EOI
+                if (frame is not None and frame["prog"] and got_scan
+                        and prog_coefs is not None):
+                    # all progressive scans folded in -> reconstruct
+                    return _jpeg_idct_luma(
+                        prog_coefs[0], qtabs[frame["comps"][0]["tq"]],
+                        frame["h"], frame["w"])
+                return None  # EOI before a (complete) scan
             if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
                 continue
             (ln,) = struct.unpack_from(">H", payload, pos)
@@ -669,7 +864,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                     (dc_maps if tc == 0 else ac_maps)[th] = \
                         _jpeg_decode_map(bits, vals)
                     b = b[17 + nv:]
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 + SOF2 (prog)
                 prec, fh, fw, nc = struct.unpack_from(">BHHB", body)
                 if prec != 8:
                     return None
@@ -679,10 +874,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                     if samp != 0x11:
                         return None  # no chroma subsampling support
                     comps.append({"id": cid, "tq": tq})
-                frame = {"h": fh, "w": fw, "comps": comps}
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                frame = {"h": fh, "w": fw, "comps": comps,
+                         "prog": marker == 0xC2}
+                if frame["prog"]:
+                    if fh == 0 or fw == 0:
+                        return None
+                    nb = ((fh + 7) // 8) * ((fw + 7) // 8)
+                    prog_coefs = [np.zeros((nb, 64), np.int64)
+                                  for _ in range(nc)]
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic
+                return None  # lossless / differential / arithmetic
             elif marker == 0xDD:  # DRI
                 (restart,) = struct.unpack_from(">H", body)
             elif marker == 0xDA:  # SOS
@@ -692,10 +894,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                 scan = []
                 for c in range(ns):
                     cs, tabs = body[1 + 2 * c], body[2 + 2 * c]
-                    comp = next(x for x in frame["comps"]
-                                if x["id"] == cs)
-                    scan.append({"tq": comp["tq"], "td": tabs >> 4,
-                                 "ta": tabs & 15})
+                    ci, comp = next(
+                        (i_, x) for i_, x in enumerate(frame["comps"])
+                        if x["id"] == cs)
+                    scan.append({"ci": ci, "tq": comp["tq"],
+                                 "td": tabs >> 4, "ta": tabs & 15})
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 15
                 # entropy data: everything up to the next real marker,
                 # split on restart markers
                 segs_, cur = [], bytearray()
@@ -717,8 +923,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                     cur.append(b0)
                     i += 1
                 segs_.append(bytes(cur))
-                return _jpeg_decode_scan(frame, scan, qtabs, dc_maps,
-                                         ac_maps, segs_, restart)
+                if not frame["prog"]:
+                    if (ss, se, ah, al) != (0, 63, 0, 0):
+                        return None  # malformed sequential scan header
+                    return _jpeg_decode_scan(frame, scan, qtabs, dc_maps,
+                                             ac_maps, segs_, restart)
+                _jpeg_decode_prog_scan(
+                    frame, scan, prog_coefs, dc_maps, ac_maps, segs_,
+                    restart, ss, se, ah, al)
+                got_scan = True
+                pos = i  # continue at the next marker
         return None
     except (struct.error, ValueError, IndexError, KeyError,
             StopIteration):
@@ -776,11 +990,121 @@ def _jpeg_decode_scan(frame, scan, qtabs, dc_maps, ac_maps, segs_,
                 blk[k] = _jpeg_extend(reader.read(s), s)
                 k += 1
     # dequantize + inverse DCT the luma component, vectorized
-    sc = scan[0]
-    q = qtabs[sc["tq"]]  # natural order (scattered at DQT parse)
-    blocks = np.zeros((n_mcu, 64), np.float64)
-    blocks[:, _JPEG_ZIGZAG] = coefs[0]  # zigzag -> natural
-    blocks *= q  # dequantize in natural order
+    return _jpeg_idct_luma(coefs[0], qtabs[scan[0]["tq"]], h, w)
+
+
+def _jpeg_decode_prog_scan(frame, scan, coefs, dc_maps, ac_maps, segs_,
+                           restart, ss, se, ah, al) -> None:
+    """Fold one progressive scan (T.81 G.2 / Annex G decode procedures)
+    into the persistent per-component coefficient arrays.
+
+    Four scan kinds: DC first (Ss=0, Ah=0; may be interleaved), DC
+    refinement (Ss=0, Ah>0; one raw bit per block), AC first
+    (Ss>0, Ah=0; single component, EOB-run coded), AC refinement
+    (Ss>0, Ah>0; correction bits). 4:4:4 sampling means every
+    component's block grid equals the MCU grid, so block order is
+    raster for interleaved and non-interleaved scans alike.
+    """
+    n_blk = coefs[0].shape[0]
+    seg_i = 0
+    reader = _JpegBitReader(segs_[0])
+    eobrun = 0
+    preds = [0] * len(scan)
+    for m in range(n_blk):
+        if restart and m and m % restart == 0:
+            seg_i += 1  # RST: byte-align, reset predictors + EOB run
+            if seg_i >= len(segs_):
+                raise ValueError("missing restart segment")
+            reader = _JpegBitReader(segs_[seg_i])
+            preds = [0] * len(scan)
+            eobrun = 0
+        if ss == 0:  # DC scan (Se must be 0 per G.1.1.1.1)
+            if se != 0:
+                raise ValueError("bad DC progressive band")
+            for c, sc in enumerate(scan):
+                blk = coefs[sc["ci"]][m]
+                if ah == 0:  # first pass: DPCM of point-transformed DC
+                    size = _jpeg_huff_read(reader, dc_maps[sc["td"]])
+                    diff = (_jpeg_extend(reader.read(size), size)
+                            if size else 0)
+                    preds[c] += diff
+                    blk[0] = preds[c] << al
+                else:  # refinement: one raw bit
+                    if reader.read(1):
+                        blk[0] |= 1 << al
+            continue
+        if len(scan) != 1:
+            raise ValueError("interleaved AC progressive scan")
+        blk = coefs[scan[0]["ci"]][m]
+        amap = ac_maps[scan[0]["ta"]]
+        if ah == 0:  # AC first pass (G.1.2.2)
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _jpeg_huff_read(reader, amap)
+                r, s = sym >> 4, sym & 15
+                if s:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC band overflow")
+                    blk[k] = _jpeg_extend(reader.read(s), s) << al
+                    k += 1
+                else:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read(r)
+                        break
+                    k += 16  # ZRL
+        else:  # AC refinement pass (G.1.2.3)
+            p1, m1 = 1 << al, -(1 << al)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _jpeg_huff_read(reader, amap)
+                    r, s = sym >> 4, sym & 15
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError("bad refinement size")
+                        val = p1 if reader.read(1) else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read(r)
+                        break  # rest of band handled below
+                    # advance over r zero-history positions, folding
+                    # correction bits into nonzero-history ones
+                    while k <= se:
+                        if blk[k]:
+                            if reader.read(1) and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # band remainder: corrections only
+                    if blk[k]:
+                        if reader.read(1) and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
+def _jpeg_idct_luma(zz_coefs: np.ndarray, q: np.ndarray, h: int,
+                    w: int) -> np.ndarray:
+    """(n_blocks, 64) zigzag-order int coefficients -> (h, w) uint8."""
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    blocks = np.zeros((bh * bw, 64), np.float64)
+    blocks[:, _JPEG_ZIGZAG] = zz_coefs  # zigzag -> natural
+    blocks *= q  # dequantize in natural order (scattered at DQT parse)
     blocks = blocks.reshape(-1, 8, 8)
     pix = np.einsum("ji,njk,kl->nil", _JPEG_DCT, blocks, _JPEG_DCT)
     pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)

@@ -530,7 +530,8 @@ def test_jpeg_quarantine_paths():
     assert decode_jpeg(payload[: len(payload) // 2]) is None
     assert decode_jpeg(b"\xff\xd8not a jpeg at all") is None
     assert decode_jpeg(b"") is None
-    # SOF0 -> SOF2 (progressive) must be rejected, not misparsed
+    # SOF0 -> SOF2 with a BASELINE scan header (Ss=0, Se=63 — illegal
+    # for progressive, G.1.1.1.1) must be rejected, not misparsed
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
     # sampling factor 2x2 (chroma-subsampling layout) -> unsupported
@@ -680,3 +681,86 @@ def test_jpeg_restart_and_color_paths(w, h, seed, restart, color):
     got = decode_jpeg(payload)
     want = decode_jpeg(encode_jpeg(luma, 90))
     assert got is not None and np.array_equal(got, want)
+
+
+@settings(deadline=None, max_examples=80)
+@given(
+    w=hst.integers(min_value=1, max_value=40),
+    h=hst.integers(min_value=1, max_value=40),
+    seed=hst.integers(min_value=0, max_value=2**31),
+    quality=hst.sampled_from([5, 25, 50, 75, 90, 100]),
+    flavor=hst.sampled_from(["random", "constant", "gradient", "binary"]),
+)
+def test_jpeg_progressive_matches_baseline(w, h, seed, quality, flavor):
+    """Progressive (SOF2: spectral selection x successive
+    approximation) encodes the same quantized coefficients as
+    baseline, so after all six scans decode_jpeg must be
+    BYTE-IDENTICAL to the baseline decode at the same quality."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(seed)
+    if flavor == "random":
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    elif flavor == "constant":
+        img = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+    elif flavor == "gradient":
+        img = (np.add.outer(np.arange(h), np.arange(w)) % 256
+               ).astype(np.uint8)
+    else:
+        img = (rng.random((h, w)) < 0.1).astype(np.uint8) * 255
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    assert prog is not None
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_quarantine_paths():
+    """Torn / truncated / bit-flipped progressive payloads return None
+    or an array, never raise; dropping the final refinement scans
+    still decodes (coarser approximation, same shape)."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg_progressive)
+
+    img = (np.add.outer(np.arange(24), np.arange(32)) % 256).astype(
+        np.uint8)
+    payload = encode_jpeg_progressive(img, 90)
+    full = decode_jpeg(payload)
+    assert full is not None and full.shape == (24, 32)
+    # torn anywhere: total function
+    for cut in range(2, len(payload), max(1, len(payload) // 40)):
+        out = decode_jpeg(payload[:cut])
+        assert out is None or isinstance(out, np.ndarray)
+    # a partial-progression prefix ending in EOI still decodes
+    third_sos = [i for i in range(len(payload) - 1)
+                 if payload[i:i + 2] == b"\xff\xda"][3]
+    partial = decode_jpeg(payload[:third_sos] + b"\xff\xd9")
+    assert partial is not None and partial.shape == (24, 32)
+    assert not np.array_equal(partial, full)  # refinements matter
+    # bit flips in the entropy tail: None or array, never a raise
+    for pos in range(len(payload) - 60, len(payload) - 4, 5):
+        bad = bytearray(payload)
+        bad[pos] ^= 0x2A
+        out = decode_jpeg(bytes(bad))
+        assert out is None or isinstance(out, np.ndarray)
+
+
+def test_jpeg_progressive_through_decode_stage(ray_session):
+    """Progressive payloads flow through DecodeImageStage like
+    baseline ones (same magic, same schema, no special-casing)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        DecodeImageStage, encode_jpeg_progressive)
+
+    img = (np.add.outer(np.arange(16), np.arange(24)) % 256).astype(
+        np.uint8)
+    t = pa.table({"image": [encode_jpeg_progressive(img, 90), b"junk"]})
+    out = DecodeImageStage()(t)
+    assert out["width"].to_pylist() == [24, None]
+    assert out["height"].to_pylist() == [16, None]

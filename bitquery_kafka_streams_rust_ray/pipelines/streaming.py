@@ -323,8 +323,13 @@ class StateShard:
         if self.topk is not None:
             # running top-k partial: pre-reduce to (host, count) pairs —
             # the exchange ships one row per distinct host per shard
-            # (downstream merge is a count dict, so order is free)
-            hs, cnts = np.unique(host_np, return_counts=True)
+            # (downstream merge is a count dict, so order is free).
+            # value_counts over the already-landed numpy strings: the
+            # pandas hashtable beats sort-based np.unique on object
+            # keys (measured in the round-5 interleaved A/B)
+            vc = pd.Series(host_np).value_counts()
+            hs = vc.index.to_numpy()
+            cnts = vc.to_numpy()
             owner = shard_of(hs, n)
             for o in np.unique(owner):
                 m = owner == o

@@ -504,6 +504,13 @@ def _catalog() -> dict[str, Callable[[str], Any]]:
         # sort/top-k (§2.7)
         "topk_orders": q.topk_orders,
         # -- remaining long-green catalog ---------------------------------
+        # priority sampling (Duffield-Lund-Thorup 2007): weight-biased
+        # top-k by exact-integer priorities, partial-top-k merge
+        "priority_sample_orders": q.priority_sample_orders,
+        # exact set-similarity self-join with prefix filtering
+        # (AllPairs, Bayardo WWW'07): Jaccard >= 0.5 order-part-set
+        # pairs, rare-token candidate buckets, integer verify
+        "setsim_join_orders": q.setsim_join_orders,
         "distinct_users": q.distinct_users,
         "sample_events": q.sample_events,
         "nation_presence": q.nation_presence,
@@ -2968,6 +2975,36 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY c_acctbal DESC, c_custkey LIMIT 10
             )
             ORDER BY event_id
+        """,
+        # brute-force twin: the engine's prefix filter only prunes
+        # candidates, so the pair set must equal the full self-join
+        "setsim_join_orders": """
+            WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem),
+            sz AS (SELECT o, COUNT(*) AS n FROM b GROUP BY o),
+            inter AS (SELECT x.o AS a, y.o AS c, COUNT(*) AS i
+                      FROM b x JOIN b y ON x.p = y.p AND x.o < y.o
+                      GROUP BY 1, 2)
+            SELECT a AS order_a, c AS order_b,
+                   round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jac6
+            FROM inter
+            JOIN sz sa ON sa.o = a JOIN sz sb ON sb.o = c
+            WHERE 2 * i >= sa.n + sb.n - i
+            ORDER BY 1, 2
+        """,
+        # exact-integer priorities: w_cents*2^32 // (h+1); both engines
+        # integer-divide, no transcendental tie hazard
+        "priority_sample_orders": """
+            SELECT o_orderkey, w_cents, priority FROM (
+                SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+                       (CAST(round(o_totalprice * 100) AS BIGINT)
+                        * 4294967296)
+                       // ((o_orderkey * 2654435761) % 4294967296 + 1)
+                           AS priority
+                FROM orders
+                ORDER BY priority DESC, o_orderkey LIMIT 200)
+            ORDER BY o_orderkey
         """,
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -726,6 +726,45 @@ def topk_orders(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def priority_sample_orders(sf_dir: str, k: int = 200) -> pd.DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): a
+    weight-biased without-replacement sample of the k orders with the
+    largest priorities q_i = w_i / u_i, where u_i derives from the
+    shared multiplicative hash of the order key. All arithmetic is
+    EXACT INTEGER (cross-multiplied: floor(w_cents * 2^32 / (h+1)),
+    which fits int64), so the distributed partial-top-k and the SQL
+    oracle agree bit-for-bit — the exponential-keys A-ES form would
+    hang the oracle on cross-libm pow/ln ties. Scale shape: per-block
+    vectorized partial top-k + driver merge of k-row partials (the
+    topk_orders pattern); the weighted-sampling primitive every
+    corpus-subsample / importance-sampling pipeline needs."""
+    from ..stages.hashing import multiplicative_hash_u32
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        h = multiplicative_hash_u32(ids)
+        pr = ((cents.astype(np.uint64) << np.uint64(32))
+              // (h + np.uint64(1))).astype(np.int64)
+        kk = min(k, len(ids))
+        # top-kk by (priority desc, id asc), exact tie-break
+        idx = np.lexsort((ids, -pr))[:kk]
+        return pa.table({
+            "o_orderkey": pa.array(ids[idx]),
+            "w_cents": pa.array(cents[idx]),
+            "priority": pa.array(pr[idx]),
+        })
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["priority", "o_orderkey"],
+                             ascending=[False, True], kind="mergesort")
+           .head(k))
+    return (out.sort_values("o_orderkey").reset_index(drop=True)
+            [["o_orderkey", "w_cents", "priority"]])
+
+
 def distinct_users(sf_dir: str) -> pd.DataFrame:
     """Exact distinct count per group (two-level groupby)."""
     ds = _t(sf_dir, "events", ["event_type", "user_id"])

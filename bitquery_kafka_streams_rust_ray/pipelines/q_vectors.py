@@ -380,3 +380,110 @@ def ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     out["jaccard"] = out["jaccard"].astype("float64")
     return out.reset_index(drop=True)
+
+
+def setsim_join_orders(sf_dir: str, tau_pct: int = 50) -> pd.DataFrame:
+    """Exact set-similarity self-join with PREFIX FILTERING (the
+    AllPairs family — Bayardo et al. WWW'07 / Chaudhuri et al.
+    ICDE'06): every pair of orders whose part-sets have Jaccard >=
+    tau, without the all-pairs blowup. The similarity-join primitive
+    under near-dup mining, entity resolution and basket analysis.
+
+    Plan: (1) distinct (order, part) rows; (2) global part
+    frequencies — a dimension-sized reduce — define the canonical
+    token order (rarest first), shipped once as a broadcast rank dict
+    (at a token domain that outgrows one process this becomes a hash
+    join, cf. bigram_lm's switch); (3) baskets assemble per
+    order-shard and emit only their PREFIX tokens (|b| -
+    ceil(tau*|b|) + 1 rarest — any qualifying pair must collide on
+    some shared prefix token, so candidate buckets are keyed by RARE
+    tokens and stay small by construction); (4) each token bucket
+    verifies its candidates with exact integer arithmetic
+    (2i >= na + nb - i for tau = 1/2 — no float boundary) and emits a
+    pair only from the SMALLEST shared prefix token (exactly-once
+    ownership, no cross-bucket dedup shuffle). Only prefix rows move;
+    the verify carries each basket once per prefix token."""
+    if tau_pct != 50:
+        raise ValueError("integer predicate is specialized to tau=0.5")
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = (li.map_batches(
+        lambda t: t.group_by(["l_orderkey", "l_partkey"]).aggregate([]),
+        batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"]))
+    pairs = pairs.materialize()  # two consumers: freq reduce + baskets
+
+    freq = (pairs.groupby("l_partkey").count().to_pandas()
+            .sort_values(["count()", "l_partkey"])
+            .reset_index(drop=True))
+    rank_ref = ray.put(dict(zip(freq["l_partkey"],
+                                range(len(freq)))))
+
+    def to_ranked(t: pa.Table) -> pa.Table:
+        rk = broadcast_get(rank_ref)
+        ranks = np.array([rk[p] for p in
+                          t["l_partkey"].to_numpy(zero_copy_only=False)],
+                         dtype=np.int64)
+        return pa.table({"o": t["l_orderkey"], "r": pa.array(ranks)})
+
+    from ..stages.hashing import add_shard_column
+
+    ranked = pairs.map_batches(to_ranked, batch_format="pyarrow") \
+        .map_batches(lambda t: add_shard_column(t, "o", 64),
+                     batch_format="pyarrow")
+
+    def build_and_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        out_r, out_o, out_n, out_b = [], [], [], []
+        for o, sub in g.groupby("o", sort=False):
+            rs = np.sort(sub["r"].to_numpy())
+            n = len(rs)
+            p = n - (n + 1) // 2 + 1  # n - ceil(n/2) + 1
+            for r in rs[:p]:
+                out_r.append(int(r))
+                out_o.append(int(o))
+                out_n.append(n)
+                out_b.append(rs)
+        return pd.DataFrame({"r": out_r, "o": out_o, "n": out_n,
+                             "basket": out_b})
+
+    prefix_rows = ranked.groupby("_shard").map_groups(
+        build_and_prefix, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        r = int(g["r"].iloc[0])
+        os_ = g["o"].to_numpy()
+        ns = g["n"].to_numpy()
+        baskets = list(g["basket"])
+        order = np.argsort(os_, kind="mergesort")
+        out_a, out_b, out_j = [], [], []
+        for ii in range(len(order)):
+            i = order[ii]
+            for jj in range(ii + 1, len(order)):
+                j = order[jj]
+                na, nb = int(ns[i]), int(ns[j])
+                if 2 * min(na, nb) < max(na, nb):
+                    continue  # length filter for tau = 1/2
+                inter = np.intersect1d(baskets[i], baskets[j],
+                                       assume_unique=True)
+                iv = len(inter)
+                if 2 * iv < na + nb - iv:
+                    continue
+                # exactly-once ownership: the smallest rank shared by
+                # BOTH prefixes emits the pair
+                pa_ = baskets[i][:na - (na + 1) // 2 + 1]
+                pb_ = baskets[j][:nb - (nb + 1) // 2 + 1]
+                shared = np.intersect1d(pa_, pb_, assume_unique=True)
+                if len(shared) == 0 or int(shared[0]) != r:
+                    continue
+                out_a.append(int(os_[i]))
+                out_b.append(int(os_[j]))
+                out_j.append(round(iv / (na + nb - iv), 6))
+        return pd.DataFrame({"order_a": out_a, "order_b": out_b,
+                             "jac6": out_j})
+
+    out = (prefix_rows.groupby("r")
+           .map_groups(verify, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["order_a", "order_b"])
+            .reset_index(drop=True))

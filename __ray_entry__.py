@@ -511,6 +511,12 @@ def _catalog() -> dict[str, Callable[[str], Any]]:
         # (AllPairs, Bayardo WWW'07): Jaccard >= 0.5 order-part-set
         # pairs, rare-token candidate buckets, integer verify
         "setsim_join_orders": q.setsim_join_orders,
+        # bloom-join: broadcast Bloom filter prunes the fact-table
+        # probe before the exact partitioned semi-join (exact result)
+        "bloom_semijoin_orders": q.bloom_semijoin_orders,
+        # exact heavy hitters: Misra-Gries candidates (capacity-bounded
+        # mergeable summaries) + exact verify pass, integer predicate
+        "heavy_hitters_events": q.heavy_hitters_events,
         "distinct_users": q.distinct_users,
         "sample_events": q.sample_events,
         "nation_presence": q.nation_presence,
@@ -2975,6 +2981,19 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY c_acctbal DESC, c_custkey LIMIT 10
             )
             ORDER BY event_id
+        """,
+        "heavy_hitters_events": """
+            SELECT user_id, COUNT(*) AS n_events FROM events
+            GROUP BY user_id
+            HAVING 1000000 * COUNT(*) > 5000 * (SELECT COUNT(*)
+                                                FROM events)
+            ORDER BY user_id
+        """,
+        "bloom_semijoin_orders": """
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey
         """,
         # brute-force twin: the engine's prefix filter only prunes
         # candidates, so the pair set must equal the full self-join

@@ -487,3 +487,137 @@ def setsim_join_orders(sf_dir: str, tau_pct: int = 50) -> pd.DataFrame:
            .to_pandas())
     return (out.sort_values(["order_a", "order_b"])
             .reset_index(drop=True))
+
+
+def bloom_semijoin_orders(sf_dir: str, segment: str = "BUILDING",
+                          bits_per_key: int = 16,
+                          n_hashes: int = 8) -> pd.DataFrame:
+    """Bloom-filter semi-join (the bloom-join pattern): orders of
+    customers in one market segment, with the probe side pruned by a
+    broadcast Bloom filter BEFORE the exact join. At 100 TB this is
+    THE way a big fact table semi-joins a key set too large to
+    broadcast exactly: the filter is bits_per_key/8 bytes per key
+    (vs >= 8 for the raw keys), membership is O(n_hashes) bit probes,
+    false positives are removed by the exact partitioned hash join
+    over the (already tiny) surviving sliver — so the result is EXACT
+    and only survivors shuffle. Double hashing (Kirsch-Mitzenmacher:
+    h1 + i*h2) from two multiplicative hashes; build and probe fully
+    vectorized."""
+    from ..stages.join import hash_join, join_buckets
+    from .q_relational import _tbytes
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"],
+                                        segment)).select(["c_custkey"]),
+            batch_format="pyarrow").materialize()
+    keys = cust.to_pandas()["c_custkey"].to_numpy()  # dimension-sized
+    m = 1 << max(8, int(np.ceil(np.log2(max(1, len(keys))
+                                        * bits_per_key))))
+    h1 = (keys.astype(np.uint64) * np.uint64(2654435761))
+    h2 = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | 1
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    for i in range(n_hashes):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    bits_ref = ray.put(bits)
+
+    mask_m = np.uint64(m)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bv = broadcast_get(bits_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        g1 = (ck.astype(np.uint64) * np.uint64(2654435761))
+        g2 = (ck.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | 1
+        member = np.ones(len(ck), dtype=bool)
+        for i in range(n_hashes):
+            idx = (g1 + np.uint64(i) * g2) % mask_m
+            member &= (bv[(idx >> np.uint64(6)).astype(np.int64)]
+                       >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return t.filter(pa.array(member))
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    survivors = orders.map_batches(probe, batch_format="pyarrow")
+    # exact verify: partitioned hash join of the SLIVER against the
+    # key set removes Bloom false positives — result is exact
+    cust_keyed = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow")
+    exact = hash_join(survivors, cust_keyed, on="o_custkey",
+                      buckets=join_buckets(_tbytes(sf_dir, "orders")))
+    out = exact.to_pandas()[["o_orderkey"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _mg_truncate(items: np.ndarray, counts: np.ndarray,
+                 capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries truncation: keep <= capacity items by subtracting
+    the (capacity+1)-th largest count from all (the mergeable-summary
+    rule of Agarwal et al., PODS'12). Error bound per summary:
+    undercount <= (weight folded in) / (capacity + 1)."""
+    if len(items) <= capacity:
+        return items, counts
+    kth = np.partition(counts, len(counts) - capacity - 1)[
+        len(counts) - capacity - 1]
+    keep = counts > kth
+    return items[keep], counts[keep] - kth
+
+
+def heavy_hitters_events(sf_dir: str, phi_ppm: int = 5000,
+                         capacity: int = 256) -> pd.DataFrame:
+    """Exact phi-heavy hitters via Misra-Gries candidates + an exact
+    verification pass (the 2-pass pattern that makes a lossy sketch
+    EXACT at scale): per-block MG summaries (capacity-bounded, so the
+    exchange ships <= capacity rows per block no matter how many
+    distinct keys exist) merge on the driver into a candidate set
+    that PROVABLY contains every key with frequency > n/(capacity+1)
+    — a superset of the > phi*n answer whenever capacity+1 > 1e6 /
+    phi_ppm — and a second broadcast-membership pass counts ONLY the
+    candidates exactly. Final predicate in exact integers
+    (1e6 * c > phi_ppm * n). tests/test_queries_oracle pins the
+    truncating merge against brute force on a forced-skew table."""
+    if (capacity + 1) * phi_ppm <= 1_000_000:
+        raise ValueError("capacity too small for the phi guarantee")
+    ds = _t(sf_dir, "events", ["user_id"])
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        ids, counts = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        ids, counts = _mg_truncate(ids, counts.astype(np.int64),
+                                   capacity)
+        return pa.table({
+            "user_id": pa.array(ids),
+            "c": pa.array(counts),
+            "n_rows": pa.array(
+                np.full(len(ids), len(t), dtype=np.int64)
+                if len(ids) else np.array([], dtype=np.int64)),
+            "first": pa.array(
+                np.r_[True, np.zeros(len(ids) - 1, dtype=bool)]
+                if len(ids) else np.array([], dtype=bool)),
+        })
+
+    parts = ds.map_batches(mg_partial, batch_format="pyarrow") \
+        .to_pandas()  # <= capacity rows per block
+    n_total = int(parts.loc[parts["first"], "n_rows"].sum())
+    merged = parts.groupby("user_id")["c"].sum()
+    cand_ids, cand_counts = _mg_truncate(
+        merged.index.to_numpy(), merged.to_numpy(), capacity)
+    cand_ref = ray.put(pa.array(np.sort(cand_ids)))
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_in(t["user_id"],
+                                 ray.get(cand_ref)))
+        ids, counts = np.unique(
+            keep["user_id"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"user_id": pa.array(ids),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    exact = (ds.map_batches(exact_counts, batch_format="pyarrow")
+             .to_pandas().groupby("user_id")["c"].sum().reset_index())
+    hot = exact[1_000_000 * exact["c"] > phi_ppm * n_total]
+    out = hot.rename(columns={"c": "n_events"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

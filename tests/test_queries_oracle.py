@@ -132,3 +132,31 @@ def test_segment_orders_join_paths_identical():
     small = q.segment_orders(SF_DIR)
     big = q.segment_orders(SF_DIR, broadcast_threshold_bytes=0)
     pd.testing.assert_frame_equal(small, big, obj="segment_orders paths")
+
+
+def test_heavy_hitters_truncating_merge(tmp_path):
+    """Forced-skew table: 5k distinct cold keys vs capacity 16, so
+    every block partial AND the driver merge truncate — the MG
+    guarantee (candidates contain every key above n/(capacity+1))
+    must still deliver the exact brute-force answer after the verify
+    pass."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from bitquery_kafka_streams_rust_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(5)
+    hot = np.repeat([900001, 900002], [3000, 1500])
+    cold = rng.integers(1, 5001, 5500)
+    users = rng.permutation(np.r_[hot, cold]).astype(np.int64)
+    d = tmp_path / "hh"
+    d.mkdir()
+    pq_.write_table(pa.table({"user_id": users}),
+                    str(d / "events.parquet"))
+
+    got = q.heavy_hitters_events(str(d), phi_ppm=100_000, capacity=16)
+    vals, counts = np.unique(users, return_counts=True)
+    want = sorted(int(v) for v, c in zip(vals, counts)
+                  if 1_000_000 * int(c) > 100_000 * len(users))
+    assert got["user_id"].tolist() == want == [900001, 900002]
+    assert got["n_events"].tolist() == [3000, 1500]

@@ -86,6 +86,10 @@ def _catalog() -> dict[str, Callable[[str], Any]]:
         # exact end-state twin (in-entry assert pins that the watermark
         # actually advanced past the dead stream's frozen max)
         "streaming_idle_watermark_final": q.streaming_idle_watermark_final,
+        # every streaming feature at once (corrections + early fire +
+        # per-partition watermarks + mid-run rescale + compaction),
+        # one batch-aggregate oracle — the interaction pin
+        "streaming_kitchen_sink_final": q.streaming_kitchen_sink_final,
         # -- round-3i additions (newest, never driver-checked) -----------
         # session retract/add changelog under update mode: accepted-late
         # rows reopen (and can MERGE) already-emitted sessions; the entry
@@ -715,6 +719,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ts AS TIMESTAMP) AS warc_ts,
                    'parse_error' AS reason
             FROM events WHERE event_id % 7 = 5 ORDER BY url
+        """,
+        "streaming_kitchen_sink_final": """
+            SELECT event_type AS key,
+                   make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000) AS window_start,
+                   make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000 + 3600000000) AS window_end,
+                   COUNT(*) AS doc_count,
+                   CAST(SUM(64 + event_id % 32) AS DOUBLE) AS total_chars
+            FROM events GROUP BY 1, 2, 3
         """,
         "streaming_idle_watermark_final": """
             SELECT event_type AS key,

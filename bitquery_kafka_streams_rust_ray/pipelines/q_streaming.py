@@ -1391,6 +1391,53 @@ def streaming_rescale_final(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["key", "window_start"]).reset_index(drop=True)
 
 
+def streaming_kitchen_sink_final(sf_dir: str) -> pd.DataFrame:
+    """Every streaming feature AT ONCE, one exact oracle — the
+    interaction test the per-feature finals cannot see: update-mode
+    corrections over deterministically 5-day-late rows, early-fire
+    previews, per-partition watermarks, a forced mid-stream 4 -> 8
+    shard RESCALE resume, and post-drain compaction on the resumed
+    run. The consumer-corrected tumbling view after the drain must
+    still equal the plain batch aggregate over ALL events. In-entry
+    asserts each feature actually fired (>=1 committed revision,
+    >=1 preview, exactly one rescale)."""
+    import dataclasses
+
+    from ..pipelines.flagship import (read_windows_corrected,
+                                      run_flagship)
+    from ..sinks.compaction import read_output_compacted
+    from ..sinks.exactly_once import EpochSink
+    from ..sources.events_log import events_pages_log
+
+    cfg4 = _events_window_cfg(state_shards=4, update_mode=True,
+                              update_horizon_s=40 * 86400,
+                              dedup_window_s=40 * 86400,
+                              early_fire=True,
+                              per_partition_watermark=True)
+    data_dir = events_pages_log(sf_dir, "sinkfinal", late_mod=50,
+                                late_delay_s=5 * 86400)
+    out = f"{data_dir}_out"
+    import shutil as _shutil
+    _shutil.rmtree(out, ignore_errors=True)
+    run_flagship(data_dir, out, config=cfg4, resume=False)
+    sink = EpochSink(out)
+    for e in sink.committed_epochs()[-2:]:  # force a mid-stream resume
+        os.remove(sink.manifest_path(e))
+    cfg8 = dataclasses.replace(cfg4, state_shards=8,
+                               compact_after_drain=True)
+    summary = run_flagship(data_dir, out, config=cfg8, resume=True)
+    if summary["metrics"]["counters"].get("state_rescales") != 1:
+        raise AssertionError("rescaled resume did not trigger")
+    if not len(read_output_compacted(sink, "window_updates")):
+        raise AssertionError("update mode emitted no corrections")
+    if not len(read_output_compacted(sink, "window_early")):
+        raise AssertionError("early firing emitted no previews")
+    res = read_windows_corrected(out)
+    res = _win_us(res[["key", "window_start", "window_end",
+                       "doc_count", "total_chars"]].copy())
+    return res.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+
 def streaming_savepoint_final(sf_dir: str) -> pd.DataFrame:
     """Savepoint fork with an exact SQL oracle on the end state: export
     epoch 1's committed checkpoint from a finished run over the event

@@ -521,6 +521,9 @@ def _catalog() -> dict[str, Callable[[str], Any]]:
         # exact heavy hitters: Misra-Gries candidates (capacity-bounded
         # mergeable summaries) + exact verify pass, integer predicate
         "heavy_hitters_events": q.heavy_hitters_events,
+        # exact per-sliding-window distinct: replicate-to-covering-
+        # windows + block dedup + two-level reduce (HLL's exact twin)
+        "sliding_distinct_users": q.sliding_distinct_users,
         "distinct_users": q.distinct_users,
         "sample_events": q.sample_events,
         "nation_presence": q.nation_presence,
@@ -2995,6 +2998,18 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY c_acctbal DESC, c_custkey LIMIT 10
             )
             ORDER BY event_id
+        """,
+        "sliding_distinct_users": """
+            WITH w AS (
+                SELECT DISTINCT
+                       (epoch_us(ts) // 3600000000 - i.i) * 3600000000
+                           AS ws_us,
+                       user_id
+                FROM events, (SELECT unnest(range(0, 2)) AS i) i)
+            SELECT make_timestamp(ws_us) AS window_start,
+                   make_timestamp(ws_us + 7200000000) AS window_end,
+                   COUNT(*) AS n_users
+            FROM w GROUP BY ws_us ORDER BY 1
         """,
         "heavy_hitters_events": """
             SELECT user_id, COUNT(*) AS n_events FROM events

@@ -780,6 +780,43 @@ def distinct_users(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def sliding_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user) per sliding event-time window (2 h
+    size / 1 h slide) — the exact batch twin of the streaming engine's
+    HLL-sketched per-window distinct (stages/sketches.py). Each event
+    replicates to its ceil(size/slide) = 2 covering windows INSIDE the
+    block map and block-dedupes immediately, so the shuffle carries
+    per-block DISTINCT (window, user) pairs, never event-grain rows;
+    the two-level reduce (groupby pair -> groupby window count)
+    finishes it. Exact per-window distinct does not decompose over
+    overlapping windows without sketches — this replicate-then-dedup
+    shape is the exact path, HLL the constant-space one."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        ts_us = column_ts_us(t["ts"])
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        s0 = (ts_us // HOUR_US) * HOUR_US
+        ws = np.concatenate([s0, s0 - HOUR_US])
+        us = np.concatenate([users, users])
+        return (pa.table({"ws_us": pa.array(ws),
+                          "user_id": pa.array(us)})
+                .group_by(["ws_us", "user_id"]).aggregate([]))
+
+    pairs = (ds.map_batches(emit, batch_format="pyarrow")
+             .groupby(["ws_us", "user_id"])
+             .aggregate(Count(alias_name="_c")))
+    out = (pairs.groupby("ws_us")
+           .aggregate(Count(alias_name="n_users")).to_pandas())
+    out["window_start"] = us_to_timestamp_array(
+        out["ws_us"].to_numpy(np.int64))
+    out["window_end"] = us_to_timestamp_array(
+        out["ws_us"].to_numpy(np.int64) + 2 * HOUR_US)
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out[["window_start", "window_end", "n_users"]]
+            .sort_values("window_start").reset_index(drop=True))
+
+
 # --- §2.8 scalar string functions ---------------------------------------
 
 

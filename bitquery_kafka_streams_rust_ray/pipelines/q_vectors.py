@@ -489,6 +489,20 @@ def setsim_join_orders(sf_dir: str, tau_pct: int = 50) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _bloom_indices(keys: np.ndarray, n_hashes: int, m: int):
+    """Kirsch-Mitzenmacher double hashing: yield the n_hashes bit
+    indices (h1 + i*h2) mod m per key, h1 = the house multiplicative
+    hash (stages/hashing.py — the one copy of that constant), h2 an
+    odd golden-ratio mix. Shared by Bloom build and probe so the two
+    sides can never drift."""
+    from ..stages.hashing import multiplicative_hash_u32
+
+    h1 = multiplicative_hash_u32(keys)
+    h2 = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | 1
+    for i in range(n_hashes):
+        yield (h1 + np.uint64(i) * h2) % np.uint64(m)
+
+
 def bloom_semijoin_orders(sf_dir: str, segment: str = "BUILDING",
                           bits_per_key: int = 16,
                           n_hashes: int = 8) -> pd.DataFrame:
@@ -514,25 +528,17 @@ def bloom_semijoin_orders(sf_dir: str, segment: str = "BUILDING",
     keys = cust.to_pandas()["c_custkey"].to_numpy()  # dimension-sized
     m = 1 << max(8, int(np.ceil(np.log2(max(1, len(keys))
                                         * bits_per_key))))
-    h1 = (keys.astype(np.uint64) * np.uint64(2654435761))
-    h2 = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | 1
     bits = np.zeros(m // 64, dtype=np.uint64)
-    for i in range(n_hashes):
-        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+    for idx in _bloom_indices(keys, n_hashes, m):
         np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
                          np.uint64(1) << (idx & np.uint64(63)))
     bits_ref = ray.put(bits)
 
-    mask_m = np.uint64(m)
-
     def probe(t: pa.Table) -> pa.Table:
         bv = broadcast_get(bits_ref)
         ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        g1 = (ck.astype(np.uint64) * np.uint64(2654435761))
-        g2 = (ck.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | 1
         member = np.ones(len(ck), dtype=bool)
-        for i in range(n_hashes):
-            idx = (g1 + np.uint64(i) * g2) % mask_m
+        for idx in _bloom_indices(ck, n_hashes, m):
             member &= (bv[(idx >> np.uint64(6)).astype(np.int64)]
                        >> (idx & np.uint64(63))) & np.uint64(1) != 0
         return t.filter(pa.array(member))
@@ -563,6 +569,24 @@ def _mg_truncate(items: np.ndarray, counts: np.ndarray,
     return items[keep], counts[keep] - kth
 
 
+def _mg_partial_table(col: pa.ChunkedArray | pa.Array,
+                      capacity: int) -> pa.Table:
+    """One block's MG summary rows PLUS an unconditional count row
+    (is_count=True, n_rows=len(block)) — the row count must survive
+    even when truncation empties the summary."""
+    vals = col.to_numpy(zero_copy_only=False)
+    ids, counts = np.unique(vals, return_counts=True)
+    ids, counts = _mg_truncate(ids, counts.astype(np.int64), capacity)
+    return pa.table({
+        "user_id": pa.array(np.r_[ids, [0]].astype(np.int64)),
+        "c": pa.array(np.r_[counts, [0]].astype(np.int64)),
+        "n_rows": pa.array(np.r_[np.zeros(len(ids), dtype=np.int64),
+                                 [len(vals)]]),
+        "is_count": pa.array(np.r_[np.zeros(len(ids), dtype=bool),
+                                   [True]]),
+    })
+
+
 def heavy_hitters_events(sf_dir: str, phi_ppm: int = 5000,
                          capacity: int = 256) -> pd.DataFrame:
     """Exact phi-heavy hitters via Misra-Gries candidates + an exact
@@ -581,33 +605,24 @@ def heavy_hitters_events(sf_dir: str, phi_ppm: int = 5000,
     ds = _t(sf_dir, "events", ["user_id"])
 
     def mg_partial(t: pa.Table) -> pa.Table:
-        ids, counts = np.unique(
-            t["user_id"].to_numpy(zero_copy_only=False),
-            return_counts=True)
-        ids, counts = _mg_truncate(ids, counts.astype(np.int64),
-                                   capacity)
-        return pa.table({
-            "user_id": pa.array(ids),
-            "c": pa.array(counts),
-            "n_rows": pa.array(
-                np.full(len(ids), len(t), dtype=np.int64)
-                if len(ids) else np.array([], dtype=np.int64)),
-            "first": pa.array(
-                np.r_[True, np.zeros(len(ids) - 1, dtype=bool)]
-                if len(ids) else np.array([], dtype=bool)),
-        })
+        return _mg_partial_table(t["user_id"], capacity)
 
     parts = ds.map_batches(mg_partial, batch_format="pyarrow") \
-        .to_pandas()  # <= capacity rows per block
-    n_total = int(parts.loc[parts["first"], "n_rows"].sum())
-    merged = parts.groupby("user_id")["c"].sum()
+        .to_pandas()  # <= capacity+1 rows per block
+    # the count row is UNCONDITIONAL per block — MG truncation may
+    # legitimately empty a block's summary (all counts tied at the
+    # (capacity+1)-th largest), and losing that block's n would lower
+    # the threshold and admit false heavy hitters
+    n_total = int(parts.loc[parts["is_count"], "n_rows"].sum())
+    summ = parts[~parts["is_count"]]
+    merged = summ.groupby("user_id")["c"].sum()
     cand_ids, cand_counts = _mg_truncate(
         merged.index.to_numpy(), merged.to_numpy(), capacity)
     cand_ref = ray.put(pa.array(np.sort(cand_ids)))
 
     def exact_counts(t: pa.Table) -> pa.Table:
         keep = t.filter(pc.is_in(t["user_id"],
-                                 ray.get(cand_ref)))
+                                 broadcast_get(cand_ref)))
         ids, counts = np.unique(
             keep["user_id"].to_numpy(zero_copy_only=False),
             return_counts=True)

@@ -221,7 +221,9 @@ def pq_topk_rerank(
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
 
     def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t[id_col], ray.get(cand_ref)))
+        from .broadcast import broadcast_get
+
+        return t.filter(pc.is_in(t[id_col], broadcast_get(cand_ref)))
 
     sliver = ds.map_batches(keep, batch_format="pyarrow")
     partials = sliver.map_batches(
@@ -383,7 +385,9 @@ def ivfpq_topk_rerank(
     cand_ref = ray.put(cand)
 
     def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t[id_col], ray.get(cand_ref)))
+        from .broadcast import broadcast_get
+
+        return t.filter(pc.is_in(t[id_col], broadcast_get(cand_ref)))
 
     sliver = ds.map_batches(keep, batch_format="pyarrow")
     partials = sliver.map_batches(

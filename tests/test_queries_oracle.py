@@ -160,3 +160,21 @@ def test_heavy_hitters_truncating_merge(tmp_path):
                   if 1_000_000 * int(c) > 100_000 * len(users))
     assert got["user_id"].tolist() == want == [900001, 900002]
     assert got["n_events"].tolist() == [3000, 1500]
+
+
+def test_mg_partial_keeps_count_row_when_truncation_empties():
+    """An all-distinct block ties every count at the (capacity+1)-th
+    largest, so MG truncation legitimately empties the summary — but
+    the block's row count must survive (losing it would lower the
+    phi threshold and admit false heavy hitters)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from bitquery_kafka_streams_rust_ray.pipelines.q_vectors import _mg_partial_table
+
+    t = _mg_partial_table(pa.array(np.arange(4096, dtype=np.int64)),
+                          capacity=16)
+    counts = t.filter(t["is_count"])
+    assert counts.num_rows == 1
+    assert counts["n_rows"].to_pylist() == [4096]
+    assert t.filter(pc.invert(t["is_count"])).num_rows == 0  # emptied

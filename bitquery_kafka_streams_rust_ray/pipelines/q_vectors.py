@@ -485,6 +485,10 @@ def setsim_join_orders(sf_dir: str, tau_pct: int = 50) -> pd.DataFrame:
     out = (prefix_rows.groupby("r")
            .map_groups(verify, batch_format="pandas")
            .to_pandas())
+    if not len(out):  # all buckets empty -> schema-less empty frame
+        out = pd.DataFrame({"order_a": pd.Series(dtype="int64"),
+                            "order_b": pd.Series(dtype="int64"),
+                            "jac6": pd.Series(dtype="float64")})
     return (out.sort_values(["order_a", "order_b"])
             .reset_index(drop=True))
 

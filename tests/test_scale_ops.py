@@ -1,0 +1,88 @@
+"""Property tests for the round-5 scale operators: the candidate-
+pruning logic (AllPairs prefix filter + ownership, Misra-Gries
+truncation) must be invisible — results equal brute force on random
+structures the fixed tables never produce."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings, strategies as hst
+
+from bitquery_kafka_streams_rust_ray.pipelines import queries as q
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@settings(deadline=None, max_examples=12)
+@given(seed=hst.integers(min_value=0, max_value=2**31),
+       n_orders=hst.integers(min_value=2, max_value=60),
+       n_parts=hst.integers(min_value=2, max_value=25),
+       max_items=hst.integers(min_value=1, max_value=8))
+def test_setsim_join_matches_bruteforce(tmp_path_factory, seed, n_orders,
+                                        n_parts, max_items):
+    """Random basket structures (dup rows, singleton baskets, shared
+    rare/common tokens): the prefix-filtered join must equal the
+    all-pairs brute force exactly — any missed candidate, double
+    emission, or ownership mistake shows up as a row diff."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for o in range(1, n_orders + 1):
+        k = int(rng.integers(1, max_items + 1))
+        for p in rng.choice(n_parts, size=k, replace=True):
+            rows.append((o, int(p) + 1))
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    d = tmp_path_factory.mktemp("setsim")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "lineitem.parquet"))
+
+    got = q.setsim_join_orders(str(d))
+
+    baskets = {o: set(g["l_partkey"]) for o, g in df.groupby("l_orderkey")}
+    want = []
+    orders = sorted(baskets)
+    for i, a in enumerate(orders):
+        for b in orders[i + 1:]:
+            inter = len(baskets[a] & baskets[b])
+            na, nb = len(baskets[a]), len(baskets[b])
+            if 2 * inter >= na + nb - inter and inter > 0:
+                want.append((a, b, round(inter / (na + nb - inter), 6)))
+    want_df = (pd.DataFrame(want, columns=["order_a", "order_b", "jac6"])
+               .sort_values(["order_a", "order_b"])
+               .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False,
+                                  obj="setsim vs brute force")
+
+
+@settings(deadline=None, max_examples=12)
+@given(seed=hst.integers(min_value=0, max_value=2**31),
+       n_rows=hst.integers(min_value=1, max_value=4000),
+       n_keys=hst.integers(min_value=1, max_value=600),
+       skew=hst.floats(min_value=0.0, max_value=3.0),
+       capacity=hst.sampled_from([200, 201, 256, 300]))
+def test_heavy_hitters_matches_bruteforce(tmp_path_factory, seed, n_rows,
+                                          n_keys, skew, capacity):
+    """Random cardinality/skew (zipf-ish), capacities at and above the
+    guarantee bound (capacity+1 > 1e6/phi_ppm for phi=5000): the MG
+    candidates + exact verify must equal the brute-force threshold
+    answer — including when block truncation empties summaries."""
+    rng = np.random.default_rng(seed)
+    w = (np.arange(1, n_keys + 1, dtype=np.float64)) ** (-skew)
+    users = rng.choice(n_keys, size=n_rows, p=w / w.sum()) + 1
+    d = tmp_path_factory.mktemp("hh")
+    pq.write_table(pa.table({"user_id": users.astype(np.int64)}),
+                   str(d / "events.parquet"))
+
+    got = q.heavy_hitters_events(str(d), phi_ppm=5000, capacity=capacity)
+
+    vals, counts = np.unique(users, return_counts=True)
+    hot = [(int(v), int(c)) for v, c in zip(vals, counts)
+           if 1_000_000 * int(c) > 5000 * n_rows]
+    want = (pd.DataFrame(hot, columns=["user_id", "n_events"])
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False,
+        obj="heavy hitters vs brute force")

@@ -529,7 +529,16 @@ def bloom_semijoin_orders(sf_dir: str, segment: str = "BUILDING",
             lambda t: t.filter(pc.equal(t["c_mktsegment"],
                                         segment)).select(["c_custkey"]),
             batch_format="pyarrow").materialize()
-    keys = cust.to_pandas()["c_custkey"].to_numpy()  # dimension-sized
+    cust_pdf = cust.to_pandas()  # dimension-sized
+    if "c_custkey" not in cust_pdf.columns:  # filtered to empty ->
+        cust_pdf = pd.DataFrame({"c_custkey": []})  # schema-less frame
+    keys = cust_pdf["c_custkey"].to_numpy(dtype=np.int64)
+    if len(keys) == 0:
+        # empty build side: the semi-join result is empty by
+        # definition — short-circuit before the shuffle join, whose
+        # schema-less empty-side tables crash the pyarrow joiner
+        # (the known footgun documented at stages/join.py join_buckets)
+        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64")})
     m = 1 << max(8, int(np.ceil(np.log2(max(1, len(keys))
                                         * bits_per_key))))
     bits = np.zeros(m // 64, dtype=np.uint64)

@@ -86,3 +86,20 @@ def test_heavy_hitters_matches_bruteforce(tmp_path_factory, seed, n_rows,
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=False,
         obj="heavy hitters vs brute force")
+
+
+def test_bloom_semijoin_empty_build_side(tmp_path_factory):
+    """No customer in the segment: the filter must yield an EMPTY
+    exact result (all-zeros bloom rejects everything), not crash on
+    the empty key set."""
+    d = tmp_path_factory.mktemp("bloom")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_mktsegment": pa.array(["MACHINERY"] * 3)}),
+        str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64())}),
+        str(d / "orders.parquet"))
+    out = q.bloom_semijoin_orders(str(d), segment="BUILDING")
+    assert len(out) == 0

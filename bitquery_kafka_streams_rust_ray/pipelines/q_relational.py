@@ -758,6 +758,10 @@ def priority_sample_orders(sf_dir: str, k: int = 200) -> pd.DataFrame:
 
     ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):  # empty input -> schema-less empty frame
+        parts = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                              "w_cents": pd.Series(dtype="int64"),
+                              "priority": pd.Series(dtype="int64")})
     out = (parts.sort_values(["priority", "o_orderkey"],
                              ascending=[False, True], kind="mergesort")
            .head(k))
@@ -808,6 +812,9 @@ def sliding_distinct_users(sf_dir: str) -> pd.DataFrame:
              .aggregate(Count(alias_name="_c")))
     out = (pairs.groupby("ws_us")
            .aggregate(Count(alias_name="n_users")).to_pandas())
+    if not len(out):  # empty input -> schema-less empty frame
+        out = pd.DataFrame({"ws_us": pd.Series(dtype="int64"),
+                            "n_users": pd.Series(dtype="int64")})
     out["window_start"] = us_to_timestamp_array(
         out["ws_us"].to_numpy(np.int64))
     out["window_end"] = us_to_timestamp_array(

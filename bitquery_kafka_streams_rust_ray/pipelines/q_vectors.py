@@ -622,6 +622,9 @@ def heavy_hitters_events(sf_dir: str, phi_ppm: int = 5000,
 
     parts = ds.map_batches(mg_partial, batch_format="pyarrow") \
         .to_pandas()  # <= capacity+1 rows per block
+    if not len(parts):  # empty input -> schema-less empty frame
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64")})
     # the count row is UNCONDITIONAL per block — MG truncation may
     # legitimately empty a block's summary (all counts tied at the
     # (capacity+1)-th largest), and losing that block's n would lower

@@ -103,3 +103,25 @@ def test_bloom_semijoin_empty_build_side(tmp_path_factory):
         str(d / "orders.parquet"))
     out = q.bloom_semijoin_orders(str(d), segment="BUILDING")
     assert len(out) == 0
+
+
+def test_new_entries_handle_empty_inputs(tmp_path_factory):
+    """Fully-empty input tables: schema-stable empty results, never a
+    schema-less-frame crash (the partition of a 100-TB run CAN be
+    empty)."""
+    d = tmp_path_factory.mktemp("empty")
+    pq.write_table(pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_totalprice": pa.array([], pa.float64())}),
+                   str(d / "orders.parquet"))
+    pq.write_table(pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us"))}),
+                   str(d / "events.parquet"))
+    assert list(q.priority_sample_orders(str(d)).columns) == [
+        "o_orderkey", "w_cents", "priority"]
+    assert list(q.sliding_distinct_users(str(d)).columns) == [
+        "window_start", "window_end", "n_users"]
+    assert list(q.heavy_hitters_events(str(d)).columns) == [
+        "user_id", "n_events"]
+    for fn in (q.priority_sample_orders, q.sliding_distinct_users,
+               q.heavy_hitters_events):
+        assert len(fn(str(d))) == 0

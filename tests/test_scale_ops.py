@@ -125,3 +125,79 @@ def test_new_entries_handle_empty_inputs(tmp_path_factory):
     for fn in (q.priority_sample_orders, q.sliding_distinct_users,
                q.heavy_hitters_events):
         assert len(fn(str(d))) == 0
+
+
+@settings(deadline=None, max_examples=10)
+@given(seed=hst.integers(min_value=0, max_value=2**31),
+       n=hst.integers(min_value=1, max_value=3000),
+       n_prices=hst.integers(min_value=1, max_value=5))
+def test_priority_sample_matches_bruteforce(tmp_path_factory, seed, n,
+                                            n_prices):
+    """Random order tables with HEAVY weight ties (few distinct
+    prices): the distributed partial-top-k + merge must equal the
+    single-pass brute force, including (priority, id) tie-breaks that
+    cross block boundaries."""
+    from bitquery_kafka_streams_rust_ray.stages.hashing import multiplicative_hash_u32
+
+    rng = np.random.default_rng(seed)
+    ids = rng.permutation(np.arange(1, n + 1)).astype(np.int64)
+    prices = rng.choice(
+        np.round(rng.uniform(1, 500, n_prices), 2), n)
+    d = tmp_path_factory.mktemp("ps")
+    pq.write_table(pa.table({"o_orderkey": pa.array(ids),
+                             "o_totalprice": pa.array(prices)}),
+                   str(d / "orders.parquet"))
+
+    got = q.priority_sample_orders(str(d))
+
+    cents = np.round(prices * 100).astype(np.int64)
+    h = multiplicative_hash_u32(ids)
+    pr = ((cents.astype(np.uint64) << np.uint64(32))
+          // (h + np.uint64(1))).astype(np.int64)
+    order = np.lexsort((ids, -pr))[:200]
+    want = (pd.DataFrame({"o_orderkey": ids[order],
+                          "w_cents": cents[order],
+                          "priority": pr[order]})
+            .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  obj="priority sample vs brute force")
+
+
+@settings(deadline=None, max_examples=10)
+@given(seed=hst.integers(min_value=0, max_value=2**31),
+       n=hst.integers(min_value=1, max_value=3000),
+       snap=hst.floats(min_value=0.0, max_value=1.0))
+def test_sliding_distinct_matches_bruteforce(tmp_path_factory, seed, n,
+                                             snap):
+    """Random event times with a tunable fraction snapped EXACTLY to
+    hour boundaries (the window-edge hazard): per-sliding-window
+    distinct users must equal brute force."""
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-03-01").value // 1000
+    ts = base + rng.integers(0, 5 * 86_400_000_000, n)
+    hit = rng.random(n) < snap
+    ts[hit] -= ts[hit] % 3_600_000_000
+    users = rng.integers(1, 50, n).astype(np.int64)
+    d = tmp_path_factory.mktemp("sd")
+    pq.write_table(pa.table({
+        "user_id": pa.array(users),
+        "ts": pa.array(ts).cast(pa.timestamp("us"))}),
+        str(d / "events.parquet"))
+
+    got = q.sliding_distinct_users(str(d))
+
+    hour = 3_600_000_000
+    s0 = (ts // hour) * hour
+    pairs = set(zip(np.r_[s0, s0 - hour], np.r_[users, users]))
+    agg: dict[int, set] = {}
+    for w, u in pairs:
+        agg.setdefault(int(w), set()).add(int(u))
+    want = (pd.DataFrame(
+        {"ws": sorted(agg),
+         "n_users": [len(agg[w]) for w in sorted(agg)]}))
+    want["window_start"] = pd.to_datetime(want["ws"], unit="us")
+    want["window_end"] = pd.to_datetime(want["ws"] + 2 * hour, unit="us")
+    want = want[["window_start", "window_end", "n_users"]]
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True),
+                                  check_dtype=False,
+                                  obj="sliding distinct vs brute force")

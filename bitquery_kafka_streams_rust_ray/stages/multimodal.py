@@ -718,6 +718,83 @@ def _prog_ac_refine(w_: _ProgAcWriter, blk: np.ndarray, ss: int, se: int,
         w_.end_block_eob()
 
 
+def _jpeg_assemble_progressive(planes: list[np.ndarray],
+                               quality: int) -> bytes:
+    """Shared progressive encoder core: 1 (gray) or 3 (YCbCr 4:4:4)
+    planes; interleaved DC scans (first + refinement), per-component
+    AC band scans (spectral selection × successive approximation)."""
+    h, w = planes[0].shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = _jpeg_qtable(quality)
+    zzs = [_jpeg_plane_zz(p, q) for p in planes]
+    nc = len(planes)
+
+    dc_codes = _jpeg_build_codes(_JPEG_PROG_DC_BITS, _JPEG_PROG_DC_VALS)
+    ac_codes = _jpeg_build_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def dc_first(al: int) -> bytes:
+        # interleaved: per MCU, every component's DPCM rides together
+        bw_ = _JpegBitWriter()
+        preds = [0] * nc
+        for m in range(zzs[0].shape[0]):
+            for c in range(nc):
+                t = int(zzs[c][m][0]) >> al  # DC pt transform: arith
+                size, bits = _jpeg_magnitude(t - preds[c])
+                code, ln = dc_codes[size]
+                bw_.write(code, ln)
+                if size:
+                    bw_.write(bits, size)
+                preds[c] = t
+        return bw_.flush()
+
+    def dc_refine(al: int) -> bytes:
+        bw_ = _JpegBitWriter()
+        for m in range(zzs[0].shape[0]):
+            for c in range(nc):
+                bw_.write((int(zzs[c][m][0]) >> al) & 1, 1)
+        return bw_.flush()
+
+    def ac_scan(comp: int, ss: int, se: int, al: int,
+                refine: bool) -> bytes:
+        bw_ = _JpegBitWriter()
+        w_ = _ProgAcWriter(bw_, ac_codes)
+        for blk in zzs[comp]:
+            (_prog_ac_refine if refine else _prog_ac_first)(
+                w_, blk, ss, se, al)
+        w_.flush_eobrun()
+        return bw_.flush()
+
+    def sos_dc(ah: int, al: int) -> bytes:
+        return _jpeg_seg(
+            0xFFDA, bytes([nc])
+            + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+            + bytes([0, 0, (ah << 4) | al]))
+
+    def sos_ac(comp: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        return _jpeg_seg(0xFFDA, bytes([1, comp + 1, 0x00, ss, se,
+                                        (ah << 4) | al]))
+
+    dqt = _jpeg_seg(0xFFDB,
+                    b"\x00" + bytes(int(x) for x in q[_JPEG_ZIGZAG]))
+    sof = _jpeg_seg(0xFFC2, struct.pack(">BHHB", 8, h, w, nc)
+                    + b"".join(bytes([c + 1, 0x11, 0])
+                               for c in range(nc)))
+    dht = (_jpeg_seg(0xFFC4, b"\x00" + bytes(_JPEG_PROG_DC_BITS)
+                     + bytes(_JPEG_PROG_DC_VALS))
+           + _jpeg_seg(0xFFC4, b"\x10" + bytes(_JPEG_PROG_AC_BITS)
+                       + bytes(_JPEG_PROG_AC_VALS)))
+    scans = sos_dc(0, 1) + dc_first(1)
+    for c in range(nc):
+        scans += (sos_ac(c, 1, 5, 0, 1) + ac_scan(c, 1, 5, 1, False)
+                  + sos_ac(c, 6, 63, 0, 1) + ac_scan(c, 6, 63, 1, False))
+    scans += sos_dc(1, 0) + dc_refine(0)
+    for c in range(nc):
+        scans += (sos_ac(c, 1, 5, 1, 0) + ac_scan(c, 1, 5, 0, True)
+                  + sos_ac(c, 6, 63, 1, 0) + ac_scan(c, 6, 63, 0, True))
+    return b"\xff\xd8" + dqt + sof + dht + scans + b"\xff\xd9"
+
+
 def encode_jpeg_progressive(gray: np.ndarray, quality: int = 90) -> bytes:
     """Encode a (h, w) uint8 array as a REAL progressive grayscale JPEG
     (SOF2): spectral selection (DC / AC 1-5 / AC 6-63) crossed with one
@@ -725,63 +802,24 @@ def encode_jpeg_progressive(gray: np.ndarray, quality: int = 90) -> bytes:
     at Al=0). Decoding all six scans reconstructs exactly the baseline
     quantized coefficients, so :func:`decode_jpeg` output is
     byte-identical to the baseline encoding at the same quality."""
-    gray = np.asarray(gray, dtype=np.uint8)
-    h, w = gray.shape
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
-    q = _jpeg_qtable(quality)
-    zz = _jpeg_plane_zz(gray, q)
+    return _jpeg_assemble_progressive(
+        [np.asarray(gray, dtype=np.uint8)], quality)
 
-    dc_codes = _jpeg_build_codes(_JPEG_PROG_DC_BITS, _JPEG_PROG_DC_VALS)
-    ac_codes = _jpeg_build_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
 
-    def dc_first(al: int) -> bytes:
-        bw_ = _JpegBitWriter()
-        pred = 0
-        for blk in zz:
-            t = int(blk[0]) >> al  # DC point transform: arith shift
-            size, bits = _jpeg_magnitude(t - pred)
-            code, ln = dc_codes[size]
-            bw_.write(code, ln)
-            if size:
-                bw_.write(bits, size)
-            pred = t
-        return bw_.flush()
-
-    def dc_refine(al: int) -> bytes:
-        bw_ = _JpegBitWriter()
-        for blk in zz:
-            bw_.write((int(blk[0]) >> al) & 1, 1)
-        return bw_.flush()
-
-    def ac_scan(ss: int, se: int, al: int, refine: bool) -> bytes:
-        bw_ = _JpegBitWriter()
-        w_ = _ProgAcWriter(bw_, ac_codes)
-        for blk in zz:
-            (_prog_ac_refine if refine else _prog_ac_first)(
-                w_, blk, ss, se, al)
-        w_.flush_eobrun()
-        return bw_.flush()
-
-    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
-        return _jpeg_seg(0xFFDA, bytes([1, 1, 0x00, ss, se,
-                                        (ah << 4) | al]))
-
-    dqt = _jpeg_seg(0xFFDB,
-                    b"\x00" + bytes(int(x) for x in q[_JPEG_ZIGZAG]))
-    sof = _jpeg_seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1)
-                    + bytes([1, 0x11, 0]))
-    dht = (_jpeg_seg(0xFFC4, b"\x00" + bytes(_JPEG_PROG_DC_BITS)
-                     + bytes(_JPEG_PROG_DC_VALS))
-           + _jpeg_seg(0xFFC4, b"\x10" + bytes(_JPEG_PROG_AC_BITS)
-                       + bytes(_JPEG_PROG_AC_VALS)))
-    scans = (sos(0, 0, 0, 1) + dc_first(1)
-             + sos(1, 5, 0, 1) + ac_scan(1, 5, 1, False)
-             + sos(6, 63, 0, 1) + ac_scan(6, 63, 1, False)
-             + sos(0, 0, 1, 0) + dc_refine(0)
-             + sos(1, 5, 1, 0) + ac_scan(1, 5, 0, True)
-             + sos(6, 63, 1, 0) + ac_scan(6, 63, 0, True))
-    return b"\xff\xd8" + dqt + sof + dht + scans + b"\xff\xd9"
+def encode_jpeg_progressive_color(rgb: np.ndarray,
+                                  quality: int = 90) -> bytes:
+    """Progressive COLOR JPEG (SOF2, YCbCr 4:4:4): interleaved DC
+    scans + per-component AC band scans — exercises the decoder's
+    multi-component progressive path; :func:`decode_jpeg` reads back
+    the luma plane byte-identical to the baseline color encoding."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8)
+              for p in (y, cb, cr)]
+    return _jpeg_assemble_progressive(planes, quality)
 
 
 class _JpegBitReader:

@@ -764,3 +764,30 @@ def test_jpeg_progressive_through_decode_stage(ray_session):
     out = DecodeImageStage()(t)
     assert out["width"].to_pylist() == [24, None]
     assert out["height"].to_pylist() == [16, None]
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    w=hst.integers(min_value=1, max_value=40),
+    h=hst.integers(min_value=1, max_value=40),
+    seed=hst.integers(min_value=0, max_value=2**31),
+    quality=hst.sampled_from([5, 50, 90, 100]),
+)
+def test_jpeg_progressive_color_matches_baseline_color(w, h, seed,
+                                                       quality):
+    """Multi-component progressive (interleaved DC scans + per-
+    component AC bands) must decode the luma plane byte-identical to
+    the baseline color encoding — this pins the decoder's
+    multi-component progressive path, which grayscale streams never
+    touch."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg_color, encode_jpeg_progressive_color)
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_color(rgb, quality))
+    prog = decode_jpeg(encode_jpeg_progressive_color(rgb, quality))
+    assert prog is not None
+    assert np.array_equal(base, prog)

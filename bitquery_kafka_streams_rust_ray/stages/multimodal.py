@@ -719,10 +719,14 @@ def _prog_ac_refine(w_: _ProgAcWriter, blk: np.ndarray, ss: int, se: int,
 
 
 def _jpeg_assemble_progressive(planes: list[np.ndarray],
-                               quality: int) -> bytes:
+                               quality: int,
+                               restart_interval: int = 0) -> bytes:
     """Shared progressive encoder core: 1 (gray) or 3 (YCbCr 4:4:4)
     planes; interleaved DC scans (first + refinement), per-component
-    AC band scans (spectral selection × successive approximation)."""
+    AC band scans (spectral selection × successive approximation).
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs in
+    EVERY scan (byte-align, reset DC predictors + EOB run — the T.81
+    restart rule applies per scan)."""
     h, w = planes[0].shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -737,7 +741,12 @@ def _jpeg_assemble_progressive(planes: list[np.ndarray],
         # interleaved: per MCU, every component's DPCM rides together
         bw_ = _JpegBitWriter()
         preds = [0] * nc
+        rst = 0
         for m in range(zzs[0].shape[0]):
+            if restart_interval and m and m % restart_interval == 0:
+                bw_.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * nc
             for c in range(nc):
                 t = int(zzs[c][m][0]) >> al  # DC pt transform: arith
                 size, bits = _jpeg_magnitude(t - preds[c])
@@ -750,7 +759,11 @@ def _jpeg_assemble_progressive(planes: list[np.ndarray],
 
     def dc_refine(al: int) -> bytes:
         bw_ = _JpegBitWriter()
+        rst = 0
         for m in range(zzs[0].shape[0]):
+            if restart_interval and m and m % restart_interval == 0:
+                bw_.restart(rst)
+                rst = (rst + 1) & 7
             for c in range(nc):
                 bw_.write((int(zzs[c][m][0]) >> al) & 1, 1)
         return bw_.flush()
@@ -759,7 +772,12 @@ def _jpeg_assemble_progressive(planes: list[np.ndarray],
                 refine: bool) -> bytes:
         bw_ = _JpegBitWriter()
         w_ = _ProgAcWriter(bw_, ac_codes)
-        for blk in zzs[comp]:
+        rst = 0
+        for m, blk in enumerate(zzs[comp]):
+            if restart_interval and m and m % restart_interval == 0:
+                w_.flush_eobrun()  # EOB runs cannot cross a restart
+                bw_.restart(rst)
+                rst = (rst + 1) & 7
             (_prog_ac_refine if refine else _prog_ac_first)(
                 w_, blk, ss, se, al)
         w_.flush_eobrun()
@@ -777,6 +795,8 @@ def _jpeg_assemble_progressive(planes: list[np.ndarray],
 
     dqt = _jpeg_seg(0xFFDB,
                     b"\x00" + bytes(int(x) for x in q[_JPEG_ZIGZAG]))
+    dri = (_jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sof = _jpeg_seg(0xFFC2, struct.pack(">BHHB", 8, h, w, nc)
                     + b"".join(bytes([c + 1, 0x11, 0])
                                for c in range(nc)))
@@ -792,10 +812,11 @@ def _jpeg_assemble_progressive(planes: list[np.ndarray],
     for c in range(nc):
         scans += (sos_ac(c, 1, 5, 1, 0) + ac_scan(c, 1, 5, 0, True)
                   + sos_ac(c, 6, 63, 1, 0) + ac_scan(c, 6, 63, 0, True))
-    return b"\xff\xd8" + dqt + sof + dht + scans + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + dri + sof + dht + scans + b"\xff\xd9"
 
 
-def encode_jpeg_progressive(gray: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(gray: np.ndarray, quality: int = 90,
+                            restart_interval: int = 0) -> bytes:
     """Encode a (h, w) uint8 array as a REAL progressive grayscale JPEG
     (SOF2): spectral selection (DC / AC 1-5 / AC 6-63) crossed with one
     level of successive approximation (first passes at Al=1, refinement
@@ -803,7 +824,7 @@ def encode_jpeg_progressive(gray: np.ndarray, quality: int = 90) -> bytes:
     quantized coefficients, so :func:`decode_jpeg` output is
     byte-identical to the baseline encoding at the same quality."""
     return _jpeg_assemble_progressive(
-        [np.asarray(gray, dtype=np.uint8)], quality)
+        [np.asarray(gray, dtype=np.uint8)], quality, restart_interval)
 
 
 def encode_jpeg_progressive_color(rgb: np.ndarray,

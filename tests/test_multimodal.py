@@ -791,3 +791,31 @@ def test_jpeg_progressive_color_matches_baseline_color(w, h, seed,
     prog = decode_jpeg(encode_jpeg_progressive_color(rgb, quality))
     assert prog is not None
     assert np.array_equal(base, prog)
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    w=hst.integers(min_value=1, max_value=40),
+    h=hst.integers(min_value=1, max_value=40),
+    seed=hst.integers(min_value=0, max_value=2**31),
+    quality=hst.sampled_from([5, 50, 90]),
+    restart=hst.integers(min_value=1, max_value=8),
+)
+def test_jpeg_progressive_restart_matches_baseline(w, h, seed, quality,
+                                                   restart):
+    """Progressive scans with DRI/RSTn restart markers (byte-align +
+    predictor/EOB-run reset per T.81) must still decode byte-identical
+    to the baseline encoding — pins the decoder's per-scan restart
+    branch, which unrestarted streams never touch."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        img, quality, restart_interval=restart))
+    assert prog is not None
+    assert np.array_equal(base, prog)

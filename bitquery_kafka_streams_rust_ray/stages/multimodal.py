@@ -583,6 +583,86 @@ def encode_jpeg(gray: np.ndarray, quality: int = 90,
     return _jpeg_assemble([gray], quality, restart_interval)
 
 
+def encode_jpeg_color_420(rgb: np.ndarray, quality: int = 90,
+                          restart_interval: int = 0) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a REAL baseline 4:2:0 COLOR JPEG
+    (luma 2x2, chroma quarter-resolution via 2x2 mean — the sampling
+    layout most web JPEGs actually use). 16x16 MCUs carry four Y
+    blocks (2x2 raster) + one Cb + one Cr; :func:`decode_jpeg` reads
+    back the luma plane, byte-identical to the grayscale encoding of
+    the same Y (subsampling touches only chroma)."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b),
+                0, 255).astype(np.uint8)
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    # 2x2 mean downsample on the edge-padded plane
+    ph, pw = -h % 2, -w % 2
+
+    def down(p: np.ndarray) -> np.ndarray:
+        p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+        q_ = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+        return np.clip(np.round(q_.mean(axis=(1, 3))), 0,
+                       255).astype(np.uint8)
+
+    cbd, crd = down(cb), down(cr)
+    q = _jpeg_qtable(quality)
+    mrows, mcols = (h + 15) // 16, (w + 15) // 16
+    # luma: pad to the 16-multiple MCU grid, blocks in plane raster,
+    # then regroup 2x2 per MCU (the decoder's inverse reorder)
+    ypad = np.pad(y, ((0, mrows * 16 - h), (0, mcols * 16 - w)),
+                  mode="edge")
+    yzz = _jpeg_plane_zz(ypad, q)  # (2*mrows * 2*mcols, 64) raster
+    yzz = (yzz.reshape(mrows, 2, mcols, 2, 64)
+           .transpose(0, 2, 1, 3, 4).reshape(-1, 64))  # MCU-major
+    # chroma: pad each quarter plane to its 8-multiple MCU grid
+    czzs = []
+    for p in (cbd, crd):
+        ppad = np.pad(p, ((0, mrows * 8 - p.shape[0]),
+                          (0, mcols * 8 - p.shape[1])), mode="edge")
+        czzs.append(_jpeg_plane_zz(ppad, q))
+
+    dc_codes = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw_ = _JpegBitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    n_mcu = mrows * mcols
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw_.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0, 0, 0]
+        for b in range(4):  # Y blocks, raster within the MCU
+            preds[0] = _jpeg_encode_block(bw_, yzz[m * 4 + b], preds[0],
+                                          dc_codes, ac_codes)
+        for c, czz in enumerate(czzs):
+            preds[c + 1] = _jpeg_encode_block(bw_, czz[m], preds[c + 1],
+                                              dc_codes, ac_codes)
+    entropy = bw_.flush()
+
+    dqt = _jpeg_seg(0xFFDB,
+                    b"\x00" + bytes(int(x) for x in q[_JPEG_ZIGZAG]))
+    sof = _jpeg_seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+                    + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0])
+                    + bytes([3, 0x11, 0]))
+    dht = (_jpeg_seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS)
+                     + bytes(_JPEG_DC_VALS))
+           + _jpeg_seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS)
+                       + bytes(_JPEG_AC_VALS)))
+    dri = (_jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    sos = _jpeg_seg(0xFFDA, bytes([3]) + bytes([1, 0x00])
+                    + bytes([2, 0x00]) + bytes([3, 0x00])
+                    + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy
+            + b"\xff\xd9")
+
+
 def encode_jpeg_color(rgb: np.ndarray, quality: int = 90,
                       restart_interval: int = 0) -> bytes:
     """Encode a (h, w, 3) uint8 RGB array as a REAL baseline COLOR JPEG
@@ -869,9 +949,10 @@ def _jpeg_extend(v: int, size: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
     """Decode a baseline OR progressive (T.81 Annex G: spectral
     selection + successive approximation, Huffman) JPEG to (h, w)
-    uint8 gray (luma plane for 4:4:4 color). None for
-    chroma-subsampled, arithmetic, lossless/hierarchical or corrupt
-    streams -> quarantine."""
+    uint8 gray (luma plane for color; baseline 4:4:4 AND 4:2:0
+    chroma-subsampled layouts both decode). None for other sampling
+    layouts, progressive-subsampled, arithmetic, lossless/
+    hierarchical or corrupt streams -> quarantine."""
     try:
         if payload[:2] != b"\xff\xd8":
             return None
@@ -930,9 +1011,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                 comps = []
                 for c in range(nc):
                     cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
-                    if samp != 0x11:
-                        return None  # no chroma subsampling support
-                    comps.append({"id": cid, "tq": tq})
+                    comps.append({"id": cid, "tq": tq,
+                                  "hs": samp >> 4, "vs": samp & 15})
+                samps = [(x["hs"], x["vs"]) for x in comps]
+                # supported layouts: homogeneous 1x1 (gray / 4:4:4
+                # color), and — baseline only — YCbCr 4:2:0 (luma 2x2,
+                # chroma 1x1). Anything else quarantines.
+                if not (all(s == (1, 1) for s in samps)
+                        or (marker != 0xC2 and nc == 3
+                            and samps == [(2, 2), (1, 1), (1, 1)])):
+                    return None
                 frame = {"h": fh, "w": fw, "comps": comps,
                          "prog": marker == 0xC2}
                 if frame["prog"]:
@@ -957,7 +1045,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                         (i_, x) for i_, x in enumerate(frame["comps"])
                         if x["id"] == cs)
                     scan.append({"ci": ci, "tq": comp["tq"],
-                                 "td": tabs >> 4, "ta": tabs & 15})
+                                 "td": tabs >> 4, "ta": tabs & 15,
+                                 "hs": comp["hs"], "vs": comp["vs"]})
                 ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
                 ahal = body[3 + 2 * ns]
                 ah, al = ahal >> 4, ahal & 15
@@ -985,6 +1074,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                 if not frame["prog"]:
                     if (ss, se, ah, al) != (0, 63, 0, 0):
                         return None  # malformed sequential scan header
+                    if (any(sc["hs"] * sc["vs"] > 1 for sc in scan)
+                            and len(scan) != len(frame["comps"])):
+                        # non-interleaved scans over a subsampled frame
+                        # use component-grid block order — unsupported
+                        return None
                     return _jpeg_decode_scan(frame, scan, qtabs, dc_maps,
                                              ac_maps, segs_, restart)
                 _jpeg_decode_prog_scan(
@@ -1014,10 +1108,17 @@ def _jpeg_decode_scan(frame, scan, qtabs, dc_maps, ac_maps, segs_,
     h, w = frame["h"], frame["w"]
     if h == 0 or w == 0:
         return None
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    n_mcu = bh * bw
+    # MCU geometry from the max sampling factors (T.81 A.2.3): 1x1
+    # everywhere -> 8x8 MCUs, one block per component; 4:2:0 -> 16x16
+    # MCUs, four luma blocks (2x2 raster) + one per chroma.
+    hmax = max(sc["hs"] for sc in scan)
+    vmax = max(sc["vs"] for sc in scan)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcols, mrows = (w + mcu_w - 1) // mcu_w, (h + mcu_h - 1) // mcu_h
+    n_mcu = mrows * mcols
     ncomp = len(scan)
-    coefs = [np.zeros((n_mcu, 64), np.int64) for _ in range(ncomp)]
+    coefs = [np.zeros((n_mcu * sc["hs"] * sc["vs"], 64), np.int64)
+             for sc in scan]
     seg_i = 0
     reader = _JpegBitReader(segs_[0])
     preds = [0] * ncomp
@@ -1029,27 +1130,42 @@ def _jpeg_decode_scan(frame, scan, qtabs, dc_maps, ac_maps, segs_,
             reader = _JpegBitReader(segs_[seg_i])
             preds = [0] * ncomp
         for c, sc in enumerate(scan):
-            blk = coefs[c][m]
-            size = _jpeg_huff_read(reader, dc_maps[sc["td"]])
-            diff = _jpeg_extend(reader.read(size), size) if size else 0
-            preds[c] += diff
-            blk[0] = preds[c]
-            k = 1
-            while k < 64:
-                sym = _jpeg_huff_read(reader, ac_maps[sc["ta"]])
-                r, s = sym >> 4, sym & 15
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                blk[k] = _jpeg_extend(reader.read(s), s)
-                k += 1
+            nb = sc["hs"] * sc["vs"]
+            for b in range(nb):  # blocks raster-ordered within the MCU
+                blk = coefs[c][m * nb + b]
+                size = _jpeg_huff_read(reader, dc_maps[sc["td"]])
+                diff = (_jpeg_extend(reader.read(size), size)
+                        if size else 0)
+                preds[c] += diff
+                blk[0] = preds[c]
+                k = 1
+                while k < 64:
+                    sym = _jpeg_huff_read(reader, ac_maps[sc["ta"]])
+                    r, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    blk[k] = _jpeg_extend(reader.read(s), s)
+                    k += 1
     # dequantize + inverse DCT the luma component, vectorized
-    return _jpeg_idct_luma(coefs[0], qtabs[scan[0]["tq"]], h, w)
+    sc0 = scan[0]
+    if sc0["hs"] == 1 and sc0["vs"] == 1:
+        return _jpeg_idct_luma(coefs[0], qtabs[sc0["tq"]], h, w)
+    # 2x2 luma: blocks arrive MCU-major (4 per MCU, raster within);
+    # reorder to the full-plane raster grid, then the shared IDCT
+    hs, vs = sc0["hs"], sc0["vs"]
+    grid = np.empty((mrows * vs * mcols * hs, 64), np.int64)
+    src_ = coefs[0].reshape(mrows, mcols, vs, hs, 64)
+    grid = (src_.transpose(0, 2, 1, 3, 4)
+            .reshape(mrows * vs * mcols * hs, 64))
+    full = _jpeg_idct_luma(grid, qtabs[sc0["tq"]],
+                           mrows * mcu_h, mcols * mcu_w)
+    return full[:h, :w]
 
 
 def _jpeg_decode_prog_scan(frame, scan, coefs, dc_maps, ac_maps, segs_,

@@ -819,3 +819,56 @@ def test_jpeg_progressive_restart_matches_baseline(w, h, seed, quality,
         img, quality, restart_interval=restart))
     assert prog is not None
     assert np.array_equal(base, prog)
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    w=hst.integers(min_value=1, max_value=40),
+    h=hst.integers(min_value=1, max_value=40),
+    seed=hst.integers(min_value=0, max_value=2**31),
+    quality=hst.sampled_from([5, 50, 90, 100]),
+    restart=hst.sampled_from([0, 1, 3]),
+)
+def test_jpeg_420_matches_quantization_math(w, h, seed, quality,
+                                            restart):
+    """Baseline 4:2:0 (the layout most web JPEGs use): the decoded
+    luma must EXACTLY equal the quantize-reconstruct math of the
+    encoder's own 16-padded luma blocks (entropy layer lossless), and
+    sit within +/-2 of the grayscale encode of the same luma (pure
+    DCT float-order coefficient flips at .5 quantization
+    boundaries)."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg, encode_jpeg_color_420)
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    r, g, b = [rgb[..., j].astype(np.float64) for j in range(3)]
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b),
+                0, 255).astype(np.uint8)
+    mrows, mcols = (h + 15) // 16, (w + 15) // 16
+    ypad = np.pad(y, ((0, mrows * 16 - h), (0, mcols * 16 - w)),
+                  mode="edge")
+    ref = _jpeg_math_reference(ypad, quality)[:h, :w]
+    got = decode_jpeg(encode_jpeg_color_420(
+        rgb, quality, restart_interval=restart))
+    assert got is not None
+    assert np.array_equal(ref, got)
+    base = decode_jpeg(encode_jpeg(y, quality))
+    assert np.abs(base.astype(np.int64) - got.astype(np.int64)).max() <= 2
+
+
+def test_jpeg_420_through_decode_stage(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        DecodeImageStage, encode_jpeg_color_420)
+
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (18, 30, 3), dtype=np.uint8)
+    t = pa.table({"image": [encode_jpeg_color_420(rgb, 85), b"junk"]})
+    out = DecodeImageStage()(t)
+    assert out["width"].to_pylist() == [30, None]
+    assert out["height"].to_pylist() == [18, None]

@@ -907,6 +907,109 @@ def encode_jpeg_progressive(gray: np.ndarray, quality: int = 90,
         [np.asarray(gray, dtype=np.uint8)], quality, restart_interval)
 
 
+def encode_jpeg_progressive_420(rgb: np.ndarray,
+                                quality: int = 90) -> bytes:
+    """Progressive 4:2:0 COLOR JPEG (SOF2 + chroma subsampling — the
+    encoding most real web photos ship): interleaved DC scans walk
+    16x16 MCUs with four Y blocks + Cb + Cr; AC band scans are
+    non-interleaved per component over each component's own raster
+    grid (T.81 A.2). :func:`decode_jpeg` reads back the luma plane
+    bit-exact to the baseline 4:2:0 encoding of the same pixels."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b),
+                0, 255).astype(np.uint8)
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    ph, pw = -h % 2, -w % 2
+
+    def down(p: np.ndarray) -> np.ndarray:
+        p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+        q_ = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+        return np.clip(np.round(q_.mean(axis=(1, 3))), 0,
+                       255).astype(np.uint8)
+
+    q = _jpeg_qtable(quality)
+    mrows, mcols = (h + 15) // 16, (w + 15) // 16
+    ypad = np.pad(y, ((0, mrows * 16 - h), (0, mcols * 16 - w)),
+                  mode="edge")
+    yzz = _jpeg_plane_zz(ypad, q)  # Y raster grid (2mrows x 2mcols)
+    czzs = []
+    for p_ in (down(cb), down(cr)):
+        ppad = np.pad(p_, ((0, mrows * 8 - p_.shape[0]),
+                           (0, mcols * 8 - p_.shape[1])), mode="edge")
+        czzs.append(_jpeg_plane_zz(ppad, q))
+    zzs = [yzz] + czzs
+    samps = [(2, 2), (1, 1), (1, 1)]
+
+    dc_codes = _jpeg_build_codes(_JPEG_PROG_DC_BITS, _JPEG_PROG_DC_VALS)
+    ac_codes = _jpeg_build_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        # interleaved MCU walk, blocks mapped to each comp's raster
+        bw_ = _JpegBitWriter()
+        preds = [0, 0, 0]
+        for m in range(mrows * mcols):
+            mr, mc = divmod(m, mcols)
+            for c, (hs, vs) in enumerate(samps):
+                gw = mcols * hs
+                for vb in range(vs):
+                    for hb in range(hs):
+                        blk = zzs[c][(mr * vs + vb) * gw
+                                     + mc * hs + hb]
+                        if refine:
+                            bw_.write((int(blk[0]) >> al) & 1, 1)
+                            continue
+                        t = int(blk[0]) >> al
+                        size, bits = _jpeg_magnitude(t - preds[c])
+                        code, ln = dc_codes[size]
+                        bw_.write(code, ln)
+                        if size:
+                            bw_.write(bits, size)
+                        preds[c] = t
+        return bw_.flush()
+
+    def ac_scan(comp: int, ss: int, se: int, al: int,
+                refine: bool) -> bytes:
+        bw_ = _JpegBitWriter()
+        w_ = _ProgAcWriter(bw_, ac_codes)
+        for blk in zzs[comp]:
+            (_prog_ac_refine if refine else _prog_ac_first)(
+                w_, blk, ss, se, al)
+        w_.flush_eobrun()
+        return bw_.flush()
+
+    def sos_dc(ah: int, al: int) -> bytes:
+        return _jpeg_seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00,
+                                        0, 0, (ah << 4) | al]))
+
+    def sos_ac(comp: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        return _jpeg_seg(0xFFDA, bytes([1, comp + 1, 0x00, ss, se,
+                                        (ah << 4) | al]))
+
+    dqt = _jpeg_seg(0xFFDB,
+                    b"\x00" + bytes(int(x) for x in q[_JPEG_ZIGZAG]))
+    sof = _jpeg_seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3)
+                    + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0])
+                    + bytes([3, 0x11, 0]))
+    dht = (_jpeg_seg(0xFFC4, b"\x00" + bytes(_JPEG_PROG_DC_BITS)
+                     + bytes(_JPEG_PROG_DC_VALS))
+           + _jpeg_seg(0xFFC4, b"\x10" + bytes(_JPEG_PROG_AC_BITS)
+                       + bytes(_JPEG_PROG_AC_VALS)))
+    scans = sos_dc(0, 1) + dc_scan(1, False)
+    for c in range(3):
+        scans += (sos_ac(c, 1, 5, 0, 1) + ac_scan(c, 1, 5, 1, False)
+                  + sos_ac(c, 6, 63, 0, 1) + ac_scan(c, 6, 63, 1, False))
+    scans += sos_dc(1, 0) + dc_scan(0, True)
+    for c in range(3):
+        scans += (sos_ac(c, 1, 5, 1, 0) + ac_scan(c, 1, 5, 0, True)
+                  + sos_ac(c, 6, 63, 1, 0) + ac_scan(c, 6, 63, 0, True))
+    return b"\xff\xd8" + dqt + sof + dht + scans + b"\xff\xd9"
+
+
 def encode_jpeg_progressive_color(rgb: np.ndarray,
                                   quality: int = 90) -> bytes:
     """Progressive COLOR JPEG (SOF2, YCbCr 4:4:4): interleaved DC
@@ -949,9 +1052,9 @@ def _jpeg_extend(v: int, size: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
     """Decode a baseline OR progressive (T.81 Annex G: spectral
     selection + successive approximation, Huffman) JPEG to (h, w)
-    uint8 gray (luma plane for color; baseline 4:4:4 AND 4:2:0
-    chroma-subsampled layouts both decode). None for other sampling
-    layouts, progressive-subsampled, arithmetic, lossless/
+    uint8 gray (luma plane for color; 4:4:4 AND 4:2:0
+    chroma-subsampled layouts both decode, baseline AND progressive).
+    None for other sampling layouts, arithmetic, lossless/
     hierarchical or corrupt streams -> quarantine."""
     try:
         if payload[:2] != b"\xff\xd8":
@@ -973,9 +1076,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                 if (frame is not None and frame["prog"] and got_scan
                         and prog_coefs is not None):
                     # all progressive scans folded in -> reconstruct
-                    return _jpeg_idct_luma(
-                        prog_coefs[0], qtabs[frame["comps"][0]["tq"]],
-                        frame["h"], frame["w"])
+                    # over the luma component's own grid, crop after
+                    c0 = frame["comps"][0]
+                    gh = frame["mrows"] * c0["vs"] * 8
+                    gw = frame["mcols"] * c0["hs"] * 8
+                    full = _jpeg_idct_luma(
+                        prog_coefs[0], qtabs[c0["tq"]], gh, gw)
+                    return full[:frame["h"], :frame["w"]]
                 return None  # EOI before a (complete) scan
             if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
                 continue
@@ -1015,10 +1122,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                                   "hs": samp >> 4, "vs": samp & 15})
                 samps = [(x["hs"], x["vs"]) for x in comps]
                 # supported layouts: homogeneous 1x1 (gray / 4:4:4
-                # color), and — baseline only — YCbCr 4:2:0 (luma 2x2,
-                # chroma 1x1). Anything else quarantines.
+                # color) and YCbCr 4:2:0 (luma 2x2, chroma 1x1) —
+                # baseline AND progressive. Anything else quarantines.
                 if not (all(s == (1, 1) for s in samps)
-                        or (marker != 0xC2 and nc == 3
+                        or (nc == 3
                             and samps == [(2, 2), (1, 1), (1, 1)])):
                     return None
                 frame = {"h": fh, "w": fw, "comps": comps,
@@ -1026,9 +1133,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                 if frame["prog"]:
                     if fh == 0 or fw == 0:
                         return None
-                    nb = ((fh + 7) // 8) * ((fw + 7) // 8)
-                    prog_coefs = [np.zeros((nb, 64), np.int64)
-                                  for _ in range(nc)]
+                    # per-component coefficient arrays in COMPONENT
+                    # raster order (grids differ under subsampling)
+                    hmax = max(x["hs"] for x in comps)
+                    vmax = max(x["vs"] for x in comps)
+                    mrows = (fh + 8 * vmax - 1) // (8 * vmax)
+                    mcols = (fw + 8 * hmax - 1) // (8 * hmax)
+                    frame["mrows"], frame["mcols"] = mrows, mcols
+                    prog_coefs = [
+                        np.zeros((mrows * x["vs"] * mcols * x["hs"],
+                                  64), np.int64)
+                        for x in comps]
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # lossless / differential / arithmetic
@@ -1083,7 +1198,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                                              ac_maps, segs_, restart)
                 _jpeg_decode_prog_scan(
                     frame, scan, prog_coefs, dc_maps, ac_maps, segs_,
-                    restart, ss, se, ah, al)
+                    restart, ss, se, ah, al,
+                    frame.get("mrows"), frame.get("mcols"))
                 got_scan = True
                 pos = i  # continue at the next marker
         return None
@@ -1169,23 +1285,44 @@ def _jpeg_decode_scan(frame, scan, qtabs, dc_maps, ac_maps, segs_,
 
 
 def _jpeg_decode_prog_scan(frame, scan, coefs, dc_maps, ac_maps, segs_,
-                           restart, ss, se, ah, al) -> None:
+                           restart, ss, se, ah, al,
+                           mrows=None, mcols=None) -> None:
     """Fold one progressive scan (T.81 G.2 / Annex G decode procedures)
-    into the persistent per-component coefficient arrays.
+    into the persistent per-component coefficient arrays (COMPONENT
+    raster order).
 
     Four scan kinds: DC first (Ss=0, Ah=0; may be interleaved), DC
-    refinement (Ss=0, Ah>0; one raw bit per block), AC first
-    (Ss>0, Ah=0; single component, EOB-run coded), AC refinement
-    (Ss>0, Ah>0; correction bits). 4:4:4 sampling means every
-    component's block grid equals the MCU grid, so block order is
-    raster for interleaved and non-interleaved scans alike.
+    refinement (Ss=0, Ah>0), AC first (Ss>0, Ah=0; single component,
+    EOB-run coded), AC refinement (Ss>0, Ah>0; correction bits).
+    Interleaved DC scans walk MCUs with h*v blocks per component
+    (mapped to each component's raster grid); non-interleaved scans
+    (all AC scans, single-component DC) walk the component's own grid
+    directly — the T.81 A.2 block-order rules, valid for 1x1 and
+    4:2:0 alike.
     """
-    n_blk = coefs[0].shape[0]
+    interleaved = ss == 0 and len(scan) > 1
+    if interleaved:
+        n_units = mrows * mcols
+    else:
+        n_units = coefs[scan[0]["ci"]].shape[0]
     seg_i = 0
     reader = _JpegBitReader(segs_[0])
     eobrun = 0
     preds = [0] * len(scan)
-    for m in range(n_blk):
+
+    def dc_one(blk, c, sc):
+        nonlocal preds
+        if ah == 0:  # first pass: DPCM of point-transformed DC
+            size = _jpeg_huff_read(reader, dc_maps[sc["td"]])
+            diff = (_jpeg_extend(reader.read(size), size)
+                    if size else 0)
+            preds[c] += diff
+            blk[0] = preds[c] << al
+        else:  # refinement: one raw bit
+            if reader.read(1):
+                blk[0] |= 1 << al
+
+    for m in range(n_units):
         if restart and m and m % restart == 0:
             seg_i += 1  # RST: byte-align, reset predictors + EOB run
             if seg_i >= len(segs_):
@@ -1196,17 +1333,17 @@ def _jpeg_decode_prog_scan(frame, scan, coefs, dc_maps, ac_maps, segs_,
         if ss == 0:  # DC scan (Se must be 0 per G.1.1.1.1)
             if se != 0:
                 raise ValueError("bad DC progressive band")
-            for c, sc in enumerate(scan):
-                blk = coefs[sc["ci"]][m]
-                if ah == 0:  # first pass: DPCM of point-transformed DC
-                    size = _jpeg_huff_read(reader, dc_maps[sc["td"]])
-                    diff = (_jpeg_extend(reader.read(size), size)
-                            if size else 0)
-                    preds[c] += diff
-                    blk[0] = preds[c] << al
-                else:  # refinement: one raw bit
-                    if reader.read(1):
-                        blk[0] |= 1 << al
+            if interleaved:
+                mr, mc = divmod(m, mcols)
+                for c, sc in enumerate(scan):
+                    bw_c = mcols * sc["hs"]
+                    for vb in range(sc["vs"]):
+                        for hb in range(sc["hs"]):
+                            idx = ((mr * sc["vs"] + vb) * bw_c
+                                   + mc * sc["hs"] + hb)
+                            dc_one(coefs[sc["ci"]][idx], c, sc)
+            else:
+                dc_one(coefs[scan[0]["ci"]][m], 0, scan[0])
             continue
         if len(scan) != 1:
             raise ValueError("interleaved AC progressive scan")

@@ -872,3 +872,29 @@ def test_jpeg_420_through_decode_stage(ray_session):
     out = DecodeImageStage()(t)
     assert out["width"].to_pylist() == [30, None]
     assert out["height"].to_pylist() == [18, None]
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    w=hst.integers(min_value=1, max_value=40),
+    h=hst.integers(min_value=1, max_value=40),
+    seed=hst.integers(min_value=0, max_value=2**31),
+    quality=hst.sampled_from([5, 50, 90, 100]),
+)
+def test_jpeg_progressive_420_matches_baseline_420(w, h, seed, quality):
+    """Progressive 4:2:0 — interleaved DC over 16x16 MCUs (four luma
+    blocks mapped to the component raster grid) + per-component AC
+    bands — must decode bit-identical to the baseline 4:2:0 encoding
+    of the same pixels: the web's most common photo encoding,
+    end-to-end."""
+    import numpy as np
+
+    from bitquery_kafka_streams_rust_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg_color_420, encode_jpeg_progressive_420)
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_color_420(rgb, quality))
+    prog = decode_jpeg(encode_jpeg_progressive_420(rgb, quality))
+    assert prog is not None
+    assert np.array_equal(base, prog)
